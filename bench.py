@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = total wall-clock of the headline set (each query executed to
+completion via a count/collect action after a warm-up of the
+SparkSession + parquet footers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the aggregation spine, the join pyramid, windows/
+# sessionization (the O13 compilation idiom), array integrations,
+# dedup, and similarity search — one per operator family.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "orders_rank_in_customer",
+    "events_sessionize",
+    "events_asof_prior_view",
+    "vector_sum",
+    "vector_elementwise_sum",
+    "cosine_topk",
+    "minhash_lsh_pairs",
+    "dedup_exact",
+    "simhash_docs",
+]
+
+
+def main() -> None:
+    from radio_data_pipeline_spark.plans.registry import all_queries
+    from radio_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("rdps-bench")
+    queries = all_queries()
+
+    # Warm-up: JVM + parquet footer reads, not measured.
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,208 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard,
+SimHash.
+
+Scale design:
+- exact dedup = hash-groupBy on a fingerprint column (one shuffle on
+  an md5 key — uniform by construction, no skew);
+- MinHash: signatures are per-row array expressions (shingle ->
+  md5 -> min), no shuffle; LSH banding turns the quadratic pair
+  search into an equi-join on (band_id, band_hash) — the only shuffle
+  is keyed by band buckets;
+- n-gram Jaccard runs only on candidate pairs (inverted-index join),
+  never all-pairs.
+
+Hashing is md5-hex-string based everywhere: portable across Spark and
+DuckDB (identical hex output), so every step has an exact SQL oracle.
+Min over fixed-width lowercase-hex strings == min over the 128-bit
+integers they encode, so string min is a valid MinHash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from radio_data_pipeline_spark.functions.text import fingerprint
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact near-identical dedup: group by normalized-text md5, keep
+    the lowest id as canonical."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("canonical_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles of the lowercased word sequence, as strings
+    joined with single spaces. Array expression, no explode."""
+    words = F.split(F.lower(F.trim(text)), "\\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    make = lambda i: F.array_join(F.slice(words, i + 1, k), " ")  # noqa: E731
+    return F.when(n >= k, F.transform(idx, make)).otherwise(F.array())
+
+
+def _minhash_component(shingles: Column, seed: int) -> Column:
+    """One MinHash signature component: min over shingles of
+    md5(seed || '|' || shingle), as a 32-hex-char string."""
+    return F.array_min(
+        F.transform(shingles,
+                    lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))))
+
+
+def minhash_signature(text: Column, n_hashes: int = 8, k: int = 3) -> Column:
+    """Array of n_hashes MinHash components over k-word shingles as a
+    single column expression. NOTE: fine for one-off use, but Catalyst
+    projection-collapse will inline (and recompute) it wherever it is
+    referenced — hot paths should use minhash_signature_table."""
+    sh = word_shingles(text, k)
+    return F.array(*[_minhash_component(sh, seed) for seed in range(n_hashes)])
+
+
+def minhash_signature_table(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", n_hashes: int = 8,
+                            k: int = 3) -> DataFrame:
+    """Signatures as an aggregation: explode shingles to rows, then
+    min(md5(seed|shingle)) per seed. The aggregation is a Catalyst
+    optimization barrier (no projection-collapse re-computation) and
+    gets map-side partial mins, so the shuffle carries one 8-hash row
+    per document — the scale-correct formulation.
+
+    Returns (id, h0..h{n-1})."""
+    # explode_outer keeps shingle-less docs (< k words) as one null
+    # row -> null signature components, matching the SQL oracle where
+    # min over an empty list is NULL
+    sh_rows = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(word_shingles(F.col(text_col), k)).alias("shingle"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("shingle"))))
+         .alias(f"h{seed}")
+        for seed in range(n_hashes)
+    ]
+    return sh_rows.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n_hashes: int = 8,
+                      band_size: int = 2, k: int = 3) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding: docs sharing any
+    band (band_size consecutive signature components) become a pair.
+    Returns distinct (id_a, id_b) with id_a < id_b.
+
+    The pair explosion is bounded per bucket; at 100 TB scale add a
+    bucket-size cap before the self-join (buckets above the cap are
+    either true mass-duplicates — handled by exact dedup — or hash
+    pathologies)."""
+    assert n_hashes % band_size == 0
+    n_bands = n_hashes // band_size
+    # Signatures via the aggregation form (computed exactly once —
+    # expression-form signatures get inlined by projection collapse
+    # and re-hashed per band; measured 40x slowdown at sf0.1).
+    sigged = minhash_signature_table(df, text_col, id_col, n_hashes, k)
+
+    def band_hash(b: int):
+        # F.concat (not concat_ws): NULL components must poison the
+        # band hash so shingle-less docs never pair, matching SQL
+        # NULL-propagating || semantics.
+        parts: list = []
+        for j in range(band_size):
+            if parts:
+                parts.append(F.lit("_"))
+            parts.append(F.col(f"h{b * band_size + j}"))
+        return F.concat(*parts)
+
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band_id"), band_hash(b).alias("band_hash"))
+        for b in range(n_bands)
+    ])
+    banded = (sigged.select("id", F.explode(bands).alias("b"))
+              .select("id", F.col("b.band_id").alias("band_id"),
+                      F.col("b.band_hash").alias("band_hash"))
+              .filter(F.col("band_hash").isNotNull()))
+    # One shuffle: group ids per bucket, then generate the in-bucket
+    # pairs with array expressions. Beats the naive self-join (which
+    # recomputes the signature scan on both sides) and makes the
+    # bucket-size cap trivial to add at 100 TB scale.
+    buckets = (banded.groupBy("band_id", "band_hash")
+               .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+               .filter(F.size("ids") > 1))
+    n = F.size("ids")
+    pair_structs = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + 2, n),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        threshold: float = 0.2) -> DataFrame:
+    """n-gram Jaccard similarity over candidate pairs from an
+    inverted-index join (pairs must share >= 1 distinct shingle).
+
+    jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) with distinct-shingle
+    sets; all counts are integers, so the oracle matches exactly."""
+    sh = (df.select(F.col(id_col).alias("id"),
+                    F.explode(F.array_distinct(
+                        word_shingles(F.col(text_col), k))).alias("shingle")))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle"))
+              & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter
+        .join(sizes.withColumnRenamed("id", "id_a")
+              .withColumnRenamed("n_shingles", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("n_shingles", "size_b"), "id_b")
+        .withColumn("jaccard",
+                    F.col("n_common").cast("double")
+                    / (F.col("size_a") + F.col("size_b") - F.col("n_common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common",
+                F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash64(text: Column, k_bits: int = 32) -> Column:
+    """SimHash over words: for each of k_bits bit positions, sum +1/-1
+    votes from each word's md5 (bit j read from the low bit of hex
+    digit j), then pack the sign bits into a BIGINT.
+
+    Uses hex-digit parity instead of integer hashing so the identical
+    computation runs in DuckDB; 32 bits keeps the packed value well
+    inside BIGINT."""
+    words = F.filter(F.split(F.lower(F.trim(text)), "\\s+"),
+                     lambda w: w != "")
+    hashes = F.transform(words, lambda w: F.md5(w))
+    bits = []
+    for j in range(k_bits):
+        # +1 if hex digit j is odd, else -1; summed over all words
+        vote = F.aggregate(
+            hashes, F.lit(0),
+            lambda acc, h: acc + F.when(
+                F.substring(h, j + 1, 1).isin("1", "3", "5", "7", "9",
+                                              "b", "d", "f"),
+                F.lit(1)).otherwise(F.lit(-1)),
+        )
+        bits.append(F.when(vote > 0, F.lit(2 ** j).cast("long"))
+                    .otherwise(F.lit(0).cast("long")))
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total

@@ -1,0 +1,134 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata, processed by Arrow-batched mapInPandas
+kernels.
+
+The decode step itself is STUBBED (the image/audio libraries are not
+in this container — see NotImplementedError markers and the
+deterministic fake used by tests); everything Spark-side is real:
+schemas, batch iteration, partition sizing, UDF signatures. Swapping
+the fake for Pillow/torchaudio changes one function body, not the
+plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),        # image | audio | video
+    T.StructField("content", T.BinaryType()),     # opaque encoded bytes
+    T.StructField("mime", T.StringType()),
+    T.StructField("width", T.IntegerType()),      # typed metadata...
+    T.StructField("height", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("duration_s", T.DoubleType()),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("feature", T.ArrayType(T.DoubleType())),
+    T.StructField("feature_dim", T.IntegerType()),
+])
+
+
+def _decode_image(content: bytes, width: int, height: int) -> np.ndarray:
+    """STUB — real implementation: PIL.Image.open(BytesIO(content)).
+
+    Deterministic fake: bytes of the md5 digest tiled to (h, w),
+    scaled to [0, 1]. Raises for non-fake inputs so nobody mistakes
+    this for a real decoder."""
+    if not content.startswith(b"FAKEIMG"):
+        raise NotImplementedError(
+            "real image decode requires an imaging library not present "
+            "in this environment; test fixtures use FAKEIMG bytes")
+    digest = hashlib.md5(content).digest()
+    flat = np.frombuffer(digest, dtype=np.uint8).astype(np.float64) / 255.0
+    reps = int(np.ceil(width * height / len(flat)))
+    return np.tile(flat, reps)[: width * height].reshape(height, width)
+
+
+def image_features(df: DataFrame, pool: int = 8) -> DataFrame:
+    """Decode + resize-pool each image to a pool x pool mean grid ->
+    feature vector. mapInPandas streams Arrow batches; binary payloads
+    never materialize on the driver, and each output row drops the
+    (large) content column immediately — the projection the plan needs
+    at 100 TB."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for _, row in pdf.iterrows():
+                img = _decode_image(row["content"], row["width"],
+                                    row["height"])
+                h, w = img.shape
+                ph, pw = max(h // pool, 1), max(w // pool, 1)
+                pooled = img[: ph * pool, : pw * pool] \
+                    .reshape(pool, ph, pool, pw).mean(axis=(1, 3))
+                feats.append(pooled.ravel().tolist())
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "feature": feats,
+                "feature_dim": [len(f) for f in feats],
+            })
+
+    return (df.filter(F.col("kind") == "image")
+            .mapInPandas(run, schema=FEATURE_SCHEMA))
+
+
+def audio_frame_stats(df: DataFrame, frame_ms: int = 250) -> DataFrame:
+    """Frame-sample audio into fixed windows and emit per-frame RMS.
+    Decode is stubbed like images (FAKEAUD prefix -> deterministic
+    waveform from the md5 digest)."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                if not bytes(row["content"]).startswith(b"FAKEAUD"):
+                    raise NotImplementedError(
+                        "real audio decode not available; fixtures use "
+                        "FAKEAUD bytes")
+                digest = hashlib.md5(bytes(row["content"])).digest()
+                sr = int(row["sample_rate"]) or 8000
+                n = int(sr * float(row["duration_s"]))
+                base = np.frombuffer(digest, dtype=np.uint8).astype(float)
+                wave = np.resize(base - base.mean(), n) / 255.0
+                frame_len = max(int(sr * frame_ms / 1000), 1)
+                for i in range(0, n - frame_len + 1, frame_len):
+                    frame = wave[i:i + frame_len]
+                    rows.append({
+                        "media_id": row["media_id"],
+                        "frame_idx": i // frame_len,
+                        "rms": float(np.sqrt(np.mean(frame ** 2))),
+                    })
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "rms"])
+
+    return (df.filter(F.col("kind") == "audio")
+            .mapInPandas(run, schema=out_schema))
+
+
+def make_fake_media(spark, n_images: int = 8, n_audio: int = 4) -> DataFrame:
+    """Deterministic fixture rows for the stubbed decoders."""
+    rows = []
+    for i in range(n_images):
+        rows.append((i, "image", b"FAKEIMG" + str(i).encode(), "image/fake",
+                     32, 24, None, None))
+    for i in range(n_audio):
+        rows.append((1000 + i, "audio", b"FAKEAUD" + str(i).encode(),
+                     "audio/fake", None, None, 8000, 1.0))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,238 @@
+"""Gain-calibration operators — reference M1-M6 (continuum.py:46-187,
+SURVEY.md §2.5).
+
+Two layers:
+- distributed closed-form OLS (``ols_fit``) via covar_pop/var_pop
+  aggregates — the scale path, one shuffle keyed by segment;
+- per-segment Robust Chauvenet Rejection (``rcr_fit_segments``) via
+  applyInPandas — calibration segments are tiny (dozens of rows), so
+  the sequential robust-rejection loop runs inside one Arrow batch per
+  segment. The reference uses the compiled `rcr` library (Maples et
+  al. 2018 ApJS, continuum.py:85-94); that library is unavailable
+  here, so the same published algorithm's rejection loop (Chauvenet
+  criterion around a robust sigma) is implemented in NumPy — a
+  documented substitution, pinned by golden tests.
+
+Gain application (M6) implements the INTENDED time-interpolation
+semantics: the reference's z>=1.96 branch rebinds the loop variable
+(``i /= ...``, continuum.py:178-181), which never writes back into the
+array — a no-op. Tests pin our (intended) behavior.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ------------------------------------------------------------------
+# M1/M2: closed-form OLS as aggregates (distributed scale path)
+# ------------------------------------------------------------------
+
+def ols_fit(df: DataFrame, group_cols: list[str], x_col: str, y_col: str,
+            ) -> DataFrame:
+    """slope = covar_pop(x,y)/var_pop(x); intercept = avg(y) -
+    slope*avg(x). Equivalent to scipy.linregress point estimates
+    (continuum.py:82) but computed in one distributed aggregation."""
+    x, y = F.col(x_col), F.col(y_col)
+    slope = F.covar_pop(x, y) / F.var_pop(x)
+    return df.groupBy(*group_cols).agg(
+        slope.alias("slope"),
+        (F.avg(y) - slope * F.avg(x)).alias("intercept"),
+        F.count(F.lit(1)).alias("n"),
+        F.avg(x).alias("x_mean"),
+    )
+
+
+# ------------------------------------------------------------------
+# M3: Robust Chauvenet Rejection around a linear model (per segment)
+# ------------------------------------------------------------------
+
+def _chauvenet_threshold(n: int) -> float:
+    """z such that n * P(|Z| > z) = 0.5 (the Chauvenet criterion)."""
+    from statistics import NormalDist
+    p = 1.0 - 0.25 / n  # two-sided: P(Z < z) = 1 - 0.5/(2n)
+    return NormalDist().inv_cdf(p)
+
+
+def rcr_linear_fit(x: np.ndarray, y: np.ndarray,
+                   max_iter: int = 50) -> tuple[float, float, np.ndarray]:
+    """Robust linear fit: iterate OLS -> robust sigma (scaled MAD of
+    residuals) -> Chauvenet rejection, to a fixpoint.
+
+    Mirrors the role of rcr.FunctionalForm + performBulkRejection
+    (continuum.py:85-94) using the published algorithm's ingredients;
+    x is mean-centered by the caller exactly as the reference does
+    (continuum.py:77-78). Returns (intercept, slope, kept_mask).
+    """
+    keep = np.ones(len(x), dtype=bool)
+    slope = intercept = 0.0
+    for _ in range(max_iter):
+        xs, ys = x[keep], y[keep]
+        if len(xs) < 3:
+            break
+        vx = np.var(xs)
+        slope = (np.cov(xs, ys, bias=True)[0, 1] / vx) if vx > 0 else 0.0
+        intercept = ys.mean() - slope * xs.mean()
+        resid = y - (intercept + slope * x)
+        mad = np.median(np.abs(resid[keep] - np.median(resid[keep])))
+        sigma = 1.4826 * mad if mad > 0 else np.std(resid[keep])
+        if sigma == 0:
+            break
+        z = _chauvenet_threshold(int(keep.sum()))
+        new_keep = np.abs(resid) <= z * sigma
+        new_keep &= keep  # rejection is monotone (bulk rejection)
+        if new_keep.sum() == keep.sum() or new_keep.sum() < 3:
+            keep = new_keep if new_keep.sum() >= 3 else keep
+            break
+        keep = new_keep
+    return intercept, slope, keep
+
+
+def fit_stats(x: np.ndarray, y: np.ndarray, intercept: float, slope: float,
+              ) -> tuple[float, float]:
+    """M4 (continuum.py:104-107): sigma^2 = SSR/(n-2); std-errors of
+    intercept (b_sd) and slope (m_sd). Returns (b_sd, m_sd)."""
+    n = len(x)
+    resid = y - (slope * x + intercept)
+    sigma2 = float(np.sum(resid ** 2)) / (n - 2)
+    sxx = float(np.sum((x - x.mean()) ** 2))
+    m_sd = math.sqrt(sigma2 / sxx)
+    b_sd = math.sqrt(sigma2 * (1.0 / n + (x.mean() ** 2) / sxx))
+    return b_sd, m_sd
+
+
+_RCR_SCHEMA = T.StructType([
+    T.StructField("obs_id", T.LongType()),
+    T.StructField("IFNUM", T.IntegerType()),
+    T.StructField("PLNUM", T.IntegerType()),
+    T.StructField("segment", T.StringType()),
+    T.StructField("calstate", T.IntegerType()),
+    T.StructField("intercept", T.DoubleType()),
+    T.StructField("slope", T.DoubleType()),
+    T.StructField("b_sd", T.DoubleType()),
+    T.StructField("m_sd", T.DoubleType()),
+    T.StructField("t_mean", T.DoubleType()),
+    T.StructField("n", T.IntegerType()),
+])
+
+
+def rcr_fit_segments(continuum_df: DataFrame) -> DataFrame:
+    """Run the robust fit over every (stream, segment, CALSTATE) group
+    of an integrated-continuum frame with columns
+    (obs_id, IFNUM, PLNUM, segment, CALSTATE, t, intensity).
+
+    Each group is a handful of rows (a diode-on or diode-off half of a
+    cal spike), so applyInPandas here is many tiny Arrow batches — the
+    parallelism unit is the calibration segment, of which a 100 TB
+    corpus has millions."""
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["t"].to_numpy(dtype=float)
+        y = pdf["intensity"].to_numpy(dtype=float)
+        t_mean = float(t.mean())
+        x = t - t_mean  # mean-centering, continuum.py:77-78
+        if len(x) < 4:
+            # reference guard: <4 points on either side -> no fit
+            # (continuum.py:119)
+            fit = dict(intercept=None, slope=None, b_sd=None, m_sd=None)
+        else:
+            b, m, keep = rcr_linear_fit(x, y)
+            b_sd, m_sd = fit_stats(x[keep], y[keep], b, m)
+            fit = dict(intercept=b, slope=m, b_sd=b_sd, m_sd=m_sd)
+        return pd.DataFrame([{
+            "obs_id": pdf["obs_id"].iloc[0],
+            "IFNUM": pdf["IFNUM"].iloc[0],
+            "PLNUM": pdf["PLNUM"].iloc[0],
+            "segment": pdf["segment"].iloc[0],
+            "calstate": pdf["CALSTATE"].iloc[0],
+            "t_mean": t_mean,
+            "n": len(pdf),
+            **fit,
+        }])
+
+    return (continuum_df
+            .groupBy("obs_id", "IFNUM", "PLNUM", "segment", "CALSTATE")
+            .applyInPandas(run, schema=_RCR_SCHEMA))
+
+
+# ------------------------------------------------------------------
+# M5: calibration height per cal segment
+# ------------------------------------------------------------------
+
+@dataclass
+class CalibrationHeight:
+    delta: float | None
+    uncertainty: float | None
+
+
+def calibration_height(fits: pd.DataFrame) -> CalibrationHeight:
+    """Combine the diode-on and diode-off fits of ONE cal segment into
+    the calibration height (continuum.py:111-138): evaluate both fits
+    at the shared midpoint time, delta = on(t*) - off(t*), uncertainty
+    by quadrature (continuum.py:134)."""
+    on = fits[fits["calstate"] == 1]
+    off = fits[fits["calstate"] == 0]
+    if len(on) != 1 or len(off) != 1:
+        return CalibrationHeight(None, None)
+    on, off = on.iloc[0], off.iloc[0]
+    if on["intercept"] is None or off["intercept"] is None or \
+            pd.isna(on["intercept"]) or pd.isna(off["intercept"]):
+        return CalibrationHeight(None, None)
+    t_star = (on["t_mean"] + off["t_mean"]) / 2.0
+    dt_on = t_star - on["t_mean"]
+    dt_off = t_star - off["t_mean"]
+    y_on = dt_on * on["slope"] + on["intercept"]
+    y_off = dt_off * off["slope"] + off["intercept"]
+    delta = y_on - y_off
+    unc = math.sqrt(on["b_sd"] ** 2 + off["b_sd"] ** 2
+                    + (on["m_sd"] * dt_on) ** 2 + (off["m_sd"] * dt_off) ** 2)
+    return CalibrationHeight(float(delta), float(unc))
+
+
+# ------------------------------------------------------------------
+# M6: gain calibration of the science continuum
+# ------------------------------------------------------------------
+
+def apply_gain_calibration(science: DataFrame,
+                           pre: CalibrationHeight,
+                           post: CalibrationHeight,
+                           t_col: str = "t",
+                           y_col: str = "intensity") -> DataFrame:
+    """Divide the science intensities by the calibration height
+    (continuum.py:173-187), with the INTENDED interpolation semantics:
+
+    - both heights present and z = |pre-post|/sqrt(s_pre^2+s_post^2)
+      >= 1.96: divide by the height linearly interpolated in time
+      between the first and last science samples (the reference's
+      loop-variable no-op is documented above);
+    - both present, z < 1.96: divide by the mean height;
+    - one present: divide by it; none: unchanged.
+
+    The first/last science times are two scalar aggregates (min/max) —
+    a driver round-trip of two doubles, matching SURVEY §3's "two
+    small collects" note.
+    """
+    y = F.col(y_col)
+    if pre.delta is not None and post.delta is not None:
+        z = abs(pre.delta - post.delta) / math.sqrt(
+            pre.uncertainty ** 2 + post.uncertainty ** 2)
+        if z >= 1.96:
+            t1, t2 = science.agg(F.min(t_col), F.max(t_col)).first()
+            if t2 == t1:
+                return science.withColumn(y_col, y / F.lit(pre.delta))
+            frac = (F.col(t_col) - F.lit(t1)) / F.lit(t2 - t1)
+            height = F.lit(pre.delta) + F.lit(post.delta - pre.delta) * frac
+            return science.withColumn(y_col, y / height)
+        return science.withColumn(y_col, y / F.lit((pre.delta + post.delta) / 2))
+    if pre.delta is not None:
+        return science.withColumn(y_col, y / F.lit(pre.delta))
+    if post.delta is not None:
+        return science.withColumn(y_col, y / F.lit(post.delta))
+    return science

@@ -1,0 +1,125 @@
+"""End-to-end reduction pipelines — the Spark equivalents of the
+reference entry points (SURVEY.md §3):
+
+- ``continuum_pipeline``  = Continuum(...).continuum()  (continuum.py:140-191)
+- ``spectrum_pipeline``   = Spectrum(...).spectrum()    (spectrum.py:46-71)
+
+Each is a composition of lazy transformations; the only driver
+round-trips are the per-segment calibration-height scalars (M5/M6),
+matching SURVEY §3's lifecycle note.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from radio_data_pipeline_spark.operators.calibration import (
+    CalibrationHeight,
+    apply_gain_calibration,
+    calibration_height,
+    rcr_fit_segments,
+)
+from radio_data_pipeline_spark.operators.filters import (
+    filter_frequency_ranges,
+    filter_time_ranges,
+    select_stream,
+)
+from radio_data_pipeline_spark.operators.header import ObservationHeader
+from radio_data_pipeline_spark.operators.integrate import (
+    integrate_continuum,
+    integrate_spectrum,
+    on_off_spectrum,
+)
+from radio_data_pipeline_spark.operators.segmentation import (
+    find_calibrations,
+    label_segments,
+)
+
+
+def _prepare(df: DataFrame, header: ObservationHeader, ifnum: int, plnum: int,
+             include_time=None, exclude_time=None,
+             include_freq=None, exclude_freq=None,
+             extra_predicate=None):
+    """Shared front half: stream count (A3 on the UNFILTERED input,
+    continuum.py:24-28) -> stream select (F1) -> time crop (F3) ->
+    frequency crop / axis derivation (F4/P2)."""
+    stream_count = (df.select("IFNUM", "PLNUM").distinct().count())
+    out = select_stream(df, ifnum, plnum)
+    if extra_predicate is not None:
+        out = out.filter(extra_predicate)
+    if include_time or exclude_time:
+        out = filter_time_ranges(out, "DATE_OBS", include_time, exclude_time)
+    frequencies = header.frequencies(ifnum)
+    if include_freq or exclude_freq:
+        out, frequencies = filter_frequency_ranges(
+            out, frequencies, include_freq, exclude_freq)
+    return out, frequencies, stream_count
+
+
+def continuum_pipeline(df: DataFrame, header: ObservationHeader,
+                       ifnum: int = 0, plnum: int = 0,
+                       include_time=None, exclude_time=None,
+                       include_freq=None, exclude_freq=None) -> DataFrame:
+    """Full gain-calibrated continuum: returns (obs_id, t, intensity).
+
+    Stage map (continuum.py:140-191): crops -> find_calibrations (O13)
+    -> segment labels (O15) -> per-segment diode on/off integration
+    (F2+A1) -> robust fits (M2/M3/M4) -> calibration heights (M5) ->
+    science integration (A1) -> gain calibration (M6).
+    """
+    data, _freqs, stream_count = _prepare(
+        df, header, ifnum, plnum, include_time, exclude_time,
+        include_freq, exclude_freq)
+
+    indices = find_calibrations(data, channel_count=stream_count,
+                                header_obsmode=header.obsmode)
+    labeled = label_segments(data, indices).cache()
+
+    # Calibration segments: diode on/off split (F2: SWPVALID==0 within
+    # the pre/post windows, continuum.py:51-59) -> continuum integrate.
+    cal_rows = labeled.filter(
+        F.col("segment").isin("pre_cal", "post_cal")
+        & (F.col("SWPVALID") == 0))
+    cal_cont = integrate_continuum(cal_rows, epoch_ts=header.date,
+                                   keep_cols=["obs_id", "IFNUM", "PLNUM",
+                                              "segment", "CALSTATE"])
+    fits = rcr_fit_segments(cal_cont).toPandas()
+
+    pre = calibration_height(fits[fits["segment"] == "pre_cal"])
+    post = calibration_height(fits[fits["segment"] == "post_cal"])
+
+    science = labeled.filter(F.col("segment") == "science")
+    cont = integrate_continuum(science, epoch_ts=header.date,
+                               keep_cols=["obs_id"])
+    return apply_gain_calibration(cont, pre, post)
+
+
+def spectrum_pipeline(df: DataFrame, header: ObservationHeader,
+                      ifnum: int = 0, plnum: int = 0,
+                      include_time=None, exclude_time=None,
+                      include_freq=None, exclude_freq=None) -> DataFrame:
+    """ON-OFF (or plain) spectrum: returns (pos, frequency, intensity).
+
+    Stage map (spectrum.py:46-71): stream + CALSTATE==0 & SWPVALID==0
+    pre-filter (F1+F2, spectrum.py:31-32) -> crops -> off transition
+    (O14) -> A2 integration with ON-OFF subtraction (M7).
+    """
+    pred = (F.col("CALSTATE") == 0) & (F.col("SWPVALID") == 0)
+    data, freqs, stream_count = _prepare(
+        df, header, ifnum, plnum, include_time, exclude_time,
+        include_freq, exclude_freq, extra_predicate=pred)
+
+    if header.obsmode == "onoff":
+        # Falsy-index quirk (spectrum.py:63): the reference treats an
+        # off-transition at row 0 the same as "no transition"; we treat
+        # any non-null transition as real (documented divergence).
+        spec = on_off_spectrum(data, on_pred=~F.col("OBSMODE")
+                               .contains("onoff:off"))
+    else:
+        spec = integrate_spectrum(data)
+
+    freq_col = F.element_at(
+        F.array(*[F.lit(float(f)) for f in freqs]), F.col("pos") + 1)
+    return spec.withColumn("frequency", freq_col).select(
+        "pos", "frequency", "intensity")

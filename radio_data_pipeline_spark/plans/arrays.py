@@ -1,0 +1,279 @@
+"""Array-column queries over `embeddings` — the driver-table analogues
+of the reference's DATA-vector operators (SURVEY.md §2.2-2.5): per-row
+channel sums (A1), cross-row element-wise sums (A2), channel crops
+(F7), element masking (F6), ON-OFF differencing (M7), plus the
+similarity-search extension.
+
+Float parity notes: embeddings store float32; both sides cast to
+DOUBLE before any fold so accumulation happens in float64, and both
+sides fold in array order, so sums are bit-identical before the
+defensive round(…, 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from radio_data_pipeline_spark.functions.similarity import (
+    cosine_similarity,
+    cosine_topk,
+    hyperplanes,
+    lsh_bucket_topk,
+)
+from radio_data_pipeline_spark.plans.registry import register
+from radio_data_pipeline_spark.sources.parquet import load_table
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@register(
+    "vector_sum",
+    oracle="""
+    SELECT vec_id,
+           round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 6)
+             AS intensity
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+    doc="Reference A1 continuum integration (sum over the in-row array "
+        "axis, utils.py:105-118) as an in-order JVM-side fold — no "
+        "explode, no shuffle, map-only at any scale.",
+    tags=("array", "agg"),
+)
+def vector_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.operators.integrate import array_sum
+    return (
+        _emb(spark, sf_dir)
+        .select("vec_id",
+                F.round(array_sum(F.col("embedding")), 6).alias("intensity"))
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "vector_slice_sum",
+    oracle="""
+    SELECT vec_id,
+           round(list_aggregate(CAST(embedding[5:36] AS DOUBLE[]), 'sum'), 6)
+             AS cropped_intensity
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+    doc="Reference F7 channel-window crop (validate.py:72-102: "
+        "data[start:stop+1], 0-based inclusive -> channels 4..35) then "
+        "integrate; slice is positional, stays in codegen.",
+    tags=("array", "filter"),
+)
+def vector_slice_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.operators.integrate import array_sum
+    from radio_data_pipeline_spark.operators.validation import crop_channels
+    cropped = crop_channels(_emb(spark, sf_dir), 4, 35, data_col="embedding")
+    return (
+        cropped.select(
+            "vec_id",
+            F.round(array_sum(F.col("embedding")), 6)
+             .alias("cropped_intensity"))
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "vector_mask_negative_sum",
+    oracle="""
+    SELECT vec_id,
+           round(list_aggregate(
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CASE WHEN x < 0 THEN 0.0 ELSE x END),
+             'sum'), 6) AS masked_intensity
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+    doc="Reference F6 element masking (validate.py:25-37 masks NaN "
+        "elements; here the mask predicate is x<0 since the synthetic "
+        "vectors carry no NaNs) — element-wise transform + fold.",
+    tags=("array", "validation"),
+)
+def vector_mask_negative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    masked = F.transform(
+        F.col("embedding"),
+        lambda x: F.when(x.cast("double") < 0, F.lit(0.0))
+                   .otherwise(x.cast("double")))
+    return (
+        _emb(spark, sf_dir)
+        .select("vec_id",
+                F.round(F.aggregate(masked, F.lit(0.0),
+                                    lambda acc, x: acc + x), 6)
+                 .alias("masked_intensity"))
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "vector_elementwise_sum",
+    oracle="""
+    SELECT pos, round(sum(val), 6) AS intensity, count(*) AS n_rows
+    FROM (
+      SELECT generate_subscripts(embedding, 1) AS pos,
+             unnest(CAST(embedding AS DOUBLE[])) AS val
+      FROM embeddings
+    )
+    GROUP BY pos
+    ORDER BY pos
+    """,
+    doc="Reference A2 spectrum integration (element-wise sum across "
+        "rows, utils.py:120-124): posexplode -> groupBy(pos). Shuffle "
+        "volume is O(n_channels) after map-side partial aggregation, "
+        "independent of row count. pos is 1-based to match SQL "
+        "generate_subscripts.",
+    tags=("array", "agg", "shuffle"),
+)
+def vector_elementwise_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _emb(spark, sf_dir)
+        .select(F.posexplode("embedding").alias("pos0", "val"))
+        .select((F.col("pos0") + 1).alias("pos"),
+                F.col("val").cast("double").alias("val"))
+        .groupBy("pos")
+        .agg(F.round(F.sum("val"), 6).alias("intensity"),
+             F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("pos")
+    )
+
+
+@register(
+    "vector_onoff_diff",
+    oracle="""
+    SELECT pos, round(sum(CASE WHEN label % 2 = 0 THEN val ELSE -val END), 6)
+             AS intensity
+    FROM (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS pos,
+             unnest(CAST(embedding AS DOUBLE[])) AS val
+      FROM embeddings
+    )
+    GROUP BY pos
+    ORDER BY pos
+    """,
+    doc="Reference M7 ON-OFF spectrum subtraction (spectrum.py:63-67) "
+        "as ONE signed aggregation (sum of +val/-val) instead of two "
+        "passes + a join — half the shuffle volume.",
+    tags=("array", "agg"),
+)
+def vector_onoff_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sign = F.when(F.col("label") % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    return (
+        _emb(spark, sf_dir)
+        .select(sign.alias("sign"), F.posexplode("embedding").alias("pos0", "val"))
+        .select((F.col("pos0") + 1).alias("pos"),
+                (F.col("val").cast("double") * F.col("sign")).alias("sval"))
+        .groupBy("pos")
+        .agg(F.round(F.sum("sval"), 6).alias("intensity"))
+        .orderBy("pos")
+    )
+
+
+@register(
+    "cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT e.vec_id,
+           round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+    FROM embeddings e, q
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 10
+    """,
+    doc="Brute-force exact cosine top-k against the vec_id=0 query "
+        "vector — the ANN correctness baseline. Map + TakeOrdered, no "
+        "sort shuffle.",
+    tags=("similarity", "topk"),
+)
+def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return cosine_topk(emb, [float(v) for v in qvec], k=10)
+
+
+def _plane_sql(plane) -> str:
+    return "[" + ",".join(f"{v!r}" for v in plane) + "]"
+
+
+def _lsh_oracle(n_planes: int = 6, seed: int = 7, dim: int = 64) -> str:
+    planes = hyperplanes(dim, n_planes, seed)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"{_plane_sql(list(p))}) > 0 THEN {1 << r} ELSE 0 END)"
+        for r, p in enumerate(planes))
+    return f"""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {bucket_terms} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+    SELECT b.vec_id,
+           round(list_dot_product(b.v, q.qv)
+                 / (sqrt(list_dot_product(b.v, b.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+    FROM b, q
+    WHERE b.bucket = q.qbucket
+    ORDER BY cosine DESC, b.vec_id
+    LIMIT 10
+    """
+
+
+@register(
+    "lsh_bucket_topk",
+    oracle=_lsh_oracle(),
+    doc="Approximate top-k restricted to the query's random-hyperplane "
+        "LSH bucket — the scale path for similarity search: with the "
+        "table bucketed by the sign-pattern id, the scan prunes to "
+        "~N/2^R rows before any distance math.",
+    tags=("similarity", "topk", "lsh"),
+)
+def lsh_bucket_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return lsh_bucket_topk(emb, [float(v) for v in qvec], k=10,
+                           n_planes=6, seed=7)
+
+
+@register(
+    "embedding_pair_cosine",
+    oracle="""
+    WITH d AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 40)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+    FROM d a JOIN d b ON a.vec_id < b.vec_id AND a.label = b.label
+    ORDER BY id_a, id_b
+    """,
+    doc="Pairwise cosine within labels (theta self-join on a pruned "
+        "subset) — embedding-cosine near-dup detection; the label "
+        "equality is the blocking key that keeps the join linear-ish.",
+    tags=("similarity", "join"),
+)
+def embedding_pair_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (_emb(spark, sf_dir).filter(F.col("vec_id") < 40)
+         .select("vec_id", "label", "embedding"))
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, (F.col("a.vec_id") < F.col("b.vec_id"))
+               & (F.col("a.label") == F.col("b.label")))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cosine_similarity(F.col("a.embedding"),
+                                      F.col("b.embedding")), 6)
+             .alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,349 @@
+"""LLM-training-data pipeline queries over `documents` (SURVEY.md
+§2.8 driver extensions): text statistics, language ID, token counting,
+fingerprinting, exact + MinHash-LSH + n-gram-Jaccard dedup, SimHash.
+
+Oracle-parity strategy: all hashing is md5-hex (identical output in
+Spark and DuckDB), all counts are integers, and the one regex dialect
+difference that matters (DuckDB regexp_replace needs the 'g' flag to
+replace all) is handled in the SQL. SQL for the signature/simhash
+queries is generated from the same seed/band parameters as the Spark
+expressions so the two can never drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from radio_data_pipeline_spark.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from radio_data_pipeline_spark.functions.text import (
+    BPE_RE,
+    PUNCT_RE,
+    STOPWORDS,
+    WORD_RE,
+    bpe_ish_token_count,
+    fingerprint,
+    language_id,
+    punct_count,
+    quality_score,
+    stopword_hits,
+    word_count,
+    word_tokens,
+)
+from radio_data_pipeline_spark.plans.registry import register
+from radio_data_pipeline_spark.sources.parquet import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _sqlq(pattern: str) -> str:
+    """Escape a regex for embedding in a single-quoted SQL literal."""
+    return pattern.replace("'", "''")
+
+
+_PUNCT_SQL = _sqlq(PUNCT_RE)
+
+_STOP_SQL = " + ".join(
+    f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in STOPWORDS)
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           n_chars,
+           length(text) AS n_chars_calc,
+           len(regexp_extract_all(text, '{WORD_RE}')) AS n_words,
+           len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe_tokens,
+           len(regexp_extract_all(text, '{_PUNCT_SQL}')) AS n_punct,
+           round(CAST(list_aggregate(
+                   list_transform(regexp_extract_all(text, '{WORD_RE}'),
+                                  w -> len(w)), 'sum') AS DOUBLE)
+                 / greatest(len(regexp_extract_all(text, '{WORD_RE}')), 1),
+                 6) AS avg_word_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Text quality statistics: char/word/BPE-ish-token/punctuation "
+        "counts + mean word length, all as JVM regex built-ins.",
+    tags=("text",),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    text = F.col("text")
+    words = word_tokens(text)
+    total_len = F.aggregate(F.transform(words, F.length), F.lit(0),
+                            lambda acc, x: acc + x)
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id", "n_chars",
+            F.length(text).alias("n_chars_calc"),
+            F.size(words).alias("n_words"),
+            bpe_ish_token_count(text).alias("n_bpe_tokens"),
+            punct_count(text).alias("n_punct"),
+            F.round(total_len.cast("double")
+                    / F.greatest(F.size(words), F.lit(1)), 6)
+             .alias("avg_word_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "language_id",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN ({_STOP_SQL}) * 100.0
+                     / greatest(len(regexp_extract_all(text, '{WORD_RE}')), 1)
+                     >= 2.0
+                THEN 'en' ELSE 'unknown' END AS predicted_lang,
+           lang AS actual_lang
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Function-word language-ID heuristic (stopword hits per 100 "
+        "words); the plumbing for a real per-language table chain.",
+    tags=("text", "langid"),
+)
+def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id",
+                language_id(F.col("text")).alias("predicted_lang"),
+                F.col("lang").alias("actual_lang"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           round(0.4 * least(len(regexp_extract_all(text, '{WORD_RE}')) / 100.0, 1.0)
+               + 0.3 * (1.0 - least(
+                   CAST(len(regexp_extract_all(text, '{_PUNCT_SQL}')) AS DOUBLE)
+                   / greatest(len(regexp_extract_all(text, '{WORD_RE}')), 1), 1.0))
+               + 0.3 * least(
+                   10.0 * ({_STOP_SQL})
+                   / greatest(len(regexp_extract_all(text, '{WORD_RE}')), 1), 1.0),
+               6) AS quality
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Deterministic doc-quality heuristic (length / punctuation "
+        "density / stopword ratio) for corpus filtering.",
+    tags=("text", "quality"),
+)
+def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id",
+                F.round(quality_score(F.col("text")), 6).alias("quality"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Content fingerprint: md5 of whitespace-normalized lowercased "
+        "text — the exact-dedup key. (DuckDB needs the 'g' flag to "
+        "match Spark's replace-all regexp_replace.)",
+    tags=("text", "dedup"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           min(doc_id) AS canonical_id,
+           count(*)    AS n_copies
+    FROM documents
+    GROUP BY fp
+    ORDER BY fp
+    """,
+    doc="Exact dedup: hash-groupBy on the fingerprint; md5 keys are "
+        "uniform so the shuffle cannot skew.",
+    tags=("dedup",),
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs(spark, sf_dir)).orderBy("fp")
+
+
+# ------------------------------------------------------------------
+# MinHash signatures / LSH candidate pairs — SQL generated from the
+# same parameters as the Spark expressions
+# ------------------------------------------------------------------
+
+_K = 3
+_N_HASHES = 8
+_BAND_SIZE = 2
+
+_SHINGLES_SQL = (
+    "list_transform(range(1, greatest(len(words) - {km1}, 0) + 1), "
+    "i -> array_to_string(words[i:i+{km1}], ' '))"
+).format(km1=_K - 1)
+
+_WORDS_CTE = ("SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') "
+              "AS words FROM documents")
+
+
+def _sig_terms() -> list[str]:
+    return [
+        f"list_aggregate(list_transform(sh, s -> md5('{seed}|' || s)), 'min')"
+        f" AS h{seed}"
+        for seed in range(_N_HASHES)
+    ]
+
+
+_SIG_SQL_CORE = (
+    f"WITH w AS ({_WORDS_CTE}),\n"
+    f"sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM w),\n"
+    f"sigs AS (SELECT doc_id, {', '.join(_sig_terms())} FROM sh)"
+)
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"""
+    {_SIG_SQL_CORE}
+    SELECT * FROM sigs ORDER BY doc_id
+    """,
+    doc="8-component MinHash signatures over 3-word shingles. Hash = "
+        "md5 hex string; min over fixed-width hex == min over the "
+        "128-bit value, so the signature is engine-portable. Pure "
+        "per-row array expressions — no shuffle.",
+    tags=("dedup", "minhash"),
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.functions.dedup import minhash_signature_table
+    sigs = minhash_signature_table(_docs(spark, sf_dir), n_hashes=_N_HASHES,
+                                   k=_K)
+    return sigs.withColumnRenamed("id", "doc_id").orderBy("doc_id")
+
+
+def _bands_sql() -> str:
+    parts = []
+    n_bands = _N_HASHES // _BAND_SIZE
+    for b in range(n_bands):
+        hs = " || '_' || ".join(
+            f"h{b * _BAND_SIZE + j}" for j in range(_BAND_SIZE))
+        parts.append(f"SELECT doc_id, {b} AS band_id, {hs} AS band_hash "
+                     f"FROM sigs")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    {_SIG_SQL_CORE},
+    bands AS ({_bands_sql()})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """,
+    doc="MinHash-LSH near-duplicate candidates: 4 bands x 2 rows; the "
+        "pair search is an equi-join on (band_id, band_hash) — linear "
+        "in corpus size plus bucket blow-up, never all-pairs.",
+    tags=("dedup", "minhash", "lsh"),
+)
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (minhash_lsh_pairs(_docs(spark, sf_dir), n_hashes=_N_HASHES,
+                              band_size=_BAND_SIZE, k=_K)
+            .orderBy("id_a", "id_b"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH w AS ({_WORDS_CTE}),
+    shl AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM w),
+    sh AS (SELECT doc_id AS id, unnest(list_distinct(sh)) AS shingle FROM shl),
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT i.id_a, i.id_b, i.n_common,
+           round(CAST(i.n_common AS DOUBLE)
+                 / (sa.n + sb.n - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.id = i.id_a
+    JOIN sizes sb ON sb.id = i.id_b
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.2
+    ORDER BY id_a, id_b
+    """,
+    doc="n-gram Jaccard near-dup scoring on inverted-index candidate "
+        "pairs (docs sharing >= 1 shingle); integer set arithmetic, "
+        "exact across engines.",
+    tags=("dedup", "jaccard"),
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (ngram_jaccard_pairs(_docs(spark, sf_dir), k=_K, threshold=0.2)
+            .orderBy("id_a", "id_b"))
+
+
+_SIMHASH_BITS = 32
+
+
+def _simhash_sql() -> str:
+    terms = []
+    for j in range(_SIMHASH_BITS):
+        vote = (f"list_sum(list_transform(wf, w -> CASE WHEN "
+                f"strpos('13579bdf', substr(md5(w), {j + 1}, 1)) > 0 "
+                f"THEN 1 ELSE -1 END))")
+        terms.append(f"(CASE WHEN {vote} > 0 THEN CAST({1 << j} AS BIGINT) "
+                     f"ELSE CAST(0 AS BIGINT) END)")
+    return " + ".join(terms)
+
+
+@register(
+    "simhash_docs",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x != '') AS wf
+      FROM documents
+    )
+    SELECT doc_id, {_simhash_sql()} AS simhash
+    FROM w
+    ORDER BY doc_id
+    """,
+    doc="32-bit SimHash over words; bit j votes read from the parity "
+        "of md5 hex digit j so the identical computation runs in both "
+        "engines. Near-dup pairs = small Hamming distance (bucketed "
+        "by bit-chunks at scale).",
+    tags=("dedup", "simhash"),
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id",
+                simhash64(F.col("text"), _SIMHASH_BITS).alias("simhash"))
+        .orderBy("doc_id")
+    )

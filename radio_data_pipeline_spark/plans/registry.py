@@ -1,0 +1,67 @@
+"""Query registry: one place where every engine query is declared with
+its DuckDB oracle, so the driver contract (__spark_entry__.queries /
+oracle_sql) and the local parity tests can never drift apart.
+
+Parity rules (enforced by convention in every spec):
+- every computed column is aliased identically in Spark and SQL;
+- float outputs are rounded the same way on both sides (aggregates of
+  large float sums -> 2 decimals; ratios/means/math -> 6);
+- integer-like aggregates are cast to BIGINT in the oracle because
+  DuckDB widens SUM(int) to HUGEINT while Spark uses LONG;
+- timestamps leave the query as epoch seconds via floor() semantics on
+  both sides (Spark CAST(ts AS LONG) truncates; DuckDB uses
+  CAST(floor(epoch(ts)) AS BIGINT)).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, "QuerySpec"] = {}
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL, or None for non-SQL-expressible ops
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+def register(name: str, oracle: str | None, doc: str = "",
+             tags: tuple[str, ...] = ()) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc,
+                                    tags=tags)
+        return fn
+    return deco
+
+
+def _load_all_modules() -> None:
+    # Import side-effect registration; kept lazy so `import
+    # radio_data_pipeline_spark` stays cheap.
+    from radio_data_pipeline_spark.plans import arrays  # noqa: F401
+    from radio_data_pipeline_spark.plans import llm  # noqa: F401
+    from radio_data_pipeline_spark.plans import relational  # noqa: F401
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    _load_all_modules()
+    return dict(_REGISTRY)
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in all_specs().items()}
+
+
+def all_oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in all_specs().items()
+            if spec.oracle is not None}

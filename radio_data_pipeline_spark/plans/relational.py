@@ -1,0 +1,760 @@
+"""Relational query surface over the TPC-H-ish tables.
+
+These queries demonstrate the operator categories the reference lacks
+entirely (SURVEY.md §2.8 — joins, windows, sorts, set ops, grouping
+sets) plus Spark analogues of the reference's filter/aggregate
+operators (F1-F5, A1-A6, O13-O15, M1/M2/M6/M8/M11) expressed over the
+driver tables so each has a DuckDB oracle.
+
+Scale notes are attached per query; the common themes:
+- dimension joins use ``F.broadcast`` (region/nation/customer are
+  orders of magnitude smaller than the fact tables at any SF);
+- filters are written directly against scan columns so Catalyst pushes
+  them into the parquet reader;
+- window partitions are keyed on high-cardinality ids (user_id,
+  custkey) so state is bounded per partition at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from radio_data_pipeline_spark.plans.registry import register
+from radio_data_pipeline_spark.sources.parquet import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Aggregation spine (reference A1/A4/A5 analogues on lineitem)
+# --------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(sum(l_quantity) AS DOUBLE)                    AS sum_qty,
+      round(sum(l_extendedprice), 2)                     AS sum_base_price,
+      round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+      round(avg(l_quantity), 6)                          AS avg_qty,
+      round(avg(l_discount), 6)                          AS avg_disc,
+      count(*)                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style pricing summary; maps reference continuum "
+        "integration A1 (sum over an axis) + A4 means to a grouped agg "
+        "with full predicate pushdown.",
+    tags=("agg", "filter"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT
+      l.l_orderkey                                       AS l_orderkey,
+      round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+      strftime(o.o_orderdate, '%Y-%m-%d')                AS o_orderdate_str,
+      o.o_orderpriority                                  AS o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-style 3-way join + top-k. customer is broadcast "
+        "(dimension-sized at every SF); orders/lineitem join shuffles "
+        "on orderkey only.",
+    tags=("join", "topk"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_str"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT
+      n.n_name                                              AS n_name,
+      round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5-style 6-way star join; region/nation/customer/"
+        "supplier broadcast, the single shuffle is orders x lineitem.",
+    tags=("join", "agg"),
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(s),
+              (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == n.n_nationkey))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / distinct (SURVEY §2.8 sorts; A3 distinct analogue)
+# --------------------------------------------------------------------------
+
+@register(
+    "top_parts_by_price",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, round(p_retailprice, 2) AS retail
+    FROM part
+    ORDER BY retail DESC, p_partkey
+    LIMIT 25
+    """,
+    doc="Global top-k: Spark plans TakeOrderedAndProject (no full sort "
+        "shuffle) — the 100 TB-safe form of ORDER BY ... LIMIT.",
+    tags=("topk",),
+)
+def top_parts_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey", "p_name", "p_brand",
+                F.round("p_retailprice", 2).alias("retail"))
+        .orderBy(F.desc("retail"), "p_partkey")
+        .limit(25)
+    )
+
+
+@register(
+    "distinct_event_users",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*)                AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Distinct aggregation (reference A3: np.unique of stream ids).",
+    tags=("agg", "distinct"),
+)
+def distinct_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"),
+             F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions (the compilation target for reference O13/O14/F8)
+# --------------------------------------------------------------------------
+
+@register(
+    "orders_rank_in_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rnk
+    FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    )
+    WHERE rnk <= 3
+    ORDER BY o_custkey, rnk
+    """,
+    doc="Ranking window (reference F8 positional slicing compiled to "
+        "row_number over an explicit ordering).",
+    tags=("window",),
+)
+def orders_rank_in_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"),
+                                                F.asc("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey",
+                F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("o_custkey", "rnk")
+    )
+
+
+@register(
+    "events_running_sum",
+    oracle="""
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW), 6) AS running_value
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+    doc="Analytic running-sum window — the building block of the "
+        "conditional-running-sum compilation of the reference cal "
+        "state machine (SURVEY §2.4 O13 option (a)).",
+    tags=("window",),
+)
+def events_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_id",
+                F.round(F.sum("value").over(w), 6).alias("running_value"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessioned AS (
+      SELECT user_id, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           count(*)                                   AS n_events,
+           round(sum(value), 6)                       AS total_value
+    FROM sessioned
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Gap-based sessionization: lag + conditional flag + running sum "
+        "— the exact window-function idiom that compiles the reference "
+        "calibration-segment state machine (utils.py:126-214) for the "
+        "scale path.",
+    tags=("window", "sessionize"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wrun = (Window.partitionBy("user_id").orderBy("ts_us")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ev = _t(spark, sf_dir, "events")
+    gap_us = F.col("ts_us") - F.lag("ts_us").over(w)
+    flagged = ev.select(
+        "user_id", "ts_us", "value", "event_id",
+        F.when(F.lag("ts_us").over(w).isNull()
+               | (gap_us > 30 * 60 * 1_000_000), 1)
+         .otherwise(0).alias("new_session"),
+    )
+    sessioned = flagged.select(
+        "user_id", "value",
+        F.sum("new_session").over(wrun).alias("session_id"),
+    )
+    return (
+        sessioned.groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("n_sessions"),
+             F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 6).alias("total_value"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_first_transition",
+    oracle="""
+    SELECT user_id,
+           min(CASE WHEN event_type = 'purchase' THEN event_id END)
+             AS first_purchase_event,
+           min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+             AS first_purchase_ts_us
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="First-matching-row detection (reference O14: first OBSMODE "
+        "'onoff:off' row) as min(when(...)) — no sort, pure agg.",
+    tags=("agg", "stateful-analogue"),
+)
+def events_first_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(is_p, F.col("event_id"))).alias("first_purchase_event"),
+            F.min(F.when(is_p, F.col("ts_us"))).alias("first_purchase_ts_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_asof_prior_view",
+    oracle="""
+    SELECT event_id, user_id, prior_view_event
+    FROM (
+      SELECT event_id, user_id, event_type,
+             last_value(CASE WHEN event_type = 'view' THEN event_id END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prior_view_event
+      FROM events
+    )
+    WHERE event_type = 'purchase' AND prior_view_event IS NOT NULL
+    ORDER BY event_id
+    """,
+    doc="As-of join (SURVEY §2.8): for each purchase, the most recent "
+        "earlier 'view' of the same user — single-pass window with "
+        "IGNORE NULLS instead of a range join, so it scales linearly.",
+    tags=("window", "asof"),
+)
+def events_asof_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id", "user_id", "event_type",
+            F.last(F.when(F.col("event_type") == "view", F.col("event_id")),
+                   ignorenulls=True).over(w).alias("prior_view_event"),
+        )
+        .filter((F.col("event_type") == "purchase")
+                & F.col("prior_view_event").isNotNull())
+        .select("event_id", "user_id", "prior_view_event")
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Reference filter semantics (F3 time ranges, F5 physicality) on events
+# --------------------------------------------------------------------------
+
+@register(
+    "events_time_filter",
+    oracle="""
+    SELECT event_type,
+           count(*)             AS n_rows,
+           round(sum(value), 6) AS sum_value
+    FROM events
+    WHERE ((ts > TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-12')
+           OR (ts > TIMESTAMP '2024-01-20' AND ts < TIMESTAMP '2024-01-27'))
+      AND NOT (ts > TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-09')
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Reference F3 time-range include/exclude semantics "
+        "(utils.py:239-271, open intervals, OR of includes AND of "
+        "negated excludes) implemented the intended way — the "
+        "reference's include+exclude combination bug is documented in "
+        "operators/filters.py.",
+    tags=("filter",),
+)
+def events_time_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.operators.filters import time_range_predicate_us
+    ev = _t(spark, sf_dir, "events")
+    pred = time_range_predicate_us(
+        F.col("ts_us"),
+        include=[("2024-01-05", "2024-01-12"), ("2024-01-20", "2024-01-27")],
+        exclude=[("2024-01-08", "2024-01-09")],
+    )
+    return (
+        ev.filter(pred)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_physical_validation",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_valid,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM events
+    WHERE value >= 0 AND value IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Reference F5 non-negativity validation (validate.py:51-70) as "
+        "one conjunctive pushed-down filter.",
+    tags=("filter", "validation"),
+)
+def events_physical_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.operators.validation import physical_filter
+    ev = _t(spark, sf_dir, "events")
+    return (
+        physical_filter(ev, ["value"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_valid"),
+             F.round(F.min("value"), 6).alias("min_value"),
+             F.round(F.max("value"), 6).alias("max_value"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi/anti joins, set ops, grouping sets (SURVEY §2.8)
+# --------------------------------------------------------------------------
+
+@register(
+    "semi_join_customers",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers_with_orders
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="left_semi join — EXISTS without materializing the right side.",
+    tags=("join",),
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers_with_orders"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "anti_join_customers",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+    doc="left_anti join — NOT EXISTS.",
+    tags=("join",),
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "rollup_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+           count(*)                        AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="ROLLUP grouping sets (absent in reference; free via Catalyst "
+        "Expand — one shuffle for all grouping sets).",
+    tags=("agg", "rollup"),
+)
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"),
+             F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(),
+                 F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@register(
+    "union_order_cohorts",
+    oracle="""
+    SELECT cohort, o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM (
+      SELECT 'high_open' AS cohort, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 200000
+      UNION ALL
+      SELECT 'finished' AS cohort, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    GROUP BY cohort, o_orderpriority
+    ORDER BY cohort, o_orderpriority
+    """,
+    doc="Union (reference A6 merge semantics: unionByName after schema "
+        "equality check — see operators/merge.py).",
+    tags=("setop",),
+)
+def union_order_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.operators.merge import merge_observations
+    o = _t(spark, sf_dir, "orders")
+    high_open = (o.filter((F.col("o_orderstatus") == "O")
+                          & (F.col("o_totalprice") > 200000))
+                 .select(F.lit("high_open").alias("cohort"),
+                         "o_orderpriority", "o_totalprice"))
+    finished = (o.filter(F.col("o_orderstatus") == "F")
+                .select(F.lit("finished").alias("cohort"),
+                        "o_orderpriority", "o_totalprice"))
+    return (
+        merge_observations([high_open, finished])
+        .groupBy("cohort", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .orderBy("cohort", "o_orderpriority")
+    )
+
+
+@register(
+    "except_active_buyers",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    EXCEPT
+    SELECT c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    ORDER BY c_custkey
+    """,
+    doc="EXCEPT set operation (absent in reference).",
+    tags=("setop",),
+)
+def except_active_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    machinery = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    open_buyers = (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+                   .select("c_custkey"))
+    return machinery.exceptAll(open_buyers).distinct().orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# Scalar math / regression / calibration analogues (M1/M2/M6/M8)
+# --------------------------------------------------------------------------
+
+@register(
+    "linreg_value_vs_time",
+    oracle="""
+    SELECT event_type,
+           round(covar_pop(CAST(epoch_us(ts) AS DOUBLE) / 1000000.0, value)
+                 / var_pop(CAST(epoch_us(ts) AS DOUBLE) / 1000000.0), 6)
+             AS slope,
+           round(avg(value)
+                 - covar_pop(CAST(epoch_us(ts) AS DOUBLE) / 1000000.0, value)
+                   / var_pop(CAST(epoch_us(ts) AS DOUBLE) / 1000000.0)
+                   * avg(CAST(epoch_us(ts) AS DOUBLE) / 1000000.0), 6)
+             AS intercept,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Closed-form OLS via covar_pop/var_pop aggregates — the "
+        "distributed form of the reference's scipy.linregress initial "
+        "fit (M1/M2, continuum.py:63-83). No driver-side iteration.",
+    tags=("stats",),
+)
+def linreg_value_vs_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    x = F.col("ts_us").cast("double") / 1e6
+    y = F.col("value")
+    slope = F.covar_pop(x, y) / F.var_pop(x)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(slope, 6).alias("slope"),
+            F.round(F.avg(y) - slope * F.avg(x), 6).alias("intercept"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "buck_vapor_density",
+    oracle="""
+    SELECT event_id,
+           round(216.7 * ((value % 100.0) / 100.0 *
+                 (6.1121 * exp((18.678 - (value % 40.0) / 234.5) *
+                               ((value % 40.0) / (257.14 + (value % 40.0))))))
+                 / (273.15 + (value % 40.0)), 6) AS vapor_density
+    FROM events
+    WHERE event_type = 'error'
+    ORDER BY event_id
+    """,
+    doc="Buck saturation-vapor-pressure equation + water-vapor density "
+        "(reference M8, atmosphere_correction.py:25-45) as pure column "
+        "arithmetic; the reference's unreachable below-freezing branch "
+        "is documented in operators/atmosphere.py.",
+    tags=("scalar-math",),
+)
+def buck_vapor_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.operators.atmosphere import buck_vapor_density_expr
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    t_c = F.col("value") % 40.0        # pseudo temperature in °C
+    rh = F.col("value") % 100.0        # pseudo relative humidity %
+    return (
+        ev.select(
+            "event_id",
+            F.round(buck_vapor_density_expr(t_c, rh), 6).alias("vapor_density"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "gain_interpolation",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id,
+             min(epoch_us(ts)) AS t1, max(epoch_us(ts)) AS t2
+      FROM events GROUP BY user_id
+    ),
+    halves AS (
+      SELECT e.user_id,
+             b.t1, b.t2,
+             avg(CASE WHEN epoch_us(e.ts) * 2 <  b.t1 + b.t2 THEN e.value END)
+               AS pre_height,
+             avg(CASE WHEN epoch_us(e.ts) * 2 >= b.t1 + b.t2 THEN e.value END)
+               AS post_height
+      FROM events e JOIN bounds b ON e.user_id = b.user_id
+      GROUP BY e.user_id, b.t1, b.t2
+    )
+    SELECT e.event_id,
+           round(e.value / (h.pre_height + (h.post_height - h.pre_height)
+                 * (CAST(epoch_us(e.ts) - h.t1 AS DOUBLE)
+                    / CAST(h.t2 - h.t1 AS DOUBLE))), 6) AS calibrated
+    FROM events e JOIN halves h ON e.user_id = h.user_id
+    WHERE h.t2 > h.t1 AND h.pre_height IS NOT NULL AND h.post_height IS NOT NULL
+    ORDER BY e.event_id
+    """,
+    doc="Gain calibration with time-interpolated calibration height "
+        "(reference M6, continuum.py:173-187). Implements the INTENDED "
+        "interpolation semantics — the reference's z>=1.96 branch "
+        "mutates a loop variable, a no-op (continuum.py:178-181); see "
+        "operators/calibration.py for the documented divergence. "
+        "Heights here are per-user half-window means standing in for "
+        "the per-segment RCR fits.",
+    tags=("scalar-math", "calibration"),
+)
+def gain_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    t = F.col("ts_us")
+    bounds = ev.groupBy("user_id").agg(F.min(t).alias("t1"), F.max(t).alias("t2"))
+    halves = (
+        ev.join(F.broadcast(bounds), "user_id")
+        .groupBy("user_id", "t1", "t2")
+        .agg(
+            F.avg(F.when(t * 2 < F.col("t1") + F.col("t2"), F.col("value")))
+             .alias("pre_height"),
+            F.avg(F.when(t * 2 >= F.col("t1") + F.col("t2"), F.col("value")))
+             .alias("post_height"),
+        )
+    )
+    cal = (F.col("pre_height")
+           + (F.col("post_height") - F.col("pre_height"))
+           * ((t - F.col("t1")).cast("double")
+              / (F.col("t2") - F.col("t1")).cast("double")))
+    return (
+        ev.join(F.broadcast(halves), "user_id")
+        .filter((F.col("t2") > F.col("t1"))
+                & F.col("pre_height").isNotNull()
+                & F.col("post_height").isNotNull())
+        .select("event_id", F.round(F.col("value") / cal, 6).alias("calibrated"))
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6)
+             AS avg_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS DOUBLE)
+             AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Semi-structured metadata extraction — the Spark analogue of "
+        "the reference's HISTORY-card parsing (P1, utils.py:9-56): "
+        "get_json_object over a JSON string column.",
+    tags=("json",),
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(F.avg(k), 6).alias("avg_k"),
+             F.max(k).alias("max_k"))
+        .orderBy("event_type")
+    )

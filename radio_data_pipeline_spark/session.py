@@ -1,0 +1,54 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The same config block is intended for a 1000-executor cluster; only
+``master`` and the shuffle-partition count are local-mode artifacts.
+AQE handles runtime coalescing and skew-join splitting, so the static
+shuffle-partition number is a ceiling, not a tuning knob.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "radio-data-pipeline-spark",
+              cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    Scale rationale per config:
+    - AQE on: runtime shuffle-partition coalescing, skew-join split,
+      dynamic broadcast conversion — required at 100 TB where static
+      planning guesses wrong.
+    - Arrow on: every pandas UDF / applyInPandas kernel moves data as
+      Arrow batches instead of pickled rows.
+    - shuffle.partitions: sized for local runs; on a real cluster AQE
+      coalesces from a high initial number, so we also raise
+      ``initialPartitionNum``.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                str(cpus * 4))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # events.parquet stores TIMESTAMP(NANOS); Spark reads it as a
+        # nanosecond LONG under this flag (set again at runtime by
+        # load_table for sessions we didn't build)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
