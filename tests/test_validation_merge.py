@@ -1,0 +1,112 @@
+"""Validation-stage and merge tests, including the FIXTURES.md §2
+fault-injection variants (the O22 corrupt-file analogue)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from radio_data_pipeline_spark.operators.merge import (
+    SchemaMismatchError,
+    merge_observations,
+)
+from radio_data_pipeline_spark.operators.validation import (
+    OBSERVATION_SCHEMA,
+    crop_channels,
+    mask_nan_values,
+    physical_filter,
+    valid_timestamp_flag,
+    validate_observation,
+)
+from radio_data_pipeline_spark.sources.synthetic import (
+    ObsSpec,
+    corrupt_nan,
+    corrupt_negative,
+    make_observation,
+)
+
+
+@pytest.fixture(scope="module")
+def obs_pdf():
+    return make_observation(ObsSpec(obs_id=1, n_science=20))
+
+
+class TestValidation:
+    def test_nan_masked_not_dropped(self, spark, obs_pdf):
+        df = spark.createDataFrame(corrupt_nan(obs_pdf, n=3))
+        out = mask_nan_values(df)
+        assert out.count() == len(obs_pdf)          # no rows dropped
+        first = out.orderBy("row_idx").first()["DATA"]
+        assert first[0] is None                      # NaN -> NULL
+        # array_sum skips NULLs (NumPy masked-sum semantics)
+        from radio_data_pipeline_spark.operators.integrate import array_sum
+        s = out.select(array_sum(F.col("DATA")).alias("s")).first()["s"]
+        assert not math.isnan(s)
+
+    def test_negative_rows_filtered(self, spark, obs_pdf):
+        df = spark.createDataFrame(corrupt_negative(obs_pdf, n=4))
+        out = physical_filter(df)
+        assert out.count() == len(obs_pdf) - 4
+        assert out.filter(F.col("TSYS") < 0).count() == 0
+
+    def test_absent_columns_skipped(self, spark, obs_pdf):
+        df = spark.createDataFrame(obs_pdf).drop("TSYS")
+        # must not raise on a missing physical column (reference prints
+        # a warning and continues, validate.py:67-70)
+        assert physical_filter(df).count() == len(obs_pdf)
+
+    def test_channel_crop(self, spark, obs_pdf):
+        df = spark.createDataFrame(obs_pdf)
+        out = crop_channels(df, 4, 35)
+        assert out.first()["DATA"] is not None
+        assert len(out.first()["DATA"]) == 32
+        # matches reference data[start:stop+1] slicing
+        orig = np.array(obs_pdf.iloc[0]["DATA"])
+        got = np.array(out.orderBy("row_idx").first()["DATA"])
+        np.testing.assert_allclose(got, orig[4:36])
+
+    def test_timestamp_flag(self, spark):
+        df = spark.createDataFrame(
+            [("2024-01-01T00:00:00",), ("not-a-time",)], ["DATE_OBS"])
+        out = valid_timestamp_flag(df)
+        flags = {r["DATE_OBS"]: r["_ts_valid"] for r in out.collect()}
+        assert flags["2024-01-01T00:00:00"] is True
+        assert flags["not-a-time"] is False
+
+    def test_full_stage(self, spark, obs_pdf):
+        df = spark.createDataFrame(corrupt_nan(corrupt_negative(obs_pdf)))
+        out = validate_observation(df, channel_window=(0, 31))
+        assert out.count() == len(obs_pdf) - 5
+        assert len(out.first()["DATA"]) == 32
+
+    def test_failfast_schema_read(self, spark, obs_pdf, tmp_path):
+        # S2 analogue: enforcing the canonical schema on read
+        df = spark.createDataFrame(obs_pdf)
+        path = str(tmp_path / "obs.parquet")
+        df.write.mode("overwrite").parquet(path)
+        back = spark.read.schema(OBSERVATION_SCHEMA).parquet(path)
+        assert back.count() == len(obs_pdf)
+
+
+class TestMerge:
+    def test_union_row_counts_add(self, spark):
+        a = spark.createDataFrame(make_observation(ObsSpec(obs_id=1)))
+        b = spark.createDataFrame(make_observation(ObsSpec(obs_id=2)))
+        merged = merge_observations([a, b])
+        assert merged.count() == a.count() + b.count()
+
+    def test_schema_mismatch_rejected(self, spark):
+        a = spark.createDataFrame(make_observation(ObsSpec(obs_id=1)))
+        b = a.drop("TSYS")
+        with pytest.raises(SchemaMismatchError):
+            merge_observations([a, b])
+
+    def test_type_mismatch_rejected(self, spark):
+        a = spark.createDataFrame(make_observation(ObsSpec(obs_id=1)))
+        b = a.withColumn("TSYS", F.col("TSYS").cast("float"))
+        with pytest.raises(SchemaMismatchError):
+            merge_observations([a, b])
