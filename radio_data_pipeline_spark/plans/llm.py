@@ -210,11 +210,17 @@ _WORDS_CTE = ("SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') "
 
 
 def _sig_terms() -> list[str]:
-    return [
-        f"list_aggregate(list_transform(sh, s -> md5('{seed}|' || s)), 'min')"
-        f" AS h{seed}"
-        for seed in range(_N_HASHES)
-    ]
+    # mirrors functions/dedup.py chunked scheme: component seed =
+    # 8-hex-char slice (seed%4) of md5 over the group-prefixed shingle
+    terms = []
+    for seed in range(_N_HASHES):
+        group = seed // 4
+        inner = "s" if group == 0 else f"'{group}|' || s"
+        offset = (seed % 4) * 8 + 1
+        terms.append(
+            f"list_aggregate(list_transform(sh, "
+            f"s -> substr(md5({inner}), {offset}, 8)), 'min') AS h{seed}")
+    return terms
 
 
 _SIG_SQL_CORE = (
@@ -341,9 +347,7 @@ def _simhash_sql() -> str:
     tags=("dedup", "simhash"),
 )
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _docs(spark, sf_dir)
-        .select("doc_id",
-                simhash64(F.col("text"), _SIMHASH_BITS).alias("simhash"))
-        .orderBy("doc_id")
-    )
+    from radio_data_pipeline_spark.functions.dedup import simhash_table
+    return (simhash_table(_docs(spark, sf_dir), k_bits=_SIMHASH_BITS)
+            .withColumnRenamed("id", "doc_id")
+            .orderBy("doc_id"))
