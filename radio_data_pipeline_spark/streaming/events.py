@@ -1,0 +1,128 @@
+"""Structured Streaming surface over the events stream.
+
+The reference is strictly batch per-file (SURVEY.md §2.8 — no
+watermarks, windows, or stateful ops anywhere), so this module is the
+engine's forward-looking ingest path: the same transformations accept a
+batch OR a streaming DataFrame — watermarks are applied only when the
+input is streaming, so every streaming query has an exactly-equivalent
+batch form that the DuckDB oracles check (`events_tumbling_counts` in
+plans/relational.py shares `tumbling_event_counts` below).
+
+Scale notes:
+- windowed aggregations keep state bounded by the watermark horizon
+  (late rows beyond it are dropped), so a 1000-executor cluster holds
+  O(windows-in-horizon × event_types) state, independent of history;
+- `dedup_events` state is bounded the same way (event ids older than
+  the watermark are evicted);
+- session windows shuffle on user_id — high-cardinality, skew-free in
+  the driver data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.parquet physical schema: ts is parquet TIMESTAMP(NANOS), read
+# as a raw nanosecond LONG (spark.sql.legacy.parquet.nanosAsLong) to
+# avoid silent sub-microsecond truncation — mirrors sources/parquet.py
+# load_table, which batch readers go through.
+EVENTS_RAW_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, path: str,
+                       max_files_per_trigger: int | None = None,
+                       ) -> DataFrame:
+    """Streaming scan of events parquet (file source). `path` must be
+    a directory (or glob) — the file source rejects a bare file path;
+    new files under it become micro-batches. Columns come out exactly
+    like the batch
+    `load_table(..., "events")`: ts_ns (exact), ts_us, ts (micros
+    timestamp used for event-time windows)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    return (df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts_us", F.expr("ts_ns div 1000"))
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us"))))
+
+
+def _with_watermark(events: DataFrame, watermark: str) -> DataFrame:
+    # Batch DataFrames reject withWatermark; the transformations below
+    # are defined for both so oracles can check the batch form.
+    return events.withWatermark("ts", watermark) if events.isStreaming \
+        else events
+
+
+def tumbling_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time window aggregation: per (window, event_type)
+    row count and value sum. Streaming: watermarked state, append-able.
+    Returns (win_start_us, event_type, n_events, total_value)."""
+    e = _with_watermark(events, watermark)
+    return (
+        e.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.unix_micros(F.col("win.start")).alias("win_start_us"),
+                "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_user_activity(events: DataFrame, window: str = "2 hours",
+                          slide: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Sliding-window distinct-user activity; each event lands in
+    window_duration/slide windows. Returns (win_start_us, n_users)."""
+    e = _with_watermark(events, watermark)
+    return (
+        e.groupBy(F.window("ts", window, slide).alias("win"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(F.unix_micros(F.col("win.start")).alias("win_start_us"),
+                "n_users")
+    )
+
+
+def session_event_counts(events: DataFrame, gap: str = "30 minutes",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Event-time session windows per user (gap-based). The streaming
+    analogue of the batch sessionization query (events_sessionize);
+    state per open session, closed by the watermark."""
+    e = _with_watermark(events, watermark)
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id",
+                F.unix_micros(F.col("win.start")).alias("session_start_us"),
+                "n_events")
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id: state holds ids no older than
+    the watermark. Batch form degenerates to dropDuplicates."""
+    e = _with_watermark(events, watermark)
+    return e.dropDuplicates(["event_id"])
+
+
+def run_available_now(stream_df: DataFrame, query_name: str,
+                      output_mode: str = "complete") -> DataFrame:
+    """Test/driver helper: drain all currently-available input through
+    the streaming query into an in-memory table and return it as a
+    batch DataFrame. availableNow gives exactly-once over the files
+    present at start, then stops — the batch-parity harness for every
+    streaming op in this module."""
+    q = (stream_df.writeStream.format("memory").queryName(query_name)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

@@ -1,0 +1,162 @@
+"""Structured Streaming tests: availableNow parity with the batch
+forms, and incremental-vs-batch equivalence of the calibration scan.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from radio_data_pipeline_spark.operators.segmentation import (
+    find_calibration_indices,
+    find_calibrations,
+)
+from radio_data_pipeline_spark.sources.parquet import load_table
+from radio_data_pipeline_spark.sources.synthetic import (
+    ObsSpec,
+    make_observation_set,
+)
+from radio_data_pipeline_spark.streaming import (
+    CalScanState,
+    dedup_events,
+    find_calibrations_stream,
+    read_events_stream,
+    run_available_now,
+    session_event_counts,
+    tumbling_event_counts,
+)
+
+import numpy as np
+
+
+def _sorted_rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+# --------------------------------------------------------------------------
+# Incremental state machine == batch pass (pure python, no Spark)
+# --------------------------------------------------------------------------
+
+rows_strategy = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 1)), min_size=1, max_size=80)
+
+
+@settings(max_examples=300, deadline=None)
+@given(rows=rows_strategy, cc=st.integers(1, 4),
+       n_chunks=st.integers(1, 5))
+def test_cal_scan_incremental_matches_batch(rows, cc, n_chunks):
+    cal = np.array([r[0] for r in rows])
+    swp = np.array([r[1] for r in rows])
+    modes = [""] * len(rows)
+    expected = find_calibration_indices(cal, swp, modes, "track", cc)
+
+    machine = CalScanState()
+    bounds = np.linspace(0, len(rows), n_chunks + 1).astype(int)
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        machine.feed(cal[lo:hi], swp[lo:hi], modes[lo:hi], "track", cc)
+    got = machine.result()
+    # batch returns data_start=None only via the fallback path where it
+    # then sets 0 explicitly; normalize both to ints
+    exp = (expected[0] if expected[0] is not None else 0,
+           expected[1], expected[2])
+    assert (got[0], got[1], got[2]) == exp
+
+
+def test_cal_scan_result_is_prefix_consistent():
+    # result() after feeding a prefix == batch answer on that prefix
+    spec = ObsSpec(obs_id=7, n_science=30, false_start=True, onoff=True)
+    from radio_data_pipeline_spark.sources.synthetic import make_observation
+    pdf = make_observation(spec)
+    cal = pdf["CALSTATE"].to_numpy()
+    swp = pdf["SWPVALID"].to_numpy()
+    modes = pdf["OBSMODE"].tolist()
+    machine = CalScanState()
+    for i in range(len(pdf)):
+        machine.step(int(cal[i]), int(swp[i]), modes[i], "onoff", 4)
+        exp = find_calibration_indices(cal[:i + 1], swp[:i + 1],
+                                       modes[:i + 1], "onoff", 4)
+        got = machine.result()
+        assert got[1] == exp[1] and got[2] == exp[2]
+        assert got[0] == (exp[0] if exp[0] is not None else 0)
+
+
+# --------------------------------------------------------------------------
+# Streaming event queries == batch forms (availableNow, memory sink)
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_smoke, tmp_path_factory):
+    # The file stream source requires a directory; stage the read-only
+    # single-file table behind a symlink dir.
+    d = tmp_path_factory.mktemp("events_stream_src")
+    (d / "events.parquet").symlink_to(f"{sf_smoke}/events.parquet")
+    return read_events_stream(spark, str(d))
+
+
+def test_tumbling_counts_stream_matches_batch(spark, sf_smoke,
+                                              events_stream):
+    got = run_available_now(tumbling_event_counts(events_stream),
+                            "t_tumbling", output_mode="complete")
+    exp = tumbling_event_counts(load_table(spark, sf_smoke, "events"))
+    cols = ["win_start_us", "event_type", "n_events", "total_value"]
+    assert _sorted_rows(got, cols) == _sorted_rows(exp, cols)
+    assert len(got.collect()) > 0
+
+
+def test_session_windows_stream_matches_batch(spark, sf_smoke,
+                                              events_stream):
+    got = run_available_now(session_event_counts(events_stream),
+                            "t_sessions", output_mode="complete")
+    exp = session_event_counts(load_table(spark, sf_smoke, "events"))
+    cols = ["user_id", "session_start_us", "n_events"]
+    assert _sorted_rows(got, cols) == _sorted_rows(exp, cols)
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, sf_smoke,
+                                                events_stream):
+    got = run_available_now(dedup_events(events_stream).select("event_id"),
+                            "t_dedup", output_mode="append")
+    n_expected = (load_table(spark, sf_smoke, "events")
+                  .select("event_id").distinct().count())
+    assert got.count() == n_expected
+
+
+# --------------------------------------------------------------------------
+# Stateful streaming segmentation == batch operator
+# --------------------------------------------------------------------------
+
+def test_streaming_segmentation_matches_batch(spark, tmp_path):
+    specs = [ObsSpec(obs_id=0), ObsSpec(obs_id=1, false_start=True),
+             ObsSpec(obs_id=2, pre_cal=False)]
+    pdf = make_observation_set(specs)
+    cols = ["obs_id", "row_idx", "IFNUM", "PLNUM", "CALSTATE", "SWPVALID",
+            "OBSMODE"]
+    src = str(tmp_path / "obs_stream")
+    batch_df = spark.createDataFrame(pdf[cols])
+    batch_df.write.parquet(src)
+
+    stream = (spark.readStream.schema(batch_df.schema).parquet(src))
+    out = find_calibrations_stream(stream, channel_count=4,
+                                   header_obsmode="track")
+    q = (out.writeStream.format("memory").queryName("t_seg")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.table("t_seg").toPandas()
+    # latest update per stream (max rows_seen) is the final answer
+    got = (got.sort_values("rows_seen")
+           .groupby(["obs_id", "IFNUM", "PLNUM"], as_index=False).last())
+
+    exp = find_calibrations(batch_df, channel_count=4,
+                            header_obsmode="track").toPandas()
+
+    merged = got.merge(exp, on=["obs_id", "IFNUM", "PLNUM"],
+                       suffixes=("_s", "_b"))
+    assert len(merged) == len(exp) == 12
+    assert (merged["data_start_idx_s"] == merged["data_start_idx_b"]).all()
+    assert (merged["post_cal_start_idx_s"]
+            == merged["post_cal_start_idx_b"]).all()
+    b_off = merged["off_start_idx_b"]
+    s_off = merged["off_start_idx_s"]
+    assert ((s_off == b_off) | (s_off.isna() & b_off.isna())).all()
