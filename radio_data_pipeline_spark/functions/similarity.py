@@ -93,3 +93,75 @@ def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10,
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def near_dup_pairs_lsh(df: DataFrame, threshold: float = 0.4,
+                       n_planes: int = 4, seed: int = 7,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with LSH blocking: vectors
+    only compare within their sign-pattern bucket, so the self-join is
+    sum(|bucket|²)/2 candidate pairs instead of N²/2 — the blocking key
+    shuffles both sides once and each bucket joins locally. Recall is
+    the standard LSH trade-off (a near-dup pair straddling a hyperplane
+    is missed); raise recall with fewer planes or multiple plane sets.
+    Returns (id_a, id_b, cosine) with cosine >= threshold."""
+    planes = hyperplanes(dim, n_planes, seed)
+    b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                  lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(c, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6)
+                .alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_centroids(dim: int, n_centroids: int = 8, seed: int = 11,
+                  ) -> np.ndarray:
+    """Deterministic unit-norm coarse-quantizer centroids. A production
+    index would k-means these on a sample; random unit centroids keep
+    the structure (assign + probe) reproducible on both engine and
+    oracle without shipping trained state."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_centroids, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_assign(vec_col: Column, centroids: np.ndarray) -> Column:
+    """Inverted-list id = argmax_i <v, centroid_i>, first max wins.
+    Expressed as greatest() + a when-chain so the identical CASE runs
+    in the SQL oracle."""
+    dots = [dot_product(vec_col, _query_literal(list(c))) for c in centroids]
+    best = F.greatest(*dots)
+    expr = F.when(dots[0] == best, F.lit(0))
+    for i, d in enumerate(dots[1:], start=1):
+        expr = expr.when(d == best, F.lit(i))
+    return expr
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             n_centroids: int = 8, nprobe: int = 2, seed: int = 11,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             ) -> DataFrame:
+    """IVF-style ANN top-k: assign every vector to its nearest coarse
+    centroid (the inverted list), then scan only the query's `nprobe`
+    closest lists. At scale the table is written partitioned by
+    `ivf_list` so probing prunes partitions before any distance math —
+    the classic IVF-Flat layout on parquet."""
+    centroids = ivf_centroids(len(query_vec), n_centroids, seed)
+    qvec = np.asarray(query_vec, dtype=float)
+    probe = np.argsort(-(centroids @ qvec))[:nprobe].tolist()
+    assigned = df.withColumn("_list", ivf_assign(F.col(vec_col), centroids))
+    q = _query_literal(query_vec)
+    return (
+        assigned.filter(F.col("_list").isin([int(p) for p in probe]))
+        .select(F.col(id_col),
+                F.round(cosine_similarity(F.col(vec_col), q), 6)
+                .alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -19,7 +19,10 @@ from radio_data_pipeline_spark.functions.similarity import (
     cosine_similarity,
     cosine_topk,
     hyperplanes,
+    ivf_centroids,
+    ivf_topk,
     lsh_bucket_topk,
+    near_dup_pairs_lsh,
 )
 from radio_data_pipeline_spark.plans.registry import register
 from radio_data_pipeline_spark.sources.parquet import load_table
@@ -243,6 +246,100 @@ def lsh_bucket_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return lsh_bucket_topk(emb, [float(v) for v in qvec], k=10,
                            n_planes=6, seed=7)
+
+
+def _near_dup_oracle(threshold: float = 0.4, n_planes: int = 4,
+                     seed: int = 7, dim: int = 64) -> str:
+    planes = hyperplanes(dim, n_planes, seed)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_sql(list(p))}) > 0 "
+        f"THEN {1 << r} ELSE 0 END)"
+        for r, p in enumerate(planes))
+    return f"""
+    WITH b AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    bb AS (SELECT id, v, {bucket_terms} AS bucket FROM b)
+    SELECT a.id AS id_a, c.id AS id_b,
+           round(list_dot_product(a.v, c.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+    FROM bb a JOIN bb c ON a.bucket = c.bucket AND a.id < c.id
+    WHERE round(list_dot_product(a.v, c.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(c.v, c.v))), 6) >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "embedding_near_dup_lsh",
+    oracle=_near_dup_oracle(),
+    doc="Embedding-cosine near-duplicate pairs over the WHOLE table "
+        "with LSH blocking (functions/similarity.py near_dup_pairs_lsh)"
+        ": the self-join runs within sign-pattern buckets, so candidate "
+        "pairs are sum(|bucket|^2)/2, not N^2/2 — at 100 TB the table "
+        "is bucketed by the LSH id so each bucket joins co-located.",
+    tags=("similarity", "dedup", "lsh", "join"),
+)
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (near_dup_pairs_lsh(_emb(spark, sf_dir), threshold=0.4,
+                               n_planes=4, seed=7)
+            .orderBy("id_a", "id_b"))
+
+
+def _ivf_oracle(k: int = 10, n_centroids: int = 8, nprobe: int = 2,
+                seed: int = 11, dim: int = 64) -> str:
+    centroids = ivf_centroids(dim, n_centroids, seed)
+    d_cols = ", ".join(
+        f"list_dot_product(v, {_plane_sql(list(c))}) AS d{i}"
+        for i, c in enumerate(centroids))
+    best = "greatest(" + ", ".join(f"d{i}" for i in range(n_centroids)) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN d{i} = {best} THEN {i}" for i in range(n_centroids)) + " END"
+    idx_vals = ", ".join(f"({i})" for i in range(n_centroids))
+    probe_case = "CASE t.i " + " ".join(
+        f"WHEN {i} THEN qd.d{i}" for i in range(n_centroids)) + " END"
+    return f"""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    d AS (SELECT vec_id, v, {d_cols} FROM b),
+    assigned AS (SELECT vec_id, v, {case} AS lst FROM d),
+    q AS (SELECT v AS qv FROM b WHERE vec_id = 0),
+    qd AS (SELECT {d_cols} FROM (SELECT qv AS v FROM q)),
+    probe AS (
+      SELECT t.i FROM (VALUES {idx_vals}) t(i), qd
+      ORDER BY {probe_case} DESC, t.i
+      LIMIT {nprobe}
+    )
+    SELECT a.vec_id,
+           round(list_dot_product(a.v, q.qv)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+    FROM assigned a, q
+    WHERE a.lst IN (SELECT i FROM probe)
+    ORDER BY cosine DESC, a.vec_id
+    LIMIT {k}
+    """
+
+
+@register(
+    "ivf_topk",
+    oracle=_ivf_oracle(),
+    doc="IVF-Flat ANN top-k (functions/similarity.py ivf_topk): vectors "
+        "assigned to nearest coarse centroid, query scans only its "
+        "nprobe=2 closest inverted lists of 8. At 100 TB the table is "
+        "written partitioned by ivf_list so the probe prunes parquet "
+        "partitions before any distance math.",
+    tags=("similarity", "topk", "ivf"),
+)
+def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_topk(emb, [float(v) for v in qvec], k=10, n_centroids=8,
+                    nprobe=2, seed=11)
 
 
 @register(
