@@ -33,9 +33,12 @@ HEADLINE = [
     "vector_sum",
     "vector_elementwise_sum",
     "cosine_topk",
+    "ivf_topk",
     "minhash_lsh_pairs",
     "dedup_exact",
     "simhash_docs",
+    "pricing_cube",
+    "events_tumbling_counts",
 ]
 
 

@@ -758,3 +758,134 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max(k).alias("max_k"))
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-dimensional aggregation (cube / grouping sets) and range joins
+# --------------------------------------------------------------------------
+
+@register(
+    "pricing_cube",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL')   AS returnflag,
+           coalesce(l_linestatus, 'ALL')   AS linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           round(sum(l_extendedprice), 2)  AS sum_price,
+           count(*)                        AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY gid, returnflag, linestatus
+    """,
+    doc="CUBE over (returnflag, linestatus) with grouping_id — all four "
+        "grouping sets in ONE pass with map-side partial aggregation "
+        "(Spark expands the sets before the shuffle; at 100 TB this "
+        "beats four separate scans 4:1 on input IO).",
+    tags=("agg", "cube"),
+)
+def pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().alias("gid"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+             F.count(F.lit(1)).alias("n_rows"))
+        .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                "gid", "sum_price", "n_rows")
+        .orderBy("gid", "returnflag", "linestatus")
+    )
+
+
+@register(
+    "pricing_grouping_sets",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL')   AS returnflag,
+           coalesce(l_linestatus, 'ALL')   AS linestatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY returnflag, linestatus
+    """,
+    doc="Explicit GROUPING SETS (by flag / by status / grand total) via "
+        "the SQL surface — the asymmetric-sets case cube/rollup can't "
+        "express; still one scan + one shuffle.",
+    tags=("agg", "grouping-sets", "sql"),
+)
+def pricing_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_gs")
+    return spark.sql("""
+        SELECT coalesce(l_returnflag, 'ALL')   AS returnflag,
+               coalesce(l_linestatus, 'ALL')   AS linestatus,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY returnflag, linestatus
+    """)
+
+
+@register(
+    "orders_repeat_within_30d",
+    oracle="""
+    SELECT a.o_custkey AS custkey,
+           count(*)    AS n_repeat_pairs,
+           CAST(min(epoch(b.o_orderdate) - epoch(a.o_orderdate)) / 86400
+                AS BIGINT) AS min_gap_days
+    FROM orders a
+    JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND b.o_orderdate > a.o_orderdate
+     AND epoch(b.o_orderdate) - epoch(a.o_orderdate) <= 30 * 86400
+    GROUP BY a.o_custkey
+    ORDER BY custkey
+    """,
+    doc="Band (interval) self-join: repeat orders by the same customer "
+        "within 30 days. The equi key (custkey) carries the shuffle; "
+        "the range predicate evaluates post-match, so this stays a "
+        "sort-merge join — no O(N^2) nested loop — and skew is bounded "
+        "by orders-per-customer.",
+    tags=("join", "range-join"),
+)
+def orders_repeat_within_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    a, b = o.alias("a"), o.alias("b")
+    gap = (F.unix_timestamp(F.col("b.o_orderdate"))
+           - F.unix_timestamp(F.col("a.o_orderdate")))
+    return (
+        a.join(b, (F.col("a.o_custkey") == F.col("b.o_custkey"))
+               & (F.col("b.o_orderdate") > F.col("a.o_orderdate"))
+               & (gap <= 30 * 86400))
+        .groupBy(F.col("a.o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_repeat_pairs"),
+             (F.min(gap) / 86400).cast("long").alias("min_gap_days"))
+        .orderBy("custkey")
+    )
+
+
+@register(
+    "events_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.5), 6)  AS p50,
+           round(quantile_cont(value, 0.9), 6)  AS p90,
+           count(*)                             AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Exact interpolated percentiles per group (Spark `percentile` "
+        "== SQL quantile_cont). At 100 TB the approx path is "
+        "approx_percentile (t-digest, fixed memory, map-side "
+        "mergeable); the exact form is the correctness oracle for it.",
+    tags=("agg", "percentile"),
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+             F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+             F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+             F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
