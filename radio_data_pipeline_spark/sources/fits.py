@@ -1,0 +1,421 @@
+"""SDFITS ingest/egress without astropy: a minimal pure-NumPy FITS
+binary-table codec plus the Spark binaryFile -> mapInPandas source.
+
+Reference parity (SURVEY.md §2.1): S1 FITS scan (validate.py:18-23 —
+fits.open into header + Table), S2 structural verify
+(validate.py:20 — hdul.verify('exception'), e.g. a missing END card),
+S3 FITS sink (utils.py:216-237 — PrimaryHDU + BinTableHDU writeto),
+and O22 corruption injection (file_corruption.py:5-34 — drop the END
+card so S2 must catch it).
+
+Implements the FITS 4.0 subset SDFITS actually uses: 2880-byte
+header/data blocks, 80-char cards, one PrimaryHDU (header only,
+NAXIS=0) and one BINTABLE extension with TFORM codes L/B/I/J/K/E/D/A
+and fixed repeat counts (vector 'nD' DATA column, fixed-width 'nA'
+strings). Big-endian row-major data as the standard requires.
+
+Scale design: files are decoded executor-side inside mapInPandas over
+`spark.read.format("binaryFile")` — one task per file, no driver
+bottleneck; a 100 TB corpus of observations parallelizes by file. The
+decoded header travels as one JSON string per file (a few KB), not as
+per-row columns.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+BLOCK = 2880
+CARD = 80
+
+# Canonical Spark column name <-> FITS TTYPE (only names that differ)
+_FITS_NAME = {"DATE_OBS": "DATE-OBS"}
+_CANON_NAME = {v: k for k, v in _FITS_NAME.items()}
+
+
+class FitsFormatError(ValueError):
+    """Structural FITS violation — the S2 verify('exception') analogue."""
+
+
+# --------------------------------------------------------------------------
+# Header cards
+# --------------------------------------------------------------------------
+
+def _format_card(key: str, value, comment: str = "") -> bytes:
+    k = key.upper().ljust(8)[:8]
+    if value is None:  # commentary-style bare keyword
+        return (k + " " * 72).encode("ascii")
+    if isinstance(value, bool):
+        v = ("T" if value else "F").rjust(20)
+    elif isinstance(value, int):
+        v = str(value).rjust(20)
+    elif isinstance(value, float):
+        v = repr(value).rjust(20)
+    else:
+        s = str(value).replace("'", "''")
+        v = "'" + s.ljust(8) + "'"
+    card = f"{k}= {v}"
+    if comment:
+        card += f" / {comment}"
+    if len(card) > CARD:
+        raise FitsFormatError(f"card too long: {key}")
+    return card.ljust(CARD).encode("ascii")
+
+
+def _history_card(text: str) -> bytes:
+    return ("HISTORY " + text[: CARD - 8]).ljust(CARD).encode("ascii")
+
+
+_NUM_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([ED][+-]?\d+)?$", re.I)
+
+
+def _parse_value(raw: str):
+    raw = raw.strip()
+    if raw.startswith("'"):
+        # quoted string; '' escapes a quote
+        end = 1
+        while True:
+            end = raw.index("'", end)
+            if raw[end + 1: end + 2] == "'":
+                end += 2
+                continue
+            break
+        return raw[1:end].replace("''", "'").rstrip()
+    # strip trailing comment
+    if "/" in raw:
+        raw = raw.split("/", 1)[0].strip()
+    if raw == "T":
+        return True
+    if raw == "F":
+        return False
+    if _NUM_RE.match(raw):
+        f = float(raw.upper().replace("D", "E"))
+        return int(f) if f.is_integer() and "." not in raw \
+            and "E" not in raw.upper() else f
+    return raw
+
+
+def parse_header(buf: bytes, offset: int = 0,
+                 ) -> tuple[dict, list[str], int]:
+    """Parse one header unit starting at `offset`. Returns
+    (cards, history, offset_after_header). Raises FitsFormatError if
+    the END card is missing before EOF — the corruption the reference's
+    verify step must catch (file_corruption.py drops END)."""
+    cards: dict = {}
+    history: list[str] = []
+    pos = offset
+    while True:
+        if pos + BLOCK > len(buf):
+            raise FitsFormatError(
+                f"header starting at byte {offset} has no END card "
+                "(truncated or corrupted file)")
+        block = buf[pos: pos + BLOCK]
+        pos += BLOCK
+        for i in range(0, BLOCK, CARD):
+            card = block[i: i + CARD].decode("ascii", errors="replace")
+            key = card[:8].rstrip()
+            if key == "END":
+                return cards, history, pos
+            if key == "HISTORY":
+                history.append(card[8:].rstrip())
+            elif key in ("COMMENT", ""):
+                continue
+            elif card[8:10] == "= ":
+                cards[key] = _parse_value(card[10:])
+
+
+# --------------------------------------------------------------------------
+# Binary table codec
+# --------------------------------------------------------------------------
+
+_TFORM_RE = re.compile(r"^(\d*)([LBIJKEDA])$")
+_TYPE_NP = {"L": ">u1", "B": ">u1", "I": ">i2", "J": ">i4", "K": ">i8",
+            "E": ">f4", "D": ">f8"}
+_TYPE_WIDTH = {"L": 1, "B": 1, "I": 2, "J": 4, "K": 8, "E": 4, "D": 8}
+
+
+def _tform_dtype(tform: str) -> tuple[str, int, object]:
+    m = _TFORM_RE.match(tform.strip().upper())
+    if not m:
+        raise FitsFormatError(f"unsupported TFORM {tform!r}")
+    rep = int(m.group(1) or 1)
+    code = m.group(2)
+    if code == "A":
+        return code, rep, f"S{rep}"
+    np_t = _TYPE_NP[code]
+    return code, rep, (np_t if rep == 1 else (np_t, (rep,)))
+
+
+def _table_dtype(cards: dict) -> tuple[np.dtype, list[tuple[str, str, int]]]:
+    tfields = int(cards["TFIELDS"])
+    meta = []
+    for i in range(1, tfields + 1):
+        name = str(cards[f"TTYPE{i}"]).strip()
+        code, rep, _ = _tform_dtype(str(cards[f"TFORM{i}"]))
+        meta.append((name, code, rep))
+    spec = []
+    for (name, code, rep) in meta:
+        if code == "A":
+            spec.append((name, f"S{rep}"))
+        elif rep == 1:
+            spec.append((name, _TYPE_NP[code]))
+        else:
+            spec.append((name, _TYPE_NP[code], (rep,)))
+    dt = np.dtype(spec)
+    return dt, meta
+
+
+def parse_bintable(buf: bytes, cards: dict, offset: int) -> pd.DataFrame:
+    """Decode the BINTABLE data unit at `offset` into a DataFrame
+    (vector columns become per-row lists)."""
+    if str(cards.get("XTENSION", "")).strip() != "BINTABLE":
+        raise FitsFormatError("expected BINTABLE extension")
+    naxis1, naxis2 = int(cards["NAXIS1"]), int(cards["NAXIS2"])
+    dt, meta = _table_dtype(cards)
+    if dt.itemsize != naxis1:
+        raise FitsFormatError(
+            f"row width mismatch: TFORMs give {dt.itemsize} bytes, "
+            f"NAXIS1={naxis1}")
+    need = naxis1 * naxis2
+    if offset + need > len(buf):
+        raise FitsFormatError("binary table data truncated")
+    arr = np.frombuffer(buf, dtype=dt, count=naxis2, offset=offset)
+    out: dict = {}
+    for name, code, rep in meta:
+        col = arr[name]
+        canon = _CANON_NAME.get(name, name)
+        if code == "A":
+            out[canon] = [v.decode("ascii").rstrip() for v in col]
+        elif code == "L":
+            out[canon] = (col != 0) if rep == 1 else [list(v != 0)
+                                                      for v in col]
+        elif rep == 1:
+            out[canon] = col.astype(col.dtype.newbyteorder("="))
+        else:
+            native = col.astype(col.dtype.newbyteorder("="))
+            out[canon] = [v.tolist() for v in native]
+    return pd.DataFrame(out)
+
+
+@dataclass
+class FitsObservation:
+    header: dict
+    history: list[str]
+    table: pd.DataFrame
+
+
+def parse_sdfits(buf: bytes) -> FitsObservation:
+    """S1+S2: parse and structurally verify one SDFITS byte string."""
+    primary, history, pos = parse_header(buf, 0)
+    if primary.get("SIMPLE") is not True:
+        raise FitsFormatError("primary header missing SIMPLE = T")
+    # primary data unit (NAXIS=0 for SDFITS -> zero bytes)
+    naxis = int(primary.get("NAXIS", 0))
+    if naxis:
+        size = abs(int(primary["BITPIX"])) // 8
+        for i in range(1, naxis + 1):
+            size *= int(primary[f"NAXIS{i}"])
+        pos += math.ceil(size / BLOCK) * BLOCK
+    ext, ext_hist, pos = parse_header(buf, pos)
+    table = parse_bintable(buf, ext, pos)
+    return FitsObservation(header=primary, history=history + ext_hist,
+                           table=table)
+
+
+# --------------------------------------------------------------------------
+# Writer (S3) + corruption (O22)
+# --------------------------------------------------------------------------
+
+def _pad_block(b: bytes, fill: bytes = b"\x00") -> bytes:
+    rem = len(b) % BLOCK
+    return b if rem == 0 else b + fill * (BLOCK - rem)
+
+
+def _header_bytes(cards: list[bytes]) -> bytes:
+    return _pad_block(b"".join(cards) + b"END".ljust(CARD),
+                      fill=b" ")
+
+
+def write_sdfits(table: pd.DataFrame, header: dict | None = None,
+                 history: list[str] | None = None) -> bytes:
+    """S3 sink: canonical observation rows -> SDFITS bytes
+    (PrimaryHDU header-only + one BINTABLE). Column FITS types are
+    inferred: float64 -> D, int -> J, str -> nA (max width), list of
+    float -> nD."""
+    header = header or {}
+    history = history or []
+    prim = [_format_card("SIMPLE", True, "conforms to FITS standard"),
+            _format_card("BITPIX", 8),
+            _format_card("NAXIS", 0),
+            _format_card("EXTEND", True)]
+    for k, v in header.items():
+        prim.append(_format_card(k, v))
+    prim.extend(_history_card(h) for h in history)
+
+    spec: list[tuple] = []      # numpy dtype spec
+    tforms: list[tuple[str, str]] = []
+    arrays: dict[str, np.ndarray] = {}
+    for col in table.columns:
+        fits_name = _FITS_NAME.get(col, col)
+        s = table[col]
+        first = s.iloc[0] if len(s) else None
+        if isinstance(first, (list, np.ndarray)):
+            rep = len(first)
+            arrays[col] = np.asarray(
+                [np.asarray(v, dtype=">f8") for v in s], dtype=">f8")
+            spec.append((col, ">f8", (rep,)))
+            tforms.append((fits_name, f"{rep}D"))
+        elif pd.api.types.is_float_dtype(s):
+            arrays[col] = s.to_numpy(dtype=">f8")
+            spec.append((col, ">f8"))
+            tforms.append((fits_name, "D"))
+        elif pd.api.types.is_integer_dtype(s):
+            arrays[col] = s.to_numpy(dtype=">i4")
+            spec.append((col, ">i4"))
+            tforms.append((fits_name, "J"))
+        else:
+            vals = ["" if v is None else str(v) for v in s]
+            width = max((len(v) for v in vals), default=1) or 1
+            arrays[col] = np.asarray(vals, dtype=f"S{width}")
+            spec.append((col, f"S{width}"))
+            tforms.append((fits_name, f"{width}A"))
+    dt = np.dtype(spec)
+    rec = np.zeros(len(table), dtype=dt)
+    for col in table.columns:
+        rec[col] = arrays[col]
+
+    ext = [_format_card("XTENSION", "BINTABLE", "binary table extension"),
+           _format_card("BITPIX", 8),
+           _format_card("NAXIS", 2),
+           _format_card("NAXIS1", dt.itemsize),
+           _format_card("NAXIS2", len(table)),
+           _format_card("PCOUNT", 0),
+           _format_card("GCOUNT", 1),
+           _format_card("TFIELDS", len(tforms))]
+    for i, (name, tform) in enumerate(tforms, start=1):
+        ext.append(_format_card(f"TTYPE{i}", name))
+        ext.append(_format_card(f"TFORM{i}", tform))
+
+    return (_header_bytes(prim) + _header_bytes(ext)
+            + _pad_block(rec.tobytes()))
+
+
+def corrupt_drop_end(buf: bytes) -> bytes:
+    """O22 (file_corruption.py:5-34): blank the primary header's END
+    card so parse_sdfits must raise FitsFormatError."""
+    out = bytearray(buf)
+    pos = 0
+    while pos + BLOCK <= len(out):
+        for i in range(pos, pos + BLOCK, CARD):
+            if bytes(out[i: i + 3]) == b"END":
+                out[i: i + CARD] = b" " * CARD
+                return bytes(out)
+        pos += BLOCK
+    raise FitsFormatError("no END card found to corrupt")
+
+
+# --------------------------------------------------------------------------
+# Spark source
+# --------------------------------------------------------------------------
+
+def read_sdfits(spark, path_glob: str, dense_ids: bool = False):
+    """S1 as a distributed scan: binaryFile -> executor-side decode.
+    Returns a DataFrame in the canonical observation schema plus
+    (path, obs_id). obs_id defaults to xxhash64(path) — computed
+    map-side with no shuffle, so a corpus of millions of files never
+    funnels through one task; dense_ids=True instead assigns 0..n-1
+    via a single-partition window over the (tiny) distinct-paths
+    table — deterministic, for tests and small corpora. Structural
+    corruption (S2) fails the decoding task, matching the reference's
+    verify('exception') hard stop."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql import Window
+
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    out_schema = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("row_idx", T.LongType()),
+        T.StructField("DATE_OBS", T.StringType()),
+        T.StructField("DATA", T.ArrayType(T.DoubleType())),
+        T.StructField("IFNUM", T.IntegerType()),
+        T.StructField("PLNUM", T.IntegerType()),
+        T.StructField("CALSTATE", T.IntegerType()),
+        T.StructField("SWPVALID", T.IntegerType()),
+        T.StructField("OBSMODE", T.StringType()),
+        T.StructField("ELEVATIO", T.DoubleType()),
+        T.StructField("TAMBIENT", T.DoubleType()),
+        T.StructField("PRESSURE", T.DoubleType()),
+        T.StructField("HUMIDITY", T.DoubleType()),
+        T.StructField("TSYS", T.DoubleType()),
+        T.StructField("TCAL", T.DoubleType()),
+        T.StructField("DURATION", T.DoubleType()),
+        T.StructField("EXPOSURE", T.DoubleType()),
+    ])
+    names = [f.name for f in out_schema.fields[2:]]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                obs = parse_sdfits(bytes(row["content"]))
+                t = obs.table
+                out = pd.DataFrame({
+                    "path": row["path"],
+                    "row_idx": np.arange(len(t), dtype=np.int64),
+                })
+                for name in names:
+                    if name in t.columns:
+                        col = t[name]
+                        if name in ("IFNUM", "PLNUM", "CALSTATE",
+                                    "SWPVALID"):
+                            col = col.astype("int32")
+                        out[name] = col
+                    else:
+                        out[name] = None
+                yield out
+
+    decoded = files.select("path", "content").mapInPandas(
+        decode, schema=out_schema)
+    if not dense_ids:
+        return decoded.withColumn("obs_id", F.xxhash64("path"))
+    ids = (files.select("path").distinct()
+           .withColumn("obs_id",
+                       F.row_number().over(Window.orderBy("path"))
+                       .cast("long") - 1))
+    return decoded.join(F.broadcast(ids), "path")
+
+
+def read_sdfits_headers(spark, path_glob: str):
+    """Per-file header + HISTORY as JSON — the broadcast-dict feed for
+    the P1/P2 driver-side parsers (utils.py:9-103)."""
+    import pandas as pd  # noqa: F811
+    from pyspark.sql import types as T
+
+    files = spark.read.format("binaryFile").load(path_glob)
+    schema = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("header_json", T.StringType()),
+        T.StructField("history_json", T.StringType()),
+    ])
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                obs = parse_sdfits(bytes(row["content"]))
+                rows.append({
+                    "path": row["path"],
+                    "header_json": json.dumps(obs.header),
+                    "history_json": json.dumps(obs.history),
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return files.select("path", "content").mapInPandas(decode, schema=schema)
