@@ -1,0 +1,112 @@
+"""Physical-plan audits: the properties that make these queries hold
+at 100 TB — predicate pushdown into parquet, column pruning, broadcast
+joins for dimension tables, top-k without a global sort, and no
+row-at-a-time Python in hot paths (referenced from sources/parquet.py).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from radio_data_pipeline_spark.plans.registry import all_specs
+
+_SPECS = all_specs()
+
+
+def _plan(spark, df, mode: str = "formatted") -> str:
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+@pytest.fixture(scope="module")
+def sfq(spark, sf_dir):
+    def run(name):
+        return _SPECS[name].fn(spark, sf_dir)
+    return run
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark, sfq):
+    plan = _plan(spark, sfq("q1_pricing_summary"))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" \
+        in plan
+    # scan must not read the 4 join-key/comment-ish columns the query
+    # never touches
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_q3_broadcasts_dimension_side(spark, sfq):
+    plan = _plan(spark, sfq("q3_shipping_priority"))
+    assert "BroadcastHashJoin" in plan
+    # the big orders<->lineitem side must NOT be a nested loop
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q5_broadcasts_all_dimensions(spark, sfq):
+    plan = _plan(spark, sfq("q5_region_revenue"))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_semi_join_stays_semi(spark, sfq):
+    plan = _plan(spark, sfq("semi_join_customers"))
+    assert "LeftSemi" in plan
+
+
+def test_cosine_topk_avoids_global_sort(spark, sfq):
+    plan = _plan(spark, sfq("cosine_topk"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_array_fold_has_no_python_and_stays_codegen(spark, sfq):
+    for name in ("vector_sum", "vector_slice_sum", "cosine_topk",
+                 "minhash_lsh_pairs", "simhash_docs", "dedup_exact",
+                 "events_sessionize", "q1_pricing_summary"):
+        plan = _plan(spark, sfq(name))
+        assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time UDF"
+        assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF"
+    # AQE finalizes the plan only on execution; the executed plan must
+    # show whole-stage-codegen stages (the "*(n)" markers)
+    df = sfq("q1_pricing_summary")
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in executed, f"no codegen stage in:\n{executed}"
+
+
+def test_minhash_reuses_one_exchange(spark, sfq):
+    # the window (shingling) and the groupBy (signature) share the
+    # hash-partitioning on id: at most 2 exchanges total (scan-side
+    # id distribution + final left join), never one per stage
+    plan = _plan(spark, sfq("minhash_signatures"))
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_tumbling_counts_partial_aggregates(spark, sfq):
+    # map-side partial aggregation before the shuffle: two HashAggregate
+    # nodes around one Exchange
+    plan = _plan(spark, sfq("events_tumbling_counts"))
+    first_exchange = plan.index("Exchange")
+    assert "HashAggregate" in plan[:first_exchange] or \
+        "HashAggregate" in plan[first_exchange:]
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_segmentation_shuffles_by_observation(spark):
+    import pandas as pd
+    from radio_data_pipeline_spark.operators.segmentation import (
+        find_calibrations,
+    )
+    from radio_data_pipeline_spark.sources.synthetic import (
+        ObsSpec,
+        make_observation_set,
+    )
+    df = spark.createDataFrame(
+        make_observation_set([ObsSpec(obs_id=0)])[
+            ["obs_id", "row_idx", "IFNUM", "PLNUM", "CALSTATE",
+             "SWPVALID", "OBSMODE"]])
+    plan = _plan(spark, find_calibrations(df, channel_count=4))
+    # the stateful scan must key its exchange on the observation stream
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
+    assert "hashpartitioning(obs_id" in plan
