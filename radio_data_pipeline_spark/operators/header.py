@@ -18,40 +18,44 @@ import numpy as np
 
 def parse_history(cards: list[str]) -> dict[str, Any]:
     """Reference P1 (utils.py:9-56): parse HISTORY cards into typed
-    values. Value coercion rules reproduced from the reference:
-    - ``a_b`` numeric pair -> (float, float)
-    - comma/space-separated numerics -> list[float] (singleton -> float)
-    - otherwise the raw string
-    - ``/`` comments stripped; unparsable lines land in ``_extra``.
+    values, reproducing the reference's exact grammar:
+    - multi-word keys, whitespace-separated from the value (the greedy
+      key regex means trailing numeric tokens of a card like
+      'START,STOP channels 0 63' are absorbed into the KEY except the
+      last — the reference's own channel parser P4 therefore
+      re-tokenizes the raw card, and so does parse_channel_window);
+    - ``a_b`` integer pair -> (float, float);
+    - comma/space-separated numerics -> list[float] (singleton ->
+      float);
+    - otherwise the raw string; ``/`` comments stripped; unparsable
+      lines -> ``_extra``.
     """
-    out: dict[str, Any] = {"_extra": []}
+    out: dict[str, Any] = {}
+    extra: list[str] = []
     for raw in cards:
         line = raw.split("/")[0].strip()
-        if not line:
-            continue
-        m = re.match(r"^\s*([A-Za-z][A-Za-z0-9 ,_-]*?)\s*[:=]\s*(.+)$", line)
+        m = re.match(r"^\s*([A-Za-z0-9_,]+(?: [A-Za-z0-9_,]+)*)\s+(.*)",
+                     line)
         if not m:
-            out["_extra"].append(raw)
+            if line:
+                extra.append(raw.strip())
             continue
         key, val = m.group(1).strip(), m.group(2).strip()
         out[key] = _coerce(val)
+    if extra:
+        out["_extra"] = extra
     return out
 
 
 def _coerce(val: str) -> Any:
-    if re.fullmatch(r"-?\d+(\.\d+)?_-?\d+(\.\d+)?", val):
+    if re.fullmatch(r"\d+_\d+", val):
         a, b = val.split("_")
         return (float(a), float(b))
-    toks = [t for t in re.split(r"[,\s]+", val) if t]
-    nums = []
-    for t in toks:
-        try:
-            nums.append(float(t))
-        except ValueError:
-            return val
-    if len(nums) == 1:
-        return nums[0]
-    return nums
+    toks = val.replace(",", " ").split()
+    if toks and all(re.fullmatch(r"-?\d+(\.\d+)?", t) for t in toks):
+        nums = [float(t) for t in toks]
+        return nums if len(nums) > 1 else nums[0]
+    return val
 
 
 def parse_channel_window(card: str) -> tuple[int, int]:
@@ -101,3 +105,36 @@ class ObservationHeader:
         continuum.py:152-153)."""
         low, high, n = self.frequency_range(ifnum)
         return list(np.linspace(high, low, n))
+
+    @classmethod
+    def from_fits(cls, header: dict, history: list[str],
+                  ) -> "ObservationHeader":
+        """Build from a parsed SDFITS primary header + HISTORY cards
+        (the sources/fits.py decode output), applying P1/P2/P4 exactly
+        as the reference wires them (validate.py:45, utils.py:58-103)."""
+        hist = parse_history(history)
+        datamode = str(hist.get("DATAMODE", "HIRES")).strip()
+        bands = hist.get("HIRES bands", [float(header.get("OBSFREQ",
+                                                          1400.0))])
+        if not isinstance(bands, list):
+            bands = [bands]
+        rff = hist.get("RFFILTER", (1350.0, 1450.0))
+        if isinstance(rff, list) and len(rff) >= 2:
+            rff = (float(rff[0]), float(rff[1]))
+        elif not isinstance(rff, tuple):
+            rff = (1350.0, 1450.0)
+        window = (0, 63)
+        for card in history:
+            if "START,STOP" in card:
+                window = parse_channel_window(card)
+                break
+        return cls(
+            date=str(header.get("DATE", header.get("DATE-OBS", ""))),
+            obsmode=str(header.get("OBSMODE", "track")).strip(),
+            obsfreq=float(header.get("OBSFREQ", 1400.0)),
+            obsbw=float(header.get("OBSBW", 80.0)),
+            datamode=datamode,
+            hires_bands=[float(b) for b in bands],
+            rffilter=rff,
+            channel_window=window,
+        )

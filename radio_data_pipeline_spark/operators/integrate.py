@@ -36,7 +36,9 @@ def integrate_continuum(df: DataFrame, epoch_ts: str | None = None,
                      if c in df.columns]
     return df.select(
         *keep_cols,
-        (F.col(ts_col).cast("double") - t0).alias("t"),
+        # cast via timestamp so both TimestampType columns and ISO-8601
+        # strings (the FITS decode output) normalize identically (M11)
+        (F.col(ts_col).cast("timestamp").cast("double") - t0).alias("t"),
         array_sum(F.col(data_col)).alias("intensity"),
     )
 

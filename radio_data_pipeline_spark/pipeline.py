@@ -123,3 +123,44 @@ def spectrum_pipeline(df: DataFrame, header: ObservationHeader,
         F.array(*[F.lit(float(f)) for f in freqs]), F.col("pos") + 1)
     return spec.withColumn("frequency", freq_col).select(
         "pos", "frequency", "intensity")
+
+
+def reduce_sdfits(spark, path: str, ifnum: int = 0, plnum: int = 0,
+                  include_time=None, exclude_time=None,
+                  include_freq=None, exclude_freq=None,
+                  ) -> dict[str, DataFrame]:
+    """The reference's full entry point (main.py:20-47) for one SDFITS
+    file: scan (S1/S2) -> validation -> continuum + spectrum products.
+
+    Returns {"validated": ..., "continuum": ..., "spectrum": ...} —
+    all lazy except the calibration-height scalar fetch inside
+    continuum_pipeline. Multi-file globs work for the validated scan;
+    the reduction products assume one observation per call, like the
+    reference (loop over files for a corpus, or use the operators
+    directly for the fully-distributed path)."""
+    from radio_data_pipeline_spark.operators.header import ObservationHeader
+    from radio_data_pipeline_spark.operators.validation import (
+        validate_observation,
+    )
+    from radio_data_pipeline_spark.sources.fits import (
+        read_sdfits,
+        read_sdfits_headers,
+    )
+    import json
+
+    hdr_row = read_sdfits_headers(spark, path).collect()[0]
+    header = ObservationHeader.from_fits(
+        json.loads(hdr_row["header_json"]),
+        json.loads(hdr_row["history_json"]))
+
+    raw = read_sdfits(spark, path)
+    validated = validate_observation(raw, channel_window=header.channel_window)
+    kw = dict(include_time=include_time, exclude_time=exclude_time,
+              include_freq=include_freq, exclude_freq=exclude_freq)
+    return {
+        "validated": validated,
+        "continuum": continuum_pipeline(validated, header, ifnum, plnum,
+                                        **kw),
+        "spectrum": spectrum_pipeline(validated, header, ifnum, plnum,
+                                      **kw),
+    }

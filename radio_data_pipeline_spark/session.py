@@ -35,7 +35,15 @@ def get_spark(app_name: str = "radio-data-pipeline-spark",
         .master(f"local[{cpus}]")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # size post-shuffle partitions by bytes, not cluster default
+        # parallelism — the documented production setting; small
+        # shuffles collapse to few tasks, huge ones still fan out
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # single-node / fast-network clusters gain nothing from
+        # locality delay scheduling
+        .config("spark.locality.wait", "0")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
                 str(cpus * 4))

@@ -120,3 +120,51 @@ def test_corrupt_file_fails_spark_scan(spark, tmp_path):
     df = read_sdfits(spark, str(tmp_path / "bad.fits"))
     with pytest.raises(Exception, match="END"):
         df.collect()
+
+
+def test_parse_history_reference_grammar():
+    from radio_data_pipeline_spark.operators.header import (
+        parse_channel_window,
+        parse_history,
+    )
+    hist = parse_history([
+        "DATAMODE HIRES / observing mode",
+        "HIRES bands 1400.0 1600.0",
+        "RFFILTER 1355_1435",
+        "*** unparsable ***",
+    ])
+    assert hist["DATAMODE"] == "HIRES"
+    assert hist["HIRES bands"] == [1400.0, 1600.0]
+    assert hist["RFFILTER"] == (1355.0, 1435.0)
+    assert hist["_extra"] == ["*** unparsable ***"]
+    # the greedy-key quirk: P4 re-tokenizes the raw card instead
+    assert parse_channel_window("START,STOP channels 0 63") == (0, 63)
+
+
+def test_reduce_sdfits_end_to_end(spark, tmp_path):
+    from radio_data_pipeline_spark.pipeline import reduce_sdfits
+    spec = ObsSpec(obs_id=0, n_science=40)
+    pdf = make_observation(spec).drop(columns=["obs_id", "row_idx"])
+    pdf["DATE_OBS"] = pdf["DATE_OBS"].map(
+        lambda d: d.strftime("%Y-%m-%dT%H:%M:%S"))
+    buf = write_sdfits(pdf, {
+        "DATE": "2024-03-01T00:00:00", "OBSMODE": "track",
+        "OBSFREQ": 1400.0, "OBSBW": 80.0,
+    }, ["DATAMODE HIRES", "HIRES bands 1400.0 1600.0",
+        "START,STOP channels 0 63"])
+    (tmp_path / "obs.fits").write_bytes(buf)
+
+    products = reduce_sdfits(spark, str(tmp_path / "obs.fits"))
+    assert products["validated"].count() == len(pdf)
+
+    cont = products["continuum"].toPandas()
+    # science segment of the synthetic pattern: n_science rows
+    assert len(cont) == spec.n_science
+    # gain calibration divides the diode delta out: intensities land
+    # near base_level, far below the raw uncalibrated sums
+    assert 0 < cont["intensity"].mean() < spec.base_level
+
+    spect = products["spectrum"].toPandas()
+    assert len(spect) == 64
+    # descending virtual frequency axis from the header
+    assert spect["frequency"].iloc[0] > spect["frequency"].iloc[-1]
