@@ -889,3 +889,57 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "parts_above_avg_price",
+    oracle="""
+    SELECT p_partkey, p_name, round(p_retailprice, 2) AS retailprice
+    FROM part
+    WHERE p_retailprice > 1.04 * (SELECT avg(p_retailprice) FROM part)
+    ORDER BY retailprice DESC, p_partkey
+    LIMIT 25
+    """,
+    doc="Uncorrelated scalar subquery in a predicate: Spark plans the "
+        "subquery as an independent stage whose single-row result is "
+        "broadcast into the main scan's filter — one extra tiny job, "
+        "no per-row re-evaluation, at any scale.",
+    tags=("subquery", "filter"),
+)
+def parts_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "part").createOrReplaceTempView("_part_sq")
+    return spark.sql("""
+        SELECT p_partkey, p_name, round(p_retailprice, 2) AS retailprice
+        FROM _part_sq
+        WHERE p_retailprice > 1.04 * (SELECT avg(p_retailprice) FROM _part_sq)
+        ORDER BY retailprice DESC, p_partkey
+        LIMIT 25
+    """)
+
+
+@register(
+    "events_moving_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+                 6) AS mavg
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+    doc="Bounded sliding window frame (ROWS BETWEEN 3 PRECEDING): "
+        "constant per-row state regardless of partition length — the "
+        "frame form that stays O(1) memory where an unbounded frame "
+        "buffers; partitioned on high-cardinality user_id.",
+    tags=("window", "frame"),
+)
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+         .rowsBetween(-3, 0))
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id",
+                F.round(F.avg("value").over(w), 6).alias("mavg"))
+        .orderBy("user_id", "event_id")
+    )

@@ -160,3 +160,52 @@ def test_streaming_segmentation_matches_batch(spark, tmp_path):
     b_off = merged["off_start_idx_b"]
     s_off = merged["off_start_idx_s"]
     assert ((s_off == b_off) | (s_off.isna() & b_off.isna())).all()
+
+
+def test_streaming_segmentation_recovers_from_checkpoint(spark, tmp_path):
+    # state must survive a full query stop/restart: phase 1 ingests the
+    # first half of an observation, phase 2 a new file with the rest;
+    # the recovered state machine must end exactly where a single batch
+    # pass over everything ends
+    from radio_data_pipeline_spark.sources.synthetic import make_observation
+
+    pdf = make_observation(ObsSpec(obs_id=5, n_science=40))
+    cols = ["obs_id", "row_idx", "IFNUM", "PLNUM", "CALSTATE", "SWPVALID",
+            "OBSMODE"]
+    pdf = pdf[cols]
+    half = len(pdf) // 2
+    src = tmp_path / "src"
+    src.mkdir()
+    cp = str(tmp_path / "checkpoint")
+    schema = spark.createDataFrame(pdf).schema
+
+    collected: list = []
+
+    def run_phase(part: pd.DataFrame, fname: str) -> None:
+        spark.createDataFrame(part).coalesce(1).write.mode("append") \
+            .parquet(str(src / fname))
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        out = find_calibrations_stream(stream, channel_count=1,
+                                       header_obsmode="track")
+
+        def sink(batch_df, batch_id):
+            collected.extend(batch_df.collect())
+
+        q = (out.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", cp)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_phase(pdf.iloc[:half], "part1")
+    rows_after_1 = [r for r in collected]
+    assert rows_after_1 and max(r["rows_seen"] for r in rows_after_1) == half
+
+    run_phase(pdf.iloc[half:], "part2")
+    final = max(collected, key=lambda r: r["rows_seen"])
+    assert final["rows_seen"] == len(pdf)
+
+    exp = find_calibration_indices(
+        pdf["CALSTATE"].to_numpy(), pdf["SWPVALID"].to_numpy(),
+        pdf["OBSMODE"].tolist(), "track", 1)
+    assert final["data_start_idx"] == (exp[0] if exp[0] is not None else 0)
+    assert final["post_cal_start_idx"] == exp[1]
