@@ -122,7 +122,58 @@ def audio_frame_stats(df: DataFrame, frame_ms: int = 250) -> DataFrame:
             .mapInPandas(run, schema=out_schema))
 
 
-def make_fake_media(spark, n_images: int = 8, n_audio: int = 4) -> DataFrame:
+def video_frame_features(df: DataFrame, every_nth: int = 5,
+                         fps: float = 24.0, pool: int = 4) -> DataFrame:
+    """Frame-sample video (every Nth frame) and mean-pool each sampled
+    frame into a pool x pool feature — the decode-sample-project shape
+    of a video training pipeline. Decode is stubbed like image/audio
+    (FAKEVID prefix -> deterministic frames from the md5 digest +
+    frame index); one input row fans out to n_frames/every_nth rows
+    inside the Arrow kernel, so raw frames never exist as Spark rows."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("t_sec", T.DoubleType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"])
+                if not content.startswith(b"FAKEVID"):
+                    raise NotImplementedError(
+                        "real video decode not available; fixtures use "
+                        "FAKEVID bytes")
+                w = int(row["width"]) or 16
+                h = int(row["height"]) or 12
+                n_frames = int(fps * float(row["duration_s"]))
+                base = hashlib.md5(content).digest()
+                for f_idx in range(0, n_frames, every_nth):
+                    seed = hashlib.md5(base + f_idx.to_bytes(4, "big"))
+                    flat = np.frombuffer(seed.digest(), dtype=np.uint8)
+                    reps = int(np.ceil(w * h / len(flat)))
+                    frame = (np.tile(flat, reps)[: w * h]
+                             .astype(np.float64) / 255.0).reshape(h, w)
+                    ph, pw = max(h // pool, 1), max(w // pool, 1)
+                    pooled = frame[: ph * pool, : pw * pool] \
+                        .reshape(pool, ph, pool, pw).mean(axis=(1, 3))
+                    rows.append({
+                        "media_id": row["media_id"],
+                        "frame_idx": f_idx,
+                        "t_sec": f_idx / fps,
+                        "feature": pooled.ravel().tolist(),
+                    })
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "t_sec", "feature"])
+
+    return (df.filter(F.col("kind") == "video")
+            .mapInPandas(run, schema=out_schema))
+
+
+def make_fake_media(spark, n_images: int = 8, n_audio: int = 4,
+                    n_video: int = 2) -> DataFrame:
     """Deterministic fixture rows for the stubbed decoders."""
     rows = []
     for i in range(n_images):
@@ -131,4 +182,7 @@ def make_fake_media(spark, n_images: int = 8, n_audio: int = 4) -> DataFrame:
     for i in range(n_audio):
         rows.append((1000 + i, "audio", b"FAKEAUD" + str(i).encode(),
                      "audio/fake", None, None, 8000, 1.0))
+    for i in range(n_video):
+        rows.append((2000 + i, "video", b"FAKEVID" + str(i).encode(),
+                     "video/fake", 16, 12, None, 2.0))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

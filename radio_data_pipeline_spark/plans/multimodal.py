@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from radio_data_pipeline_spark.functions.multimodal import (
     audio_frame_stats,
     image_features,
+    video_frame_features,
 )
 from radio_data_pipeline_spark.plans.registry import register
 from radio_data_pipeline_spark.sources.parquet import load_table
@@ -42,6 +43,16 @@ def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("sample_rate"),
         F.lit(None).cast("double").alias("duration_s"),
     )
+    video = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.concat(F.lit(b"FAKEVID"), F.encode("text", "UTF-8"))
+         .alias("content"),
+        F.lit("video/fake").alias("mime"),
+        F.lit(16).alias("width"), F.lit(12).alias("height"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(2.0).alias("duration_s"),
+    )
     audio = docs.filter(F.col("doc_id") % 4 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("media_id"),
         F.lit("audio").alias("kind"),
@@ -53,7 +64,7 @@ def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(8000).alias("sample_rate"),
         F.lit(0.5).alias("duration_s"),
     )
-    return images.unionByName(audio)
+    return images.unionByName(audio).unionByName(video)
 
 
 @register(
@@ -91,3 +102,23 @@ def multimodal_audio_frame_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (frames.select("media_id", "frame_idx",
                           F.round("rms", 6).alias("rms"))
             .orderBy("media_id", "frame_idx"))
+
+
+@register(
+    "multimodal_video_frame_sample",
+    oracle=None,  # decode kernel is a mapInPandas stub — rows-only check
+    doc="Video frame-sampling (every 5th of 48 frames) -> per-frame "
+        "4x4 mean-pool features (functions/multimodal.py "
+        "video_frame_features): decode-sample-project inside the Arrow "
+        "kernel, raw frames never materialize as Spark rows.",
+    tags=("multimodal", "mapInPandas"),
+)
+def multimodal_video_frame_sample(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    frames = video_frame_features(_media_from_documents(spark, sf_dir),
+                                  every_nth=5, fps=24.0, pool=4)
+    return frames.select(
+        "media_id", "frame_idx", F.round("t_sec", 6).alias("t_sec"),
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x)
+                / F.size("feature"), 6).alias("feature_mean"),
+    ).orderBy("media_id", "frame_idx")

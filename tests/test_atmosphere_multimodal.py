@@ -111,3 +111,23 @@ class TestMultimodal:
             MEDIA_SCHEMA)
         with pytest.raises(Exception):  # NotImplementedError via Py4J
             image_features(media).collect()
+
+
+def test_video_frame_features(spark):
+    from radio_data_pipeline_spark.functions.multimodal import (
+        make_fake_media,
+        video_frame_features,
+    )
+    media = make_fake_media(spark)
+    frames = video_frame_features(media, every_nth=5, fps=24.0,
+                                  pool=4).toPandas()
+    # 2 videos x 2.0s x 24fps = 48 frames -> every 5th = 10 samples each
+    assert len(frames) == 20
+    assert set(frames["media_id"]) == {2000, 2001}
+    assert frames["frame_idx"].tolist()[:3] == [0, 5, 10]
+    assert all(len(f) == 16 for f in frames["feature"])
+    # deterministic: same input -> same features
+    again = video_frame_features(media, every_nth=5, fps=24.0,
+                                 pool=4).toPandas()
+    assert frames["feature"].map(tuple).tolist() == \
+        again["feature"].map(tuple).tolist()
