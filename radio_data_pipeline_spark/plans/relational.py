@@ -943,3 +943,35 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.avg("value").over(w), 6).alias("mavg"))
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "orders_above_twice_avg_item",
+    oracle="""
+    SELECT o.o_orderkey, round(o.o_totalprice, 2) AS totalprice
+    FROM orders o
+    WHERE o.o_totalprice > (SELECT 40 * avg(l.l_extendedprice)
+                            FROM lineitem l
+                            WHERE l.l_orderkey = o.o_orderkey)
+    ORDER BY totalprice DESC, o.o_orderkey
+    LIMIT 50
+    """,
+    doc="Correlated scalar aggregate subquery: Catalyst decorrelates it "
+        "into an aggregate + join on the correlation key, so at scale "
+        "it costs one orderkey-shuffled aggregation — never a per-row "
+        "re-execution of the inner query.",
+    tags=("subquery", "join"),
+)
+def orders_above_twice_avg_item(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_ord_corr")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_corr")
+    return spark.sql("""
+        SELECT o.o_orderkey, round(o.o_totalprice, 2) AS totalprice
+        FROM _ord_corr o
+        WHERE o.o_totalprice > (SELECT 40 * avg(l.l_extendedprice)
+                                FROM _li_corr l
+                                WHERE l.l_orderkey = o.o_orderkey)
+        ORDER BY totalprice DESC, o.o_orderkey
+        LIMIT 50
+    """)

@@ -110,3 +110,21 @@ class TestMerge:
         b = a.withColumn("TSYS", F.col("TSYS").cast("float"))
         with pytest.raises(SchemaMismatchError):
             merge_observations([a, b])
+
+
+def test_salted_join_matches_plain_join(spark, sf_smoke):
+    from radio_data_pipeline_spark.operators.skew import salted_join
+    from radio_data_pipeline_spark.sources.parquet import load_table
+    ev = load_table(spark, sf_smoke, "events") \
+        .select("event_id", "user_id", "value")
+    users = (ev.groupBy("user_id").count()
+             .withColumnRenamed("count", "n_events"))
+    got = salted_join(ev, users, "user_id", n_salts=8)
+    exp = ev.join(users, "user_id")
+    cols = sorted(got.columns)
+    assert sorted(exp.columns) == cols
+    assert sorted(map(tuple, got.select(*cols).collect())) == \
+        sorted(map(tuple, exp.select(*cols).collect()))
+    # the salt widens the join key: shuffle is on (user_id, _salt)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
