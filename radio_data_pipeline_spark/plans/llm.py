@@ -351,3 +351,60 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (simhash_table(_docs(spark, sf_dir), k_bits=_SIMHASH_BITS)
             .withColumnRenamed("id", "doc_id")
             .orderBy("doc_id"))
+
+
+_MS_THRESHOLD = 0.1
+
+
+@register(
+    "dedup_multi_signal",
+    oracle=f"""
+    {_SIG_SQL_CORE},
+    bands AS ({_bands_sql()}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                  AND a.doc_id < b.doc_id
+    ),
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT c.id_a, c.id_b,
+           round(list_dot_product(ea.v, eb.v)
+                 / (sqrt(list_dot_product(ea.v, ea.v))
+                    * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+    FROM cand c
+    JOIN emb ea ON c.id_a = ea.vec_id
+    JOIN emb eb ON c.id_b = eb.vec_id
+    WHERE round(list_dot_product(ea.v, eb.v)
+                / (sqrt(list_dot_product(ea.v, ea.v))
+                   * sqrt(list_dot_product(eb.v, eb.v))), 6)
+          >= {_MS_THRESHOLD}
+    ORDER BY id_a, id_b
+    """,
+    doc="Multi-signal dedup, the production pattern: cheap MinHash-LSH "
+        "candidate generation (linear scan + banded equi-join) followed "
+        "by embedding-cosine verification ONLY on the candidates — the "
+        "expensive signal touches |candidates| pairs, not N^2/2. The "
+        "doc_id<->vec_id join stays on the shuffle key of the pair "
+        "generation.",
+    tags=("dedup", "minhash", "similarity"),
+)
+def dedup_multi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.functions.similarity import (
+        cosine_similarity,
+    )
+    cand = minhash_lsh_pairs(_docs(spark, sf_dir), n_hashes=_N_HASHES,
+                             band_size=_BAND_SIZE, k=_K)
+    emb = load_table(spark, sf_dir, "embeddings")
+    ea = emb.select(F.col("vec_id").alias("id_a"),
+                    F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("id_b"),
+                    F.col("embedding").alias("vb"))
+    return (
+        cand.join(ea, "id_a").join(eb, "id_b")
+        .select("id_a", "id_b",
+                F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+                .alias("cosine"))
+        .filter(F.col("cosine") >= _MS_THRESHOLD)
+        .orderBy("id_a", "id_b")
+    )

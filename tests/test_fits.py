@@ -168,3 +168,24 @@ def test_reduce_sdfits_end_to_end(spark, tmp_path):
     assert len(spect) == 64
     # descending virtual frequency axis from the header
     assert spect["frequency"].iloc[0] > spect["frequency"].iloc[-1]
+
+
+def test_sdfits_datasource_format(spark, tmp_path):
+    # the Spark-4 Python DataSource: spark.read.format("sdfits")
+    from radio_data_pipeline_spark.sources.fits_datasource import (
+        register_sdfits,
+    )
+    for i in range(2):
+        pdf = _obs_pdf(n_science=12)
+        (tmp_path / f"ds{i}.fits").write_bytes(
+            write_sdfits(pdf, HEADER, HISTORY))
+    register_sdfits(spark)
+    df = (spark.read.format("sdfits")
+          .load(str(tmp_path / "ds*.fits")))
+    assert df.count() == 2 * len(pdf)
+    assert df.select("obs_id").distinct().count() == 2
+    row = df.filter("obs_id = 1 AND row_idx = 0").collect()[0]
+    assert row["CALSTATE"] == 1 and len(row["DATA"]) == 64
+    # column pruning + filters work through the python source
+    n_cal = df.filter("CALSTATE = 1").select("row_idx").count()
+    assert n_cal == 2 * 2 * 8  # two files x (pre+post) x n_cal rows
