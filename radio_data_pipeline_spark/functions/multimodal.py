@@ -41,6 +41,31 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
+def _dim(value, default: int) -> int:
+    """Typed-metadata fallback: NULL (pandas NaN) or 0 -> default."""
+    if value is None or (isinstance(value, float) and np.isnan(value)):
+        return default
+    return int(value) or default
+
+
+def _tile_digest(digest: bytes, width: int, height: int) -> np.ndarray:
+    """The deterministic fake frame all stub decoders share: digest
+    bytes tiled to (height, width), scaled to [0, 1]."""
+    flat = np.frombuffer(digest, dtype=np.uint8).astype(np.float64) / 255.0
+    reps = int(np.ceil(width * height / len(flat)))
+    return np.tile(flat, reps)[: width * height].reshape(height, width)
+
+
+def _mean_pool(img: np.ndarray, pool: int) -> np.ndarray:
+    """Mean-pool to (pool, pool) — clamped so frames smaller than the
+    pool grid in either dimension pool over what exists instead of
+    crashing the reshape."""
+    h, w = img.shape
+    py, px = min(pool, h), min(pool, w)
+    ph, pw = h // py, w // px
+    return img[: ph * py, : pw * px].reshape(py, ph, px, pw).mean(axis=(1, 3))
+
+
 def _decode_image(content: bytes, width: int, height: int) -> np.ndarray:
     """STUB — real implementation: PIL.Image.open(BytesIO(content)).
 
@@ -51,10 +76,7 @@ def _decode_image(content: bytes, width: int, height: int) -> np.ndarray:
         raise NotImplementedError(
             "real image decode requires an imaging library not present "
             "in this environment; test fixtures use FAKEIMG bytes")
-    digest = hashlib.md5(content).digest()
-    flat = np.frombuffer(digest, dtype=np.uint8).astype(np.float64) / 255.0
-    reps = int(np.ceil(width * height / len(flat)))
-    return np.tile(flat, reps)[: width * height].reshape(height, width)
+    return _tile_digest(hashlib.md5(content).digest(), width, height)
 
 
 def image_features(df: DataFrame, pool: int = 8) -> DataFrame:
@@ -67,13 +89,10 @@ def image_features(df: DataFrame, pool: int = 8) -> DataFrame:
         for pdf in batches:
             feats = []
             for _, row in pdf.iterrows():
-                img = _decode_image(row["content"], row["width"],
-                                    row["height"])
-                h, w = img.shape
-                ph, pw = max(h // pool, 1), max(w // pool, 1)
-                pooled = img[: ph * pool, : pw * pool] \
-                    .reshape(pool, ph, pool, pw).mean(axis=(1, 3))
-                feats.append(pooled.ravel().tolist())
+                img = _decode_image(row["content"],
+                                    _dim(row["width"], 32),
+                                    _dim(row["height"], 24))
+                feats.append(_mean_pool(img, pool).ravel().tolist())
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
@@ -146,24 +165,18 @@ def video_frame_features(df: DataFrame, every_nth: int = 5,
                     raise NotImplementedError(
                         "real video decode not available; fixtures use "
                         "FAKEVID bytes")
-                w = int(row["width"]) or 16
-                h = int(row["height"]) or 12
+                w = _dim(row["width"], 16)
+                h = _dim(row["height"], 12)
                 n_frames = int(fps * float(row["duration_s"]))
                 base = hashlib.md5(content).digest()
                 for f_idx in range(0, n_frames, every_nth):
                     seed = hashlib.md5(base + f_idx.to_bytes(4, "big"))
-                    flat = np.frombuffer(seed.digest(), dtype=np.uint8)
-                    reps = int(np.ceil(w * h / len(flat)))
-                    frame = (np.tile(flat, reps)[: w * h]
-                             .astype(np.float64) / 255.0).reshape(h, w)
-                    ph, pw = max(h // pool, 1), max(w // pool, 1)
-                    pooled = frame[: ph * pool, : pw * pool] \
-                        .reshape(pool, ph, pool, pw).mean(axis=(1, 3))
+                    frame = _tile_digest(seed.digest(), w, h)
                     rows.append({
                         "media_id": row["media_id"],
                         "frame_idx": f_idx,
                         "t_sec": f_idx / fps,
-                        "feature": pooled.ravel().tolist(),
+                        "feature": _mean_pool(frame, pool).ravel().tolist(),
                     })
             yield pd.DataFrame(
                 rows, columns=["media_id", "frame_idx", "t_sec", "feature"])

@@ -98,14 +98,21 @@ def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 def near_dup_pairs_lsh(df: DataFrame, threshold: float = 0.4,
                        n_planes: int = 4, seed: int = 7,
                        vec_col: str = "embedding", id_col: str = "vec_id",
-                       dim: int = 64) -> DataFrame:
+                       dim: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs with LSH blocking: vectors
     only compare within their sign-pattern bucket, so the self-join is
     sum(|bucket|²)/2 candidate pairs instead of N²/2 — the blocking key
     shuffles both sides once and each bucket joins locally. Recall is
     the standard LSH trade-off (a near-dup pair straddling a hyperplane
     is missed); raise recall with fewer planes or multiple plane sets.
-    Returns (id_a, id_b, cosine) with cosine >= threshold."""
+    Returns (id_a, id_b, cosine) with cosine >= threshold.
+
+    dim defaults to the width of the first vector — a mismatched
+    hyperplane width would null-poison every projection and silently
+    collapse all vectors into one bucket (the N^2 blowup this function
+    exists to avoid)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
     b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                   lsh_bucket(F.col(vec_col), planes).alias("bucket"))

@@ -25,9 +25,20 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
                 n_salts: int = 16, how: str = "inner") -> DataFrame:
     """Join `big` (skewed) with `small` on `key`, spreading each big-
     side key over n_salts partitions. Result equals big.join(small,
-    key, how) exactly (asserted in tests). Salt derivation hashes the
-    whole big row, so even a single hot key value distributes evenly
-    and the operation stays deterministic."""
+    key, how) exactly (asserted in tests) for big-side-preserving join
+    types; right/full outer are rejected because unmatched small-side
+    rows would surface once per salt replica. Salt derivation hashes
+    the whole big row, so even a single hot key value distributes
+    evenly and the operation stays deterministic."""
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "semi", "left_anti", "leftanti",
+               "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched "
+            "small-side rows would be emitted once per salt replica; "
+            "use a plain join (with AQE skew handling) for right/full "
+            "outer")
     salt: Column = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
                           F.lit(n_salts)).cast("int")
     big_s = big.withColumn("_salt", salt)

@@ -82,7 +82,11 @@ def _parse_value(raw: str):
         # quoted string; '' escapes a quote
         end = 1
         while True:
-            end = raw.index("'", end)
+            try:
+                end = raw.index("'", end)
+            except ValueError:
+                raise FitsFormatError(
+                    f"unterminated quoted header value: {raw!r}") from None
             if raw[end + 1: end + 2] == "'":
                 end += 2
                 continue
@@ -194,8 +198,10 @@ def parse_bintable(buf: bytes, cards: dict, offset: int) -> pd.DataFrame:
         if code == "A":
             out[canon] = [v.decode("ascii").rstrip() for v in col]
         elif code == "L":
-            out[canon] = (col != 0) if rep == 1 else [list(v != 0)
-                                                      for v in col]
+            # FITS logicals are ASCII 'T'/'F' bytes (0x54/0x46), not
+            # 0/1 — `!= 0` would decode every 'F' as True
+            out[canon] = (col == ord("T")) if rep == 1 else \
+                [list(v == ord("T")) for v in col]
         elif rep == 1:
             out[canon] = col.astype(col.dtype.newbyteorder("="))
         else:
@@ -211,8 +217,9 @@ class FitsObservation:
     table: pd.DataFrame
 
 
-def parse_sdfits(buf: bytes) -> FitsObservation:
-    """S1+S2: parse and structurally verify one SDFITS byte string."""
+def _parse_headers(buf: bytes) -> tuple[dict, list[str], dict, int]:
+    """Parse primary + extension headers only; returns (primary,
+    history, ext_cards, data_offset) without touching the data unit."""
     primary, history, pos = parse_header(buf, 0)
     if primary.get("SIMPLE") is not True:
         raise FitsFormatError("primary header missing SIMPLE = T")
@@ -224,9 +231,25 @@ def parse_sdfits(buf: bytes) -> FitsObservation:
             size *= int(primary[f"NAXIS{i}"])
         pos += math.ceil(size / BLOCK) * BLOCK
     ext, ext_hist, pos = parse_header(buf, pos)
+    return primary, history + ext_hist, ext, pos
+
+
+def parse_sdfits(buf: bytes) -> FitsObservation:
+    """S1+S2: parse and structurally verify one SDFITS byte string."""
+    primary, history, ext, pos = _parse_headers(buf)
     table = parse_bintable(buf, ext, pos)
-    return FitsObservation(header=primary, history=history + ext_hist,
-                           table=table)
+    return FitsObservation(header=primary, history=history, table=table)
+
+
+def parse_sdfits_headers_only(buf: bytes) -> tuple[dict, list[str]]:
+    """Header + HISTORY without decoding the binary table — the cheap
+    path for metadata scans (a few KB of cards vs the full data unit).
+    Still verifies END cards and the row-width/TFORM consistency."""
+    primary, history, ext, _pos = _parse_headers(buf)
+    dt, _meta = _table_dtype(ext)
+    if dt.itemsize != int(ext["NAXIS1"]):
+        raise FitsFormatError("row width mismatch in extension header")
+    return primary, history
 
 
 # --------------------------------------------------------------------------
@@ -277,9 +300,16 @@ def write_sdfits(table: pd.DataFrame, header: dict | None = None,
             spec.append((col, ">f8"))
             tforms.append((fits_name, "D"))
         elif pd.api.types.is_integer_dtype(s):
-            arrays[col] = s.to_numpy(dtype=">i4")
-            spec.append((col, ">i4"))
-            tforms.append((fits_name, "J"))
+            # 64-bit columns write as 'K' — an unconditional >i4 cast
+            # would silently wrap values above 2**31-1
+            if s.to_numpy().dtype.itemsize > 4:
+                arrays[col] = s.to_numpy(dtype=">i8")
+                spec.append((col, ">i8"))
+                tforms.append((fits_name, "K"))
+            else:
+                arrays[col] = s.to_numpy(dtype=">i4")
+                spec.append((col, ">i4"))
+                tforms.append((fits_name, "J"))
         else:
             vals = ["" if v is None else str(v) for v in s]
             width = max((len(v) for v in vals), default=1) or 1
@@ -410,11 +440,13 @@ def read_sdfits_headers(spark, path_glob: str):
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
-                obs = parse_sdfits(bytes(row["content"]))
+                # header-only parse: never decodes the data unit
+                header, history = parse_sdfits_headers_only(
+                    bytes(row["content"]))
                 rows.append({
                     "path": row["path"],
-                    "header_json": json.dumps(obs.header),
-                    "history_json": json.dumps(obs.history),
+                    "header_json": json.dumps(header),
+                    "history_json": json.dumps(history),
                 })
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 

@@ -131,3 +131,16 @@ def test_video_frame_features(spark):
                                  pool=4).toPandas()
     assert frames["feature"].map(tuple).tolist() == \
         again["feature"].map(tuple).tolist()
+
+
+def test_image_pool_larger_than_frame(spark):
+    # pooling clamps to the frame size instead of crashing the reshape
+    from radio_data_pipeline_spark.functions.multimodal import (
+        image_features,
+        make_fake_media,
+    )
+    media = make_fake_media(spark, n_images=2, n_audio=0, n_video=0)
+    out = image_features(media, pool=64).toPandas()  # pool > 24px height
+    assert len(out) == 2
+    # clamped grid: min(64,24) x min(64,32) = 24*32 features
+    assert all(d == 24 * 32 for d in out["feature_dim"])

@@ -189,3 +189,44 @@ def test_sdfits_datasource_format(spark, tmp_path):
     # column pruning + filters work through the python source
     n_cal = df.filter("CALSTATE = 1").select("row_idx").count()
     assert n_cal == 2 * 2 * 8  # two files x (pre+post) x n_cal rows
+
+
+def test_logical_column_decodes_ascii_tf():
+    # FITS logicals are 'T'/'F' bytes; 'F' (0x46, nonzero) must be False
+    from radio_data_pipeline_spark.sources.fits import (
+        _format_card,
+        _header_bytes,
+        parse_bintable,
+    )
+    import numpy as np
+    rec = np.zeros(3, dtype=np.dtype([("FLAGGED", "S1")]))
+    rec["FLAGGED"] = [b"T", b"F", b"T"]
+    # build a minimal BINTABLE with TFORM L
+    cards = {"XTENSION": "BINTABLE", "NAXIS1": 1, "NAXIS2": 3,
+             "TFIELDS": 1, "TTYPE1": "FLAGGED", "TFORM1": "L"}
+    buf = rec.tobytes()
+    table = parse_bintable(buf, cards, 0)
+    assert table["FLAGGED"].tolist() == [True, False, True]
+
+
+def test_int64_roundtrips_as_K():
+    # int64 columns must not wrap: written as TFORM 'K'
+    big = 2**40 + 7
+    pdf = pd.DataFrame({"BIGID": [big, -big], "SMALL":
+                        np.array([1, 2], dtype=np.int32)})
+    obs = parse_sdfits(write_sdfits(pdf))
+    assert obs.table["BIGID"].tolist() == [big, -big]
+    assert obs.table["SMALL"].tolist() == [1, 2]
+
+
+def test_headers_only_parse_matches_full():
+    from radio_data_pipeline_spark.sources.fits import (
+        parse_sdfits_headers_only,
+    )
+    buf = write_sdfits(_obs_pdf(n_science=8), HEADER, HISTORY)
+    h, hist = parse_sdfits_headers_only(buf)
+    full = parse_sdfits(buf)
+    assert h == full.header and hist == full.history
+    # still verifies structure
+    with pytest.raises(FitsFormatError):
+        parse_sdfits_headers_only(corrupt_drop_end(buf))

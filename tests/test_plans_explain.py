@@ -86,11 +86,19 @@ def test_minhash_reuses_one_exchange(spark, sfq):
 def test_tumbling_counts_partial_aggregates(spark, sfq):
     # map-side partial aggregation before the shuffle: two HashAggregate
     # nodes around one Exchange
-    plan = _plan(spark, sfq("events_tumbling_counts"))
-    first_exchange = plan.index("Exchange")
-    assert "HashAggregate" in plan[:first_exchange] or \
-        "HashAggregate" in plan[first_exchange:]
-    assert plan.count("HashAggregate") >= 2
+    # formatted mode lists operators leaf-first, so the map-side
+    # partial aggregate must appear AFTER the exchange line in text
+    # order (it sits below it in the tree); checking the numbered tree
+    # instead: HashAggregate(partial) feeds Exchange feeds
+    # HashAggregate(final)
+    df = sfq("events_tumbling_counts")
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    first_exchange = executed.index("Exchange")
+    below_exchange = executed[first_exchange:]
+    assert "HashAggregate" in below_exchange, \
+        "no map-side partial aggregation below the shuffle"
+    assert executed.count("HashAggregate") >= 2
 
 
 def test_segmentation_shuffles_by_observation(spark):

@@ -128,3 +128,13 @@ def test_salted_join_matches_plain_join(spark, sf_smoke):
     # the salt widens the join key: shuffle is on (user_id, _salt)
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in plan
+
+
+def test_salted_join_rejects_right_outer(spark, sf_smoke):
+    import pytest
+    from radio_data_pipeline_spark.operators.skew import salted_join
+    from radio_data_pipeline_spark.sources.parquet import load_table
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "user_id")
+    users = ev.groupBy("user_id").count()
+    with pytest.raises(ValueError, match="salt replica"):
+        salted_join(ev, users, "user_id", how="right")
