@@ -236,3 +236,86 @@ def apply_gain_calibration(science: DataFrame,
     if post.delta is not None:
         return science.withColumn(y_col, y / F.lit(post.delta))
     return science
+
+
+# ------------------------------------------------------------------
+# M5/M6 fully distributed: no driver round-trip, any number of
+# observations in one lineage (the 1M-observation path)
+# ------------------------------------------------------------------
+
+STREAM_COLS = ["obs_id", "IFNUM", "PLNUM"]
+
+
+def calibration_heights_df(fits: DataFrame) -> DataFrame:
+    """M5 as a join: combine each segment's diode-on and diode-off fits
+    into (delta, uncertainty) per (stream, segment). One row per fit on
+    each side, so this is a tiny equi-join keyed identically to the fit
+    aggregation — no extra shuffle."""
+    on = fits.filter((F.col("calstate") == 1)
+                     & F.col("intercept").isNotNull()).select(
+        *STREAM_COLS, "segment",
+        F.col("intercept").alias("on_b"), F.col("slope").alias("on_m"),
+        F.col("b_sd").alias("on_b_sd"), F.col("m_sd").alias("on_m_sd"),
+        F.col("t_mean").alias("on_t"))
+    off = fits.filter((F.col("calstate") == 0)
+                      & F.col("intercept").isNotNull()).select(
+        *STREAM_COLS, "segment",
+        F.col("intercept").alias("off_b"), F.col("slope").alias("off_m"),
+        F.col("b_sd").alias("off_b_sd"), F.col("m_sd").alias("off_m_sd"),
+        F.col("t_mean").alias("off_t"))
+    j = on.join(off, [*STREAM_COLS, "segment"])
+    t_star = (F.col("on_t") + F.col("off_t")) / 2.0
+    dt_on = t_star - F.col("on_t")
+    dt_off = t_star - F.col("off_t")
+    delta = (dt_on * F.col("on_m") + F.col("on_b")
+             - (dt_off * F.col("off_m") + F.col("off_b")))
+    unc = F.sqrt(F.col("on_b_sd") ** 2 + F.col("off_b_sd") ** 2
+                 + (F.col("on_m_sd") * dt_on) ** 2
+                 + (F.col("off_m_sd") * dt_off) ** 2)
+    return j.select(*STREAM_COLS, "segment", delta.alias("delta"),
+                    unc.alias("uncertainty"))
+
+
+def apply_gain_calibration_distributed(science: DataFrame,
+                                       heights: DataFrame,
+                                       t_col: str = "t",
+                                       y_col: str = "intensity",
+                                       ) -> DataFrame:
+    """M6 with per-stream heights joined in (broadcast — one row per
+    observation stream) instead of collected to the driver. Branch
+    semantics identical to apply_gain_calibration; the science time
+    bounds come from a per-stream aggregate joined back, so the whole
+    computation is one lineage regardless of observation count."""
+    pivoted = heights.groupBy(*STREAM_COLS).agg(
+        F.max(F.when(F.col("segment") == "pre_cal",
+                     F.col("delta"))).alias("pre_d"),
+        F.max(F.when(F.col("segment") == "pre_cal",
+                     F.col("uncertainty"))).alias("pre_u"),
+        F.max(F.when(F.col("segment") == "post_cal",
+                     F.col("delta"))).alias("post_d"),
+        F.max(F.when(F.col("segment") == "post_cal",
+                     F.col("uncertainty"))).alias("post_u"),
+    )
+    bounds = science.groupBy(*STREAM_COLS).agg(
+        F.min(t_col).alias("_t1"), F.max(t_col).alias("_t2"))
+    enriched = (science
+                .join(F.broadcast(pivoted), STREAM_COLS, "left")
+                .join(F.broadcast(bounds), STREAM_COLS, "left"))
+
+    pre_d, post_d = F.col("pre_d"), F.col("post_d")
+    z = F.abs(pre_d - post_d) / F.sqrt(F.col("pre_u") ** 2
+                                       + F.col("post_u") ** 2)
+    frac = F.when(F.col("_t2") == F.col("_t1"), F.lit(0.0)).otherwise(
+        (F.col(t_col) - F.col("_t1")) / (F.col("_t2") - F.col("_t1")))
+    interp = pre_d + (post_d - pre_d) * frac
+    both = pre_d.isNotNull() & post_d.isNotNull()
+    height = (
+        F.when(both & (z >= 1.96), interp)
+         .when(both, (pre_d + post_d) / 2.0)
+         .when(pre_d.isNotNull(), pre_d)
+         .when(post_d.isNotNull(), post_d)
+    )
+    y = F.col(y_col)
+    calibrated = F.when(height.isNotNull(), y / height).otherwise(y)
+    return (enriched.withColumn(y_col, calibrated)
+            .drop("pre_d", "pre_u", "post_d", "post_u", "_t1", "_t2"))

@@ -125,6 +125,51 @@ def spectrum_pipeline(df: DataFrame, header: ObservationHeader,
         "pos", "frequency", "intensity")
 
 
+def continuum_pipeline_distributed(df: DataFrame,
+                                   header_obsmode: str = "track",
+                                   channel_count: int | None = None,
+                                   ) -> DataFrame:
+    """The 1M-observation continuum: every (obs_id, IFNUM, PLNUM)
+    stream of `df` reduced in ONE lineage with ZERO driver round-trips
+    — segmentation, per-segment robust fits, calibration heights, and
+    gain application are all joins/aggregations keyed on the stream id.
+
+    Returns (obs_id, IFNUM, PLNUM, t, intensity) for the science rows
+    of every stream. Differences vs continuum_pipeline (the
+    single-observation reference shape): no time/frequency crops (those
+    are per-header driver parameters; apply them upstream per
+    observation group if needed), and channel_count defaults to each
+    observation's own stream count (continuum.py:24-28 semantics)
+    computed distributively.
+
+    Scale: the only shuffles are keyed on the observation stream —
+    segmentation (applyInPandas), the segment fits (applyInPandas over
+    dozens-of-row groups), and two broadcast joins of one-row-per-
+    stream tables back onto the science rows.
+    """
+    from radio_data_pipeline_spark.operators.calibration import (
+        apply_gain_calibration_distributed,
+        calibration_heights_df,
+    )
+
+    indices = find_calibrations(df, channel_count=channel_count,
+                                header_obsmode=header_obsmode)
+    labeled = label_segments(df, indices)
+
+    cal_rows = labeled.filter(
+        F.col("segment").isin("pre_cal", "post_cal")
+        & (F.col("SWPVALID") == 0))
+    cal_cont = integrate_continuum(
+        cal_rows, keep_cols=["obs_id", "IFNUM", "PLNUM", "segment",
+                             "CALSTATE"])
+    heights = calibration_heights_df(rcr_fit_segments(cal_cont))
+
+    science = labeled.filter(F.col("segment") == "science")
+    cont = integrate_continuum(science,
+                               keep_cols=["obs_id", "IFNUM", "PLNUM"])
+    return apply_gain_calibration_distributed(cont, heights)
+
+
 def reduce_sdfits(spark, path: str, ifnum: int = 0, plnum: int = 0,
                   include_time=None, exclude_time=None,
                   include_freq=None, exclude_freq=None,

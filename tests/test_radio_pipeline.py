@@ -143,3 +143,47 @@ class TestCalibrationMath:
              .orderBy("row_idx").toPandas())
         np.testing.assert_allclose(b["intensity"], 2 * a["intensity"],
                                    rtol=1e-12)
+
+
+def test_distributed_continuum_matches_per_stream_pipeline(spark):
+    # the zero-driver-round-trip path must equal the reference-shaped
+    # single-observation pipeline on every stream of a multi-obs set
+    import pandas as pd
+    from radio_data_pipeline_spark.pipeline import (
+        continuum_pipeline,
+        continuum_pipeline_distributed,
+    )
+    from radio_data_pipeline_spark.sources.synthetic import (
+        ObsSpec,
+        make_header,
+        make_observation_set,
+    )
+    specs = [ObsSpec(obs_id=0, n_science=24),
+             ObsSpec(obs_id=1, n_science=24, false_start=True)]
+    pdf = make_observation_set(specs)
+    df = spark.createDataFrame(pdf)
+
+    dist = (continuum_pipeline_distributed(df).toPandas()
+            .sort_values(["obs_id", "IFNUM", "PLNUM", "t"])
+            .reset_index(drop=True))
+
+    frames = []
+    for spec in specs:
+        obs_df = df.filter(F.col("obs_id") == spec.obs_id)
+        header = make_header(spec)
+        for ifnum in (0, 1):
+            for plnum in (0, 1):
+                out = (continuum_pipeline(obs_df, header, ifnum, plnum)
+                       .toPandas().sort_values("t"))
+                out["IFNUM"], out["PLNUM"] = ifnum, plnum
+                frames.append(out)
+    classic = pd.concat(frames, ignore_index=True)
+    classic = (classic.sort_values(["obs_id", "IFNUM", "PLNUM", "t"])
+               .reset_index(drop=True))
+
+    assert len(dist) == len(classic) == 2 * 4 * 24
+    # intensities must agree exactly (same fits, same branch logic);
+    # t differs by the header epoch offset only
+    import numpy as np
+    np.testing.assert_allclose(dist["intensity"].to_numpy(),
+                               classic["intensity"].to_numpy(), rtol=1e-9)
