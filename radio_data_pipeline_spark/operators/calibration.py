@@ -281,11 +281,14 @@ def apply_gain_calibration_distributed(science: DataFrame,
                                        t_col: str = "t",
                                        y_col: str = "intensity",
                                        ) -> DataFrame:
-    """M6 with per-stream heights joined in (broadcast — one row per
-    observation stream) instead of collected to the driver. Branch
-    semantics identical to apply_gain_calibration; the science time
-    bounds come from a per-stream aggregate joined back, so the whole
-    computation is one lineage regardless of observation count."""
+    """M6 with per-stream heights joined in instead of collected to
+    the driver. Branch semantics identical to apply_gain_calibration;
+    the science time bounds come from a per-stream aggregate joined
+    back, so the whole computation is one lineage regardless of
+    observation count. No broadcast hints: the per-stream tables are
+    one row per stream — AQE broadcasts them while they are small, and
+    at millions of streams the joins stay keyed on the stream columns
+    both sides already shuffle on."""
     pivoted = heights.groupBy(*STREAM_COLS).agg(
         F.max(F.when(F.col("segment") == "pre_cal",
                      F.col("delta"))).alias("pre_d"),
@@ -299,8 +302,8 @@ def apply_gain_calibration_distributed(science: DataFrame,
     bounds = science.groupBy(*STREAM_COLS).agg(
         F.min(t_col).alias("_t1"), F.max(t_col).alias("_t2"))
     enriched = (science
-                .join(F.broadcast(pivoted), STREAM_COLS, "left")
-                .join(F.broadcast(bounds), STREAM_COLS, "left"))
+                .join(pivoted, STREAM_COLS, "left")
+                .join(bounds, STREAM_COLS, "left"))
 
     pre_d, post_d = F.col("pre_d"), F.col("post_d")
     z = F.abs(pre_d - post_d) / F.sqrt(F.col("pre_u") ** 2

@@ -140,7 +140,8 @@ def find_calibrations(df: DataFrame, channel_count: int | None = None,
     if channel_count is None:
         counts = (df.groupBy("obs_id")
                   .agg(F.countDistinct("IFNUM", "PLNUM").alias("_cc")))
-        df = df.join(F.broadcast(counts), "obs_id")
+        # one row per observation; AQE broadcasts while small
+        df = df.join(counts, "obs_id")
     else:
         df = df.withColumn("_cc", F.lit(channel_count))
 
@@ -176,13 +177,15 @@ def label_segments(df: DataFrame, indices: DataFrame,
     post_cal using the per-stream indices. Row position within the
     stream comes from a window row_number (explicit ordering — the
     reference trusts file order, SURVEY §4); the indices table is one
-    row per stream, so the join broadcasts."""
+    row per stream. No broadcast hint: AQE broadcasts it while small,
+    and at millions of streams the join rides the stream-key
+    partitioning the window already established."""
     from pyspark.sql import Window
     w = Window.partitionBy(*GROUP_COLS).orderBy(order_col)
     pos = F.row_number().over(w) - 1
     labeled = (
         df.withColumn("_pos", pos)
-        .join(F.broadcast(indices), GROUP_COLS, "left")
+        .join(indices, GROUP_COLS, "left")
         .withColumn(
             "segment",
             F.when(F.col("_pos") < F.col("data_start_idx"), "pre_cal")

@@ -154,7 +154,14 @@ def continuum_pipeline_distributed(df: DataFrame,
 
     indices = find_calibrations(df, channel_count=channel_count,
                                 header_obsmode=header_obsmode)
-    labeled = label_segments(df, indices)
+    # labeled feeds three consumers (cal fits, science, time bounds):
+    # persist so the segmentation subtree (shuffle + Python state
+    # machine) runs once, not three times. MEMORY_AND_DISK spills
+    # rather than recomputes at 100 TB; callers can unpersist after
+    # materializing the result.
+    from pyspark import StorageLevel
+    labeled = label_segments(df, indices).persist(
+        StorageLevel.MEMORY_AND_DISK)
 
     cal_rows = labeled.filter(
         F.col("segment").isin("pre_cal", "post_cal")
@@ -168,6 +175,33 @@ def continuum_pipeline_distributed(df: DataFrame,
     cont = integrate_continuum(science,
                                keep_cols=["obs_id", "IFNUM", "PLNUM"])
     return apply_gain_calibration_distributed(cont, heights)
+
+
+def spectrum_pipeline_distributed(df: DataFrame,
+                                  header_obsmode: str = "track",
+                                  channel_count: int | None = None,
+                                  ) -> DataFrame:
+    """All-streams spectrum in one lineage: the ON-OFF subtraction (M7)
+    folded into ONE signed aggregation — rows labeled 'off' contribute
+    -value — so the whole reduction is a single posexplode + groupBy
+    keyed on (stream, channel). Shuffle volume after map-side partial
+    aggregation is O(streams x channels), independent of row count.
+
+    Returns (obs_id, IFNUM, PLNUM, pos, intensity); join the per-ifnum
+    frequency axis (header.frequencies) on pos downstream."""
+    indices = find_calibrations(df, channel_count=channel_count,
+                                header_obsmode=header_obsmode)
+    labeled = label_segments(df, indices)
+    filtered = labeled.filter((F.col("CALSTATE") == 0)
+                              & (F.col("SWPVALID") == 0))
+    sign = F.when(F.col("onoff") == "off", F.lit(-1.0)) \
+            .otherwise(F.lit(1.0))
+    return (
+        filtered.select("obs_id", "IFNUM", "PLNUM", sign.alias("_sign"),
+                        F.posexplode("DATA").alias("pos", "val"))
+        .groupBy("obs_id", "IFNUM", "PLNUM", "pos")
+        .agg(F.sum(F.col("val") * F.col("_sign")).alias("intensity"))
+    )
 
 
 def reduce_sdfits(spark, path: str, ifnum: int = 0, plnum: int = 0,

@@ -187,3 +187,45 @@ def test_distributed_continuum_matches_per_stream_pipeline(spark):
     import numpy as np
     np.testing.assert_allclose(dist["intensity"].to_numpy(),
                                classic["intensity"].to_numpy(), rtol=1e-9)
+
+
+def test_distributed_spectrum_matches_per_stream_pipeline(spark):
+    import numpy as np
+    import pandas as pd
+    from radio_data_pipeline_spark.pipeline import (
+        spectrum_pipeline,
+        spectrum_pipeline_distributed,
+    )
+    from radio_data_pipeline_spark.sources.synthetic import (
+        ObsSpec,
+        make_header,
+        make_observation_set,
+    )
+    specs = [ObsSpec(obs_id=0, n_science=20, onoff=True),
+             ObsSpec(obs_id=1, n_science=20, onoff=True)]
+    pdf = make_observation_set(specs)
+    df = spark.createDataFrame(pdf)
+
+    dist = (spectrum_pipeline_distributed(df, header_obsmode="onoff")
+            .toPandas()
+            .sort_values(["obs_id", "IFNUM", "PLNUM", "pos"])
+            .reset_index(drop=True))
+
+    frames = []
+    for spec in specs:
+        obs_df = df.filter(F.col("obs_id") == spec.obs_id)
+        header = make_header(spec)
+        for ifnum in (0, 1):
+            for plnum in (0, 1):
+                out = (spectrum_pipeline(obs_df, header, ifnum, plnum)
+                       .toPandas().sort_values("pos"))
+                out["obs_id"], out["IFNUM"], out["PLNUM"] = \
+                    spec.obs_id, ifnum, plnum
+                frames.append(out)
+    classic = (pd.concat(frames, ignore_index=True)
+               .sort_values(["obs_id", "IFNUM", "PLNUM", "pos"])
+               .reset_index(drop=True))
+
+    assert len(dist) == len(classic) == 2 * 4 * 64
+    np.testing.assert_allclose(dist["intensity"].to_numpy(),
+                               classic["intensity"].to_numpy(), rtol=1e-9)
