@@ -257,6 +257,51 @@ def simhash64(text: Column, k_bits: int = 32) -> Column:
     return total
 
 
+def connected_components(nodes: DataFrame, pairs: DataFrame,
+                         id_col: str = "id", a_col: str = "id_a",
+                         b_col: str = "id_b", max_iter: int = 25,
+                         ) -> DataFrame:
+    """Duplicate clusters from near-dup pairs: connected components by
+    iterative min-label propagation. Each node starts labeled with its
+    own id; every round each node takes the min of its label and its
+    neighbors' labels; fixpoint = every node labeled with its
+    component's minimum id. Rounds needed = graph diameter (dup
+    clusters are shallow — a handful of rounds), each round one join +
+    one aggregation keyed on node id. The driver-side loop with a
+    convergence count is the standard Spark pattern for iterative
+    graph algorithms (GraphX/GraphFrames do the same under the hood).
+
+    Returns (id, cluster_id); singleton nodes keep cluster_id = id."""
+    edges = (pairs.select(F.col(a_col).alias("src"),
+                          F.col(b_col).alias("dst"))
+             .union(pairs.select(F.col(b_col).alias("src"),
+                                 F.col(a_col).alias("dst"))))
+    labels = nodes.select(F.col(id_col).alias("id"),
+                          F.col(id_col).alias("cluster_id"))
+    for _ in range(max_iter):
+        neighbor_min = (edges.join(labels,
+                                   edges.dst == labels.id)
+                        .groupBy("src")
+                        .agg(F.min("cluster_id").alias("nmin")))
+        updated = (labels.join(neighbor_min,
+                               labels.id == neighbor_min.src, "left")
+                   .select(
+                       "id",
+                       F.least(F.col("cluster_id"),
+                               F.coalesce(F.col("nmin"),
+                                          F.col("cluster_id")))
+                       .alias("cluster_id")))
+        updated = updated.localCheckpoint(eager=True)
+        changed = (updated.alias("u")
+                   .join(labels.alias("l"), "id")
+                   .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+                   .count())
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash_table(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", k_bits: int = 32) -> DataFrame:
     """SimHash as ONE md5 per word: explode words to rows, hash each

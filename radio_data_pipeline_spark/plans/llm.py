@@ -408,3 +408,55 @@ def dedup_multi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= _MS_THRESHOLD)
         .orderBy("id_a", "id_b")
     )
+
+
+def _clusters_oracle() -> str:
+    core = _SIG_SQL_CORE.replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"""
+    {core},
+    bands AS ({_bands_sql()}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                  AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM cand
+    ),
+    reach(id, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id ORDER BY doc_id
+    """
+
+
+@register(
+    "dedup_clusters",
+    oracle=_clusters_oracle(),
+    doc="Duplicate CLUSTERS, not just pairs: connected components over "
+        "the MinHash-LSH candidate graph via iterative min-label "
+        "propagation (functions/dedup.py connected_components) — the "
+        "step that turns pairwise near-dup hits into keep-one-per-"
+        "cluster decisions. Iterations = cluster diameter; each round "
+        "is one node-keyed join + aggregation with localCheckpoint "
+        "lineage truncation. The oracle computes the same components "
+        "with a recursive CTE.",
+    tags=("dedup", "graph", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.functions.dedup import (
+        connected_components,
+    )
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, n_hashes=_N_HASHES,
+                              band_size=_BAND_SIZE, k=_K)
+    comps = connected_components(docs.select("doc_id"), pairs,
+                                 id_col="doc_id")
+    return (comps.select(F.col("id").alias("doc_id"), "cluster_id")
+            .orderBy("doc_id"))
