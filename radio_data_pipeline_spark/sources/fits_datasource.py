@@ -25,6 +25,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql import types as T
 
@@ -74,28 +75,72 @@ class SdfitsReader(DataSourceReader):
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
         # executor-side: decode one file with the pure-numpy codec
-        from radio_data_pipeline_spark.sources.fits import parse_sdfits
+        return _decode_file(partition.path, partition.obs_id)
 
-        with open(partition.path, "rb") as fh:
-            obs = parse_sdfits(fh.read())
-        t = obs.table
-        names = [f.name for f in SDFITS_SCHEMA.fields[3:]]
-        cols = []
-        for name in names:
-            if name in t.columns:
-                col = t[name]
-                if name in _INT_COLS:
-                    col = col.astype(int)
-                cols.append(col.tolist())
-            else:
-                cols.append([None] * len(t))
-        for i, row_vals in enumerate(zip(*cols)):
-            vals = [
-                [float(x) for x in v] if isinstance(v, (list, np.ndarray))
-                else v
-                for v in row_vals
-            ]
-            yield (partition.path, partition.obs_id, i, *vals)
+
+def _decode_file(path: str, obs_id: int) -> Iterator[tuple]:
+    """Shared row decode for the batch and streaming readers."""
+    from radio_data_pipeline_spark.sources.fits import parse_sdfits
+
+    with open(path, "rb") as fh:
+        obs = parse_sdfits(fh.read())
+    t = obs.table
+    names = [f.name for f in SDFITS_SCHEMA.fields[3:]]
+    cols = []
+    for name in names:
+        if name in t.columns:
+            col = t[name]
+            if name in _INT_COLS:
+                col = col.astype(int)
+            cols.append(col.tolist())
+        else:
+            cols.append([None] * len(t))
+    for i, row_vals in enumerate(zip(*cols)):
+        vals = [
+            [float(x) for x in v] if isinstance(v, (list, np.ndarray))
+            else v
+            for v in row_vals
+        ]
+        yield (path, obs_id, i, *vals)
+
+
+class SdfitsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming SDFITS ingest: each micro-batch picks up observation
+    files that appeared under the glob since the last offset. The
+    offset is the sorted list boundary (count of files already
+    consumed) plus the consumed-set fingerprint; obs_id is the dense
+    arrival index, so downstream stateful operators (the streaming
+    segmentation machine) key consistently across batches."""
+
+    def __init__(self, options: dict):
+        self._glob = options.get("path")
+        if not self._glob:
+            raise ValueError("sdfits stream requires a path")
+
+    def _list(self) -> list[str]:
+        return sorted(_glob.glob(self._glob))
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def read(self, start: dict):
+        seen = set(start["seen"])
+        new = [p for p in self._list() if p not in seen]
+        rows: list = []
+        ordered = sorted(start["seen"]) + new
+        index = {p: i for i, p in enumerate(ordered)}
+        for p in new:
+            rows.extend(_decode_file(p, index[p]))
+        return iter(rows), {"seen": start["seen"] + new}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        seen = set(start["seen"])
+        replay = [p for p in end["seen"] if p not in seen]
+        index = {p: i for i, p in enumerate(sorted(end["seen"]))}
+        rows: list = []
+        for p in replay:
+            rows.extend(_decode_file(p, index[p]))
+        return iter(rows)
 
 
 class SdfitsDataSource(DataSource):
@@ -109,7 +154,11 @@ class SdfitsDataSource(DataSource):
     def reader(self, schema: T.StructType) -> SdfitsReader:
         return SdfitsReader(self.options)
 
+    def simpleStreamReader(self, schema: T.StructType) -> SdfitsStreamReader:
+        return SdfitsStreamReader(self.options)
+
 
 def register_sdfits(spark) -> None:
-    """Make `spark.read.format("sdfits")` available on this session."""
+    """Make spark.read.format("sdfits") AND spark.readStream
+    .format("sdfits") available on this session."""
     spark.dataSource.register(SdfitsDataSource)

@@ -230,3 +230,44 @@ def test_headers_only_parse_matches_full():
     # still verifies structure
     with pytest.raises(FitsFormatError):
         parse_sdfits_headers_only(corrupt_drop_end(buf))
+
+
+def test_sdfits_streaming_source(spark, tmp_path):
+    # streaming SDFITS ingest: new files become micro-batches; offsets
+    # survive a restart via the checkpoint
+    from radio_data_pipeline_spark.sources.fits_datasource import (
+        register_sdfits,
+    )
+    register_sdfits(spark)
+    src = tmp_path / "stream"
+    src.mkdir()
+    cp = str(tmp_path / "cp")
+    sizes = []
+    collected: list = []
+
+    def drain() -> None:
+        stream = (spark.readStream.format("sdfits")
+                  .load(str(src / "*.fits")))
+
+        def sink(batch_df, batch_id):
+            collected.extend(batch_df.collect())
+
+        q = (stream.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", cp)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    for i in range(2):
+        pdf = _obs_pdf(n_science=10)
+        sizes.append(len(pdf))
+        (src / f"s{i}.fits").write_bytes(write_sdfits(pdf, HEADER, HISTORY))
+    drain()
+    assert len(collected) == sum(sizes)
+
+    # a third file appears; the restarted query reads ONLY it
+    pdf = _obs_pdf(n_science=6)
+    (src / "s2.fits").write_bytes(write_sdfits(pdf, HEADER, HISTORY))
+    before = len(collected)
+    drain()
+    assert len(collected) - before == len(pdf)
+    assert len({r["path"] for r in collected}) == 3
