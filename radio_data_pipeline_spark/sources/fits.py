@@ -355,24 +355,35 @@ def corrupt_drop_end(buf: bytes) -> bytes:
 # Spark source
 # --------------------------------------------------------------------------
 
-def read_sdfits(spark, path_glob: str, dense_ids: bool = False):
+def read_sdfits(spark, path_glob: str, dense_ids: bool = False,
+                mode: str = "failfast"):
     """S1 as a distributed scan: binaryFile -> executor-side decode.
     Returns a DataFrame in the canonical observation schema plus
     (path, obs_id). obs_id defaults to xxhash64(path) — computed
     map-side with no shuffle, so a corpus of millions of files never
     funnels through one task; dense_ids=True instead assigns 0..n-1
     via a single-partition window over the (tiny) distinct-paths
-    table — deterministic, for tests and small corpora. Structural
-    corruption (S2) fails the decoding task, matching the reference's
-    verify('exception') hard stop."""
+    table — deterministic, for tests and small corpora.
+
+    mode='failfast' (default): structural corruption (S2) fails the
+    decoding task, matching the reference's verify('exception') hard
+    stop. mode='permissive': corrupt files contribute zero data rows
+    and ONE tombstone row (row_idx = -1, corrupt_error set) so a
+    corpus scan survives bad files and the quarantine list is
+    `df.filter("row_idx = -1")`."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
     from pyspark.sql import Window
 
     files = spark.read.format("binaryFile").load(path_glob)
 
+    if mode.lower() not in ("failfast", "permissive"):
+        raise ValueError(f"unknown mode {mode!r}")
+    permissive = mode.lower() == "permissive"
+
     out_schema = T.StructType([
         T.StructField("path", T.StringType()),
+        T.StructField("corrupt_error", T.StringType()),
         T.StructField("row_idx", T.LongType()),
         T.StructField("DATE_OBS", T.StringType()),
         T.StructField("DATA", T.ArrayType(T.DoubleType())),
@@ -390,15 +401,29 @@ def read_sdfits(spark, path_glob: str, dense_ids: bool = False):
         T.StructField("DURATION", T.DoubleType()),
         T.StructField("EXPOSURE", T.DoubleType()),
     ])
-    names = [f.name for f in out_schema.fields[2:]]
+    names = [f.name for f in out_schema.fields[3:]]
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for _, row in pdf.iterrows():
-                obs = parse_sdfits(bytes(row["content"]))
+                try:
+                    obs = parse_sdfits(bytes(row["content"]))
+                except FitsFormatError as exc:
+                    if not permissive:
+                        raise
+                    tomb = pd.DataFrame({
+                        "path": [row["path"]],
+                        "corrupt_error": [str(exc)],
+                        "row_idx": np.array([-1], dtype=np.int64),
+                    })
+                    for name in names:
+                        tomb[name] = None
+                    yield tomb
+                    continue
                 t = obs.table
                 out = pd.DataFrame({
                     "path": row["path"],
+                    "corrupt_error": None,
                     "row_idx": np.arange(len(t), dtype=np.int64),
                 })
                 for name in names:

@@ -271,3 +271,17 @@ def test_sdfits_streaming_source(spark, tmp_path):
     drain()
     assert len(collected) - before == len(pdf)
     assert len({r["path"] for r in collected}) == 3
+
+
+def test_permissive_mode_quarantines_corrupt_files(spark, tmp_path):
+    good = write_sdfits(_obs_pdf(n_science=8), HEADER, HISTORY)
+    (tmp_path / "good.fits").write_bytes(good)
+    (tmp_path / "bad.fits").write_bytes(corrupt_drop_end(good))
+    df = read_sdfits(spark, str(tmp_path / "*.fits"), mode="permissive")
+    rows = df.collect()
+    tombstones = [r for r in rows if r["row_idx"] == -1]
+    data = [r for r in rows if r["row_idx"] >= 0]
+    assert len(tombstones) == 1
+    assert "END" in tombstones[0]["corrupt_error"]
+    assert tombstones[0]["path"].endswith("bad.fits")
+    assert len(data) > 0 and all(r["corrupt_error"] is None for r in data)

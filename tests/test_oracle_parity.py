@@ -34,3 +34,21 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
 def test_query_without_oracle_runs(spark, sf_dir, name):
     df = _SPECS[name].fn(spark, sf_dir)
     assert df.count() >= 0
+
+
+def test_approx_aggregates_within_tolerance(spark, sf_dir):
+    # the approx scale path (HLL++ distinct, t-digest percentile) must
+    # land within its documented error of the exact values
+    from pyspark.sql import functions as F
+    from radio_data_pipeline_spark.sources.parquet import load_table
+    ev = load_table(spark, sf_dir, "events")
+    row = ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+    ).first()
+    assert abs(row["approx_users"] - row["exact_users"]) \
+        <= max(3, 0.05 * row["exact_users"])
+    assert abs(row["approx_p50"] - row["exact_p50"]) \
+        <= 0.02 * max(abs(row["exact_p50"]), 1.0)

@@ -229,3 +229,29 @@ def test_distributed_spectrum_matches_per_stream_pipeline(spark):
     assert len(dist) == len(classic) == 2 * 4 * 64
     np.testing.assert_allclose(dist["intensity"].to_numpy(),
                                classic["intensity"].to_numpy(), rtol=1e-9)
+
+
+def test_wide_channel_arrays(spark):
+    # 1024-channel DATA vectors: per-row folds and the exploded
+    # spectrum reduction must both hold up
+    import numpy as np
+    from radio_data_pipeline_spark.operators.integrate import (
+        integrate_continuum,
+        integrate_spectrum,
+    )
+    from radio_data_pipeline_spark.sources.synthetic import (
+        ObsSpec,
+        make_observation,
+    )
+    pdf = make_observation(ObsSpec(n_channels=1024, n_science=16))
+    df = spark.createDataFrame(pdf)
+    cont = integrate_continuum(df).toPandas()
+    expected = np.vstack(pdf["DATA"].map(np.asarray)).sum(axis=1)
+    np.testing.assert_allclose(
+        cont.sort_values("row_idx")["intensity"].to_numpy(), expected,
+        rtol=1e-9)
+    spec = integrate_spectrum(df).toPandas()
+    assert len(spec) == 1024
+    np.testing.assert_allclose(
+        spec.sort_values("pos")["intensity"].to_numpy(),
+        np.vstack(pdf["DATA"].map(np.asarray)).sum(axis=0), rtol=1e-9)
