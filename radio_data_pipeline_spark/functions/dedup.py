@@ -298,8 +298,11 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
                    .count())
         labels = updated
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(cluster diameter exceeds max_iter); raise max_iter — a "
+        "silent early exit would split real clusters")
 
 
 def simhash_table(df: DataFrame, text_col: str = "text",

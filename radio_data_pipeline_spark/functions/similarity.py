@@ -107,12 +107,18 @@ def near_dup_pairs_lsh(df: DataFrame, threshold: float = 0.4,
     is missed); raise recall with fewer planes or multiple plane sets.
     Returns (id_a, id_b, cosine) with cosine >= threshold.
 
-    dim defaults to the width of the first vector — a mismatched
-    hyperplane width would null-poison every projection and silently
-    collapse all vectors into one bucket (the N^2 blowup this function
-    exists to avoid)."""
+    dim defaults to the width of the first non-null vector (one small
+    eager job at plan time) — a mismatched hyperplane width would
+    null-poison every projection and silently collapse all vectors
+    into one bucket (the N^2 blowup this function exists to avoid)."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        head = (df.select(vec_col)
+                .filter(F.col(vec_col).isNotNull()).first())
+        if head is None:  # empty input -> empty pairs
+            spark = df.sparkSession
+            return spark.createDataFrame(
+                [], schema="id_a long, id_b long, cosine double")
+        dim = len(head[0])
     planes = hyperplanes(dim, n_planes, seed)
     b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                   lsh_bucket(F.col(vec_col), planes).alias("bucket"))

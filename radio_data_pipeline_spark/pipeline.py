@@ -155,13 +155,12 @@ def continuum_pipeline_distributed(df: DataFrame,
     indices = find_calibrations(df, channel_count=channel_count,
                                 header_obsmode=header_obsmode)
     # labeled feeds three consumers (cal fits, science, time bounds):
-    # persist so the segmentation subtree (shuffle + Python state
-    # machine) runs once, not three times. MEMORY_AND_DISK spills
-    # rather than recomputes at 100 TB; callers can unpersist after
-    # materializing the result.
-    from pyspark import StorageLevel
-    labeled = label_segments(df, indices).persist(
-        StorageLevel.MEMORY_AND_DISK)
+    # localCheckpoint materializes the segmentation subtree (shuffle +
+    # Python state machine) once and truncates lineage; unlike
+    # persist(), its blocks are released by the ContextCleaner when
+    # the result DataFrame is garbage-collected, so repeated pipeline
+    # calls in a long-lived session do not accumulate cached copies.
+    labeled = label_segments(df, indices).localCheckpoint(eager=False)
 
     cal_rows = labeled.filter(
         F.col("segment").isin("pre_cal", "post_cal")
@@ -189,6 +188,18 @@ def spectrum_pipeline_distributed(df: DataFrame,
 
     Returns (obs_id, IFNUM, PLNUM, pos, intensity); join the per-ifnum
     frequency axis (header.frequencies) on pos downstream."""
+    if header_obsmode != "onoff":
+        # track mode: no ON/OFF split exists, so skip the segmentation
+        # machinery entirely (its output would be a constant +1 sign)
+        # — the reduction is a plain signed-less aggregation
+        filtered = df.filter((F.col("CALSTATE") == 0)
+                             & (F.col("SWPVALID") == 0))
+        return (
+            filtered.select("obs_id", "IFNUM", "PLNUM",
+                            F.posexplode("DATA").alias("pos", "val"))
+            .groupBy("obs_id", "IFNUM", "PLNUM", "pos")
+            .agg(F.sum("val").alias("intensity"))
+        )
     indices = find_calibrations(df, channel_count=channel_count,
                                 header_obsmode=header_obsmode)
     labeled = label_segments(df, indices)

@@ -260,15 +260,23 @@ def _bands_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def _cand_sql() -> str:
+    """The banded candidate-pair subquery shared by every LSH oracle —
+    one definition so the three oracles cannot drift."""
+    return """
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                  AND a.doc_id < b.doc_id
+    """
+
+
 @register(
     "minhash_lsh_pairs",
     oracle=f"""
     {_SIG_SQL_CORE},
     bands AS ({_bands_sql()})
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a
-    JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-                AND a.doc_id < b.doc_id
+    SELECT id_a, id_b FROM ({_cand_sql()})
     ORDER BY id_a, id_b
     """,
     doc="MinHash-LSH near-duplicate candidates: 4 bands x 2 rows; the "
@@ -361,12 +369,7 @@ _MS_THRESHOLD = 0.1
     oracle=f"""
     {_SIG_SQL_CORE},
     bands AS ({_bands_sql()}),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a
-      JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-                  AND a.doc_id < b.doc_id
-    ),
+    cand AS ({_cand_sql()}),
     emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
     SELECT c.id_a, c.id_b,
            round(list_dot_product(ea.v, eb.v)
@@ -415,12 +418,7 @@ def _clusters_oracle() -> str:
     return f"""
     {core},
     bands AS ({_bands_sql()}),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a
-      JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-                  AND a.doc_id < b.doc_id
-    ),
+    cand AS ({_cand_sql()}),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM cand
       UNION ALL

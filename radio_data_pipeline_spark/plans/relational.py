@@ -975,3 +975,24 @@ def orders_above_twice_avg_item(spark: SparkSession,
         ORDER BY totalprice DESC, o.o_orderkey
         LIMIT 50
     """)
+
+
+@register(
+    "intersect_repeat_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    ORDER BY o_custkey
+    """,
+    doc="INTERSECT (distinct set semantics) — customers active in both "
+        "1995 and 1996; completes the set-op family (union, except, "
+        "intersect). Spark plans it as a left-semi join over distinct "
+        "sets, one shuffle on the key.",
+    tags=("set-op",),
+)
+def intersect_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96).orderBy("o_custkey")

@@ -355,6 +355,30 @@ def corrupt_drop_end(buf: bytes) -> bytes:
 # Spark source
 # --------------------------------------------------------------------------
 
+def observation_struct_fields():
+    """The canonical observation columns (SURVEY.md §1.4) as Spark
+    StructFields — the single source of truth shared by read_sdfits
+    and the 'sdfits' DataSource so the two readers cannot drift."""
+    from pyspark.sql import types as T
+    return [
+        T.StructField("DATE_OBS", T.StringType()),
+        T.StructField("DATA", T.ArrayType(T.DoubleType())),
+        T.StructField("IFNUM", T.IntegerType()),
+        T.StructField("PLNUM", T.IntegerType()),
+        T.StructField("CALSTATE", T.IntegerType()),
+        T.StructField("SWPVALID", T.IntegerType()),
+        T.StructField("OBSMODE", T.StringType()),
+        T.StructField("ELEVATIO", T.DoubleType()),
+        T.StructField("TAMBIENT", T.DoubleType()),
+        T.StructField("PRESSURE", T.DoubleType()),
+        T.StructField("HUMIDITY", T.DoubleType()),
+        T.StructField("TSYS", T.DoubleType()),
+        T.StructField("TCAL", T.DoubleType()),
+        T.StructField("DURATION", T.DoubleType()),
+        T.StructField("EXPOSURE", T.DoubleType()),
+    ]
+
+
 def read_sdfits(spark, path_glob: str, dense_ids: bool = False,
                 mode: str = "failfast"):
     """S1 as a distributed scan: binaryFile -> executor-side decode.
@@ -385,21 +409,7 @@ def read_sdfits(spark, path_glob: str, dense_ids: bool = False,
         T.StructField("path", T.StringType()),
         T.StructField("corrupt_error", T.StringType()),
         T.StructField("row_idx", T.LongType()),
-        T.StructField("DATE_OBS", T.StringType()),
-        T.StructField("DATA", T.ArrayType(T.DoubleType())),
-        T.StructField("IFNUM", T.IntegerType()),
-        T.StructField("PLNUM", T.IntegerType()),
-        T.StructField("CALSTATE", T.IntegerType()),
-        T.StructField("SWPVALID", T.IntegerType()),
-        T.StructField("OBSMODE", T.StringType()),
-        T.StructField("ELEVATIO", T.DoubleType()),
-        T.StructField("TAMBIENT", T.DoubleType()),
-        T.StructField("PRESSURE", T.DoubleType()),
-        T.StructField("HUMIDITY", T.DoubleType()),
-        T.StructField("TSYS", T.DoubleType()),
-        T.StructField("TCAL", T.DoubleType()),
-        T.StructField("DURATION", T.DoubleType()),
-        T.StructField("EXPOSURE", T.DoubleType()),
+        *observation_struct_fields(),
     ])
     names = [f.name for f in out_schema.fields[3:]]
 
@@ -408,7 +418,11 @@ def read_sdfits(spark, path_glob: str, dense_ids: bool = False,
             for _, row in pdf.iterrows():
                 try:
                     obs = parse_sdfits(bytes(row["content"]))
-                except FitsFormatError as exc:
+                # permissive quarantine must survive ANY decode
+                # failure (damaged cards raise KeyError/ValueError/
+                # UnicodeDecodeError from deep in the codec, not just
+                # FitsFormatError)
+                except Exception as exc:
                     if not permissive:
                         raise
                     tomb = pd.DataFrame({

@@ -29,25 +29,13 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql import types as T
 
+from radio_data_pipeline_spark.sources.fits import observation_struct_fields
+
 SDFITS_SCHEMA = T.StructType([
     T.StructField("path", T.StringType()),
     T.StructField("obs_id", T.LongType()),
     T.StructField("row_idx", T.LongType()),
-    T.StructField("DATE_OBS", T.StringType()),
-    T.StructField("DATA", T.ArrayType(T.DoubleType())),
-    T.StructField("IFNUM", T.IntegerType()),
-    T.StructField("PLNUM", T.IntegerType()),
-    T.StructField("CALSTATE", T.IntegerType()),
-    T.StructField("SWPVALID", T.IntegerType()),
-    T.StructField("OBSMODE", T.StringType()),
-    T.StructField("ELEVATIO", T.DoubleType()),
-    T.StructField("TAMBIENT", T.DoubleType()),
-    T.StructField("PRESSURE", T.DoubleType()),
-    T.StructField("HUMIDITY", T.DoubleType()),
-    T.StructField("TSYS", T.DoubleType()),
-    T.StructField("TCAL", T.DoubleType()),
-    T.StructField("DURATION", T.DoubleType()),
-    T.StructField("EXPOSURE", T.DoubleType()),
+    *observation_struct_fields(),
 ])
 
 _INT_COLS = {"IFNUM", "PLNUM", "CALSTATE", "SWPVALID"}
@@ -60,6 +48,12 @@ class _FilePartition(InputPartition):
 
 
 class SdfitsReader(DataSourceReader):
+    """Batch reader. Paths are resolved with local glob on the driver
+    and opened directly on executors — suitable for local and shared
+    (NFS-style) filesystems; for object stores (s3://, hdfs://) use
+    read_sdfits (sources/fits.py), whose binaryFile scan goes through
+    the Hadoop filesystem layer."""
+
     def __init__(self, options: dict):
         path = options.get("path")
         if not path:
@@ -107,10 +101,14 @@ def _decode_file(path: str, obs_id: int) -> Iterator[tuple]:
 class SdfitsStreamReader(SimpleDataSourceStreamReader):
     """Streaming SDFITS ingest: each micro-batch picks up observation
     files that appeared under the glob since the last offset. The
-    offset is the sorted list boundary (count of files already
-    consumed) plus the consumed-set fingerprint; obs_id is the dense
-    arrival index, so downstream stateful operators (the streaming
-    segmentation machine) key consistently across batches."""
+    offset carries the arrival-ordered list of consumed paths, so
+    obs_id (a file's position in that list) is identical on first
+    read and on checkpoint replay — downstream stateful operators key
+    consistently across batches and restarts. The offset therefore
+    grows with the corpus; a production source would compact it to a
+    high-watermark + log segment, which this demo-grade reader keeps
+    simple. Paths are driver/executor-visible filesystem globs; for
+    object stores use read_sdfits (binaryFile) instead."""
 
     def __init__(self, options: dict):
         self._glob = options.get("path")
@@ -127,16 +125,18 @@ class SdfitsStreamReader(SimpleDataSourceStreamReader):
         seen = set(start["seen"])
         new = [p for p in self._list() if p not in seen]
         rows: list = []
-        ordered = sorted(start["seen"]) + new
+        # obs_id = arrival index == position in the offset list; the
+        # SAME list ordering is used by readBetweenOffsets on replay
+        ordered = start["seen"] + new
         index = {p: i for i, p in enumerate(ordered)}
         for p in new:
             rows.extend(_decode_file(p, index[p]))
-        return iter(rows), {"seen": start["seen"] + new}
+        return iter(rows), {"seen": ordered}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         seen = set(start["seen"])
         replay = [p for p in end["seen"] if p not in seen]
-        index = {p: i for i, p in enumerate(sorted(end["seen"]))}
+        index = {p: i for i, p in enumerate(end["seen"])}
         rows: list = []
         for p in replay:
             rows.extend(_decode_file(p, index[p]))
