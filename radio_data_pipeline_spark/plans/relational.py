@@ -996,3 +996,82 @@ def intersect_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
     y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
     return y95.intersect(y96).orderBy("o_custkey")
+
+
+@register(
+    "events_type_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+                AS BIGINT) AS click,
+           CAST(count(CASE WHEN event_type = 'error' THEN 1 END)
+                AS BIGINT) AS error,
+           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                AS BIGINT) AS purchase,
+           CAST(count(CASE WHEN event_type = 'signup' THEN 1 END)
+                AS BIGINT) AS signup,
+           CAST(count(CASE WHEN event_type = 'view' THEN 1 END)
+                AS BIGINT) AS view
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Pivot (long -> wide): per-user event counts, one column per "
+        "type. The explicit value list keeps it a single-pass grouped "
+        "aggregation (Spark's pivot without values adds a distinct "
+        "scan first — always enumerate values at scale).",
+    tags=("agg", "pivot"),
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_lgamma_udf",
+    oracle="""
+    SELECT event_type,
+           round(avg(lgamma(value + 1.0)), 6) AS avg_lgamma
+    FROM events
+    WHERE value >= 0
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="The engine's user-extensibility surface: an Arrow-batched "
+        "pandas UDF computing a function Spark lacks (log-gamma), "
+        "aggregated per group. Demonstrates the UDF discipline — "
+        "vectorized batches, applied AFTER the filter so the slow "
+        "path sees only surviving rows; everything else stays JVM-side.",
+    tags=("pandas-udf", "agg"),
+)
+def events_lgamma_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # note: no type hints — this module uses `from __future__ import
+    # annotations`, which stringifies them so pyspark cannot resolve
+    # the locally-imported pd name; the explicit ser->ser form below
+    # is hint-free
+    def _lgamma(v):
+        return pd.Series(np.vectorize(math.lgamma, otypes=[float])
+                         (v.to_numpy() + 1.0))
+
+    lgamma_udf = pandas_udf(_lgamma, "double")
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") >= 0)
+    return (
+        ev.select("event_type", lgamma_udf(F.col("value")).alias("lg"))
+        .groupBy("event_type")
+        .agg(F.round(F.avg("lg"), 6).alias("avg_lgamma"))
+        .orderBy("event_type")
+    )
