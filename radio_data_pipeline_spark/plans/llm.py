@@ -458,3 +458,28 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  id_col="doc_id")
     return (comps.select(F.col("id").alias("doc_id"), "cluster_id")
             .orderBy("doc_id"))
+
+
+@register(
+    "documents_hash_sample",
+    oracle="""
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+    ORDER BY doc_id
+    """,
+    doc="Deterministic ~1/16 sample via an md5-prefix predicate on the "
+        "key — the reproducible-sampling pattern for corpus work at "
+        "scale: engine-portable (unlike TABLESAMPLE/rand seeds, the "
+        "same rows come back from Spark, DuckDB, or anything with "
+        "md5), stable under repartitioning, and pushed to the scan as "
+        "a plain filter.",
+    tags=("sampling", "filter"),
+)
+def documents_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (docs
+            .filter(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                1, 1) == "0")
+            .select("doc_id", "n_chars")
+            .orderBy("doc_id"))
