@@ -113,8 +113,12 @@ def minhash_signature_table(df: DataFrame, text_col: str = "text",
     parts = [F.col("w")]
     for j in range(1, k):
         parts.extend([F.lit(" "), F.lead("w", j).over(win)])
-    sh_rows = (words.select("id", F.concat(*parts).alias("shingle"))
-               .filter(F.col("shingle").isNotNull()))
+    # trailing rows (< k-1 lookahead) get NULL shingles and are KEPT:
+    # null shingle -> null digest -> ignored by min, but the row still
+    # registers its doc in the groupBy, so shingle-less docs (< k
+    # words) come out with all-NULL components — matching the SQL
+    # oracle's min-over-empty-list — without a distinct+join pass
+    sh_rows = words.select("id", F.concat(*parts).alias("shingle"))
     # one md5 per digest group (not per seed); the per-seed components
     # are substring slices, deduped by codegen subexpression elimination
     digests = sh_rows.select(
@@ -127,11 +131,7 @@ def minhash_signature_table(df: DataFrame, text_col: str = "text",
                                      seed)).alias(f"h{seed}")
         for seed in range(n_hashes)
     ]
-    sigs = digests.groupBy("id").agg(*aggs)
-    # keep shingle-less docs (< k words) with NULL components, matching
-    # the SQL oracle where min over an empty list is NULL
-    return (df.select(F.col(id_col).alias("id")).distinct()
-            .join(sigs, "id", "left"))
+    return digests.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
