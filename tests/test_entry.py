@@ -24,6 +24,6 @@ def test_queries_and_oracles_aligned():
     from radio_data_pipeline_spark.plans.registry import all_specs
     specs = all_specs()
     for name in set(q) - set(o):
-        assert "mapInPandas" in specs[name].tags or \
-               "multimodal" in specs[name].tags, \
+        assert {"mapInPandas", "multimodal", "radio"} \
+               & set(specs[name].tags), \
                f"{name} lacks an oracle but is not a tagged non-SQL op"
