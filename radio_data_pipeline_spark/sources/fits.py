@@ -311,7 +311,11 @@ def write_sdfits(table: pd.DataFrame, header: dict | None = None,
                 spec.append((col, ">i4"))
                 tforms.append((fits_name, "J"))
         else:
-            vals = ["" if v is None else str(v) for v in s]
+            if pd.api.types.is_datetime64_any_dtype(s):
+                # ISO-8601 with 'T', the SDFITS DATE-OBS convention
+                vals = s.dt.strftime("%Y-%m-%dT%H:%M:%S").tolist()
+            else:
+                vals = ["" if v is None else str(v) for v in s]
             width = max((len(v) for v in vals), default=1) or 1
             arrays[col] = np.asarray(vals, dtype=f"S{width}")
             spec.append((col, f"S{width}"))
@@ -335,6 +339,55 @@ def write_sdfits(table: pd.DataFrame, header: dict | None = None,
 
     return (_header_bytes(prim) + _header_bytes(ext)
             + _pad_block(rec.tobytes()))
+
+
+def write_sdfits_per_observation(df, out_dir: str,
+                                 header: dict | None = None,
+                                 history: list[str] | None = None,
+                                 order_col: str = "row_idx"):
+    """Distributed S3 sink: one SDFITS file per observation stream,
+    encoded and written executor-side (groupBy stream ->
+    applyInPandas), so a million-observation export never funnels
+    through the driver. Returns a DataFrame (obs_id, IFNUM, PLNUM,
+    path, n_rows) of what was written.
+
+    Files land as <out_dir>/obs<id>_if<i>_pl<p>.fits; out_dir must be
+    a filesystem visible to the executors (shared mount in cluster
+    mode)."""
+    import os
+
+    import pandas as pd  # noqa: F811
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("obs_id", T.LongType()),
+        T.StructField("IFNUM", T.IntegerType()),
+        T.StructField("PLNUM", T.IntegerType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+    ])
+    data_cols = [c for c in df.columns
+                 if c not in ("path", "corrupt_error", "obs_id")]
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        obs_id = int(pdf["obs_id"].iloc[0])
+        ifnum = int(pdf["IFNUM"].iloc[0])
+        plnum = int(pdf["PLNUM"].iloc[0])
+        path = os.path.join(out_dir,
+                            f"obs{obs_id}_if{ifnum}_pl{plnum}.fits")
+        buf = write_sdfits(pdf[data_cols].reset_index(drop=True),
+                           header, history)
+        with open(path, "wb") as fh:
+            fh.write(buf)
+        return pd.DataFrame([{
+            "obs_id": obs_id, "IFNUM": ifnum, "PLNUM": plnum,
+            "path": path, "n_rows": len(pdf),
+        }])
+
+    os.makedirs(out_dir, exist_ok=True)
+    return (df.groupBy("obs_id", "IFNUM", "PLNUM")
+            .applyInPandas(write_group, schema=schema))
 
 
 def corrupt_drop_end(buf: bytes) -> bytes:

@@ -285,3 +285,36 @@ def test_permissive_mode_quarantines_corrupt_files(spark, tmp_path):
     assert "END" in tombstones[0]["corrupt_error"]
     assert tombstones[0]["path"].endswith("bad.fits")
     assert len(data) > 0 and all(r["corrupt_error"] is None for r in data)
+
+
+def test_distributed_fits_sink_roundtrip(spark, tmp_path):
+    # corpus DataFrame -> one FITS per stream written executor-side ->
+    # read back == original
+    from radio_data_pipeline_spark.sources.fits import (
+        write_sdfits_per_observation,
+    )
+    from radio_data_pipeline_spark.sources.synthetic import (
+        make_observation_set,
+    )
+    pdf = make_observation_set([ObsSpec(obs_id=0, n_science=10),
+                                ObsSpec(obs_id=1, n_science=10)])
+    df = spark.createDataFrame(pdf)
+    out = str(tmp_path / "export")
+    manifest = write_sdfits_per_observation(df, out, HEADER,
+                                            HISTORY).collect()
+    assert len(manifest) == 8  # 2 obs x 4 streams
+    assert all(r["n_rows"] > 0 for r in manifest)
+
+    back = read_sdfits(spark, f"{out}/*.fits")
+    assert back.count() == len(pdf)
+    # one stream spot check: values and ISO timestamps round-trip
+    one = (back.filter("path LIKE '%obs1_if0_pl1%'")
+           .orderBy("row_idx").toPandas())
+    orig = (pdf[(pdf.obs_id == 1) & (pdf.IFNUM == 0) & (pdf.PLNUM == 1)]
+            .reset_index(drop=True))
+    assert (one["CALSTATE"].to_numpy() == orig["CALSTATE"].to_numpy()).all()
+    assert one["DATE_OBS"].iloc[0] == \
+        orig["DATE_OBS"].iloc[0].strftime("%Y-%m-%dT%H:%M:%S")
+    np.testing.assert_allclose(
+        np.vstack(one["DATA"].to_numpy()),
+        np.vstack(orig["DATA"].map(np.asarray).to_numpy()))
