@@ -74,6 +74,104 @@ def radio_continuum_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "radio_validation",
+    oracle=None,  # operates on the synthesized corpus, not driver tables
+    doc="Full validation stage (reference validate.py:104-127): NaN "
+        "masking, timestamp flag, physicality filter, channel crop — "
+        "over a corpus with injected negative-TSYS and NaN-DATA rows; "
+        "returns per-stream surviving-row counts and masked-element "
+        "sums so the check is value-bearing.",
+    tags=("radio", "validation"),
+)
+def radio_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from radio_data_pipeline_spark.operators.validation import (
+        validate_observation,
+    )
+    from radio_data_pipeline_spark.sources.synthetic import (
+        ObsSpec,
+        corrupt_nan,
+        corrupt_negative,
+        make_observation,
+    )
+    frames = []
+    for i in range(2):
+        pdf = make_observation(ObsSpec(obs_id=i, n_science=24))
+        frames.append(corrupt_negative(corrupt_nan(pdf, n=4), n=3))
+    df = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    validated = validate_observation(df, channel_window=(4, 59))
+    return (validated.groupBy("obs_id")
+            .agg(F.count(F.lit(1)).alias("n_valid_rows"),
+                 F.round(F.sum(F.aggregate(
+                     "DATA", F.lit(0.0),
+                     lambda a, x: a + F.coalesce(x, F.lit(0.0)))), 6)
+                 .alias("total_intensity"),
+                 F.sum(F.size("DATA")).alias("n_elements"))
+            .orderBy("obs_id"))
+
+
+@register(
+    "radio_atmosphere_correction",
+    oracle=None,  # Arrow pandas-UDF transmission vectors — non-SQL
+    doc="Atmosphere correction M8-M10 (reference atmosphere_correction"
+        ".py:59-86): per-row Buck vapor density -> attenuation model -> "
+        "transmission array (Arrow pandas UDF) -> element-wise gain "
+        "division via zip_with. Returns per-stream corrected/raw "
+        "intensity ratios (> 1 since transmission < 1). The scalar Buck "
+        "step is separately oracle-checked as buck_vapor_density.",
+    tags=("radio", "mapInPandas", "atmosphere"),
+)
+def radio_atmosphere_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.operators.atmosphere import (
+        apply_atmosphere_correction,
+    )
+    from radio_data_pipeline_spark.operators.header import ObservationHeader
+    corpus = _corpus(spark)
+    header = ObservationHeader(date="2024-03-01T00:00:00")
+    corrected = apply_atmosphere_correction(corpus, header.frequencies(0))
+    raw_sum = F.aggregate("DATA", F.lit(0.0), lambda a, x: a + x)
+    return (
+        corpus.select("obs_id", "IFNUM", "PLNUM", "row_idx",
+                      raw_sum.alias("raw"))
+        .join(corrected.select("obs_id", "IFNUM", "PLNUM", "row_idx",
+                               raw_sum.alias("corrected")),
+              ["obs_id", "IFNUM", "PLNUM", "row_idx"])
+        .groupBy("obs_id", "IFNUM", "PLNUM")
+        .agg(F.round(F.avg(F.col("corrected") / F.col("raw")), 6)
+             .alias("avg_gain_ratio"))
+        .orderBy("obs_id", "IFNUM", "PLNUM")
+    )
+
+
+@register(
+    "radio_merge",
+    oracle=None,  # merges the synthesized corpus, not driver tables
+    doc="Observation merge A6 (reference file_merge.py:45-54): "
+        "schema-checked unionByName of two observation sets; returns "
+        "per-source row counts proving count additivity (the merge "
+        "precondition tests cover the schema-mismatch rejection).",
+    tags=("radio", "merge"),
+)
+def radio_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.operators.merge import (
+        merge_observations,
+    )
+    from radio_data_pipeline_spark.sources.synthetic import (
+        ObsSpec,
+        make_observation_set,
+    )
+    a = spark.createDataFrame(
+        make_observation_set([ObsSpec(obs_id=10, n_science=12)]))
+    b = spark.createDataFrame(
+        make_observation_set([ObsSpec(obs_id=11, n_science=16)]))
+    merged = merge_observations([a, b])
+    return (merged.groupBy("obs_id")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .orderBy("obs_id"))
+
+
+@register(
     "radio_spectrum_distributed",
     oracle=None,  # depends on the segmentation machine's ON/OFF split
     doc="ON-OFF spectrum (reference spectrum.py:46-71) for every "
