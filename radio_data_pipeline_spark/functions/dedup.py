@@ -93,10 +93,8 @@ def minhash_signature_table(df: DataFrame, text_col: str = "text",
     gets map-side partial mins, so the shuffle carries one 8-hash row
     per document — the scale-correct formulation.
 
-    Returns (id, h0..h{n-1})."""
-    # explode_outer keeps shingle-less docs (< k words) as one null
-    # row -> null signature components, matching the SQL oracle where
-    # min over an empty list is NULL
+    Returns (id, h0..h{n-1}) — one row per input document, including
+    shingle-less and NULL-text docs (all-NULL components)."""
     from pyspark.sql import Window
 
     n_groups = (n_hashes + _CHUNKS_PER_MD5 - 1) // _CHUNKS_PER_MD5
@@ -105,10 +103,14 @@ def minhash_signature_table(df: DataFrame, text_col: str = "text",
     # 2.5s -> 0.3s for 260k shingles at sf0.1), and the window's
     # hash-partitioning on id is reused by the signature groupBy so
     # the whole operator still costs ONE shuffle.
+    # coalesce to "" so NULL-text docs still emit one (null-shingle)
+    # row — posexplode(NULL array) would emit zero rows and drop the
+    # doc from the output, breaking the one-row-per-doc contract
     words = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-         .alias("pos", "w"))
+        F.posexplode(F.split(
+            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+            r"\s+")).alias("pos", "w"))
     win = Window.partitionBy("id").orderBy("pos")
     parts = [F.col("w")]
     for j in range(1, k):

@@ -48,7 +48,10 @@ def radio_segmentation_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     from radio_data_pipeline_spark.operators.segmentation import (
         find_calibrations,
     )
-    return (find_calibrations(_corpus(spark))
+    # header_obsmode='onoff' so the O14 off-transition scan actually
+    # runs: the onoff observations get a real off_start_idx, track
+    # observations still yield NULL
+    return (find_calibrations(_corpus(spark), header_obsmode="onoff")
             .orderBy("obs_id", "IFNUM", "PLNUM"))
 
 
@@ -127,18 +130,15 @@ def radio_atmosphere_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         apply_atmosphere_correction,
     )
     from radio_data_pipeline_spark.operators.header import ObservationHeader
-    corpus = _corpus(spark)
+    raw_sum = F.aggregate("DATA", F.lit(0.0), lambda a, x: a + x)
+    # stash the raw per-row sum BEFORE correction so the ratio is one
+    # pass — no self-join, no second evaluation of the UDF lineage
+    corpus = _corpus(spark).withColumn("_raw", raw_sum)
     header = ObservationHeader(date="2024-03-01T00:00:00")
     corrected = apply_atmosphere_correction(corpus, header.frequencies(0))
-    raw_sum = F.aggregate("DATA", F.lit(0.0), lambda a, x: a + x)
     return (
-        corpus.select("obs_id", "IFNUM", "PLNUM", "row_idx",
-                      raw_sum.alias("raw"))
-        .join(corrected.select("obs_id", "IFNUM", "PLNUM", "row_idx",
-                               raw_sum.alias("corrected")),
-              ["obs_id", "IFNUM", "PLNUM", "row_idx"])
-        .groupBy("obs_id", "IFNUM", "PLNUM")
-        .agg(F.round(F.avg(F.col("corrected") / F.col("raw")), 6)
+        corrected.groupBy("obs_id", "IFNUM", "PLNUM")
+        .agg(F.round(F.avg(raw_sum / F.col("_raw")), 6)
              .alias("avg_gain_ratio"))
         .orderBy("obs_id", "IFNUM", "PLNUM")
     )

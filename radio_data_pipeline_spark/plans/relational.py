@@ -1046,9 +1046,11 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="The engine's user-extensibility surface: an Arrow-batched "
         "pandas UDF computing a function Spark lacks (log-gamma), "
-        "aggregated per group. Demonstrates the UDF discipline — "
-        "vectorized batches, applied AFTER the filter so the slow "
-        "path sees only surviving rows; everything else stays JVM-side.",
+        "aggregated per group, applied AFTER the filter so the slow "
+        "path sees only surviving rows. Transport is Arrow-vectorized; "
+        "the kernel itself loops math.lgamma per element (scipy is "
+        "absent here — scipy.special.gammaln is the production "
+        "fully-vectorized form).",
     tags=("pandas-udf", "agg"),
 )
 def events_lgamma_udf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -312,8 +312,14 @@ def write_sdfits(table: pd.DataFrame, header: dict | None = None,
                 tforms.append((fits_name, "J"))
         else:
             if pd.api.types.is_datetime64_any_dtype(s):
-                # ISO-8601 with 'T', the SDFITS DATE-OBS convention
-                vals = s.dt.strftime("%Y-%m-%dT%H:%M:%S").tolist()
+                # ISO-8601 with 'T' (SDFITS DATE-OBS convention);
+                # keep fractional seconds when any timestamp has them,
+                # NaT -> empty string (strftime would yield float NaN
+                # and break the width computation)
+                frac = (s.dt.microsecond.fillna(0) != 0).any()
+                fmt = "%Y-%m-%dT%H:%M:%S.%f" if frac \
+                    else "%Y-%m-%dT%H:%M:%S"
+                vals = s.dt.strftime(fmt).fillna("").tolist()
             else:
                 vals = ["" if v is None else str(v) for v in s]
             width = max((len(v) for v in vals), default=1) or 1
@@ -353,7 +359,11 @@ def write_sdfits_per_observation(df, out_dir: str,
 
     Files land as <out_dir>/obs<id>_if<i>_pl<p>.fits; out_dir must be
     a filesystem visible to the executors (shared mount in cluster
-    mode)."""
+    mode). Each file is written to a task-unique temp name and
+    os.rename'd into place, so task retries/speculation never leave a
+    torn file at the final path. NOTE the returned manifest is lazy —
+    every action re-runs the writes (idempotent thanks to the atomic
+    rename); call .collect() once and reuse."""
     import os
 
     import pandas as pd  # noqa: F811
@@ -378,8 +388,10 @@ def write_sdfits_per_observation(df, out_dir: str,
                             f"obs{obs_id}_if{ifnum}_pl{plnum}.fits")
         buf = write_sdfits(pdf[data_cols].reset_index(drop=True),
                            header, history)
-        with open(path, "wb") as fh:
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as fh:
             fh.write(buf)
+        os.rename(tmp, path)  # atomic on the same filesystem
         return pd.DataFrame([{
             "obs_id": obs_id, "IFNUM": ifnum, "PLNUM": plnum,
             "path": path, "n_rows": len(pdf),

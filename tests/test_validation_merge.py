@@ -138,3 +138,18 @@ def test_salted_join_rejects_right_outer(spark, sf_smoke):
     users = ev.groupBy("user_id").count()
     with pytest.raises(ValueError, match="salt replica"):
         salted_join(ev, users, "user_id", how="right")
+
+
+def test_minhash_signatures_keep_null_text_docs(spark):
+    # one row per doc even when text is NULL or shingle-less
+    from radio_data_pipeline_spark.functions.dedup import (
+        minhash_signature_table,
+    )
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None), (3, "only two")],
+        "doc_id long, text string")
+    sigs = minhash_signature_table(df).orderBy("id").collect()
+    assert [r["id"] for r in sigs] == [1, 2, 3]
+    assert sigs[0]["h0"] is not None
+    assert all(sigs[1][f"h{i}"] is None for i in range(8))
+    assert all(sigs[2][f"h{i}"] is None for i in range(8))
