@@ -1143,3 +1143,77 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "customers_order_counts_left",
+    oracle="""
+    SELECT c.c_custkey,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_spend
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    ORDER BY c.c_custkey
+    """,
+    doc="LEFT OUTER join preserving zero-order customers (count of the "
+        "nullable key skips NULLs, so no-order customers report 0) — "
+        "the outer-join family entry; shuffles once on custkey.",
+    tags=("join", "outer-join", "agg"),
+)
+def customers_order_counts_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"),
+             F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2)
+             .alias("total_spend"))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey,
+           round(o.o_totalprice, 2) AS totalprice,
+           CAST(sum(l.l_quantity) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    GROUP BY c.c_custkey, o.o_orderkey, o.o_totalprice
+    ORDER BY totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18-style large-volume orders: IN over a HAVING "
+        "aggregate subquery, decorrelated by Catalyst into a semi-join "
+        "against the pre-aggregated order quantities — one extra "
+        "orderkey-keyed aggregation, no per-row subquery execution.",
+    tags=("subquery", "having", "join"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("q"))
+           .filter(F.col("q") > 250)
+           .select("l_orderkey"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(big.withColumnRenamed("l_orderkey", "bk"),
+              F.col("o_orderkey") == F.col("bk"), "left_semi")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .select("c_custkey", "o_orderkey",
+                F.round("o_totalprice", 2).alias("totalprice"), "total_qty")
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(20)
+    )
