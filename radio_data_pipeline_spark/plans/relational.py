@@ -1217,3 +1217,62 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("totalprice"), "o_orderkey")
         .limit(20)
     )
+
+
+@register(
+    "buyers_eventers_full_outer",
+    oracle="""
+    WITH buyers AS (SELECT DISTINCT o_custkey AS id FROM orders),
+         eventers AS (SELECT DISTINCT user_id AS id FROM events)
+    SELECT coalesce(b.id, e.id) AS id,
+           (b.id IS NOT NULL) AS has_orders,
+           (e.id IS NOT NULL) AS has_events
+    FROM buyers b
+    FULL OUTER JOIN eventers e ON b.id = e.id
+    ORDER BY id
+    """,
+    doc="FULL OUTER join over two distinct key sets — the audience-"
+        "overlap (coverage) table with presence flags on both sides; "
+        "completes the join family (inner/left/semi/anti/band/full).",
+    tags=("join", "outer-join", "set-op"),
+)
+def buyers_eventers_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buyers = (_t(spark, sf_dir, "orders")
+              .select(F.col("o_custkey").alias("id")).distinct())
+    eventers = (_t(spark, sf_dir, "events")
+                .select(F.col("user_id").alias("id")).distinct())
+    b, e = buyers.alias("b"), eventers.alias("e")
+    return (
+        b.join(e, F.col("b.id") == F.col("e.id"), "full_outer")
+        .select(F.coalesce(F.col("b.id"), F.col("e.id")).alias("id"),
+                F.col("b.id").isNotNull().alias("has_orders"),
+                F.col("e.id").isNotNull().alias("has_events"))
+        .orderBy("id")
+    )
+
+
+@register(
+    "orders_monthly_revenue",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY month
+    ORDER BY month
+    """,
+    doc="Calendar-month truncation (variable-length periods — the case "
+        "fixed-width tumbling windows cannot express) + grouped "
+        "revenue; date_trunc stays in codegen, one shuffle after "
+        "map-side partial aggregation.",
+    tags=("datetime", "agg"),
+)
+def orders_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"),
+                                "yyyy-MM").alias("month"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("month")
+    )
