@@ -1276,3 +1276,31 @@ def orders_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count(F.lit(1)).alias("n_orders"))
         .orderBy("month")
     )
+
+
+@register(
+    "user_event_type_sets",
+    oracle="""
+    SELECT user_id,
+           list_sort(array_agg(DISTINCT event_type)) AS event_types,
+           CAST(len(array_agg(DISTINCT event_type)) AS BIGINT)
+             AS n_types
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Array-valued aggregation: sorted distinct-collect per group "
+        "(collect_set + sort_array) — the set-per-key shape feature "
+        "stores use; map-side partial collect keeps shuffle rows at "
+        "one per user.",
+    tags=("agg", "array"),
+)
+def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("event_types"),
+             F.size(F.collect_set("event_type")).cast("long")
+             .alias("n_types"))
+        .orderBy("user_id")
+    )
