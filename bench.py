@@ -69,8 +69,35 @@ def main() -> None:
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
 
+    # Same-machine baseline: run each headline query's DuckDB oracle
+    # on the same parquet files so the record carries the explicit
+    # engine-vs-baseline ratio. Best of 2, like the Spark side.
+    duckdb_total = None
+    try:
+        import duckdb
+
+        from radio_data_pipeline_spark.plans.registry import all_oracle_sql
+        oracles = all_oracle_sql()
+        con = duckdb.connect()
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents",
+                  "embeddings"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{SF_DIR}/{t}.parquet')")
+        total = 0.0
+        for name in HEADLINE:
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(oracles[name]).fetchall()
+                runs.append(time.perf_counter() - t0)
+            total += min(runs)
+        duckdb_total = round(total, 3)
+    except Exception:
+        pass  # baseline is informational; never fail the bench
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_wall_clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -78,7 +105,11 @@ def main() -> None:
         "sf": float(sf),
         "cold_total": round(sum(cold.values()), 3),
         "runs_per_query": 2,
-    }))
+    }
+    if duckdb_total is not None:
+        out["duckdb_baseline_total"] = duckdb_total
+        out["vs_duckdb_ratio"] = round(out["value"] / duckdb_total, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
