@@ -25,11 +25,14 @@ from radio_data_pipeline_spark.functions.similarity import (
     near_dup_pairs_lsh,
 )
 from radio_data_pipeline_spark.plans.registry import register
-from radio_data_pipeline_spark.sources.parquet import load_table
+from radio_data_pipeline_spark.sources.parquet import load_table_fanned
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+    # fan_out: array folds / dot products per row cost far more CPU
+    # than the vector bytes; keep all cores busy on small single-file
+    # scans (no-op at real scale — see parquet.py)
+    return load_table_fanned(spark, sf_dir, "embeddings")
 
 
 @register(

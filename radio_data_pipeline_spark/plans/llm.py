@@ -37,11 +37,17 @@ from radio_data_pipeline_spark.functions.text import (
     word_tokens,
 )
 from radio_data_pipeline_spark.plans.registry import register
-from radio_data_pipeline_spark.sources.parquet import load_table
+from radio_data_pipeline_spark.sources.parquet import (
+    load_table,
+    load_table_fanned,
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # fan_out: every query here runs a hash/regex kernel whose CPU cost
+    # dwarfs the text bytes; small single-row-group files must not
+    # serialize it onto one core (no-op at real scale — see parquet.py)
+    return load_table_fanned(spark, sf_dir, "documents")
 
 
 def _sqlq(pattern: str) -> str:

@@ -36,3 +36,43 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def fan_out(df: DataFrame, spark: SparkSession,
+            min_fraction: float = 0.5) -> DataFrame:
+    """Input-size-adaptive fan-out for compute-heavy kernels.
+
+    Parquet cannot split below row-group granularity: a small file is
+    ONE scan task no matter how many cores exist, which serializes
+    hash/regex kernels whose CPU cost is orders of magnitude above the
+    bytes they read (e.g. SimHash hashes every word ~once per output
+    bit-nibble). When the observed scan parallelism is below
+    ``min_fraction * defaultParallelism``, round-robin repartition to
+    the core count — shuffling the kilobytes is ~free relative to the
+    kernel. At real scale (thousands of row groups / files) the
+    condition is false and this is a no-op, so the 100 TB plan keeps
+    its shuffle-free map shape.
+    """
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(1, int(cores * min_fraction)):
+        return df.repartition(cores)
+    return df
+
+
+_FAN_MEMO: dict[tuple[str, str], bool] = {}
+
+
+def load_table_fanned(spark: SparkSession, sf_dir: str,
+                      name: str) -> DataFrame:
+    """``load_table`` + ``fan_out`` with the (scan-parallelism < cores)
+    probe memoized per (sf_dir, table) — the physical split count of a
+    static parquet table is stable within a session, and the probe
+    costs one plan->RDD conversion we don't want on every query build.
+    """
+    df = load_table(spark, sf_dir, name)
+    key = (sf_dir, name)
+    if key not in _FAN_MEMO:
+        cores = spark.sparkContext.defaultParallelism
+        _FAN_MEMO[key] = df.rdd.getNumPartitions() < max(1, cores // 2)
+    return df.repartition(spark.sparkContext.defaultParallelism) \
+        if _FAN_MEMO[key] else df
