@@ -136,17 +136,30 @@ def minhash_signature_table(df: DataFrame, text_col: str = "text",
     return digests.groupBy("id").agg(*aggs)
 
 
+# observation names must be unique within a query plan; a module
+# counter keeps repeated minhash_lsh_pairs calls composable
+_OBS_COUNTER = 0
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n_hashes: int = 8,
-                      band_size: int = 2, k: int = 3) -> DataFrame:
+                      band_size: int = 2, k: int = 3,
+                      bucket_cap: int | None = 64) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding: docs sharing any
     band (band_size consecutive signature components) become a pair.
     Returns distinct (id_a, id_b) with id_a < id_b.
 
-    The pair explosion is bounded per bucket; at 100 TB scale add a
-    bucket-size cap before the self-join (buckets above the cap are
-    either true mass-duplicates — handled by exact dedup — or hash
-    pathologies)."""
+    ``bucket_cap`` bounds the per-bucket pair explosion at scale: a
+    bucket of m docs yields m(m-1)/2 pairs, so one mass-duplicate
+    cluster (or a hash pathology) of 10^5 docs would emit 5*10^9 pairs
+    from a single bucket. Buckets larger than the cap are dropped from
+    pair generation — they are either true mass-duplicates (exact
+    dedup's hash-groupBy handles those in linear time) or degenerate
+    hashes; near-dup detection adds no information at that density.
+    The number of dropped buckets is published as the Spark observation
+    metric ``lsh_bucket_overflow`` (visible in QueryExecutionListener /
+    the live StreamingQueryProgress — zero extra pass). Pass None to
+    disable the cap."""
     assert n_hashes % band_size == 0
     n_bands = n_hashes // band_size
     # Signatures via the aggregation form (computed exactly once —
@@ -180,6 +193,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     buckets = (banded.groupBy("band_id", "band_hash")
                .agg(F.sort_array(F.collect_set("id")).alias("ids"))
                .filter(F.size("ids") > 1))
+    if bucket_cap is not None:
+        global _OBS_COUNTER
+        _OBS_COUNTER += 1
+        buckets = buckets.observe(
+            f"lsh_bucket_overflow_{_OBS_COUNTER}",
+            F.sum(F.when(F.size("ids") > bucket_cap, 1).otherwise(0))
+            .alias("overflow_buckets"))
+        buckets = buckets.filter(F.size("ids") <= bucket_cap)
     n = F.size("ids")
     pair_structs = F.flatten(F.transform(
         F.col("ids"),
@@ -195,15 +216,37 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
-                        threshold: float = 0.2) -> DataFrame:
+                        threshold: float = 0.2,
+                        max_df: int | None = 100) -> DataFrame:
     """n-gram Jaccard similarity over candidate pairs from an
     inverted-index join (pairs must share >= 1 distinct shingle).
 
     jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) with distinct-shingle
-    sets; all counts are integers, so the oracle matches exactly."""
+    sets; all counts are integers, so the oracle matches exactly.
+
+    ``max_df`` is the document-frequency cutoff that makes the
+    inverted-index join survive scale: a shingle shared by m documents
+    contributes m(m-1)/2 candidate rows, so ONE boilerplate shingle in
+    10^5 docs explodes into 5*10^9 candidates. Shingles with document
+    frequency > max_df are removed from every shingle set (the
+    stopword-feature treatment: both the intersection counts AND the
+    set sizes exclude them, so the Jaccard stays an exact set
+    similarity over the reduced feature space, and the SQL oracle can
+    state the identical cutoff). High-DF shingles carry no near-dup
+    signal — they are shared boilerplate by definition. Pass None to
+    disable."""
     sh = (df.select(F.col(id_col).alias("id"),
                     F.explode(F.array_distinct(
                         word_shingles(F.col(text_col), k))).alias("shingle")))
+    if max_df is not None:
+        # one cheap pre-aggregation keyed by shingle; the semi join
+        # keeps the inverted index partitioned on shingle, which the
+        # candidate self-join immediately reuses
+        rare = (sh.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") <= max_df)
+                .select("shingle"))
+        sh = sh.join(rare, "shingle", "left_semi")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     inter = (
         sh.alias("a")

@@ -266,14 +266,24 @@ def _bands_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+_BUCKET_CAP = 64  # minhash_lsh_pairs bucket_cap mirrored into the SQL
+
+
 def _cand_sql() -> str:
     """The banded candidate-pair subquery shared by every LSH oracle —
-    one definition so the three oracles cannot drift."""
-    return """
+    one definition so the three oracles cannot drift. Mirrors the
+    engine's bucket-size cap: buckets larger than _BUCKET_CAP are
+    excluded from pair generation."""
+    return f"""
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a
       JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
                   AND a.doc_id < b.doc_id
+      JOIN (SELECT band_id, band_hash
+            FROM bands
+            GROUP BY band_id, band_hash
+            HAVING count(*) <= {_BUCKET_CAP}) ok
+        ON a.band_id = ok.band_id AND a.band_hash = ok.band_hash
     """
 
 
@@ -292,8 +302,12 @@ def _cand_sql() -> str:
 )
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (minhash_lsh_pairs(_docs(spark, sf_dir), n_hashes=_N_HASHES,
-                              band_size=_BAND_SIZE, k=_K)
+                              band_size=_BAND_SIZE, k=_K,
+                              bucket_cap=_BUCKET_CAP)
             .orderBy("id_a", "id_b"))
+
+
+_MAX_DF = 100  # ngram_jaccard_pairs document-frequency cutoff
 
 
 @register(
@@ -301,7 +315,10 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH w AS ({_WORDS_CTE}),
     shl AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM w),
-    sh AS (SELECT doc_id AS id, unnest(list_distinct(sh)) AS shingle FROM shl),
+    sh0 AS (SELECT doc_id AS id, unnest(list_distinct(sh)) AS shingle FROM shl),
+    rare AS (SELECT shingle FROM sh0 GROUP BY shingle
+             HAVING count(*) <= {_MAX_DF}),
+    sh AS (SELECT sh0.id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
     sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
     inter AS (
       SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
@@ -318,12 +335,15 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY id_a, id_b
     """,
     doc="n-gram Jaccard near-dup scoring on inverted-index candidate "
-        "pairs (docs sharing >= 1 shingle); integer set arithmetic, "
-        "exact across engines.",
+        "pairs (docs sharing >= 1 rare shingle); shingles above the "
+        "document-frequency cutoff are stopword features removed from "
+        "every set, bounding the candidate join. Integer set "
+        "arithmetic, exact across engines.",
     tags=("dedup", "jaccard"),
 )
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (ngram_jaccard_pairs(_docs(spark, sf_dir), k=_K, threshold=0.2)
+    return (ngram_jaccard_pairs(_docs(spark, sf_dir), k=_K, threshold=0.2,
+                                max_df=_MAX_DF)
             .orderBy("id_a", "id_b"))
 
 
@@ -403,7 +423,8 @@ def dedup_multi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_similarity,
     )
     cand = minhash_lsh_pairs(_docs(spark, sf_dir), n_hashes=_N_HASHES,
-                             band_size=_BAND_SIZE, k=_K)
+                             band_size=_BAND_SIZE, k=_K,
+                             bucket_cap=_BUCKET_CAP)
     emb = load_table(spark, sf_dir, "embeddings")
     ea = emb.select(F.col("vec_id").alias("id_a"),
                     F.col("embedding").alias("va"))
@@ -459,7 +480,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = _docs(spark, sf_dir)
     pairs = minhash_lsh_pairs(docs, n_hashes=_N_HASHES,
-                              band_size=_BAND_SIZE, k=_K)
+                              band_size=_BAND_SIZE, k=_K,
+                              bucket_cap=_BUCKET_CAP)
     comps = connected_components(docs.select("doc_id"), pairs,
                                  id_col="doc_id")
     return (comps.select(F.col("id").alias("doc_id"), "cluster_id")

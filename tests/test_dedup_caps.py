@@ -1,0 +1,103 @@
+"""Adversarial scale tests for the dedup candidate-generation caps.
+
+The quadratic hazards these caps remove (round-1 verdict items 3/4):
+- ngram_jaccard_pairs: a shingle shared by m docs yields m(m-1)/2
+  candidate rows from the inverted-index self-join — one boilerplate
+  shingle in 500 docs would be ~125k candidates.
+- minhash_lsh_pairs: a mass-duplicate bucket of m docs yields
+  m(m-1)/2 pairs from a single LSH bucket.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from radio_data_pipeline_spark.functions.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def boilerplate_docs(spark):
+    # 500 docs: identical 3-word header (one shared shingle for k=3)
+    # followed by a unique tail so the docs are NOT near-duplicates.
+    rows = [(i, f"common header shingle unique{i} tail{i} end{i}")
+            for i in range(500)]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_ngram_df_cutoff_stops_candidate_blowup(spark, boilerplate_docs):
+    # Without the cap the shared shingle generates 500*499/2 ≈ 125k
+    # candidate pairs; with the cutoff the boilerplate shingle is
+    # dropped and no candidates survive (the unique tails share
+    # nothing).
+    capped = ngram_jaccard_pairs(boilerplate_docs, k=3, threshold=0.0,
+                                 max_df=100)
+    assert capped.count() == 0
+
+    uncapped = ngram_jaccard_pairs(boilerplate_docs, k=3, threshold=0.0,
+                                   max_df=None)
+    assert uncapped.count() == 500 * 499 // 2
+
+
+def test_ngram_df_cutoff_visible_in_plan(spark, boilerplate_docs):
+    capped = ngram_jaccard_pairs(boilerplate_docs, k=3, threshold=0.0,
+                                 max_df=100)
+    plan = capped._jdf.queryExecution().optimizedPlan().toString()
+    # the cutoff must be a real pre-join filter (aggregate + semi
+    # join), not a post-hoc limit
+    assert "LeftSemi" in plan
+
+
+def test_ngram_df_cutoff_keeps_rare_shingle_semantics(spark):
+    # Two true near-dups must still pair under the cutoff, and the
+    # Jaccard must be computed on the reduced (rare-only) feature set.
+    rows = [(0, "alpha beta gamma delta"), (1, "alpha beta gamma epsilon"),
+            (2, "zeta eta theta iota")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = ngram_jaccard_pairs(df, k=3, threshold=0.2, max_df=100).collect()
+    assert len(out) == 1
+    r = out[0]
+    # doc0 shingles {abg, bgd}, doc1 {abg, bge}: 1 common of 3 distinct
+    assert (r.id_a, r.id_b, r.n_common) == (0, 1, 1)
+    assert abs(r.jaccard - 1 / 3) < 1e-6
+
+
+def test_minhash_bucket_cap_drops_mass_duplicate_bucket(spark):
+    # 200 identical docs all land in the same bucket for every band:
+    # uncapped that is 200*199/2 = 19900 pairs; the cap drops the
+    # bucket entirely (exact dedup owns mass duplicates).
+    rows = [(i, "the exact same text repeated many times over")
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    capped = minhash_lsh_pairs(df, bucket_cap=64)
+    assert capped.count() == 0
+    uncapped = minhash_lsh_pairs(df, bucket_cap=None)
+    assert uncapped.count() == 200 * 199 // 2
+
+
+def test_minhash_bucket_cap_publishes_overflow_metric(spark):
+    rows = [(i, "the exact same text repeated many times over")
+            for i in range(200)]
+    rows += [(1000, "completely different words here"),
+             (1001, "completely different words here")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    # QueryExecutionListener is JVM-side; the lighter check: run the
+    # query and read the observed metrics off the executed plan.
+    capped = minhash_lsh_pairs(df, bucket_cap=64)
+    rows_out = capped.collect()
+    # the small legit bucket (2 docs) must survive the cap
+    assert len(rows_out) == 1 and rows_out[0] == (1000, 1001) or \
+        (rows_out[0].id_a, rows_out[0].id_b) == (1000, 1001)
+    metrics = capped._jdf.queryExecution().observedMetrics()
+    vals = []
+    it = metrics.valuesIterator()
+    while it.hasNext():
+        vals.append(it.next())
+    assert vals, "no observed metrics on the executed plan"
+    # every band's bucket for the 200 identical docs overflows
+    overflow = vals[0].getLong(0)
+    assert overflow >= 1
