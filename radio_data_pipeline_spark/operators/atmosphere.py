@@ -37,18 +37,25 @@ def buck_vapor_density_expr(temp_c: Column, humidity_pct: Column) -> Column:
     """Water-vapor density rho [g/m^3] from the Buck saturation vapor
     pressure equation — reference M8 (atmosphere_correction.py:25-45).
 
+    Coefficients are the reference's exactly (Buck-1981 with the
+    reference's constant enhancement factor, atmosphere_correction.py:34
+    and :37) so computed values match bit-for-bit:
+    ``(1.0007 + 3.46e-6) * 6.1121 * exp(17.502*t/(t+240.97))`` above
+    freezing, ``(1.0003 + 4.18e-6) * 6.1115 * exp(22.452*t/(t+272.55))``
+    below. (The reference's enhancement factor omits the pressure term
+    of the published Buck correction — reproduced as-is for parity.)
+
     Reference quirk, documented divergence: the reference tests
     ``temperature + 273.15 >= 0`` on an input that is *already* Kelvin
     (caller converts at atmosphere_correction.py:72), so its
     below-freezing Buck variant is unreachable. We take Celsius in and
-    reproduce the values the reference actually computes (the
-    above-freezing branch), keeping the below-freezing branch for
-    physically correct behavior on genuinely sub-zero Celsius input.
+    branch on the actual freezing point, keeping the below-freezing
+    branch reachable for genuinely sub-zero Celsius input.
     """
-    above = 6.1121 * F.exp((18.678 - temp_c / 234.5)
-                           * (temp_c / (257.14 + temp_c)))
-    below = 6.1115 * F.exp((23.036 - temp_c / 333.7)
-                           * (temp_c / (279.82 + temp_c)))
+    above = (1.0007 + 3.46e-6) * 6.1121 * F.exp(
+        17.502 * temp_c / (temp_c + 240.97))
+    below = (1.0003 + 4.18e-6) * 6.1115 * F.exp(
+        22.452 * temp_c / (temp_c + 272.55))
     e_s = F.when(temp_c >= 0, above).otherwise(below)
     t_k = temp_c + 273.15
     return 216.7 * ((humidity_pct / 100.0) * e_s) / t_k
@@ -87,8 +94,11 @@ def transmission_udf(frequencies_ghz: list[float]):
         for elev, t_c, p, h in zip(elev_deg, tambient_c, pressure_hpa,
                                    humidity_pct):
             t_k = t_c + 273.15
-            e_s = 6.1121 * math.exp((18.678 - t_c / 234.5)
-                                    * (t_c / (257.14 + t_c)))
+            # reference's Buck-1981 coefficients (see
+            # buck_vapor_density_expr); above-freezing branch only —
+            # per-row weather here comes from validated telemetry
+            e_s = (1.0007 + 3.46e-6) * 6.1121 * math.exp(
+                17.502 * t_c / (t_c + 240.97))
             rho = 216.7 * ((h / 100.0) * e_s) / t_k
             if HAVE_ITUR:  # pragma: no cover
                 import astropy.units as u  # type: ignore

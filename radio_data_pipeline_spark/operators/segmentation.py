@@ -133,13 +133,16 @@ def find_calibrations(df: DataFrame, channel_count: int | None = None,
                       order_col: str = "row_idx") -> DataFrame:
     """O13/O14 over every observation stream at once.
 
-    channel_count=None computes the reference's definition (number of
-    distinct (IFNUM, PLNUM) streams per obs, continuum.py:24-28) with
+    channel_count=None computes the reference's definition — the
+    PRODUCT len(unique IFNUM) * len(unique PLNUM) per obs
+    (continuum.py:26-28), which differs from the count of observed
+    (IFNUM, PLNUM) pairs when stream combinations are missing — with
     one tiny aggregate; the result joins back by obs_id (broadcast).
     """
     if channel_count is None:
         counts = (df.groupBy("obs_id")
-                  .agg(F.countDistinct("IFNUM", "PLNUM").alias("_cc")))
+                  .agg((F.countDistinct("IFNUM") *
+                        F.countDistinct("PLNUM")).alias("_cc")))
         # one row per observation; AQE broadcasts while small
         df = df.join(counts, "obs_id")
     else:

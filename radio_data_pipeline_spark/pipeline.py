@@ -44,7 +44,14 @@ def _prepare(df: DataFrame, header: ObservationHeader, ifnum: int, plnum: int,
     """Shared front half: stream count (A3 on the UNFILTERED input,
     continuum.py:24-28) -> stream select (F1) -> time crop (F3) ->
     frequency crop / axis derivation (F4/P2)."""
-    stream_count = (df.select("IFNUM", "PLNUM").distinct().count())
+    # reference semantics (continuum.py:26-28): channel_count is the
+    # PRODUCT len(unique IFNUM) * len(unique PLNUM), not the count of
+    # observed (IFNUM, PLNUM) pairs — they diverge when some stream
+    # combinations are missing, shifting the 3*channel_count
+    # false-start threshold in the segmentation state machine
+    row = df.agg(F.countDistinct("IFNUM").alias("i"),
+                 F.countDistinct("PLNUM").alias("p")).first()
+    stream_count = row["i"] * row["p"]
     out = select_stream(df, ifnum, plnum)
     if extra_predicate is not None:
         out = out.filter(extra_predicate)

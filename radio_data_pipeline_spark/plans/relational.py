@@ -642,8 +642,8 @@ def linreg_value_vs_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            round(216.7 * ((value % 100.0) / 100.0 *
-                 (6.1121 * exp((18.678 - (value % 40.0) / 234.5) *
-                               ((value % 40.0) / (257.14 + (value % 40.0))))))
+                 ((1.0007 + 3.46e-6) * 6.1121 *
+                  exp(17.502 * (value % 40.0) / ((value % 40.0) + 240.97))))
                  / (273.15 + (value % 40.0)), 6) AS vapor_density
     FROM events
     WHERE event_type = 'error'
@@ -1045,28 +1045,46 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_type
     """,
     doc="The engine's user-extensibility surface: an Arrow-batched "
-        "pandas UDF computing a function Spark lacks (log-gamma), "
-        "aggregated per group, applied AFTER the filter so the slow "
-        "path sees only surviving rows. Transport is Arrow-vectorized; "
-        "the kernel itself loops math.lgamma per element (scipy is "
-        "absent here — scipy.special.gammaln is the production "
-        "fully-vectorized form).",
+        "pandas UDF computing a function Spark lacks (log-gamma; this "
+        "build has no JVM lgamma expression), aggregated per group, "
+        "applied AFTER the filter so the slow path sees only surviving "
+        "rows. Transport is Arrow-vectorized AND the kernel is "
+        "numpy-vectorized (Lanczos g=7 log-gamma, |err| ~1e-13 "
+        "relative — exact through the query's 6-decimal rounding); "
+        "scipy.special.gammaln is the drop-in when scipy exists.",
     tags=("pandas-udf", "agg"),
 )
 def events_lgamma_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
+
+    # Lanczos approximation (g=7, 9 coefficients — the classic public
+    # parameterization): double-precision accurate for x > 0 and fully
+    # numpy-vectorized, replacing the per-element math.lgamma loop.
+    _LANCZOS = np.array([
+        0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+        771.32342877765313, -176.61502916214059, 12.507343278686905,
+        -0.13857109526572012, 9.9843695780195716e-6,
+        1.5056327351493116e-7])
+
+    def _gammaln(x):
+        # domain here is x >= 1 (value >= 0 filter + the +1 shift), so
+        # no reflection branch is needed
+        xp = x - 1.0
+        a = np.full_like(xp, _LANCZOS[0])
+        for i in range(1, 9):
+            a += _LANCZOS[i] / (xp + i)
+        t = xp + 7.5
+        return (0.9189385332046727  # 0.5*ln(2*pi)
+                + (xp + 0.5) * np.log(t) - t + np.log(a))
 
     # note: no type hints — this module uses `from __future__ import
     # annotations`, which stringifies them so pyspark cannot resolve
     # the locally-imported pd name; the explicit ser->ser form below
     # is hint-free
     def _lgamma(v):
-        return pd.Series(np.vectorize(math.lgamma, otypes=[float])
-                         (v.to_numpy() + 1.0))
+        return pd.Series(_gammaln(v.to_numpy(dtype=np.float64) + 1.0))
 
     lgamma_udf = pandas_udf(_lgamma, "double")
 

@@ -22,10 +22,11 @@ from radio_data_pipeline_spark.sources.synthetic import (
 
 class TestAtmosphere:
     def test_buck_golden_value(self, spark):
-        # independent NumPy evaluation of the Buck equation
+        # independent NumPy evaluation of the reference's Buck-1981
+        # equation (atmosphere_correction.py:34)
         t_c, rh = 15.0, 40.0
-        e_s = 6.1121 * math.exp((18.678 - t_c / 234.5)
-                                * (t_c / (257.14 + t_c)))
+        e_s = (1.0007 + 3.46e-6) * 6.1121 * math.exp(
+            17.502 * t_c / (t_c + 240.97))
         expected = 216.7 * (rh / 100.0 * e_s) / (t_c + 273.15)
         df = spark.createDataFrame([(t_c, rh)], ["t", "h"])
         got = df.select(
