@@ -53,6 +53,65 @@ class TestAtmosphere:
         # but the (fallback) atmosphere is nearly transparent at L-band
         assert b < a * 1.1
 
+    def test_p676_golden_values(self):
+        # Golden values of the published Rec. ITU-R P.676 simplified
+        # algorithm at its reference conditions (1013 hPa, 15 degC,
+        # rho = 7.5 g/m^3) — the textbook curve points: dry air
+        # ~0.0104 dB/km and water vapour ~0.101 dB/km at 20 GHz.
+        import numpy as np
+
+        from radio_data_pipeline_spark.operators.atmosphere import (
+            p676_equivalent_heights,
+            p676_gamma_oxygen,
+            p676_gamma_water,
+        )
+        go20 = float(p676_gamma_oxygen(20.0, 1013.0, 288.15))
+        assert go20 == pytest.approx(0.0103664, abs=2e-6)
+        gw20 = float(p676_gamma_water(20.0, 7.5, 288.15))
+        assert gw20 == pytest.approx(0.1008323, abs=2e-6)
+        # L-band (the SDFITS regime): nearly transparent
+        assert float(p676_gamma_oxygen(1.4, 1013.0, 288.15)) == \
+            pytest.approx(0.0054750, abs=2e-6)
+        assert float(p676_gamma_water(1.4, 7.5, 288.15)) == \
+            pytest.approx(0.000109244, abs=2e-8)
+        # water-vapour equivalent height peaks at the 22.235 GHz line
+        _, hw = p676_equivalent_heights(np.array([1.4, 22.2, 40.0]))
+        assert hw[1] == pytest.approx(2.56035, abs=1e-4)
+        assert hw[1] > hw[0] and hw[1] > hw[2]
+        # the 22 GHz water line is a local max of gamma_w
+        gw = p676_gamma_water(np.array([18.0, 22.2, 26.0]), 7.5, 288.15)
+        assert gw[1] > gw[0] and gw[1] > gw[2]
+
+    def test_p676_ambient_scaling(self):
+        from radio_data_pipeline_spark.operators.atmosphere import (
+            p676_gamma_oxygen,
+            p676_gamma_water,
+        )
+        base = float(p676_gamma_oxygen(20.0, 1013.0, 288.15))
+        # quadratic pressure dependence
+        half_p = float(p676_gamma_oxygen(20.0, 1013.0 / 2, 288.15))
+        assert half_p == pytest.approx(base / 4.0, rel=1e-12)
+        # -1.0 %/degC (oxygen) and -0.6 %/degC (water) corrections
+        warm_o = float(p676_gamma_oxygen(20.0, 1013.0, 298.15))
+        assert warm_o == pytest.approx(base * 0.90, rel=1e-12)
+        warm_w = float(p676_gamma_water(20.0, 7.5, 298.15))
+        assert warm_w == pytest.approx(
+            float(p676_gamma_water(20.0, 7.5, 288.15)) * 0.94, rel=1e-12)
+
+    def test_p676_oxygen_band_continuity(self):
+        # the 57-63 GHz interpolation must join both branch endpoints
+        import numpy as np
+
+        from radio_data_pipeline_spark.operators.atmosphere import (
+            p676_gamma_oxygen,
+        )
+        g = p676_gamma_oxygen(np.array([56.999, 57.0, 60.0, 63.0, 63.001]),
+                              1013.0, 288.15)
+        assert g[1] == pytest.approx(g[0], rel=1e-3)
+        assert g[3] == pytest.approx(g[4], rel=1e-3)
+        # the oxygen complex dominates: tens of dB/km
+        assert 5.0 < g[2] < 20.0
+
     def test_transmission_shape(self, spark):
         from radio_data_pipeline_spark.operators.atmosphere import (
             transmission_udf,
