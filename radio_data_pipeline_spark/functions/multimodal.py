@@ -2,17 +2,26 @@
 columns with typed metadata, processed by Arrow-batched mapInPandas
 kernels.
 
-The decode step itself is STUBBED (the image/audio libraries are not
-in this container — see NotImplementedError markers and the
-deterministic fake used by tests); everything Spark-side is real:
-schemas, batch iteration, partition sizing, UDF signatures. Swapping
-the fake for Pillow/torchaudio changes one function body, not the
-plan.
+Decoders, two tiers:
+- REAL codecs for the public container formats that need no external
+  library: RIFF/PCM-16 WAV (decode_wav/encode_wav_pcm16) and binary
+  PPM "P6" images (decode_ppm/encode_ppm), both pure numpy + struct.
+  These carry value-bearing oracles (plans/multimodal.py) and are
+  unit-tested against the stdlib ``wave`` writer as an independent
+  implementation.
+- STUBS for formats that genuinely require codec libraries
+  (JPEG/MP3/MP4...): the FAKE* deterministic fakes below raise
+  NotImplementedError on real bytes. Swapping in Pillow/torchaudio
+  changes one function body, not the plan.
+
+Everything Spark-side is real either way: schemas, Arrow batch
+iteration, partition sizing, explode-in-kernel fan-out.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -66,16 +75,111 @@ def _mean_pool(img: np.ndarray, pool: int) -> np.ndarray:
     return img[: ph * py, : pw * px].reshape(py, ph, px, pw).mean(axis=(1, 3))
 
 
-def _decode_image(content: bytes, width: int, height: int) -> np.ndarray:
-    """STUB — real implementation: PIL.Image.open(BytesIO(content)).
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Minimal canonical RIFF/WAVE container around 16-bit PCM mono
+    samples (public format: RIFF chunk grammar + WAVE fmt/data)."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
-    Deterministic fake: bytes of the md5 digest tiled to (h, w),
-    scaled to [0, 1]. Raises for non-fake inputs so nobody mistakes
-    this for a real decoder."""
+
+def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
+    """Real RIFF/WAVE parser for PCM-16 mono: walks the chunk grammar
+    (id, little-endian size, word-aligned payloads), validates the fmt
+    chunk, returns (sample_rate, int16 sample array).
+
+    Raises ValueError on malformed containers and NotImplementedError
+    on WAVE encodings beyond PCM-16 mono (compressed/float/multichannel
+    would need a real audio library)."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, end = 12, min(12 + struct.unpack("<I", content[4:8])[0], len(content))
+    sample_rate = None
+    data = None
+    while pos + 8 <= end:
+        cid = content[pos:pos + 4]
+        size = struct.unpack("<I", content[pos + 4:pos + 8])[0]
+        payload = content[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            if len(payload) < 16:
+                raise ValueError("truncated fmt chunk")
+            audio_fmt, channels, sample_rate, _, _, bits = struct.unpack(
+                "<HHIIHH", payload[:16])
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only PCM-16 mono supported (fmt={audio_fmt}, "
+                    f"channels={channels}, bits={bits})")
+        elif cid == b"data":
+            data = payload
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    return sample_rate, np.frombuffer(
+        data[: len(data) - (len(data) % 2)], dtype="<i2")
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Binary PPM ("P6") encoder: (h, w, 3) uint8 -> header + raw
+    RGB bytes (public netpbm format)."""
+    h, w, c = img.shape
+    assert c == 3
+    return (f"P6\n{w} {h}\n255\n".encode("ascii")
+            + np.asarray(img, dtype=np.uint8).tobytes())
+
+
+def decode_ppm(content: bytes) -> np.ndarray:
+    """Real binary-PPM parser: 'P6', then whitespace/comment-separated
+    width, height, maxval tokens, one whitespace byte, then w*h*3 raw
+    bytes. Returns (h, w, 3) uint8. Raises ValueError on malformed
+    input and NotImplementedError for maxval > 255 (16-bit PPM)."""
+    if content[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) image")
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while pos < len(content) and content[pos:pos + 1].isspace():
+            pos += 1
+        if content[pos:pos + 1] == b"#":  # comment to end of line
+            while pos < len(content) and content[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos:pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        tokens.append(int(content[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    need = w * h * 3
+    raster = content[pos:pos + need]
+    if len(raster) < need:
+        raise ValueError(f"PPM raster truncated: {len(raster)} < {need}")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _decode_image(content: bytes, width: int, height: int) -> np.ndarray:
+    """Image decode to a grayscale [0, 1] array.
+
+    Real path: binary PPM ("P6") via decode_ppm (grayscale = RGB
+    mean). Fake path: FAKEIMG-prefixed fixture bytes -> md5 digest
+    tiled to (h, w). Anything else (JPEG/PNG/...) raises — those
+    formats need an imaging library not present in this environment
+    (PIL.Image.open is the drop-in)."""
+    content = bytes(content)
+    if content[:2] == b"P6":
+        rgb = decode_ppm(content)
+        return rgb.astype(np.float64).mean(axis=2) / 255.0
     if not content.startswith(b"FAKEIMG"):
         raise NotImplementedError(
-            "real image decode requires an imaging library not present "
-            "in this environment; test fixtures use FAKEIMG bytes")
+            "only PPM (P6) decodes natively; JPEG/PNG need an imaging "
+            "library not present in this environment; test fixtures "
+            "use FAKEIMG bytes")
     return _tile_digest(hashlib.md5(content).digest(), width, height)
 
 
@@ -118,15 +222,24 @@ def audio_frame_stats(df: DataFrame, frame_ms: int = 250) -> DataFrame:
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
-                if not bytes(row["content"]).startswith(b"FAKEAUD"):
+                content = bytes(row["content"])
+                if content[:4] == b"RIFF":
+                    # real path: PCM-16 WAV; container metadata wins
+                    # over the (possibly stale) table metadata
+                    sr, samples = decode_wav(content)
+                    wave = samples.astype(np.float64) / 32768.0
+                    n = len(wave)
+                elif content.startswith(b"FAKEAUD"):
+                    digest = hashlib.md5(content).digest()
+                    sr = int(row["sample_rate"]) or 8000
+                    n = int(sr * float(row["duration_s"]))
+                    base = np.frombuffer(digest, dtype=np.uint8).astype(float)
+                    wave = np.resize(base - base.mean(), n) / 255.0
+                else:
                     raise NotImplementedError(
-                        "real audio decode not available; fixtures use "
-                        "FAKEAUD bytes")
-                digest = hashlib.md5(bytes(row["content"])).digest()
-                sr = int(row["sample_rate"]) or 8000
-                n = int(sr * float(row["duration_s"]))
-                base = np.frombuffer(digest, dtype=np.uint8).astype(float)
-                wave = np.resize(base - base.mean(), n) / 255.0
+                        "only RIFF/PCM-16 WAV decodes natively; "
+                        "MP3/OGG/... need an audio library not present "
+                        "here; fixtures use FAKEAUD bytes")
                 frame_len = max(int(sr * frame_ms / 1000), 1)
                 for i in range(0, n - frame_len + 1, frame_len):
                     frame = wave[i:i + frame_len]

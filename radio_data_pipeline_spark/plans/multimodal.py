@@ -1,23 +1,34 @@
 """Multimodal pipeline queries (driver north star: binary media
 columns + typed metadata at 100 TB).
 
-The decode kernels are the stubbed deterministic fakes of
-functions/multimodal.py (the container has no imaging/audio libs), so
-these queries have NO SQL oracle — the driver records the weaker
-rows-only check, which is exactly what the contract specifies for
-non-SQL-expressible ops. Everything Spark-side is real and is what the
-judge should read: binary column construction, mapInPandas Arrow
-batching, immediate projection of the wide content column, and the
-feature-table output schema.
+Two tiers, matching functions/multimodal.py:
+- multimodal_wav_rms / multimodal_ppm_features run REAL codecs (pure
+  numpy RIFF/PCM-16 WAV and binary-PPM parsers) over real-format bytes
+  built from a deterministic per-doc sample/pixel formula, so the
+  decoded values have an exact DuckDB oracle that evaluates the same
+  formula arithmetically — full value-bearing correctness rows.
+- The FAKE*-prefixed queries keep exercising the plumbing for formats
+  that genuinely need codec libraries (JPEG/MP3/MP4); those remain
+  rows-only by contract. Spark-side everything is real in both tiers:
+  binary column construction, mapInPandas Arrow batching, immediate
+  projection of the wide content column, explode-in-kernel fan-out.
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from radio_data_pipeline_spark.functions.multimodal import (
     audio_frame_stats,
+    encode_ppm,
+    encode_wav_pcm16,
     image_features,
     video_frame_features,
 )
@@ -65,6 +76,164 @@ def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.5).alias("duration_s"),
     )
     return images.unionByName(audio).unionByName(video)
+
+
+# deterministic media-generation parameters shared by the Spark
+# kernels and the SQL oracles (any drift breaks the hash match)
+_WAV_SR = 8000
+_WAV_N = 4000            # 0.5 s
+_WAV_FRAME_MS = 250      # -> 2000-sample frames, 2 per clip
+_PPM_W, _PPM_H = 32, 24
+_PPM_POOL_X, _PPM_POOL_Y = 4, 3   # 8x8 output grid
+
+
+def _wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One REAL PCM-16 WAV clip per document: sample j of doc d is
+    ((d*31 + j*7) % 201 - 100) * 64 — a formula both engines can
+    evaluate, so the decoded output is exactly checkable. The encode
+    happens in an Arrow kernel; the container bytes then flow through
+    the same binary-column path any external WAV corpus would."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ])
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        j = np.arange(_WAV_N, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                samples = ((int(d) * 31 + j * 7) % 201 - 100) * 64
+                rows.append({
+                    "media_id": int(d), "kind": "audio",
+                    "content": encode_wav_pcm16(samples, _WAV_SR),
+                    "mime": "audio/wav", "width": None, "height": None,
+                    "sample_rate": _WAV_SR,
+                    "duration_s": _WAV_N / _WAV_SR,
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return docs.mapInPandas(enc, schema=schema)
+
+
+@register(
+    "multimodal_wav_rms",
+    oracle=f"""
+    SELECT d.doc_id AS media_id,
+           CAST(r.j // {_WAV_SR * _WAV_FRAME_MS // 1000} AS INT)
+             AS frame_idx,
+           round(sqrt(avg(pow(
+             CAST((d.doc_id * 31 + r.j * 7) % 201 - 100 AS DOUBLE)
+             * 64 / 32768.0, 2))), 6) AS rms
+    FROM documents d, range({_WAV_N}) r(j)
+    GROUP BY d.doc_id, r.j // {_WAV_SR * _WAV_FRAME_MS // 1000}
+    ORDER BY media_id, frame_idx
+    """,
+    doc="REAL RIFF/PCM-16 WAV decode -> 250 ms frame RMS, with a full "
+        "value-bearing oracle: clips are genuine WAV containers built "
+        "from a deterministic sample formula, parsed back by the pure-"
+        "numpy chunk-walking decoder (functions/multimodal.py "
+        "decode_wav, tested against the stdlib wave writer), so DuckDB "
+        "can verify every decoded frame value arithmetically.",
+    tags=("multimodal", "mapInPandas", "wav"),
+)
+def multimodal_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = audio_frame_stats(_wav_media(spark, sf_dir),
+                               frame_ms=_WAV_FRAME_MS)
+    return (frames.select("media_id", "frame_idx",
+                          F.round("rms", 6).alias("rms"))
+            .orderBy("media_id", "frame_idx"))
+
+
+def _ppm_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One REAL binary-PPM (P6) image per document: channel c of pixel
+    (y, x) of doc d is (d*7 + y*13 + x*5 + c*3) % 256."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ])
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        y = np.arange(_PPM_H).reshape(-1, 1, 1)
+        x = np.arange(_PPM_W).reshape(1, -1, 1)
+        c = np.arange(3).reshape(1, 1, -1)
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                img = ((int(d) * 7 + y * 13 + x * 5 + c * 3) % 256
+                       ).astype(np.uint8)
+                rows.append({
+                    "media_id": int(d), "kind": "image",
+                    "content": encode_ppm(img), "mime": "image/x-portable-pixmap",
+                    "width": _PPM_W, "height": _PPM_H,
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return docs.mapInPandas(enc, schema=schema)
+
+
+@register(
+    "multimodal_ppm_features",
+    oracle=f"""
+    SELECT d.doc_id AS media_id,
+           CAST((y.i // {_PPM_POOL_Y}) * 8 + (x.j // {_PPM_POOL_X}) AS INT)
+             AS cell,
+           round(avg((
+             CAST((d.doc_id * 7 + y.i * 13 + x.j * 5) % 256 AS DOUBLE)
+             + CAST((d.doc_id * 7 + y.i * 13 + x.j * 5 + 3) % 256 AS DOUBLE)
+             + CAST((d.doc_id * 7 + y.i * 13 + x.j * 5 + 6) % 256 AS DOUBLE)
+           ) / 3.0 / 255.0), 6) AS value
+    FROM documents d, range({_PPM_H}) y(i), range({_PPM_W}) x(j)
+    GROUP BY d.doc_id, (y.i // {_PPM_POOL_Y}) * 8 + (x.j // {_PPM_POOL_X})
+    ORDER BY media_id, cell
+    """,
+    doc="REAL binary-PPM decode -> grayscale 8x8 mean-pool features "
+        "with a full value-bearing oracle: genuine P6 containers built "
+        "from a deterministic pixel formula, parsed by the pure-numpy "
+        "header+raster parser (functions/multimodal.py decode_ppm), "
+        "every pooled cell checked arithmetically by DuckDB.",
+    tags=("multimodal", "mapInPandas", "ppm"),
+)
+def multimodal_ppm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.functions.multimodal import decode_ppm
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                rgb = decode_ppm(bytes(row["content"]))
+                gray = rgb.astype(np.float64).mean(axis=2) / 255.0
+                pooled = gray.reshape(8, _PPM_POOL_Y, 8, _PPM_POOL_X) \
+                             .mean(axis=(1, 3))
+                for cell, v in enumerate(pooled.ravel()):
+                    rows.append({"media_id": row["media_id"],
+                                 "cell": cell, "value": round(float(v), 6)})
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "cell", "value"])
+
+    return (_ppm_media(spark, sf_dir)
+            .mapInPandas(run, schema=out_schema)
+            .orderBy("media_id", "cell"))
 
 
 @register(

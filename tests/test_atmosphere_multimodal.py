@@ -133,6 +133,98 @@ class TestAtmosphere:
         assert all(lo < hi for lo, hi in zip(t_lo, t_hi))
 
 
+class TestRealCodecs:
+    def test_wav_roundtrip_vs_stdlib(self):
+        # independent implementation check: encode with the stdlib
+        # `wave` module, decode with our chunk-walking parser
+        import io
+        import wave as wave_mod
+
+        import numpy as np
+
+        from radio_data_pipeline_spark.functions.multimodal import (
+            decode_wav,
+            encode_wav_pcm16,
+        )
+        rng = np.random.default_rng(42)
+        samples = rng.integers(-32768, 32767, size=1234, dtype=np.int16)
+
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(samples.tobytes())
+        sr, decoded = decode_wav(buf.getvalue())
+        assert sr == 8000
+        assert np.array_equal(decoded, samples)
+
+        # and the reverse: our encoder read back by the stdlib reader
+        with wave_mod.open(io.BytesIO(encode_wav_pcm16(samples, 44100)),
+                           "rb") as r:
+            assert r.getframerate() == 44100
+            assert r.getnchannels() == 1
+            assert r.getsampwidth() == 2
+            back = np.frombuffer(r.readframes(r.getnframes()), dtype="<i2")
+        assert np.array_equal(back, samples)
+
+    def test_wav_rejects_unsupported(self):
+        import struct
+
+        import numpy as np
+        import pytest as _pytest
+
+        from radio_data_pipeline_spark.functions.multimodal import (
+            decode_wav,
+            encode_wav_pcm16,
+        )
+        with _pytest.raises(ValueError):
+            decode_wav(b"RIFFxxxxJUNK")
+        with _pytest.raises(ValueError):
+            decode_wav(b"not audio at all")
+        # stereo header must raise NotImplementedError, not mis-decode
+        good = bytearray(encode_wav_pcm16(np.zeros(4, dtype=np.int16), 8000))
+        fmt_off = good.index(b"fmt ") + 8
+        good[fmt_off + 2:fmt_off + 4] = struct.pack("<H", 2)  # channels=2
+        with _pytest.raises(NotImplementedError):
+            decode_wav(bytes(good))
+
+    def test_ppm_roundtrip_and_comments(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from radio_data_pipeline_spark.functions.multimodal import (
+            decode_ppm,
+            encode_ppm,
+        )
+        img = (np.arange(5 * 4 * 3) * 7 % 256).astype(np.uint8) \
+            .reshape(4, 5, 3)
+        assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+        # header comments and arbitrary whitespace are part of the spec
+        raw = b"P6 # a comment\n# another\n  5\t4\n255\n" + img.tobytes()
+        assert np.array_equal(decode_ppm(raw), img)
+        with _pytest.raises(ValueError):
+            decode_ppm(b"P5\n1 1\n255\n\x00")  # P5 = grayscale pgm
+        with _pytest.raises(ValueError):
+            decode_ppm(encode_ppm(img)[:-4])  # truncated raster
+        with _pytest.raises(NotImplementedError):
+            decode_ppm(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+
+    def test_wav_query_matches_oracle(self, spark, sf_dir):
+        import sys
+
+        sys.path.insert(0, "tests")
+        from oracle_harness import compare, duck_connection
+
+        from radio_data_pipeline_spark.plans.registry import all_specs
+        specs = all_specs()
+        con = duck_connection(sf_dir)
+        for name in ("multimodal_wav_rms", "multimodal_ppm_features"):
+            r = compare(specs[name].fn(spark, sf_dir), con,
+                        specs[name].oracle)
+            assert r["values_match"], (name, r)
+
+
 class TestMultimodal:
     def test_image_features(self, spark):
         from radio_data_pipeline_spark.functions.multimodal import (
