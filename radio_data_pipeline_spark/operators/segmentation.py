@@ -174,6 +174,150 @@ def find_calibrations(df: DataFrame, channel_count: int | None = None,
             .applyInPandas(run, schema=_RESULT_SCHEMA))
 
 
+def _with_channel_count(df: DataFrame, channel_count: int | None) -> DataFrame:
+    """Attach the reference's channel_count (product of distinct IFNUM
+    and PLNUM counts per obs, continuum.py:26-28) as `_cc`."""
+    if channel_count is None:
+        counts = (df.groupBy("obs_id")
+                  .agg((F.countDistinct("IFNUM") *
+                        F.countDistinct("PLNUM")).alias("_cc")))
+        return df.join(counts, "obs_id")
+    return df.withColumn("_cc", F.lit(channel_count))
+
+
+def find_calibrations_compiled(df: DataFrame,
+                               channel_count: int | None = None,
+                               header_obsmode: str = "track",
+                               order_col: str = "row_idx") -> DataFrame:
+    """O13/O14 compiled to pure window functions — NO Python stage.
+
+    The general state machine is not window-compilable: the
+    false-start discard (utils.py:166-173) resets ``data_start`` and
+    restarts the search, so the accepted segment depends on a
+    data-dependent number of restarts — an iterated fold, not a fixed
+    window composition. But on streams where the discard can never
+    fire (the overwhelmingly common clean-observation case), every
+    state collapses to a window expression:
+
+    - cal_started  = running max of CALSTATE;
+    - data_start   = min pos with cal_started & CALSTATE=0 & SWPVALID=1;
+    - break pos    = min pos >= data_start with SWPVALID=0 & CALSTATE=1;
+    - post_cal     = start of the SWPVALID=0 run containing the break
+      (or the trailing run when no break), if that run has >= 2 rows
+      by then — gaps-and-islands via a running max over non-zero rows;
+    - off_start    = min pos whose OBSMODE contains 'onoff:off'.
+
+    Output adds `_eligible`: false when the stream has no pre-cal
+    spike (the reference's rescan fallback path) or when any
+    SWPVALID=0 row at pos in [data_start, break] sees a science-row
+    count <= 3*channel_count — exactly the rows where the Python
+    machine's discard counter (and hence a restart) can fire. Callers
+    route ineligible streams to `find_calibrations` (the oracle);
+    `find_calibrations_hybrid` does precisely that.
+
+    Scale: one shuffle keyed by the observation stream; every window
+    below shares that partitioning, so the whole operator adds zero
+    exchanges over the applyInPandas form while staying entirely
+    JVM-side (plan pinned by tests/test_plans_explain.py).
+    """
+    from pyspark.sql import Window
+
+    w_ord = Window.partitionBy(*GROUP_COLS).orderBy(order_col)
+    w_all = Window.partitionBy(*GROUP_COLS)
+
+    df = _with_channel_count(df, channel_count)
+    cal = F.col("CALSTATE")
+    swp = F.col("SWPVALID")
+
+    staged = (
+        df.withColumn("_pos", F.row_number().over(w_ord) - 1)
+        .withColumn("_cal_started", F.max(cal).over(w_ord))
+        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+        # start of the current SWPVALID=0 run (zero rows only)
+        .withColumn("_last_valid",
+                    F.max(F.when(swp != 0, F.col("_pos"))).over(w_ord))
+        .withColumn("_run_start",
+                    F.when(swp == 0,
+                           F.coalesce(F.col("_last_valid") + 1, F.lit(0))))
+    )
+    staged = staged.withColumn(
+        "_ds",
+        F.min(F.when((F.col("_cal_started") == 1) & (cal == 0) & (swp == 1),
+                     F.col("_pos"))).over(w_all))
+    staged = staged.withColumn(
+        "_brk",
+        F.min(F.when((F.col("_pos") >= F.col("_ds")) & (swp == 0)
+                     & (cal == 1), F.col("_pos"))).over(w_all))
+    staged = (
+        staged
+        .withColumn(
+            "_sci_cnt",
+            F.sum(F.when((F.col("_pos") >= F.col("_ds")) & (cal == 0)
+                         & (swp == 1), 1).otherwise(0)).over(w_ord))
+        .withColumn("_end", F.coalesce(F.col("_brk"), F.col("_n") - 1))
+    )
+    staged = (
+        staged
+        .withColumn(
+            "_discard_here",
+            ((F.col("_pos") >= F.col("_ds"))
+             & (F.col("_pos") <= F.col("_end")) & (swp == 0)
+             & (F.col("_sci_cnt") <= 3 * F.col("_cc"))).cast("int"))
+        .withColumn(
+            "_pc_raw",
+            F.max(F.when((F.col("_pos") == F.col("_end")) & (swp == 0)
+                         & (F.col("_pos") > F.col("_run_start")),
+                         F.col("_run_start"))).over(w_all))
+    )
+    off = (F.min(F.when(F.col("OBSMODE").contains("onoff:off"),
+                        F.col("_pos"))).over(w_all)
+           if header_obsmode == "onoff" else F.lit(None).cast("int"))
+    staged = staged.withColumn("_off", off)
+
+    return (
+        staged.groupBy(*GROUP_COLS)
+        .agg(
+            F.first("_ds").cast("int").alias("data_start_idx"),
+            F.coalesce(F.first("_pc_raw"), F.first("_n") - 1)
+             .cast("int").alias("post_cal_start_idx"),
+            F.first("_off").cast("int").alias("off_start_idx"),
+            ((F.first("_ds").isNotNull())
+             & (F.max("_discard_here") == 0)).alias("_eligible"),
+        )
+    )
+
+
+def find_calibrations_hybrid(df: DataFrame,
+                             channel_count: int | None = None,
+                             header_obsmode: str = "track",
+                             order_col: str = "row_idx") -> DataFrame:
+    """O13 at scale: window-compiled fast path for every stream where
+    the discard counter cannot fire, per-stream fallback to the
+    applyInPandas state machine for the rest (no-spike rescans and
+    false-start patterns). Equivalence to the pure Python machine is
+    pinned by tests/test_segmentation.py across both regimes.
+
+    The fallback join is keyed on the stream id the segmentation
+    shuffle already established, and the Python stage sees ONLY the
+    ineligible streams — on a clean 100 TB corpus that is ~zero rows.
+    """
+    # no cache: the two consumers below are identical subtrees, so the
+    # window-stage shuffle is shared via ReusedExchange, and caching
+    # here would pin blocks for the life of the session
+    compiled = find_calibrations_compiled(
+        df, channel_count, header_obsmode, order_col)
+    fast = (compiled.filter(F.col("_eligible"))
+            .select("obs_id", "IFNUM", "PLNUM", "data_start_idx",
+                    "post_cal_start_idx", "off_start_idx"))
+    slow_keys = compiled.filter(~F.col("_eligible")) \
+        .select(*GROUP_COLS)
+    slow = find_calibrations(
+        df.join(slow_keys, GROUP_COLS, "left_semi"),
+        channel_count=channel_count, header_obsmode=header_obsmode,
+        order_col=order_col)
+    return fast.unionByName(slow)
+
+
 def label_segments(df: DataFrame, indices: DataFrame,
                    order_col: str = "row_idx") -> DataFrame:
     """O15 (continuum.py:161-171): label each row pre_cal / science /

@@ -33,6 +33,7 @@ from radio_data_pipeline_spark.operators.integrate import (
 )
 from radio_data_pipeline_spark.operators.segmentation import (
     find_calibrations,
+    find_calibrations_hybrid,
     label_segments,
 )
 
@@ -159,8 +160,11 @@ def continuum_pipeline_distributed(df: DataFrame,
         calibration_heights_df,
     )
 
-    indices = find_calibrations(df, channel_count=channel_count,
-                                header_obsmode=header_obsmode)
+    # hybrid segmentation: window-compiled (pure JVM) for every stream
+    # where the discard counter cannot fire, applyInPandas only for
+    # the rest — on a clean corpus the Python stage sees ~zero rows
+    indices = find_calibrations_hybrid(df, channel_count=channel_count,
+                                       header_obsmode=header_obsmode)
     # labeled feeds three consumers (cal fits, science, time bounds):
     # localCheckpoint materializes the segmentation subtree (shuffle +
     # Python state machine) once and truncates lineage; unlike
@@ -207,8 +211,8 @@ def spectrum_pipeline_distributed(df: DataFrame,
             .groupBy("obs_id", "IFNUM", "PLNUM", "pos")
             .agg(F.sum("val").alias("intensity"))
         )
-    indices = find_calibrations(df, channel_count=channel_count,
-                                header_obsmode=header_obsmode)
+    indices = find_calibrations_hybrid(df, channel_count=channel_count,
+                                       header_obsmode=header_obsmode)
     labeled = label_segments(df, indices)
     filtered = labeled.filter((F.col("CALSTATE") == 0)
                               & (F.col("SWPVALID") == 0))

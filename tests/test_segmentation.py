@@ -8,14 +8,29 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+import pandas as pd
+
 from radio_data_pipeline_spark.operators.segmentation import (
     find_calibration_indices,
     find_calibrations,
+    find_calibrations_compiled,
+    find_calibrations_hybrid,
 )
 from radio_data_pipeline_spark.sources.synthetic import (
     ObsSpec,
     make_observation,
 )
+
+
+def _stream_df(spark, cal, swp, modes=None, obs_id=1):
+    n = len(cal)
+    pdf = pd.DataFrame({
+        "obs_id": [obs_id] * n, "IFNUM": [0] * n, "PLNUM": [0] * n,
+        "row_idx": list(range(n)), "CALSTATE": list(cal),
+        "SWPVALID": list(swp),
+        "OBSMODE": modes if modes is not None else [""] * n,
+    })
+    return spark.createDataFrame(pdf)
 
 
 def _run(cal, swp, modes=None, header="track", cc=1):
@@ -96,6 +111,116 @@ class TestKernel:
         ds, pc, off = _run(cal, swp)
         assert ds == 4
         assert pc == 10
+
+
+class TestCompiled:
+    """Window-compiled O13: exact agreement with the Python machine on
+    every eligible stream, honest ineligibility on the rest."""
+
+    def _compiled_row(self, spark, cal, swp, modes=None, header="track",
+                      cc=1):
+        df = _stream_df(spark, cal, swp, modes)
+        rows = find_calibrations_compiled(
+            df, channel_count=cc, header_obsmode=header).collect()
+        assert len(rows) == 1
+        return rows[0]
+
+    def test_standard_pattern_matches_kernel(self, spark):
+        cal = [1, 1, 1, 1] + [0, 0, 0, 0] + [0] * 8 + [0, 0] + [1, 1]
+        swp = [0, 0, 0, 0] + [0, 0, 0, 0] + [1] * 8 + [0, 0] + [0, 0]
+        r = self._compiled_row(spark, cal, swp)
+        assert r._eligible
+        assert (r.data_start_idx, r.post_cal_start_idx) == (8, 16)
+
+    def test_blip_pattern_matches_kernel(self, spark):
+        cal = [1, 1] + [0, 0] + [0] * 4 + [0] + [0] * 3 + [0, 0] + [1]
+        swp = [0, 0] + [0, 0] + [1] * 4 + [0] + [1] * 3 + [0, 0] + [0]
+        r = self._compiled_row(spark, cal, swp)
+        assert r._eligible
+        assert (r.data_start_idx, r.post_cal_start_idx) == (4, 12)
+
+    def test_no_post_cal_defaults_to_last(self, spark):
+        cal = [1, 1] + [0, 0] + [0] * 6
+        swp = [0, 0] + [0, 0] + [1] * 6
+        r = self._compiled_row(spark, cal, swp)
+        assert r._eligible
+        assert (r.data_start_idx, r.post_cal_start_idx) == (4, len(cal) - 1)
+
+    def test_break_at_next_cal_spike(self, spark):
+        cal = [1, 1] + [0, 0] + [0] * 6 + [0, 0] + [1, 1] + [0] * 5
+        swp = [0, 0] + [0, 0] + [1] * 6 + [0, 0] + [0, 0] + [1] * 5
+        r = self._compiled_row(spark, cal, swp)
+        assert r._eligible
+        assert (r.data_start_idx, r.post_cal_start_idx) == (4, 10)
+
+    def test_onoff_transition(self, spark):
+        cal = [1] + [0] + [0] * 6
+        swp = [0] + [0] + [1] * 6
+        modes = ["onoff:on"] * 5 + ["onoff:off"] * 3
+        r = self._compiled_row(spark, cal, swp, modes, header="onoff")
+        assert r.off_start_idx == 5
+
+    def test_false_start_is_ineligible(self, spark):
+        # the discard counter CAN fire here -> the compiled path must
+        # declare itself ineligible, not guess
+        cal = [1, 1] + [0, 0] + [0, 0] + [0] + [0] * 8 + [0, 0] + [1]
+        swp = [0, 0] + [0, 0] + [1, 1] + [0] + [1] * 8 + [0, 0] + [0]
+        r = self._compiled_row(spark, cal, swp, cc=1)
+        assert not r._eligible
+
+    def test_no_spike_fallback_is_ineligible(self, spark):
+        cal = [0] * 10 + [0, 0]
+        swp = [1] * 10 + [0, 0]
+        r = self._compiled_row(spark, cal, swp)
+        assert not r._eligible
+
+    def test_compiled_plan_has_no_python_stage(self, spark):
+        df = _stream_df(spark, [1, 0, 0, 0], [0, 0, 1, 1])
+        out = find_calibrations_compiled(df, channel_count=1)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        for marker in ("FlatMapGroupsInPandas", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandasWithState"):
+            assert marker not in plan, f"python stage in compiled plan: {marker}"
+        # single stream-keyed shuffle shared by every window + the agg
+        opt = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "Window" in opt
+
+    def test_hybrid_equals_python_machine_randomized(self, spark):
+        # randomized battery across both regimes (clean, false-start,
+        # no-spike, onoff) — hybrid must equal the Python machine
+        # exactly on every stream
+        rng = np.random.default_rng(7)
+        frames = []
+        expected = {}
+        for obs in range(24):
+            segs = []
+            # random segment soup biased to produce all regimes
+            if rng.random() < 0.8:
+                segs += [(1, 0)] * int(rng.integers(1, 4))   # pre-cal on
+                segs += [(0, 0)] * int(rng.integers(1, 3))   # pre-cal off
+            for _ in range(int(rng.integers(1, 4))):
+                segs += [(0, 1)] * int(rng.integers(1, 8))   # science
+                if rng.random() < 0.6:
+                    segs += [(0, 0)] * int(rng.integers(1, 3))  # drop
+            if rng.random() < 0.6:
+                segs += [(1, 0)] * int(rng.integers(1, 3))   # post spike
+            cal = [c for c, _ in segs]
+            swp = [s for _, s in segs]
+            modes = [""] * len(cal)
+            ds, pc, off = find_calibration_indices(
+                np.array(cal), np.array(swp), modes, "track", 1)
+            expected[obs] = (ds, pc, off)
+            frames.append(pd.DataFrame({
+                "obs_id": obs, "IFNUM": 0, "PLNUM": 0,
+                "row_idx": range(len(cal)), "CALSTATE": cal,
+                "SWPVALID": swp, "OBSMODE": modes,
+            }))
+        df = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+        got = {r.obs_id: (r.data_start_idx, r.post_cal_start_idx,
+                          r.off_start_idx)
+               for r in find_calibrations_hybrid(
+                   df, channel_count=1).collect()}
+        assert got == expected
 
 
 class TestSparkWrapper:
