@@ -98,48 +98,93 @@ def _decode_file(path: str, obs_id: int) -> Iterator[tuple]:
         yield (path, obs_id, i, *vals)
 
 
+def _path_obs_id(path: str) -> int:
+    """Deterministic 63-bit observation id from the file path.
+
+    Stable across micro-batches, checkpoint replay, and restarts with
+    NO shared history — the property that lets the offset stay
+    bounded. Same strategy as read_sdfits's default xxhash64(path)
+    (different hash function only because that one is a JVM
+    expression); ids are opaque stream keys, not cross-API values."""
+    import hashlib
+
+    digest = hashlib.md5(path.encode("utf-8")).digest()
+    return int.from_bytes(digest[:8], "big") & 0x7FFFFFFFFFFFFFFF
+
+
 class SdfitsStreamReader(SimpleDataSourceStreamReader):
     """Streaming SDFITS ingest: each micro-batch picks up observation
-    files that appeared under the glob since the last offset. The
-    offset carries the arrival-ordered list of consumed paths, so
-    obs_id (a file's position in that list) is identical on first
-    read and on checkpoint replay — downstream stateful operators key
-    consistently across batches and restarts. The offset therefore
-    grows with the corpus; a production source would compact it to a
-    high-watermark + log segment, which this demo-grade reader keeps
-    simple. Paths are driver/executor-visible filesystem globs; for
-    object stores use read_sdfits (binaryFile) instead."""
+    files that appeared under the glob since the last offset.
+
+    Offset = modification-time watermark + frontier set, NOT the full
+    consumed-path history, so its size is bounded by the files inside
+    one grace window regardless of corpus size (pinned by
+    tests/test_fits.py):
+
+    - ``wm_floor``: every file with mtime strictly below this is
+      consumed;
+    - ``recent``: the consumed files with mtime >= wm_floor (the
+      frontier — new files can still land inside the grace window with
+      interleaving mtimes, e.g. clock skew between writers).
+
+    consumed(offset) = {mtime < wm_floor} ∪ recent, so
+    ``readBetweenOffsets`` replays exactly consumed(end) −
+    consumed(start) from the listing — deterministic because obs_id is
+    a pure path hash and files are immutable once they appear (the
+    append-only contract every file stream source assumes).
+
+    Paths are driver/executor-visible filesystem globs; for object
+    stores use read_sdfits (binaryFile) instead."""
+
+    #: files whose mtime is within this many seconds of the newest
+    #: mtime stay in the frontier set — tolerance for writers whose
+    #: clocks lag the newest file
+    GRACE_S = 5.0
 
     def __init__(self, options: dict):
         self._glob = options.get("path")
         if not self._glob:
             raise ValueError("sdfits stream requires a path")
+        self._grace = float(options.get("watermark_grace_s", self.GRACE_S))
 
-    def _list(self) -> list[str]:
-        return sorted(_glob.glob(self._glob))
+    def _list(self) -> list[tuple[str, float]]:
+        import os
+
+        out = []
+        for p in sorted(_glob.glob(self._glob)):
+            try:
+                out.append((p, os.stat(p).st_mtime))
+            except OSError:
+                continue  # listed-then-vanished race
+        return out
+
+    @staticmethod
+    def _consumed(offset: dict, path: str, mtime: float) -> bool:
+        return mtime < offset["wm_floor"] or path in set(offset["recent"])
 
     def initialOffset(self) -> dict:
-        return {"seen": []}
+        return {"wm_floor": -1.0, "recent": []}
 
     def read(self, start: dict):
-        seen = set(start["seen"])
-        new = [p for p in self._list() if p not in seen]
+        files = self._list()
+        new = [p for p, mt in files if not self._consumed(start, p, mt)]
         rows: list = []
-        # obs_id = arrival index == position in the offset list; the
-        # SAME list ordering is used by readBetweenOffsets on replay
-        ordered = start["seen"] + new
-        index = {p: i for i, p in enumerate(ordered)}
         for p in new:
-            rows.extend(_decode_file(p, index[p]))
-        return iter(rows), {"seen": ordered}
+            rows.extend(_decode_file(p, _path_obs_id(p)))
+        if not files:
+            return iter(rows), dict(start)
+        wm = max(mt for _, mt in files)
+        floor = wm - self._grace
+        end = {"wm_floor": floor,
+               "recent": sorted(p for p, mt in files if mt >= floor)}
+        return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        seen = set(start["seen"])
-        replay = [p for p in end["seen"] if p not in seen]
-        index = {p: i for i, p in enumerate(end["seen"])}
         rows: list = []
-        for p in replay:
-            rows.extend(_decode_file(p, index[p]))
+        for p, mt in self._list():
+            if self._consumed(end, p, mt) and \
+                    not self._consumed(start, p, mt):
+                rows.extend(_decode_file(p, _path_obs_id(p)))
         return iter(rows)
 
 

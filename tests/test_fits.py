@@ -273,6 +273,96 @@ def test_sdfits_streaming_source(spark, tmp_path):
     assert len({r["path"] for r in collected}) == 3
 
 
+def test_sdfits_stream_offset_stays_flat(tmp_path):
+    # the offset must be a watermark + frontier, not consumed history:
+    # its serialized size must NOT grow as the corpus grows 3x
+    import json
+    import os
+
+    from radio_data_pipeline_spark.sources.fits_datasource import (
+        SdfitsStreamReader,
+        _path_obs_id,
+    )
+
+    src = tmp_path / "flat"
+    src.mkdir()
+    reader = SdfitsStreamReader({"path": str(src / "*.fits"),
+                                 "watermark_grace_s": "5"})
+    buf = write_sdfits(_obs_pdf(n_science=3), HEADER, HISTORY)
+
+    def add(i: int, mtime: float) -> str:
+        p = src / f"f{i:04d}.fits"
+        p.write_bytes(buf)
+        os.utime(p, (mtime, mtime))
+        return str(p)
+
+    offset = reader.initialOffset()
+    sizes = []
+    seen_paths: set = set()
+    t0 = 1_000_000.0
+    for batch in range(3):
+        # each batch adds 20 files well past the previous grace window
+        for i in range(20):
+            add(batch * 20 + i, t0 + batch * 100.0 + i)
+        rows, offset = reader.read(offset)
+        rows = list(rows)
+        paths = {r[0] for r in rows}
+        assert len(paths) == 20, "each file consumed exactly once"
+        assert not (paths & seen_paths), "no re-reads"
+        seen_paths |= paths
+        sizes.append(len(json.dumps(offset)))
+    # 20 -> 40 -> 60 files: offset size flat (frontier = grace window)
+    assert max(sizes) == min(sizes), sizes
+
+    # late file INSIDE the grace window of the current watermark is
+    # still picked up (the frontier's reason to exist)
+    late = add(999, t0 + 2 * 100.0 + 19 - 1.0)
+    rows, offset = reader.read(offset)
+    assert {r[0] for r in rows} == {late}
+
+    # empty re-read: no rows, offset unchanged
+    rows, offset2 = reader.read(offset)
+    assert list(rows) == [] and offset2 == offset
+
+    # obs_id is a pure path function: stable with no history
+    assert all(r[1] == _path_obs_id(r[0]) for r in
+               reader.readBetweenOffsets(reader.initialOffset(), offset))
+
+
+def test_sdfits_stream_replay_between_offsets(tmp_path):
+    # readBetweenOffsets must reproduce exactly the slice between two
+    # checkpoints from the watermark algebra alone
+    import os
+
+    from radio_data_pipeline_spark.sources.fits_datasource import (
+        SdfitsStreamReader,
+    )
+
+    src = tmp_path / "replay"
+    src.mkdir()
+    reader = SdfitsStreamReader({"path": str(src / "*.fits"),
+                                 "watermark_grace_s": "2"})
+    buf = write_sdfits(_obs_pdf(n_science=2), HEADER, HISTORY)
+
+    def add(name: str, mtime: float) -> str:
+        p = src / name
+        p.write_bytes(buf)
+        os.utime(p, (mtime, mtime))
+        return str(p)
+
+    o0 = reader.initialOffset()
+    add("a.fits", 100.0)
+    add("b.fits", 101.0)
+    _, o1 = reader.read(o0)
+    c = add("c.fits", 200.0)
+    d = add("d.fits", 200.5)
+    _, o2 = reader.read(o1)
+    replayed = {r[0] for r in reader.readBetweenOffsets(o1, o2)}
+    assert replayed == {c, d}
+    assert {r[0] for r in reader.readBetweenOffsets(o0, o1)} == \
+        {str(src / "a.fits"), str(src / "b.fits")}
+
+
 def test_permissive_mode_quarantines_corrupt_files(spark, tmp_path):
     good = write_sdfits(_obs_pdf(n_science=8), HEADER, HISTORY)
     (tmp_path / "good.fits").write_bytes(good)
