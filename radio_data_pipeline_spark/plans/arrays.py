@@ -25,13 +25,23 @@ from radio_data_pipeline_spark.functions.similarity import (
     near_dup_pairs_lsh,
 )
 from radio_data_pipeline_spark.plans.registry import register
-from radio_data_pipeline_spark.sources.parquet import load_table_fanned
+from radio_data_pipeline_spark.sources.parquet import (
+    load_table,
+    load_table_fanned,
+)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fan_out: array folds / dot products per row cost far more CPU
-    # than the vector bytes; keep all cores busy on small single-file
-    # scans (no-op at real scale — see parquet.py)
+    # plain scan: single-pass array folds cost less than the shuffle a
+    # fan-out would add — used by the vector_* integration queries
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _emb_fanned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fan_out: similarity search does many dot products per row
+    # (query/centroid/self-join sides), far above the vector bytes;
+    # keep all cores busy on small single-file scans (no-op at real
+    # scale — see parquet.py)
     return load_table_fanned(spark, sf_dir, "embeddings")
 
 
@@ -202,7 +212,7 @@ def vector_onoff_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "topk"),
 )
 def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+    emb = _emb_fanned(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return cosine_topk(emb, [float(v) for v in qvec], k=10)
 
@@ -245,7 +255,7 @@ def _lsh_oracle(n_planes: int = 6, seed: int = 7, dim: int = 64) -> str:
     tags=("similarity", "topk", "lsh"),
 )
 def lsh_bucket_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+    emb = _emb_fanned(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return lsh_bucket_topk(emb, [float(v) for v in qvec], k=10,
                            n_planes=6, seed=7)
@@ -287,7 +297,7 @@ def _near_dup_oracle(threshold: float = 0.4, n_planes: int = 4,
     tags=("similarity", "dedup", "lsh", "join"),
 )
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (near_dup_pairs_lsh(_emb(spark, sf_dir), threshold=0.4,
+    return (near_dup_pairs_lsh(_emb_fanned(spark, sf_dir), threshold=0.4,
                                n_planes=4, seed=7)
             .orderBy("id_a", "id_b"))
 
@@ -339,7 +349,7 @@ def _ivf_oracle(k: int = 10, n_centroids: int = 8, nprobe: int = 2,
     tags=("similarity", "topk", "ivf"),
 )
 def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+    emb = _emb_fanned(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return ivf_topk(emb, [float(v) for v in qvec], k=10, n_centroids=8,
                     nprobe=2, seed=11)
@@ -363,7 +373,7 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "join"),
 )
 def embedding_pair_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = (_emb(spark, sf_dir).filter(F.col("vec_id") < 40)
+    d = (_emb_fanned(spark, sf_dir).filter(F.col("vec_id") < 40)
          .select("vec_id", "label", "embedding"))
     a, b = d.alias("a"), d.alias("b")
     return (
