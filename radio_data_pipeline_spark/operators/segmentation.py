@@ -300,17 +300,26 @@ def find_calibrations_hybrid(df: DataFrame,
     The fallback join is keyed on the stream id the segmentation
     shuffle already established, and the Python stage sees ONLY the
     ineligible streams — on a clean 100 TB corpus that is ~zero rows.
+
+    Adaptive short-circuit: the compiled result (ONE row per stream) is
+    localCheckpoint'ed and the ineligible-stream count read from it —
+    one bounded driver action, same accepted pattern as
+    connected_components' convergence check. When every stream is
+    eligible (the common case) the Python branch is dropped from the
+    plan entirely instead of scheduling an empty applyInPandas stage +
+    a second scan. The checkpoint blocks are released by the
+    ContextCleaner when the result is garbage-collected.
     """
-    # no cache: the two consumers below are identical subtrees, so the
-    # window-stage shuffle is shared via ReusedExchange, and caching
-    # here would pin blocks for the life of the session
     compiled = find_calibrations_compiled(
-        df, channel_count, header_obsmode, order_col)
+        df, channel_count, header_obsmode, order_col) \
+        .localCheckpoint(eager=True)
     fast = (compiled.filter(F.col("_eligible"))
             .select("obs_id", "IFNUM", "PLNUM", "data_start_idx",
                     "post_cal_start_idx", "off_start_idx"))
     slow_keys = compiled.filter(~F.col("_eligible")) \
         .select(*GROUP_COLS)
+    if slow_keys.limit(1).count() == 0:
+        return fast
     slow = find_calibrations(
         df.join(slow_keys, GROUP_COLS, "left_semi"),
         channel_count=channel_count, header_obsmode=header_obsmode,
