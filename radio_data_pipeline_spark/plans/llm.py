@@ -489,6 +489,91 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0),
+                   6) AS score,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0))
+                                 + 1.0) DESC, tf.term) AS rk
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, score
+    FROM scored WHERE rk <= 3
+    ORDER BY doc_id, term
+    """,
+    doc="TF-IDF top-3 terms per document (smoothed idf = "
+        "ln((N+1)/(df+1))+1): term frequencies and document "
+        "frequencies are two aggregations over the exploded token "
+        "stream sharing the word-keyed shuffle; the corpus size joins "
+        "in as a broadcast scalar; per-doc top-k is a window rank with "
+        "a deterministic term tie-break. The keyword-extraction / "
+        "corpus-weighting primitive of a text pipeline.",
+    tags=("text", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id",
+        F.explode(word_tokens(F.lower(F.col("text")))).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = words.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = (F.col("tf")
+             * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0))
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("term"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", F.round(score, 6).alias("score"))
+        .orderBy("doc_id", "term")
+    )
+
+
+@register(
+    "docs_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE WHEN lang = 'en' THEN '20' ELSE '80' END
+    ORDER BY doc_id
+    """,
+    doc="Deterministic STRATIFIED sampling: per-language rates "
+        "(down-sample the majority language to ~12.5%, keep ~50% of "
+        "the rest) via an md5-prefix threshold on (lang, doc_id) — "
+        "engine-portable, repartition-stable, pushed to the scan as a "
+        "plain filter; the data-mixture rebalancing primitive of LLM "
+        "corpus construction.",
+    tags=("text", "sampling"),
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    key = F.md5(F.concat(F.col("lang"), F.lit("|"),
+                         F.col("doc_id").cast("string")))
+    thr = F.when(F.col("lang") == "en", F.lit("20")).otherwise(F.lit("80"))
+    return (docs.filter(F.substring(key, 1, 2) < thr)
+            .select("doc_id", "lang", "source")
+            .orderBy("doc_id"))
+
+
+@register(
     "documents_hash_sample",
     oracle="""
     SELECT doc_id, n_chars
