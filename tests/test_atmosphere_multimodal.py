@@ -210,6 +210,50 @@ class TestRealCodecs:
         with _pytest.raises(NotImplementedError):
             decode_ppm(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
 
+    def test_wav_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        import numpy as np
+
+        from radio_data_pipeline_spark.functions.multimodal import (
+            decode_wav,
+            encode_wav_pcm16,
+        )
+
+        @settings(max_examples=50, deadline=None)
+        @given(st.lists(st.integers(-32768, 32767), min_size=0,
+                        max_size=500),
+               st.sampled_from([8000, 16000, 44100]))
+        def roundtrip(samples, sr):
+            arr = np.asarray(samples, dtype=np.int16)
+            got_sr, got = decode_wav(encode_wav_pcm16(arr, sr))
+            assert got_sr == sr
+            assert np.array_equal(got, arr)
+
+        roundtrip()
+
+    def test_ppm_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        import numpy as np
+
+        from radio_data_pipeline_spark.functions.multimodal import (
+            decode_ppm,
+            encode_ppm,
+        )
+
+        @settings(max_examples=50, deadline=None)
+        @given(st.integers(1, 12), st.integers(1, 12),
+               st.integers(0, 2**32 - 1))
+        def roundtrip(w, h, seed):
+            rng = np.random.default_rng(seed)
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+        roundtrip()
+
     def test_wav_query_matches_oracle(self, spark, sf_dir):
         import sys
 
