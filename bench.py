@@ -22,7 +22,10 @@ Measurement contract (both engines do the same work, transparently):
   ``plan_build`` and in ``cold_total`` (first-execution total
   including codegen).
 - **Per-query baseline.** Each headline query's DuckDB oracle runs on
-  the same parquet files, best-of-N like Spark, timed per query;
+  the same parquet files, best-of-N like Spark (default N=5: with the
+  first Spark run paying one-time JVM codegen, N=3 left the min over
+  only two warm runs — too noisy under a 32-thread local scheduler;
+  both engines get identical N), timed per query;
   the artifact carries ``duckdb_queries`` and ``vs_duckdb_per_query``,
   not just totals. Oracle failures are printed to stderr and recorded
   in ``oracle_errors`` instead of silently dropping the baseline.
@@ -47,7 +50,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 SHUFFLE = os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "8")
 AQE = os.environ.get("SPARK_GRAFT_BENCH_AQE", "false")
 
