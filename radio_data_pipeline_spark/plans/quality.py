@@ -1,0 +1,221 @@
+"""Corpus-quality signals for LLM training-data curation (driver
+extension family, alongside plans/llm.py): within-document repetition
+metrics (the Gopher quality-filter family), corpus-level repeated
+n-grams (the C4 "remove spans seen elsewhere" signal), and
+sketch-based distinct counting (HyperLogLog — the 100 TB cardinality
+operator).
+
+Scale design notes:
+- Repetition signals are computed by exploding (doc_id, n, gram) rows
+  and aggregating — never by per-row O(len^2) array scans. The explode
+  output is linear in corpus token count; both aggregations are keyed
+  by doc_id(+gram) so hot keys are bounded by document length, not
+  corpus size.
+- Corpus n-grams shuffle once on the gram; frequency skew (stopword
+  runs) is bounded because the aggregate is a partial-agg count, not a
+  list collect.
+- `approx_count_distinct` (HLL++) is the scale path for cardinality:
+  fixed-size sketch per group, mergeable map-side, no distinct-expand
+  shuffle. The exact `countDistinct` alongside exists ONLY to assert
+  the sketch's error bound in the oracle check; a 100 TB deployment
+  drops it.
+
+Gram construction mirrors functions/dedup.py `minhash_signature_table`
+(reference utils.py tokenization analogue): posexplode + lead windows,
+measured ~an order of magnitude cheaper than per-element array
+slice/join expressions, with the window's doc_id hash-partitioning
+reused by the first aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from radio_data_pipeline_spark.plans.registry import register
+from radio_data_pipeline_spark.sources.parquet import (
+    load_table,
+    load_table_fanned,
+)
+
+_WORDS_CTE = (
+    "SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), "
+    "'\\s+') AS words FROM documents"
+)
+
+
+def _grams_sql(k: int) -> str:
+    """DuckDB k-gram list over `words` (1-based inclusive slices),
+    matching plans/llm.py _SHINGLES_SQL construction."""
+    if k == 1:
+        return "words"
+    return (f"list_transform(range(1, greatest(len(words) - {k - 1}, 0) + 1),"
+            f" i -> array_to_string(words[i:i+{k - 1}], ' '))")
+
+
+def _word_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fan_out: the downstream work is window + hash aggregation over
+    # every token — CPU far above the bytes read; a single-row-group
+    # file must not serialize it (no-op at real scale, see parquet.py)
+    docs = load_table_fanned(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(
+            F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))),
+            r"\s+")).alias("pos", "w"))
+
+
+def _lead_gram(k: int) -> F.Column:
+    """k-word gram at this row via lead() lookahead; NULL (and later
+    filtered) on the trailing rows with < k-1 successors — the same
+    incomplete-gram semantics as the oracle's range() bound."""
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")]
+    for j in range(1, k):
+        parts.extend([F.lit(" "), F.lead("w", j).over(win)])
+    return F.concat(*parts)
+
+
+@register(
+    "repetition_signals",
+    oracle=f"""
+    WITH w AS ({_WORDS_CTE}),
+    g AS (
+      SELECT doc_id, 1 AS n, unnest({_grams_sql(1)}) AS gram FROM w
+      UNION ALL
+      SELECT doc_id, 2 AS n, unnest({_grams_sql(2)}) AS gram FROM w
+      UNION ALL
+      SELECT doc_id, 3 AS n, unnest({_grams_sql(3)}) AS gram FROM w
+    ),
+    g1 AS (SELECT doc_id, n, gram, count(*) AS c
+           FROM g GROUP BY doc_id, n, gram),
+    g2 AS (SELECT doc_id, n, sum(c) AS total, count(*) AS n_distinct,
+                  max(c) AS top,
+                  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+           FROM g1 GROUP BY doc_id, n)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN n = 1 THEN total END) AS BIGINT) AS n_words,
+           round(CAST(sum(CASE WHEN n = 1 THEN n_distinct END) AS DOUBLE)
+                 / sum(CASE WHEN n = 1 THEN total END), 6)
+               AS distinct_word_ratio,
+           round(coalesce(CAST(sum(CASE WHEN n = 2 THEN top END) AS DOUBLE)
+                 / sum(CASE WHEN n = 2 THEN total END), 0), 6)
+               AS top_bigram_frac,
+           round(coalesce(CAST(sum(CASE WHEN n = 3 THEN dup END) AS DOUBLE)
+                 / sum(CASE WHEN n = 3 THEN total END), 0), 6)
+               AS dup_trigram_frac
+    FROM g2 GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Gopher-style within-document repetition signals: distinct-word "
+        "ratio, most-frequent-bigram mass fraction, duplicated-trigram "
+        "mass fraction. Explode-and-aggregate (linear, partial-agg "
+        "combinable) — never per-row quadratic array scans.",
+    tags=("text", "quality", "repetition"),
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = _word_rows(spark, sf_dir)
+    grams = (
+        rows.select(
+            "doc_id",
+            F.col("w").alias("g1"),
+            _lead_gram(2).alias("g2"),
+            _lead_gram(3).alias("g3"),
+        )
+        .selectExpr("doc_id", "stack(3, 1, g1, 2, g2, 3, g3) AS (n, gram)")
+        .where(F.col("gram").isNotNull())
+    )
+    g1 = grams.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    g2 = g1.groupBy("doc_id", "n").agg(
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup"))
+
+    def pick(n: int, col: str) -> F.Column:
+        return F.sum(F.when(F.col("n") == n, F.col(col)))
+
+    return (
+        g2.groupBy("doc_id").agg(
+            pick(1, "total").cast("bigint").alias("n_words"),
+            F.round(pick(1, "n_distinct").cast("double")
+                    / pick(1, "total"), 6).alias("distinct_word_ratio"),
+            F.round(F.coalesce(pick(2, "top").cast("double")
+                               / pick(2, "total"), F.lit(0.0)), 6)
+             .alias("top_bigram_frac"),
+            F.round(F.coalesce(pick(3, "dup").cast("double")
+                               / pick(3, "total"), F.lit(0.0)), 6)
+             .alias("dup_trigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_REPEAT_K = 5
+_REPEAT_TOPN = 20
+
+
+@register(
+    "corpus_repeated_5grams",
+    oracle=f"""
+    WITH w AS ({_WORDS_CTE}),
+    g AS (SELECT doc_id, unnest({_grams_sql(_REPEAT_K)}) AS gram FROM w)
+    SELECT gram,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM g
+    GROUP BY gram
+    HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occurrences DESC, gram
+    LIMIT {_REPEAT_TOPN}
+    """,
+    doc="C4-style cross-document repeated spans: top word-5-grams by "
+        "number of documents containing them (>= 2 docs). One shuffle "
+        "keyed by the gram with map-side partial aggregation; top-k via "
+        "TakeOrderedAndProject, no global sort.",
+    tags=("text", "quality", "dedup"),
+)
+def corpus_repeated_5grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = _word_rows(spark, sf_dir)
+    grams = (rows.select("doc_id", _lead_gram(_REPEAT_K).alias("gram"))
+             .where(F.col("gram").isNotNull()))
+    return (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("n_docs"),
+             F.count(F.lit(1)).alias("n_occurrences"))
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("gram"))
+        .limit(_REPEAT_TOPN)
+    )
+
+
+@register(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="HyperLogLog++ distinct-user cardinality per event type "
+        "(rsd=0.01), asserted within 5% of exact. The sketch is the "
+        "100 TB path: fixed-size state, map-side mergeable, no "
+        "distinct-expand shuffle; the exact count exists only to "
+        "check the bound (HLL++ is deterministic for fixed data, so "
+        "the assertion is a stable oracle value, not flaky).",
+    tags=("sketch", "approx"),
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"),
+             F.approx_count_distinct("user_id", rsd=0.01).alias("approx"))
+        .select(
+            "event_type",
+            F.col("exact_users").cast("bigint").alias("exact_users"),
+            (F.abs(F.col("approx") - F.col("exact_users"))
+             <= 0.05 * F.col("exact_users")).alias("approx_within_5pct"))
+        .orderBy("event_type")
+    )

@@ -51,6 +51,7 @@ def _load_all_modules() -> None:
     from radio_data_pipeline_spark.plans import arrays  # noqa: F401
     from radio_data_pipeline_spark.plans import llm  # noqa: F401
     from radio_data_pipeline_spark.plans import multimodal  # noqa: F401
+    from radio_data_pipeline_spark.plans import quality  # noqa: F401
     from radio_data_pipeline_spark.plans import radio  # noqa: F401
     from radio_data_pipeline_spark.plans import relational  # noqa: F401
     from radio_data_pipeline_spark.plans import streaming_batch  # noqa: F401
