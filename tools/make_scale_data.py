@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Build a scaled-up bench dataset by replicating the driver-generated
+sf0.1 tables N times with per-copy ID offsets, for the bench-scaling
+study (BENCH_SCALING.md): demonstrating that Spark's per-query
+scheduling constant amortizes as data grows.
+
+Design (documented so the study is reproducible and honest):
+- Each copy i offsets every PRIMARY KEY and the FOREIGN KEYS that
+  reference it by ``i * stride`` — copies are disjoint sub-databases,
+  so joins stay semantically live (no empty-join shortcuts) and
+  grouped results scale linearly.
+- Dimension tables (region/nation/supplier/part) are NOT replicated —
+  dimensions grow slower than facts in real deployments, and the
+  un-offset FKs (l_partkey, l_suppkey, c_nationkey) keep pointing at
+  them.
+- documents/embeddings replicate with offset doc_id/vec_id and
+  UNCHANGED payloads: the result is a mass-duplicate corpus (every doc
+  has N exact copies) — the realistic web-crawl shape the dedup
+  operators' bucket caps exist for.
+- Output files are written with many row groups (~64k rows each) so a
+  multi-core scan actually parallelizes — the single-row-group layout
+  of the driver's small files is precisely the toy-scale artifact the
+  study controls for.
+
+Usage: python tools/make_scale_data.py [N] [out_dir]
+Defaults: N=10, out_dir=/root/repo/.bench_scale/sf1
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
+
+# table -> columns to offset, each by the named key-space stride
+OFFSET_COLS: dict[str, list[tuple[str, str]]] = {
+    "region": [],
+    "nation": [],
+    "supplier": [],
+    "part": [],
+    "customer": [("c_custkey", "custkey")],
+    "orders": [("o_orderkey", "orderkey"), ("o_custkey", "custkey")],
+    "lineitem": [("l_orderkey", "orderkey")],
+    "events": [("event_id", "eventid"), ("user_id", "custkey")],
+    "documents": [("doc_id", "docid")],
+    "embeddings": [("vec_id", "vecid")],
+}
+
+REPLICATED = [t for t, cols in OFFSET_COLS.items() if cols]
+DIMENSIONS = [t for t, cols in OFFSET_COLS.items() if not cols]
+
+
+def strides() -> dict[str, int]:
+    """One stride per key space: a round power of ten above the max
+    observed key so offset copies can never collide."""
+    out: dict[str, int] = {}
+    maxes: dict[str, int] = {}
+    for table, cols in OFFSET_COLS.items():
+        if not cols:
+            continue
+        tbl = pq.read_table(f"{SRC}/{table}.parquet",
+                            columns=[c for c, _ in cols])
+        for col, space in cols:
+            m = pc.max(tbl.column(col)).as_py() or 0
+            maxes[space] = max(maxes.get(space, 0), int(m))
+    for space, m in maxes.items():
+        stride = 10
+        while stride <= m:
+            stride *= 10
+        out[space] = stride
+    return out
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else \
+        "/root/repo/.bench_scale/sf1"
+    os.makedirs(out_dir, exist_ok=True)
+    st = strides()
+    print(f"strides: {st}")
+
+    for table in DIMENSIONS:
+        tbl = pq.read_table(f"{SRC}/{table}.parquet")
+        pq.write_table(tbl, f"{out_dir}/{table}.parquet")
+        print(f"{table}: {tbl.num_rows} rows (dimension, 1 copy)")
+
+    for table in REPLICATED:
+        tbl = pq.read_table(f"{SRC}/{table}.parquet")
+        copies = []
+        for i in range(n):
+            t = tbl
+            for col, space in OFFSET_COLS[table]:
+                idx = t.schema.get_field_index(col)
+                shifted = pc.add(t.column(col),
+                                 pa.scalar(i * st[space],
+                                           type=t.schema.field(col).type))
+                t = t.set_column(idx, t.schema.field(col), shifted)
+            copies.append(t)
+        big = pa.concat_tables(copies)
+        # row groups sized so BOTH engines parallelize the scan
+        # (row group = the parallelism unit for Spark splits and
+        # DuckDB alike): ~16+ groups per table, floor 4096 rows
+        rg = max(4096, min(65536, big.num_rows // 16))
+        pq.write_table(big, f"{out_dir}/{table}.parquet",
+                       row_group_size=rg)
+        f = pq.ParquetFile(f"{out_dir}/{table}.parquet")
+        print(f"{table}: {big.num_rows} rows, "
+              f"{f.metadata.num_row_groups} row groups")
+
+
+if __name__ == "__main__":
+    main()
