@@ -104,8 +104,11 @@ def main() -> None:
         big = pa.concat_tables(copies)
         # row groups sized so BOTH engines parallelize the scan
         # (row group = the parallelism unit for Spark splits and
-        # DuckDB alike): ~16+ groups per table, floor 4096 rows
-        rg = max(4096, min(65536, big.num_rows // 16))
+        # DuckDB alike): ~16+ groups per table, floor 1024 rows —
+        # wide-array tables (embeddings) carry far more compute per
+        # row than bytes, the same reason real vector stores pick
+        # small row groups
+        rg = max(1024, min(65536, big.num_rows // 16))
         pq.write_table(big, f"{out_dir}/{table}.parquet",
                        row_group_size=rg)
         f = pq.ParquetFile(f"{out_dir}/{table}.parquet")
