@@ -1,0 +1,224 @@
+"""Corpus-curation operators for LLM training-data construction
+(driver extension family, alongside plans/llm.py and plans/quality.py):
+benchmark decontamination, context-window sequence packing, and the
+quality-filter funnel.
+
+These are the three pipeline stages between "raw crawl" and "training
+shards" that the llm.py/quality.py families don't already cover:
+
+- **Decontamination**: remove/flag training documents that share long
+  n-grams with an evaluation benchmark (the GPT-3/PaLM 13-gram rule;
+  k=5 here because the synthetic corpus' documents are short). Scale
+  shape: the benchmark side is tiny relative to the corpus, so its
+  distinct-gram set is BROADCAST and the corpus-side gram stream never
+  shuffles on the gram key — the whole check is a map-side hash probe
+  plus one doc_id-keyed aggregation (a partitioning the gram window
+  already established).
+- **Sequence packing**: assign documents to fixed-capacity context
+  windows (concat-and-chunk, the standard pretraining packing). Global
+  greedy packing is inherently sequential, so it is done PER SHARD —
+  any deterministic shard-local order is as good for training as a
+  global one, and each shard's running sum is an independent window,
+  so 1000 executors pack 1000 shards concurrently. A document whose
+  tokens straddle a capacity boundary belongs to the bin where it
+  starts (its tail spills into the next chunk at tokenization time).
+- **Filter funnel**: every document is labeled with the FIRST quality
+  rule it fails (Gopher-style rule ordering), then counted per
+  (lang, reason) — the attrition report every curation run publishes.
+  Pure column expressions over the token array; no shuffle beyond the
+  final tiny aggregation.
+
+The reference pipeline has no text surface; these generalize its
+filter -> reduce -> save staging (SURVEY §2.8 driver extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from radio_data_pipeline_spark.functions.text import BPE_RE, WORD_RE
+from radio_data_pipeline_spark.plans.quality import (
+    _grams_sql,
+    _lead_gram,
+    _word_rows,
+    _WORDS_CTE,
+)
+from radio_data_pipeline_spark.plans.registry import register
+from radio_data_pipeline_spark.sources.parquet import load_table
+
+_DECONTAM_K = 5          # gram length; production uses 13, docs here are short
+_BENCH_MOD = 97          # doc_id % 97 == 0 -> the held-out "benchmark" subset
+
+
+@register(
+    "benchmark_decontam",
+    oracle=f"""
+    WITH w AS ({_WORDS_CTE}),
+    g AS (SELECT DISTINCT doc_id, unnest({_grams_sql(_DECONTAM_K)}) AS gram
+          FROM w),
+    b AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_BENCH_MOD} = 0),
+    t AS (SELECT doc_id, gram FROM g WHERE doc_id % {_BENCH_MOD} <> 0)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(b.gram) AS BIGINT) AS n_overlap,
+           round(count(b.gram) * 1.0 / count(*), 6) AS overlap_frac
+    FROM t LEFT JOIN b ON t.gram = b.gram
+    GROUP BY t.doc_id
+    HAVING count(b.gram) >= 1
+    ORDER BY doc_id
+    """,
+    doc="Benchmark decontamination: training documents sharing any "
+        "word-5-gram with the held-out benchmark subset "
+        "(doc_id % 97 == 0), with the contaminated-gram fraction. The "
+        "benchmark gram set is broadcast (tiny vs the corpus); the "
+        "corpus side is probed map-side and aggregates on the doc_id "
+        "partitioning the gram window already produced — no "
+        "gram-keyed shuffle of the big side.",
+    tags=("text", "decontamination", "dedup"),
+)
+def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = _word_rows(spark, sf_dir)
+    grams = (
+        rows.select("doc_id", _lead_gram(_DECONTAM_K).alias("gram"))
+        .where(F.col("gram").isNotNull())
+        .dropDuplicates(["doc_id", "gram"])
+    )
+    bench = (grams.where(F.col("doc_id") % _BENCH_MOD == 0)
+             .select(F.col("gram").alias("bgram")).distinct())
+    train = grams.where(F.col("doc_id") % _BENCH_MOD != 0)
+    return (
+        train.join(F.broadcast(bench), train["gram"] == bench["bgram"], "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"),
+             F.count("bgram").alias("n_overlap"))
+        .where(F.col("n_overlap") >= 1)
+        .select("doc_id", "n_grams", "n_overlap",
+                F.round(F.col("n_overlap") / F.col("n_grams"), 6)
+                 .alias("overlap_frac"))
+        .orderBy("doc_id")
+    )
+
+
+_PACK_CAPACITY = 2048    # tokens per context window
+_PACK_SHARDS = 8
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+             len(regexp_extract_all(coalesce(text, ''), '{BPE_RE}'))
+               AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT shard, doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM t
+    )
+    SELECT shard,
+           CAST(floor(cum_before / {_PACK_CAPACITY}) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM c
+    GROUP BY shard, bin
+    ORDER BY shard, bin
+    """,
+    doc="Context-window sequence packing (concat-and-chunk): documents "
+        "are concatenated in deterministic shard-local order and a "
+        "document starts in bin floor(tokens_before / 2048). Sharded "
+        "because greedy packing is order-sequential: each shard's "
+        "running sum is an independent window partition, so the packing "
+        "of a 100 TB corpus parallelizes across shards with one "
+        "shard-keyed shuffle and no global sort.",
+    tags=("text", "packing"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(F.regexp_extract_all(
+            F.coalesce(F.col("text"), F.lit("")), F.lit(BPE_RE), 0))
+         .alias("n_tokens"))
+    win = (Window.partitionBy("shard").orderBy("doc_id")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    c = t.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(win), F.lit(0)))
+    return (
+        c.groupBy(
+            "shard",
+            F.floor(F.col("cum_before") / _PACK_CAPACITY).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("n_tokens"))
+        .orderBy("shard", "bin")
+    )
+
+
+@register(
+    "quality_filter_funnel",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             regexp_extract_all(coalesce(text, ''), '{WORD_RE}') AS words
+      FROM documents
+    ),
+    m AS (
+      SELECT lang,
+             len(words) AS n_words,
+             CASE WHEN len(words) = 0 THEN 0.0
+                  ELSE len(array_to_string(words, '')) * 1.0 / len(words)
+             END AS mean_len,
+             CASE WHEN len(words) = 0 THEN 0.0
+                  ELSE len(list_distinct(words)) * 1.0 / len(words)
+             END AS distinct_ratio
+      FROM t
+    )
+    SELECT lang,
+           CASE WHEN n_words < 10 THEN 'too_short'
+                WHEN n_words > 5000 THEN 'too_long'
+                WHEN mean_len < 2.0 OR mean_len > 12.0 THEN 'word_length'
+                WHEN distinct_ratio < 0.3 THEN 'low_diversity'
+                ELSE 'kept' END AS reason,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM m
+    GROUP BY lang, reason
+    ORDER BY lang, reason
+    """,
+    doc="Quality-filter funnel: each document labeled with the FIRST "
+        "rule it fails (Gopher-style ordered rules: length bounds, "
+        "mean-word-length band, lexical diversity), counted per "
+        "(lang, reason). All rules are column expressions over the "
+        "token array (total char count = length of the concatenated "
+        "words — no higher-order fold), so the scan streams through "
+        "whole-stage codegen and only (lang, reason) counts shuffle.",
+    tags=("text", "quality", "filter"),
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.regexp_extract_all(
+        F.coalesce(F.col("text"), F.lit("")), F.lit(WORD_RE), 0)
+    t = docs.select("lang", words.alias("words"))
+    n_words = F.size(F.col("words"))
+    safe_n = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_len = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.length(F.concat_ws("", F.col("words"))) / safe_n)
+    distinct_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_distinct(F.col("words"))) / safe_n)
+    reason = (
+        F.when(n_words < 10, F.lit("too_short"))
+        .when(n_words > 5000, F.lit("too_long"))
+        .when((mean_len < 2.0) | (mean_len > 12.0), F.lit("word_length"))
+        .when(distinct_ratio < 0.3, F.lit("low_diversity"))
+        .otherwise(F.lit("kept")))
+    return (
+        t.select("lang", reason.alias("reason"))
+        .groupBy("lang", "reason")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "reason")
+    )

@@ -49,6 +49,7 @@ def _load_all_modules() -> None:
     # Import side-effect registration; kept lazy so `import
     # radio_data_pipeline_spark` stays cheap.
     from radio_data_pipeline_spark.plans import arrays  # noqa: F401
+    from radio_data_pipeline_spark.plans import curation  # noqa: F401
     from radio_data_pipeline_spark.plans import llm  # noqa: F401
     from radio_data_pipeline_spark.plans import multimodal  # noqa: F401
     from radio_data_pipeline_spark.plans import quality  # noqa: F401
