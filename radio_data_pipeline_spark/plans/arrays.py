@@ -444,3 +444,88 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.size("v"), 9).alias("mse"))
         .orderBy("vec_id")
     )
+
+
+_RERANK_C = 50   # stage-1 candidate pool
+_RERANK_K = 10
+
+
+@register(
+    "quantized_rerank_topk",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT v AS qv FROM b WHERE vec_id = 0),
+    s AS (SELECT vec_id, v,
+                 list_aggregate(v, 'min') AS mn,
+                 list_aggregate(v, 'max') AS mx
+          FROM b),
+    p AS (SELECT vec_id, v, mn,
+                 CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END
+                   AS scale
+          FROM s),
+    r AS (SELECT vec_id, v,
+                 list_transform(v, x -> mn + round((x - mn) / scale) * scale)
+                   AS xh
+          FROM p),
+    a AS (
+      SELECT r.vec_id, r.v,
+             list_dot_product(r.xh, q.qv)
+               / (sqrt(list_dot_product(r.xh, r.xh))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS ca
+      FROM r, q
+      ORDER BY ca DESC, r.vec_id
+      LIMIT {_RERANK_C}
+    )
+    SELECT a.vec_id,
+           round(a.ca, 6) AS cosine_approx,
+           round(list_dot_product(a.v, q.qv)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+    FROM a, q
+    ORDER BY cosine DESC, a.vec_id
+    LIMIT {_RERANK_K}
+    """,
+    doc="Two-stage ANN: rank ALL vectors by cosine against their int8 "
+        "affine reconstruction (the embedding_quantize_int8 codes), "
+        "keep the top-50 candidate pool (TakeOrdered, no sort "
+        "shuffle), then rerank ONLY the candidates with exact float "
+        "cosine. At 100 TB the stage-1 scan reads a stored int8 code "
+        "table (4x fewer bytes than float32; the reconstructed dot "
+        "folds to mn*sum(q) + scale*<codes,q>, an integer dot), and "
+        "stage 2 fetches full vectors for 50 ids — the "
+        "search-compressed/rerank-exact pattern every production "
+        "vector store uses. Arithmetic is elementwise-identical on "
+        "both engines (same fold order, HALF_UP rounding on the "
+        "non-negative code scale), so candidate sets match exactly.",
+    tags=("similarity", "topk", "quantization"),
+)
+def quantized_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_fanned(spark, sf_dir)
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    q = F.array(*[F.lit(v) for v in qvec])
+
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = emb.select("vec_id", v.alias("v"),
+                   F.array_min(v).alias("mn"), F.array_max(v).alias("mx"))
+    d = d.withColumn(
+        "scale",
+        F.when(F.col("mx") > F.col("mn"),
+               (F.col("mx") - F.col("mn")) / 255.0).otherwise(F.lit(1.0)))
+    mn, scale = F.col("mn"), F.col("scale")
+    xh = F.transform(
+        F.col("v"), lambda x: mn + F.round((x - mn) / scale, 0) * scale)
+    candidates = (
+        d.select("vec_id", "v", cosine_similarity(xh, q).alias("ca"))
+        .orderBy(F.desc("ca"), F.asc("vec_id"))
+        .limit(_RERANK_C)
+    )
+    return (
+        candidates.select(
+            "vec_id",
+            F.round("ca", 6).alias("cosine_approx"),
+            F.round(cosine_similarity(F.col("v"), q), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(_RERANK_K)
+    )
