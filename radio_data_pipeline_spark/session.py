@@ -51,9 +51,10 @@ def get_spark(app_name: str = "radio-data-pipeline-spark",
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # events.parquet stores TIMESTAMP(NANOS); Spark reads it as a
-        # nanosecond LONG under this flag (set again at runtime by
-        # load_table for sessions we didn't build)
+        # older testdata generations store events.ts as
+        # TIMESTAMP(NANOS); Spark reads those as a nanosecond LONG
+        # under this flag (harmless for timestamp[us] data; set again
+        # at runtime by load_table for sessions we didn't build)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -18,19 +18,39 @@ TABLES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) with real sub-microsecond
-        # precision. Spark's TimestampType is microseconds, so reading it
-        # as a timestamp would silently truncate; instead read the raw
-        # nanosecond LONG (ts_ns) — queries do exact integer time math
-        # that DuckDB mirrors with epoch_ns(ts). A micro-truncated
-        # TimestampType ts column is derived for interval-style uses.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def derive_event_time_columns(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to three views regardless of
+    the physical parquet type:
+
+      ts_ns : nanosecond epoch LONG (exact integer time math; DuckDB
+              mirrors it with ``epoch_ns(ts)``)
+      ts_us : microsecond epoch LONG
+      ts    : microsecond ``TimestampType`` (event-time windows)
+
+    Two physical encodings exist across driver testdata generations:
+    TIMESTAMP(NANOS) — which Spark reads as a nanosecond LONG under
+    ``spark.sql.legacy.parquet.nanosAsLong`` — and plain
+    ``timestamp[us]`` (TIMESTAMP_NTZ / TIMESTAMP). The session runs in
+    UTC, so the NTZ→TZ cast is an identity relabel.
+    """
+    from pyspark.sql import types as T
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
         return (df.withColumnRenamed("ts", "ts_ns")
                 .withColumn("ts_us", F.expr("ts_ns div 1000"))
                 .withColumn("ts", F.timestamp_micros(F.col("ts_us"))))
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (df.withColumn("ts_us", ts_us)
+            .withColumn("ts_ns", ts_us * F.lit(1000))
+            .withColumn("ts", F.col("ts").cast("timestamp")))
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return derive_event_time_columns(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

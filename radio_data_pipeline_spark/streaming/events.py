@@ -24,10 +24,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.parquet physical schema: ts is parquet TIMESTAMP(NANOS), read
-# as a raw nanosecond LONG (spark.sql.legacy.parquet.nanosAsLong) to
-# avoid silent sub-microsecond truncation — mirrors sources/parquet.py
-# load_table, which batch readers go through.
+# Historical events.parquet physical schema (ts = parquet
+# TIMESTAMP(NANOS) read as a nanosecond LONG under
+# spark.sql.legacy.parquet.nanosAsLong). Kept as the explicit-schema
+# fallback when no file exists yet to probe; current driver data ships
+# ts as timestamp[us], which read_events_stream detects by probing the
+# footer of the files already present.
 EVENTS_RAW_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
     T.StructField("ts", T.LongType()),
@@ -47,14 +49,20 @@ def read_events_stream(spark: SparkSession, path: str,
     like the batch
     `load_table(..., "events")`: ts_ns (exact), ts_us, ts (micros
     timestamp used for event-time windows)."""
+    from ..sources.parquet import derive_event_time_columns
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    try:
+        # File streams need an explicit schema; probe the footers of
+        # whatever files are already under `path` so both physical ts
+        # encodings (nanos-as-long, timestamp[us]) work unchanged.
+        schema = spark.read.parquet(path).schema
+    except Exception:
+        schema = EVENTS_RAW_SCHEMA
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(path)
-    return (df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts_us", F.expr("ts_ns div 1000"))
-            .withColumn("ts", F.timestamp_micros(F.col("ts_us"))))
+    return derive_event_time_columns(reader.parquet(path))
 
 
 def _with_watermark(events: DataFrame, watermark: str) -> DataFrame:
