@@ -56,6 +56,7 @@ def _load_all_modules() -> None:
     from radio_data_pipeline_spark.plans import radio  # noqa: F401
     from radio_data_pipeline_spark.plans import relational  # noqa: F401
     from radio_data_pipeline_spark.plans import streaming_batch  # noqa: F401
+    from radio_data_pipeline_spark.plans import tpch_extra  # noqa: F401
 
 
 def all_specs() -> dict[str, QuerySpec]:
