@@ -1,0 +1,221 @@
+"""Training-data pipeline operators, continued: PII redaction,
+corpus language-model statistics, length histograms, deterministic
+dataset splits, and per-entity outlier screening.
+
+These close out the curation surface around plans/llm.py /
+quality.py / curation.py: the scrubbing, scoring, and partitioning
+steps between "filtered corpus" and "training shards".
+
+The synthetic documents contain no natural PII, so the redaction
+query injects a deterministic email + phone per document *inside the
+query* (both engines build the same string) and then detects/redacts
+it — the regex plumbing, counting, and full-text redaction hash are
+what the oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from radio_data_pipeline_spark.plans.quality import _word_rows, _WORDS_CTE
+from radio_data_pipeline_spark.plans.registry import register
+from radio_data_pipeline_spark.sources.parquet import load_table
+
+_EMAIL_RE = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@register(
+    "pii_redaction_stats",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             coalesce(text, '') || ' contact user'
+               || CAST(doc_id AS VARCHAR) || '@mail.com or call +1-555-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM s
+    ORDER BY doc_id
+    """,
+    doc="PII detection + redaction: regex-count emails/phones and hash "
+        "the fully redacted text (the hash proves every occurrence was "
+        "replaced, not just counted). Deterministic synthetic PII is "
+        "appended per document inside the query because the corpus has "
+        "none. Pure per-row regexp expressions — map-only, no shuffle, "
+        "streams through whole-stage codegen at any scale.",
+    tags=("text", "pii", "redaction"),
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.com or call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE, "<PHONE>")
+    return (
+        docs.select(
+            "doc_id",
+            F.regexp_count(t, F.lit(_EMAIL_RE)).cast("long")
+             .alias("n_emails"),
+            F.regexp_count(t, F.lit(_PHONE_RE)).cast("long")
+             .alias("n_phones"),
+            F.md5(redacted).alias("redacted_md5"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "unigram_logprob_scores",
+    oracle=f"""
+    WITH w AS ({_WORDS_CTE}),
+    r AS (SELECT doc_id, unnest(words) AS w FROM w),
+    f AS (SELECT w, count(*) AS c FROM r GROUP BY w),
+    tot AS (SELECT count(*) AS t FROM r)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           round(avg(-ln(c * 1.0 / t)), 6) AS avg_neg_logprob
+    FROM r JOIN f USING (w) CROSS JOIN tot
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Unigram language-model scoring: per-document mean negative "
+        "log-probability under the corpus' own unigram distribution — "
+        "the classic cheap perplexity proxy for quality filtering. The "
+        "frequency table is Zipf-shaped (vocabulary << corpus), so the "
+        "word->count lookup is a broadcast join back onto the token "
+        "stream; per-document aggregation shuffles on doc_id once. At "
+        "vocabulary sizes beyond broadcast range the same plan runs as "
+        "a shuffle join keyed on the word — no structural change.",
+    tags=("text", "quality", "lm"),
+)
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = _word_rows(spark, sf_dir).select("doc_id", "w")
+    freq = rows.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = rows.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        rows.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_words"),
+             F.round(F.avg(-F.log(F.col("c") / F.col("t"))), 6)
+              .alias("avg_neg_logprob"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_length_histogram",
+    oracle="""
+    SELECT least(CAST(floor(n_chars / 200) AS BIGINT), 9) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    doc="Document-length histogram: fixed-width 200-char buckets with "
+        "a top catch-all — the length-distribution report every "
+        "curation run produces. One map-side bucketing expression and "
+        "a 10-group aggregation; partial aggregation means almost "
+        "nothing shuffles regardless of corpus size.",
+    tags=("text", "stats", "histogram"),
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 200), F.lit(9).cast("long"))
+    return (
+        docs.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("n_chars").alias("min_chars"),
+             F.max("n_chars").alias("max_chars"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "corpus_split_assignment",
+    oracle="""
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY split
+    ORDER BY split
+    """,
+    doc="Deterministic train/val/test split (~80/10/10) via an "
+        "md5-prefix threshold on the key — engine-portable and stable "
+        "under repartitioning, unlike rand()-seeded splits; the same "
+        "document lands in the same split from any engine or cluster "
+        "layout. Reported as per-split document and char totals.",
+    tags=("sampling", "split"),
+)
+def corpus_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (F.when(prefix < "cc", F.lit("train"))
+             .when(prefix < "e6", F.lit("val"))
+             .otherwise(F.lit("test")))
+    return (
+        docs.groupBy(split.alias("split"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"))
+        .orderBy("split")
+    )
+
+
+@register(
+    "events_user_zscore_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, value,
+             avg(value) OVER (PARTITION BY user_id) AS mu,
+             stddev_pop(value) OVER (PARTITION BY user_id) AS sd
+      FROM events
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_outliers
+    FROM s
+    WHERE sd > 0 AND abs((value - mu) / sd) > 3.0
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Per-user z-score outlier screen: each event's value against "
+        "its user's own mean/stddev (unordered window partition — a "
+        "hash repartition on user_id, no sort), outliers counted per "
+        "event type. user_id is high-cardinality in real data, so "
+        "window state is bounded per partition; the final aggregation "
+        "is a handful of groups.",
+    tags=("window", "stats", "anomaly"),
+)
+def events_user_zscore_outliers(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    win = Window.partitionBy("user_id")
+    s = ev.select(
+        "event_type", "value",
+        F.avg("value").over(win).alias("mu"),
+        F.stddev_pop("value").over(win).alias("sd"))
+    return (
+        s.filter((F.col("sd") > 0)
+                 & (F.abs((F.col("value") - F.col("mu")) / F.col("sd")) > 3.0))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+        .orderBy("event_type")
+    )

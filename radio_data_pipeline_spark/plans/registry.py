@@ -52,6 +52,7 @@ def _load_all_modules() -> None:
     from radio_data_pipeline_spark.plans import curation  # noqa: F401
     from radio_data_pipeline_spark.plans import llm  # noqa: F401
     from radio_data_pipeline_spark.plans import multimodal  # noqa: F401
+    from radio_data_pipeline_spark.plans import pipeline_ops  # noqa: F401
     from radio_data_pipeline_spark.plans import quality  # noqa: F401
     from radio_data_pipeline_spark.plans import radio  # noqa: F401
     from radio_data_pipeline_spark.plans import relational  # noqa: F401
