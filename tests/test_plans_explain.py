@@ -118,3 +118,68 @@ def test_segmentation_shuffles_by_observation(spark):
     # the stateful scan must key its exchange on the observation stream
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
     assert "hashpartitioning(obs_id" in plan
+
+
+# ---- round-2 additions: TPC-H classes + pipeline ops --------------------
+
+
+def test_q4_semi_join_with_inequality_residual(spark, sfq):
+    plan = _plan(spark, sfq("q4_priority_exists"))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # the quarter filter must reach the orders scan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan \
+        or "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q13_outer_join_and_double_aggregation(spark, sfq):
+    df = sfq("q13_order_count_distribution")
+    plan = _plan(spark, df)
+    assert "LeftOuter" in plan
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # two aggregation levels, each with a map-side partial
+    assert executed.count("HashAggregate") >= 4
+
+
+def test_q15_scalar_max_is_broadcast_not_sort(spark, sfq):
+    plan = _plan(spark, sfq("q15_top_revenue_supplier"))
+    # ties via equality join against the broadcast max — no global sort
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan or "Sort" in plan  # final order-by only
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_disjunction_is_hash_join_residual(spark, sfq):
+    plan = _plan(spark, sfq("q19_disjunctive_revenue"))
+    # OR-of-ANDs must not degrade the equi-join to a nested loop
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_decorrelates_without_nested_loops(spark, sfq):
+    plan = _plan(spark, sfq("q21_sole_returned_supplier"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-10 without global sort
+
+
+def test_unigram_vocab_join_is_broadcast(spark, sfq):
+    plan = _plan(spark, sfq("unigram_logprob_scores"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pii_redaction_is_map_only_codegen(spark, sfq):
+    df = sfq("pii_redaction_stats")
+    plan = _plan(spark, df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # only the final presentation sort may exchange; no hash shuffle
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_zscore_window_partitions_on_user(spark, sfq):
+    plan = _plan(spark, sfq("events_user_zscore_outliers"))
+    assert "hashpartitioning(user_id" in plan
+    assert "BatchEvalPython" not in plan
