@@ -219,3 +219,142 @@ def events_user_zscore_outliers(spark: SparkSession, sf_dir: str
         .agg(F.count(F.lit(1)).alias("n_outliers"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_view_purchase_attribution",
+    oracle="""
+    WITH v AS (SELECT user_id, epoch_us(ts) AS vts FROM events
+               WHERE event_type = 'view'),
+    p AS (SELECT user_id, epoch_us(ts) AS pts FROM events
+          WHERE event_type = 'purchase')
+    SELECT v.user_id,
+           CAST(count(*) AS BIGINT) AS n_attributed,
+           round(avg((p.pts - v.vts) / 1000000.0), 6) AS avg_delay_s
+    FROM v JOIN p ON p.user_id = v.user_id
+                 AND p.pts > v.vts
+                 AND p.pts <= v.vts + 1800000000
+    GROUP BY v.user_id
+    ORDER BY v.user_id
+    """,
+    doc="Interval attribution join: purchases within 30 minutes after "
+        "a view by the same user (every qualifying view-purchase pair, "
+        "the ad-attribution / conversion-window primitive). Executes "
+        "as an equi-join on user_id with the time band as residual — "
+        "the range-join class; state per user is bounded by the "
+        "window, which is also exactly the stream-stream-join form in "
+        "streaming/events.py (same condition, plus watermarks).",
+    tags=("join", "range", "events"),
+)
+def events_view_purchase_attribution(spark: SparkSession, sf_dir: str
+                                     ) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = (ev.filter(F.col("event_type") == "view")
+         .select(F.col("user_id").alias("v_user"),
+                 F.col("ts_us").alias("vts")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("ts_us").alias("pts")))
+    max_delay_us = 30 * 60 * 1_000_000
+    return (
+        v.join(p, (F.col("p_user") == F.col("v_user"))
+               & (F.col("pts") > F.col("vts"))
+               & (F.col("pts") <= F.col("vts") + max_delay_us))
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_attributed"),
+             F.round(F.avg((F.col("pts") - F.col("vts")) / 1_000_000.0), 6)
+              .alias("avg_delay_s"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_latest_per_user_type",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, event_id, value,
+             row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, event_id AS latest_event_id,
+           round(value, 6) AS latest_value
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+    doc="Last-writer-wins compaction: the latest event per "
+        "(user_id, event_type) with a deterministic event_id "
+        "tiebreak — the upsert/SCD-1 snapshot primitive for CDC-style "
+        "pipelines without a table format. One shuffle on the "
+        "compaction key; row_number=1 avoids any global sort and "
+        "prunes in-partition.",
+    tags=("window", "dedup", "compaction"),
+)
+def events_latest_per_user_type(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    win = (Window.partitionBy("user_id", "event_type")
+           .orderBy(F.desc("ts"), F.desc("event_id")))
+    return (
+        ev.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type",
+                F.col("event_id").alias("latest_event_id"),
+                F.round("value", 6).alias("latest_value"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+@register(
+    "doc_chunks_udtf",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(coalesce(text, ''))), '\s+')
+               AS words
+      FROM documents WHERE doc_id < 50
+    ),
+    s AS (SELECT doc_id, words,
+                 unnest(range(0, len(words), 10)) AS start
+          FROM w)
+    SELECT doc_id,
+           CAST(start // 10 AS INT) AS chunk_idx,
+           CAST(least(10, len(words) - start) AS INT) AS n_words,
+           words[start + 1] AS first_word
+    FROM s
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc="Python UDTF surface demo (the one UDF class the other "
+        "queries don't exercise — scalar pandas UDFs, applyInPandas, "
+        "and mapInPandas all appear elsewhere): a table function "
+        "exploding each document into 10-word chunks via LATERAL. "
+        "Deliberately bounded to doc_id < 50 — per-row Python is the "
+        "slow path, and the same chunking is expressible with "
+        "F.sequence + transform for hot paths; this query exists to "
+        "pin the UDTF API surface and its lateral-join planning.",
+    tags=("udtf", "text"),
+)
+def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx: int, n_words: int, first_word: string")
+    class ChunkDoc:
+        def eval(self, text):
+            # tokenization mirrors the oracle's string_split_regex
+            # (an empty/whitespace doc yields one '' token)
+            words = re.split(r"\s+", (text or "").lower().strip())
+            for start in range(0, len(words), 10):
+                yield (start // 10, min(10, len(words) - start),
+                       words[start])
+
+    spark.udtf.register("doc_chunks", ChunkDoc)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("__docs_for_udtf")
+    return spark.sql("""
+        SELECT d.doc_id, c.chunk_idx, c.n_words, c.first_word
+        FROM __docs_for_udtf d, LATERAL doc_chunks(d.text) c
+        ORDER BY d.doc_id, c.chunk_idx
+    """)

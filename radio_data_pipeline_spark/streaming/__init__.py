@@ -11,6 +11,7 @@ from radio_data_pipeline_spark.streaming.events import (
     session_event_counts,
     sliding_user_activity,
     tumbling_event_counts,
+    view_purchase_pairs,
 )
 from radio_data_pipeline_spark.streaming.segmentation import (
     CalScanState,
@@ -27,4 +28,5 @@ __all__ = [
     "session_event_counts",
     "sliding_user_activity",
     "tumbling_event_counts",
+    "view_purchase_pairs",
 ]

@@ -134,3 +134,39 @@ def run_available_now(stream_df: DataFrame, query_name: str,
          .outputMode(output_mode).trigger(availableNow=True).start())
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def view_purchase_pairs(events: DataFrame, max_delay: str = "30 minutes",
+                        watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream inner join: purchases within `max_delay` after a
+    view by the same user (the conversion-attribution window). In
+    streaming mode both sides carry watermarks and the time-band join
+    condition bounds each side's state: a buffered view can be evicted
+    once the purchase-side watermark passes view_ts + max_delay.
+    Batch mode is the same join without watermarks — the aggregated
+    form is the oracle-checked `events_view_purchase_attribution`
+    (plans/pipeline_ops.py). Returns one row per qualifying
+    (view, purchase) pair: (user_id, view_id, purchase_id, delay_s).
+    """
+    v = (events.filter(F.col("event_type") == "view")
+         .select(F.col("user_id").alias("v_user"),
+                 F.col("event_id").alias("view_id"),
+                 F.col("ts").alias("v_ts")))
+    p = (events.filter(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("event_id").alias("purchase_id"),
+                 F.col("ts").alias("p_ts")))
+    if events.isStreaming:
+        v = v.withWatermark("v_ts", watermark)
+        p = p.withWatermark("p_ts", watermark)
+    cond = (
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return (
+        v.join(p, cond)
+        .select(F.col("v_user").alias("user_id"), "view_id", "purchase_id",
+                F.round((F.unix_micros("p_ts") - F.unix_micros("v_ts"))
+                        / 1_000_000.0, 6).alias("delay_s"))
+    )

@@ -123,6 +123,16 @@ def test_streaming_dedup_matches_batch_distinct(spark, sf_smoke,
     assert got.count() == n_expected
 
 
+def test_stream_stream_join_matches_batch(spark, sf_smoke, events_stream):
+    from radio_data_pipeline_spark.streaming import view_purchase_pairs
+    got = run_available_now(view_purchase_pairs(events_stream),
+                            "t_ssjoin", output_mode="append")
+    exp = view_purchase_pairs(load_table(spark, sf_smoke, "events"))
+    cols = ["user_id", "view_id", "purchase_id", "delay_s"]
+    assert _sorted_rows(got, cols) == _sorted_rows(exp, cols)
+    assert got.count() > 0
+
+
 # --------------------------------------------------------------------------
 # Stateful streaming segmentation == batch operator
 # --------------------------------------------------------------------------
