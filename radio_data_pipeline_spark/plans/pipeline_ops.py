@@ -358,3 +358,152 @@ def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __docs_for_udtf d, LATERAL doc_chunks(d.text) c
         ORDER BY d.doc_id, c.chunk_idx
     """)
+
+
+@register(
+    "events_funnel_counts",
+    oracle="""
+    WITH v AS (SELECT user_id, min(epoch_us(ts)) AS vts FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS cts
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.vts
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS pts
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.cts
+          GROUP BY e.user_id)
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_viewed,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_clicked_after,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchased_after
+    """,
+    doc="Ordered funnel analysis: users who viewed, then clicked after "
+        "their first view, then purchased after that first click — the "
+        "strictly-ordered conversion funnel. Each stage is a per-user "
+        "aggregate joined to the previous stage's first-timestamp "
+        "(all stages shuffle on the same user_id key, so a cluster "
+        "keeps one partitioning across the whole funnel); stage "
+        "counts are three one-row aggregates.",
+    tags=("events", "funnel", "join"),
+)
+def events_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_us")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts_us").alias("vts")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter(F.col("ts_us") > F.col("vts"))
+         .groupBy("user_id").agg(F.min("ts_us").alias("cts")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("ts_us") > F.col("cts"))
+         .groupBy("user_id").agg(F.min("ts_us").alias("pts")))
+    nv = v.agg(F.count(F.lit(1)).alias("n_viewed"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_clicked_after"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchased_after"))
+    return nv.crossJoin(nc).crossJoin(np_)
+
+
+@register(
+    "user_weekly_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             f.cohort_week,
+             CAST((epoch_us(date_trunc('week', e.ts))
+                   - epoch_us(f.cohort_week))
+                  // 604800000000 AS BIGINT) AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT epoch_us(cohort_week) AS cohort_week_us,
+           week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM activity
+    WHERE week_offset <= 3
+    GROUP BY cohort_week_us, week_offset
+    ORDER BY cohort_week_us, week_offset
+    """,
+    doc="Cohort retention matrix: users grouped by the week of their "
+        "first event, counted in each subsequent activity week "
+        "(offsets 0-3) — the standard retention report. The cohort "
+        "table is per-user (broadcastable relative to events at every "
+        "scale ratio that matters); distinct user-week pairs shuffle "
+        "once on user_id and the final matrix is tiny.",
+    tags=("events", "retention", "window"),
+)
+def user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = (ev.groupBy("user_id")
+              .agg(F.min(F.date_trunc("week", F.col("ts")))
+                   .alias("cohort_week")))
+    week_us = 7 * 86400 * 1_000_000
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            F.unix_micros("cohort_week").alias("cohort_week_us"),
+            ((F.unix_micros(F.date_trunc("week", F.col("ts")))
+              - F.unix_micros("cohort_week")) / week_us)
+            .cast("long").alias("week_offset"))
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("week_offset") <= 3)
+        .groupBy("cohort_week_us", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week_us", "week_offset")
+    )
+
+
+@register(
+    "events_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, m.med,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      GROUP BY e.event_type, m.med
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_outliers
+    FROM events e JOIN mad m ON e.event_type = m.event_type
+    WHERE m.mad > 0
+      AND abs(e.value - m.med) > 3 * 1.4826 * m.mad
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    doc="Robust outlier screen via median absolute deviation — the "
+        "distribution-free cousin of the z-score screen and the same "
+        "robust-statistics family as the reference's Chauvenet "
+        "rejection (continuum.py:72-109). Two decorrelated exact-"
+        "median aggregates (event_type keys the shuffles; the "
+        "per-type median tables are broadcast back), then a map-side "
+        "threshold filter. At 100 TB swap percentile for "
+        "percentile_approx (t-digest) — same plan, fixed state.",
+    tags=("stats", "robust", "anomaly"),
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = (ev.groupBy("event_type")
+           .agg(F.expr("percentile(value, 0.5)").alias("med")))
+    mad = (ev.join(F.broadcast(med), "event_type")
+           .groupBy("event_type", "med")
+           .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad")))
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0)
+                & (F.abs(F.col("value") - F.col("med"))
+                   > 3 * 1.4826 * F.col("mad")))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+        .orderBy("event_type")
+    )
