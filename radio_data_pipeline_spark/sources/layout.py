@@ -1,0 +1,77 @@
+"""Output dataset layout: partitioned parquet sinks and hash-sharded
+training shards.
+
+The reference's only sink is one SDFITS file per observation
+(utils.py:216-237 -> sources/fits.py write_sdfits). An engine that
+feeds 100 TB pipelines also needs to WRITE datasets whose layout the
+next job can exploit:
+
+- ``write_partitioned_dataset``: hive-style ``partitionBy`` layout so
+  downstream readers get PARTITION PRUNING — a filter on the partition
+  column skips whole directories at planning time (PartitionFilters in
+  the scan, pinned by tests/test_layout.py), the coarsest and cheapest
+  pruning level above row-group statistics.
+- ``write_training_shards``: fixed number of hash-assigned shards with
+  one file per shard — the layout training jobs consume (shard count
+  == reader parallelism, assignment deterministic in the key so reruns
+  and different engines produce byte-identical shard membership).
+
+Scale notes: partitionBy shuffles nothing by itself — each task writes
+one file per distinct partition value it holds, so low-cardinality
+partition columns (event_type, lang, date) are the right choice and a
+``repartition(partition_cols)`` beforehand collapses the
+files-per-partition count to one per value. The shard writer's
+repartition IS the shuffle, keyed on the deterministic shard id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_partitioned_dataset(df: DataFrame, path: str,
+                              partition_cols: list[str],
+                              coalesce_per_partition: bool = True,
+                              max_records_per_file: int | None = None,
+                              ) -> None:
+    """Write `df` as a hive-partitioned parquet dataset.
+
+    With ``coalesce_per_partition`` (default) the data is first
+    hash-repartitioned on the partition columns so each partition
+    value is written by one task -> one file (plus splits if
+    ``max_records_per_file`` caps file size); without it, every task
+    writes a file per value it happens to hold (small-file explosion
+    at high task counts).
+    """
+    out = df.repartition(*partition_cols) if coalesce_per_partition else df
+    writer = out.write.mode("overwrite").partitionBy(*partition_cols)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)
+
+
+def shard_id(key_col: str, n_shards: int) -> F.Column:
+    """Deterministic shard assignment: first 8 md5 hex digits of the
+    key, mod n_shards. Engine-portable (any system with md5 reproduces
+    the same membership) and uniform for any key distribution —
+    unlike key % n, which inherits the key's own structure."""
+    return (F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8),
+                   16, 10).cast("long") % n_shards).alias("shard")
+
+
+def write_training_shards(df: DataFrame, path: str, key_col: str,
+                          n_shards: int = 8) -> None:
+    """Write `df` as ``shard=K/`` hive directories, one file each,
+    membership determined by ``shard_id(key_col, n_shards)``.
+
+    ``repartition(n_shards, shard)`` is the single shuffle; each
+    shard's rows land in exactly one task, so the output is one file
+    per shard regardless of input parallelism. Readers point a whole
+    training worker at one shard directory; `shard` being a partition
+    column means per-worker reads prune to their directory at planning
+    time.
+    """
+    sharded = df.withColumn("shard", shard_id(key_col, n_shards))
+    (sharded.repartition(n_shards, F.col("shard"))
+     .write.mode("overwrite").partitionBy("shard").parquet(path))
