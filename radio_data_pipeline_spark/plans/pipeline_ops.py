@@ -507,3 +507,91 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_outliers"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "token_compression_ratio",
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             length(coalesce(text, '')) AS n_chars_raw,
+             len(regexp_extract_all(coalesce(text, ''),
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
+      FROM documents
+    )
+    SELECT lang,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(sum(n_chars_raw) * 1.0 / sum(n_tokens), 6)
+             AS chars_per_token,
+           round(avg(n_tokens), 6) AS avg_tokens_per_doc
+    FROM t
+    WHERE n_tokens > 0
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Token compression ratio per language: characters per BPE-ish "
+        "token — the tokenizer-efficiency signal used to budget "
+        "context windows per language and to spot pathological "
+        "content (very low ratios = symbol soup, very high = "
+        "unsegmented scripts). Map-only regexp counting + a "
+        "few-group aggregation.",
+    tags=("text", "tokens", "stats"),
+)
+def token_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.functions.text import BPE_RE
+
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    n_tokens = F.size(F.regexp_extract_all(text, F.lit(BPE_RE), 0))
+    t = docs.select("lang", F.length(text).alias("n_chars_raw"),
+                    n_tokens.alias("n_tokens"))
+    return (
+        t.filter(F.col("n_tokens") > 0)
+        .groupBy("lang")
+        .agg(F.sum("n_tokens").alias("total_tokens"),
+             F.round(F.sum("n_chars_raw") / F.sum("n_tokens"), 6)
+              .alias("chars_per_token"),
+             F.round(F.avg("n_tokens"), 6).alias("avg_tokens_per_doc"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "source_mixture_weights",
+    oracle="""
+    WITH per_source AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_docs) AS total, count(*) AS n_sources
+            FROM per_source)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           round(n_docs * 1.0 / total, 6) AS actual_frac,
+           round((1.0 / n_sources) / (n_docs * 1.0 / total), 6)
+             AS sample_weight
+    FROM per_source CROSS JOIN tot
+    ORDER BY source
+    """,
+    doc="Data-mixture rebalancing weights: per-source sampling weight "
+        "that would equalize the corpus mixture (target uniform over "
+        "sources; substitute any target vector the same way) — the "
+        "knob pretraining data recipes tune. Per-source counts are a "
+        "tiny aggregate; the totals are a one-row broadcast cross "
+        "join, so nothing large shuffles twice.",
+    tags=("sampling", "mixture", "stats"),
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    tot = per_source.agg(F.sum("n_docs").alias("total"),
+                         F.count(F.lit(1)).alias("n_sources"))
+    actual = F.col("n_docs") / F.col("total")
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select("source", "n_docs",
+                F.round(actual, 6).alias("actual_frac"),
+                F.round((1.0 / F.col("n_sources")) / actual, 6)
+                 .alias("sample_weight"))
+        .orderBy("source")
+    )
