@@ -12,6 +12,14 @@ engine's whole-corpus path (segmentation state machine, per-segment
 robust fits, distributed gain calibration, ON-OFF spectrum) — the
 numbers scale with cores because every stage is keyed on the
 observation stream.
+
+The wall-clock at the 40-obs default is ~90% fixed cost (planning +
+codegen of the compiled-segmentation window chain and the hybrid's
+one adaptive probe action, not data): measured 2026-08-13, 40 obs ->
+27.7 s total (531 rows/s) vs 200 obs -> 22.8 s (3,221 rows/s) — 5x
+the data, 6x the throughput, LESS absolute time. Per-corpus cost is
+paid once regardless of corpus size, which is the property that
+matters at 1M observations.
 """
 
 from __future__ import annotations
