@@ -595,3 +595,68 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("sample_weight"))
         .orderBy("source")
     )
+
+
+@register(
+    "events_trailing_hour_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6)
+             AS trailing_sum
+    FROM events
+    ORDER BY event_id
+    """,
+    doc="Time-based RANGE frame: per event, the sum of the same "
+        "user's values in the trailing hour — a true range frame over "
+        "the event-time axis (irregular timestamps; a ROWS frame "
+        "would be wrong), the sliding-feature primitive for "
+        "point-in-time-correct ML features. One user-keyed window "
+        "sort; frame state is bounded by the hour horizon.",
+    tags=("window", "range-frame", "events"),
+)
+def events_trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    w = (Window.partitionBy("user_id").orderBy("ts_us")
+         .rangeBetween(-hour_us, 0))
+    return (
+        ev.select("event_id", "user_id",
+                  F.round(F.sum("value").over(w), 6).alias("trailing_sum"))
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "events_value_locf",
+    oracle="""
+    SELECT event_id, user_id,
+           round(last_value(CASE WHEN event_type <> 'error'
+                                 THEN value END IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS filled_value
+    FROM events
+    ORDER BY event_id
+    """,
+    doc="Forward fill (last observation carried forward): error "
+        "events' values are treated as missing and replaced by the "
+        "user's most recent non-error value — IGNORE NULLS window "
+        "semantics, the gap-filling primitive for sensor/telemetry "
+        "streams (the reference's NaN masking F6 is the array-column "
+        "cousin). Deterministic tiebreak on event_id; one user-keyed "
+        "window sort.",
+    tags=("window", "locf", "events"),
+)
+def events_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    masked = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        ev.select("event_id", "user_id",
+                  F.round(F.last(masked, ignorenulls=True).over(w), 6)
+                   .alias("filled_value"))
+        .orderBy("event_id")
+    )
