@@ -79,8 +79,10 @@ def test_minhash_reuses_one_exchange(spark, sfq):
     # the window (shingling) and the groupBy (signature) share the
     # hash-partitioning on id: at most 2 exchanges total (scan-side
     # id distribution + final left join), never one per stage
-    plan = _plan(spark, sfq("minhash_signatures"))
-    assert plan.count("Exchange hashpartitioning") <= 3
+    # simple mode prints exchange args inline; formatted mode splits
+    # them into a details section and the substring never matches
+    plan = _plan(spark, sfq("minhash_signatures"), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_tumbling_counts_partial_aggregates(spark, sfq):
@@ -176,7 +178,8 @@ def test_pii_redaction_is_map_only_codegen(spark, sfq):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     # only the final presentation sort may exchange; no hash shuffle
-    assert "Exchange hashpartitioning" not in plan
+    simple = _plan(spark, df, mode="simple")
+    assert "Exchange hashpartitioning" not in simple
 
 
 def test_zscore_window_partitions_on_user(spark, sfq):
