@@ -660,3 +660,52 @@ def events_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("filled_value"))
         .orderBy("event_id")
     )
+
+
+@register(
+    "bigram_logprob_scores",
+    oracle=f"""
+    WITH w AS ({_WORDS_CTE}),
+    r AS (SELECT doc_id, unnest(words) AS w,
+                 generate_subscripts(words, 1) AS pos
+          FROM w),
+    b AS (SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS pw, w
+          FROM r),
+    bi AS (SELECT * FROM b WHERE pw IS NOT NULL),
+    bc AS (SELECT pw, w, count(*) AS c FROM bi GROUP BY pw, w),
+    pc AS (SELECT pw, count(*) AS cp FROM bi GROUP BY pw)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-ln(c * 1.0 / cp)), 6) AS avg_neg_logprob2
+    FROM bi JOIN bc USING (pw, w) JOIN pc USING (pw)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Bigram language-model scoring: per-document mean "
+        "-ln P(w|prev) under the corpus' own MLE bigram model "
+        "(history mass = count of bigrams starting with prev, so "
+        "probabilities sum to 1 per history) — the second rung of the "
+        "cheap-perplexity ladder above unigram_logprob_scores. The "
+        "bigram stream comes from a lag over the doc-keyed window the "
+        "tokenizer already produced; bigram/history count tables are "
+        "Zipf-shaped and broadcast back; one doc_id aggregation.",
+    tags=("text", "quality", "lm"),
+)
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = _word_rows(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (rows.withColumn("pw", F.lag("w").over(w))
+          .filter(F.col("pw").isNotNull())
+          .select("doc_id", "pw", "w"))
+    bc = bi.groupBy("pw", "w").agg(F.count(F.lit(1)).alias("c"))
+    pc = bi.groupBy("pw").agg(F.count(F.lit(1)).alias("cp"))
+    return (
+        bi.join(F.broadcast(bc), ["pw", "w"])
+        .join(F.broadcast(pc), ["pw"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.round(F.avg(-F.log(F.col("c") / F.col("cp"))), 6)
+              .alias("avg_neg_logprob2"))
+        .orderBy("doc_id")
+    )
