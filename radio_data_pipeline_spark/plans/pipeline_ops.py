@@ -709,3 +709,49 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
               .alias("avg_neg_logprob2"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "skew_salted_type_join",
+    oracle="""
+    WITH dim AS (
+      SELECT event_type AS d_type, length(event_type) AS type_weight
+      FROM (SELECT DISTINCT event_type FROM events)
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value * d.type_weight), 2) AS weighted_value
+    FROM events e JOIN dim d ON e.event_type = d.d_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    doc="Salted skew join registered as a first-class query: events "
+        "(5 distinct event_type values — the worst-case hot-key "
+        "distribution, every key is hot) joined to a tiny per-type "
+        "dimension through operators/skew.salted_join, which spreads "
+        "each key over 16 (key, salt) partitions and replicates the "
+        "dimension per salt. The oracle is the PLAIN join — salting "
+        "must be a pure physical rewrite with identical results. In "
+        "production this path is for small-but-over-broadcast-limit "
+        "dimensions; broadcast wins below that (and IS what AQE "
+        "picks here — the query pins semantics, not the planner "
+        "choice).",
+    tags=("join", "skew", "salting"),
+)
+def skew_salted_type_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = (ev.select("event_type").distinct()
+           .select(F.col("event_type").alias("d_type"),
+                   F.length("event_type").alias("type_weight")))
+    joined = salted_join(
+        ev.select(F.col("event_type").alias("d_type"), "value", "event_id"),
+        dim, "d_type", n_salts=16)
+    return (
+        joined.groupBy(F.col("d_type").alias("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum(F.col("value") * F.col("type_weight")), 2)
+              .alias("weighted_value"))
+        .orderBy("event_type")
+    )
