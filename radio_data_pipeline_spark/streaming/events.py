@@ -170,3 +170,29 @@ def view_purchase_pairs(events: DataFrame, max_delay: str = "30 minutes",
                 F.round((F.unix_micros("p_ts") - F.unix_micros("v_ts"))
                         / 1_000_000.0, 6).alias("delay_s"))
     )
+
+
+def stream_to_training_shards(stream_df: DataFrame, path: str,
+                              key_col: str, n_shards: int = 8,
+                              checkpoint: str | None = None,
+                              query_name: str = "to_shards"):
+    """Streaming sink into the training-shard layout: every
+    micro-batch is hash-assigned to ``shard=K/`` hive partitions with
+    the SAME deterministic membership as the batch writer
+    (sources/layout.shard_id), appended exactly-once under the
+    checkpoint. Streams-in, training-shards-out — the live-ingest
+    closing of the corpus pipeline: a shard's directory accumulates
+    files over time and a training reader still prunes to its shard
+    at planning time. Returns the StreamingQuery (caller awaits)."""
+    from ..sources.layout import shard_id
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        (batch_df.withColumn("shard", shard_id(key_col, n_shards))
+         .repartition(n_shards, F.col("shard"))
+         .write.mode("append").partitionBy("shard").parquet(path))
+
+    writer = (stream_df.writeStream.foreachBatch(write_batch)
+              .queryName(query_name).trigger(availableNow=True))
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

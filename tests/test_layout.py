@@ -66,3 +66,42 @@ def test_training_shards_deterministic_and_complete(spark, sf_dir,
     one = back.filter(F.col("shard") == 2)
     plan = _plan(spark, one)
     assert "PartitionFilters" in plan
+
+
+def test_streaming_shard_sink_matches_batch_membership(spark, sf_dir,
+                                                       tmp_path):
+    from radio_data_pipeline_spark.streaming.events import (
+        read_events_stream,
+        stream_to_training_shards,
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "events.parquet").symlink_to(f"{sf_dir}/events.parquet")
+    out = str(tmp_path / "event_shards")
+    q = stream_to_training_shards(
+        read_events_stream(spark, str(src)).select("event_id", "user_id",
+                                                   "value"),
+        out, "event_id", n_shards=4,
+        checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    back = spark.read.parquet(out)
+    batch = load_table(spark, sf_dir, "events")
+    assert back.count() == batch.count()
+    mismatch = (back.withColumn("expected", shard_id("event_id", 4))
+                .filter(F.col("shard") != F.col("expected")).count())
+    assert mismatch == 0
+
+
+def test_physical_filter_observed_reports_drop_counts(spark):
+    from radio_data_pipeline_spark.operators.validation import (
+        physical_filter_observed,
+    )
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (-1.0, 3.0), (4.0, -5.0), (6.0, 7.0)],
+        ["TSYS", "TCAL"])
+    filtered, obs = physical_filter_observed(df)
+    assert filtered.count() == 2
+    got = obs.get
+    assert got["n_input"] == 4
+    assert got["n_negative"] == 2
