@@ -312,3 +312,62 @@ def make_fake_media(spark, n_images: int = 8, n_audio: int = 4,
         rows.append((2000 + i, "video", b"FAKEVID" + str(i).encode(),
                      "video/fake", 16, 12, None, 2.0))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Uncompressed 24-bit Windows BMP encoder (public format):
+    BITMAPFILEHEADER + BITMAPINFOHEADER, BGR byte order, bottom-up
+    rows, each row padded to a 4-byte boundary."""
+    import struct
+
+    h, w, c = img.shape
+    assert c == 3
+    row_size = (w * 3 + 3) & ~3
+    data_size = row_size * h
+    off = 14 + 40
+    file_header = struct.pack("<2sIHHI", b"BM", off + data_size, 0, 0, off)
+    info_header = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                              data_size, 2835, 2835, 0, 0)
+    img = np.asarray(img, dtype=np.uint8)
+    rows = []
+    for y in range(h - 1, -1, -1):        # bottom-up storage
+        row = img[y][:, ::-1].tobytes()   # RGB -> BGR
+        rows.append(row + b"\x00" * (row_size - len(row)))
+    return file_header + info_header + b"".join(rows)
+
+
+def decode_bmp(content: bytes) -> np.ndarray:
+    """Real BMP parser for the uncompressed 24-bit DIB case: validates
+    the 'BM' magic and BITMAPINFOHEADER, honors the pixel-array
+    offset, row padding, and both bottom-up (height > 0) and top-down
+    (height < 0) layouts. Returns (h, w, 3) uint8 RGB. Raises
+    ValueError on malformed input and NotImplementedError for
+    palettized / compressed / non-24bpp variants."""
+    import struct
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP file (missing BM magic)")
+    if len(content) < 54:
+        raise ValueError("truncated BMP header")
+    _, _, _, off = struct.unpack_from("<IHHI", content, 2)
+    hsz, w, h, _planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", content, 14)
+    if hsz < 40:
+        raise ValueError(f"unsupported DIB header size {hsz}")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={comp})")
+    top_down = h < 0
+    height = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    need = row_size * height
+    if len(content) < off + need:
+        raise ValueError(
+            f"BMP pixel array truncated: {len(content) - off} < {need}")
+    arr = np.frombuffer(content, np.uint8, need, off).reshape(
+        height, row_size)
+    px = arr[:, :w * 3].reshape(height, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if not top_down:
+        px = px[::-1]
+    return px.copy()

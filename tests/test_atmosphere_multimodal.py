@@ -340,3 +340,40 @@ def test_image_pool_larger_than_frame(spark):
     assert len(out) == 2
     # clamped grid: min(64,24) x min(64,32) = 24*32 features
     assert all(d == 24 * 32 for d in out["feature_dim"])
+
+
+# ---- BMP codec ----------------------------------------------------------
+
+def test_bmp_round_trip_including_padded_rows():
+    import numpy as np
+    from radio_data_pipeline_spark.functions.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+    rng = np.random.default_rng(7)
+    # odd widths exercise the 4-byte row padding
+    for h, w in [(16, 16), (5, 3), (1, 7), (9, 2)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img), (h, w)
+
+
+def test_bmp_rejects_malformed_and_unsupported():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+    from radio_data_pipeline_spark.functions.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+    good = encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8))
+    with _pytest.raises(ValueError):
+        decode_bmp(b"XX" + good[2:])          # bad magic
+    with _pytest.raises(ValueError):
+        decode_bmp(good[:40])                 # truncated header
+    with _pytest.raises(ValueError):
+        decode_bmp(good[:-8])                 # truncated pixel array
+    mangled = bytearray(good)
+    struct.pack_into("<H", mangled, 28, 8)    # bpp=8 (palettized)
+    with _pytest.raises(NotImplementedError):
+        decode_bmp(bytes(mangled))
