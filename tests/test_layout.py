@@ -105,3 +105,37 @@ def test_physical_filter_observed_reports_drop_counts(spark):
     got = obs.get
     assert got["n_input"] == 4
     assert got["n_negative"] == 2
+
+
+def test_fits_corpus_to_partitioned_lake(spark, tmp_path):
+    """End-to-end corpus story: SDFITS files in, distributed decode +
+    validation, hive-partitioned parquet lake out, pruned read back —
+    the full ingest-to-layout composition a telescope archive runs."""
+    from tests.test_fits import HEADER, HISTORY, _obs_pdf
+    from radio_data_pipeline_spark.operators.validation import (
+        physical_filter_observed,
+    )
+    from radio_data_pipeline_spark.sources.fits import (
+        read_sdfits,
+        write_sdfits,
+    )
+
+    src = tmp_path / "fits"
+    src.mkdir()
+    for i in range(3):
+        (src / f"obs{i}.fits").write_bytes(
+            write_sdfits(_obs_pdf(n_science=12), HEADER, HISTORY))
+
+    df = read_sdfits(spark, str(src / "*.fits"), dense_ids=True)
+    validated, obs = physical_filter_observed(df)
+    out = str(tmp_path / "lake")
+    write_partitioned_dataset(validated.withColumn(
+        "obs_id", F.col("obs_id")), out, ["obs_id"])
+    assert obs.get["n_input"] == df.count()
+
+    back = spark.read.parquet(out)
+    assert back.count() == validated.count()
+    one = back.filter(F.col("obs_id") == 1)
+    plan = _plan(spark, one)
+    assert "PartitionFilters" in plan
+    assert one.count() == validated.filter(F.col("obs_id") == 1).count()
