@@ -49,6 +49,10 @@ def derive_event_time_columns(df: DataFrame) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the NTZ->timestamp cast in derive_event_time_columns reads
+        # the session timezone; pin it so epochs match DuckDB's
+        # (UTC-based) epoch_us on drivers whose system TZ isn't UTC
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return derive_event_time_columns(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
