@@ -755,3 +755,91 @@ def skew_salted_type_join(spark: SparkSession, sf_dir: str) -> DataFrame:
               .alias("weighted_value"))
         .orderBy("event_type")
     )
+
+
+_KMEANS_K = 4
+
+
+@register(
+    "kmeans_embeddings",
+    oracle=f"""
+    WITH r AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cluster, pos, val AS cval FROM r
+           WHERE vec_id < {_KMEANS_K}),
+    d1 AS (SELECT r.vec_id, c.cluster,
+                  sum((r.val - c.cval) * (r.val - c.cval)) AS d2
+           FROM r JOIN c0 c USING (pos) GROUP BY r.vec_id, c.cluster),
+    a1 AS (SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cluster) AS rn
+             FROM d1) WHERE rn = 1),
+    c1 AS (SELECT a1.cluster, r.pos, avg(r.val) AS cval
+           FROM a1 JOIN r USING (vec_id) GROUP BY a1.cluster, r.pos),
+    d2 AS (SELECT r.vec_id, c.cluster,
+                  sum((r.val - c.cval) * (r.val - c.cval)) AS d2
+           FROM r JOIN c1 c USING (pos) GROUP BY r.vec_id, c.cluster),
+    a2 AS (SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cluster) AS rn
+             FROM d2) WHERE rn = 1)
+    SELECT a2.cluster,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(dd.d2), 4) AS avg_dist2
+    FROM a2 JOIN d2 dd ON dd.vec_id = a2.vec_id
+                      AND dd.cluster = a2.cluster
+    GROUP BY a2.cluster
+    ORDER BY a2.cluster
+    """,
+    doc="Distributed k-means (Lloyd's algorithm, k=4, 2 assignment "
+        "rounds, deterministic first-k init and lowest-index tiebreak) "
+        "over the embedding table — the iterative ML primitive, fully "
+        "relational: vectors live posexploded as (vec_id, pos, val); "
+        "each round is [broadcast centroid join on pos -> per-(vector,"
+        "centroid) distance aggregation -> argmin via one row_number "
+        "window -> element-wise centroid mean]. ZERO driver round "
+        "trips — centroids are (k x dim)-row DataFrames, so 1000 "
+        "executors iterate without collecting the model; the oracle "
+        "unrolls the same two rounds as CTEs. Output: per-cluster "
+        "size and mean squared distance.",
+    tags=("ml", "iterative", "clustering"),
+)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    r = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos0", "valf")) \
+        .select("vec_id", (F.col("pos0") + 1).alias("pos"),
+                F.col("valf").cast("double").alias("val"))
+
+    c = (r.filter(F.col("vec_id") < _KMEANS_K)
+         .select(F.col("vec_id").alias("cluster"), "pos",
+                 F.col("val").alias("cval")))
+
+    d = a = None
+    for _ in range(2):
+        d = (r.join(F.broadcast(c), "pos")
+             .groupBy("vec_id", "cluster")
+             .agg(F.sum((F.col("val") - F.col("cval"))
+                        * (F.col("val") - F.col("cval"))).alias("d2")))
+        w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+        a = (d.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1).select("vec_id", "cluster"))
+        c = (a.join(r, "vec_id")
+             .groupBy("cluster", "pos")
+             .agg(F.avg("val").alias("cval")))
+
+    dd = d.select("vec_id", F.col("cluster").alias("d_cluster"), "d2")
+    return (
+        a.join(dd, (a.vec_id == dd.vec_id)
+               & (a.cluster == F.col("d_cluster")))
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vecs"),
+             F.round(F.avg("d2"), 4).alias("avg_dist2"))
+        .orderBy("cluster")
+    )
