@@ -843,3 +843,48 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.avg("d2"), 4).alias("avg_dist2"))
         .orderBy("cluster")
     )
+
+
+@register(
+    "events_trapezoid_integral",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, value, epoch_us(ts) AS tus,
+             lag(value) OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id) AS pv,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS pt
+      FROM events
+    )
+    SELECT user_id,
+           round(sum((tus - pt) / 1000000.0 * (value + pv) / 2.0), 2)
+             AS integral
+    FROM s
+    WHERE pv IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Trapezoidal time integration per user: sum of "
+        "dt * (v + v_prev)/2 over consecutive samples — the "
+        "irregular-sampling integral (the events-table analogue of "
+        "the reference's continuum integration A1 x time "
+        "normalization M11, where sample spacing varies). One lag "
+        "window and one aggregation, both on the user_id "
+        "partitioning.",
+    tags=("window", "integration", "events"),
+)
+def events_trapezoid_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    s = ev.select(
+        "user_id", "value", "ts_us",
+        F.lag("value").over(w).alias("pv"),
+        F.lag("ts_us").over(w).alias("pt"))
+    return (
+        s.filter(F.col("pv").isNotNull())
+        .groupBy("user_id")
+        .agg(F.round(F.sum((F.col("ts_us") - F.col("pt")) / 1_000_000.0
+                           * (F.col("value") + F.col("pv")) / 2.0), 2)
+             .alias("integral"))
+        .orderBy("user_id")
+    )
