@@ -888,3 +888,75 @@ def events_trapezoid_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("integral"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "null_semantics_audit",
+    oracle="""
+    WITH t AS (
+      SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS k,
+             CASE WHEN doc_id % 5 = 0 THEN NULL ELSE n_chars END AS v
+      FROM documents
+    )
+    SELECT coalesce(k, '<null>') AS key_group,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(v) AS BIGINT) AS n_nonnull_v,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_distinct_v,
+           CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_v
+    FROM t
+    GROUP BY k
+    ORDER BY key_group
+    """,
+    doc="Three-valued-logic audit over deterministically injected "
+        "NULLs: NULL keys collapse into one group, count(col) skips "
+        "NULLs while count(*) doesn't, DISTINCT ignores NULLs — the "
+        "semantics corner every engine must agree on before any "
+        "null-bearing aggregate can be trusted; pinned here against "
+        "the oracle on identical injected data.",
+    tags=("nulls", "semantics", "agg"),
+)
+def null_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(F.col("lang"))
+    v = F.when(F.col("doc_id") % 5 == 0, F.lit(None)) \
+        .otherwise(F.col("n_chars"))
+    t = docs.select(k.alias("k"), v.alias("v"))
+    return (
+        t.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.count("v").alias("n_nonnull_v"),
+             F.countDistinct("v").alias("n_distinct_v"),
+             F.sum(F.col("v").isNull().cast("long")).alias("n_null_v"))
+        .select(F.coalesce(F.col("k"), F.lit("<null>")).alias("key_group"),
+                "n_rows", "n_nonnull_v", "n_distinct_v", "n_null_v")
+        .orderBy("key_group")
+    )
+
+
+@register(
+    "decimal_revenue_exact",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+             AS exact_revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Exact DECIMAL aggregation: prices cast to DECIMAL(18,2) and "
+        "summed in fixed-point — bit-exact across engines and "
+        "partitionings (float sums differ in final ulps with "
+        "aggregation order; money math must not). Output rendered as "
+        "text so the oracle compares exact digits, not a float "
+        "round-trip.",
+    tags=("decimal", "agg", "exactness"),
+)
+def decimal_revenue_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+             .cast("string").alias("exact_revenue"))
+        .orderBy("l_returnflag")
+    )
