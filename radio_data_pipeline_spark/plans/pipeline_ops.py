@@ -960,3 +960,58 @@ def decimal_revenue_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              .cast("string").alias("exact_revenue"))
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "join_key_skew_stats",
+    oracle="""
+    WITH per_key AS (
+      SELECT 'lineitem.l_orderkey' AS key_name, l_orderkey AS k,
+             count(*) AS n
+      FROM lineitem GROUP BY l_orderkey
+      UNION ALL
+      SELECT 'events.user_id', user_id, count(*) FROM events
+      GROUP BY user_id
+      UNION ALL
+      SELECT 'orders.o_custkey', o_custkey, count(*) FROM orders
+      GROUP BY o_custkey
+    )
+    SELECT key_name,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(n) AS BIGINT) AS max_rows,
+           round(avg(n), 6) AS avg_rows,
+           round(max(n) / avg(n), 6) AS skew_ratio
+    FROM per_key
+    GROUP BY key_name
+    ORDER BY key_name
+    """,
+    doc="Join-key skew diagnostics: per candidate shuffle key, the "
+        "key count, hottest-key row count, mean, and max/mean skew "
+        "ratio — the report that decides between plain shuffle, AQE "
+        "skew-join, and salting before a big join runs (the planning "
+        "input for operators/skew.salted_join). Each branch is one "
+        "partial-aggregated groupBy on its own key; the union of "
+        "per-key tables is lines-of-keys sized, not data sized.",
+    tags=("diagnostics", "skew", "agg"),
+)
+def join_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def per_key(df: DataFrame, key_name: str, col: str) -> DataFrame:
+        return (df.groupBy(F.col(col).alias("k"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.lit(key_name).alias("key_name"), "k", "n"))
+
+    li = per_key(load_table(spark, sf_dir, "lineitem"),
+                 "lineitem.l_orderkey", "l_orderkey")
+    ev = per_key(load_table(spark, sf_dir, "events"),
+                 "events.user_id", "user_id")
+    od = per_key(load_table(spark, sf_dir, "orders"),
+                 "orders.o_custkey", "o_custkey")
+    return (
+        li.unionByName(ev).unionByName(od)
+        .groupBy("key_name")
+        .agg(F.count(F.lit(1)).alias("n_keys"),
+             F.max("n").alias("max_rows"),
+             F.round(F.avg("n"), 6).alias("avg_rows"),
+             F.round(F.max("n") / F.avg("n"), 6).alias("skew_ratio"))
+        .orderBy("key_name")
+    )
