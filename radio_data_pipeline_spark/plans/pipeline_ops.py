@@ -1015,3 +1015,79 @@ def join_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.max("n") / F.avg("n"), 6).alias("skew_ratio"))
         .orderBy("key_name")
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id)
+               AS next_type
+      FROM events
+    ),
+    c AS (SELECT event_type, next_type, count(*) AS n FROM s
+          WHERE next_type IS NOT NULL GROUP BY event_type, next_type),
+    t AS (SELECT event_type, sum(n) AS tot FROM c GROUP BY event_type)
+    SELECT c.event_type, c.next_type,
+           CAST(c.n AS BIGINT) AS n_transitions,
+           round(c.n * 1.0 / t.tot, 6) AS p_next
+    FROM c JOIN t USING (event_type)
+    ORDER BY c.event_type, c.next_type
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+        "sequences: P(next type | current type) from a lead() over "
+        "the user-time ordering — the sequence-mining primitive "
+        "behind behavioral modeling and next-event prediction "
+        "features. One user-keyed window sort; the 5x5 transition "
+        "table aggregates map-side.",
+    tags=("window", "sequence", "markov"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    s = ev.select("event_type",
+                  F.lead("event_type").over(w).alias("next_type"))
+    c = (s.filter(F.col("next_type").isNotNull())
+         .groupBy("event_type", "next_type")
+         .agg(F.count(F.lit(1)).alias("n")))
+    t = c.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    return (
+        c.join(F.broadcast(t), "event_type")
+        .select("event_type", "next_type",
+                F.col("n").alias("n_transitions"),
+                F.round(F.col("n") / F.col("tot"), 6).alias("p_next"))
+        .orderBy("event_type", "next_type")
+    )
+
+
+@register(
+    "fuzzy_part_name_pairs",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM names a JOIN names b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY name_a, name_b
+    """,
+    doc="Fuzzy string matching: distinct part-name pairs within "
+        "Levenshtein distance 3 — the data-cleaning/entity-resolution "
+        "primitive (typo-tolerant catalog matching). The self-join "
+        "runs on the DISTINCT name set, which is vocabulary-sized "
+        "(not row-count-sized) and broadcastable; at web scale the "
+        "same query blocks first (length bands / first-char buckets) "
+        "exactly like the dedup family's LSH prefilters.",
+    tags=("fuzzy", "join", "text"),
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    return (
+        a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 3)
+        .orderBy("name_a", "name_b")
+    )
