@@ -1091,3 +1091,48 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 3)
         .orderBy("name_a", "name_b")
     )
+
+
+@register(
+    "hll_mergeable_weekly_users",
+    oracle="""
+    SELECT epoch_us(date_trunc('week', ts)) AS week_us,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS merged_within_5pct
+    FROM events
+    GROUP BY week_us
+    ORDER BY week_us
+    """,
+    doc="Mergeable-sketch re-aggregation (Datasketches HLL): per-DAY "
+        "user sketches are built once, then UNIONED up to weeks — the "
+        "100 TB rollup pattern where raw data is touched once and "
+        "every coarser granularity comes from merging kilobyte "
+        "sketches (distinct counts are NOT additive; sketches are). "
+        "The weekly estimate is asserted within 5% of the exact "
+        "distinct count, which is what the oracle pins (sketches are "
+        "deterministic for fixed data, so the bound is stable).",
+    tags=("sketch", "approx", "rollup"),
+)
+def hll_mergeable_weekly_users(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    )
+    weekly = (
+        daily.groupBy(F.date_trunc("week", F.col("day")).alias("week"))
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+    )
+    exact = (
+        ev.groupBy(F.date_trunc("week", F.col("ts")).alias("week"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return (
+        exact.join(weekly, "week")
+        .select(F.unix_micros("week").alias("week_us"),
+                F.col("exact_users").cast("bigint").alias("exact_users"),
+                (F.abs(F.col("est") - F.col("exact_users"))
+                 <= 0.05 * F.col("exact_users")).alias("merged_within_5pct"))
+        .orderBy("week_us")
+    )
