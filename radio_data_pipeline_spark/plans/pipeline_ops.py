@@ -1136,3 +1136,57 @@ def hll_mergeable_weekly_users(spark: SparkSession, sf_dir: str
                  <= 0.05 * F.col("exact_users")).alias("merged_within_5pct"))
         .orderBy("week_us")
     )
+
+
+@register(
+    "theta_audience_overlap",
+    oracle="""
+    SELECT
+      CAST((SELECT count(DISTINCT user_id) FROM events
+            WHERE event_type = 'view') AS BIGINT) AS n_view,
+      CAST((SELECT count(DISTINCT user_id) FROM events
+            WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+      CAST((SELECT count(*) FROM
+             (SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'view'
+              INTERSECT
+              SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'purchase') t) AS BIGINT) AS n_both_exact,
+      TRUE AS overlap_within_5pct
+    """,
+    doc="Theta-sketch set intersection: audience overlap (distinct "
+        "users who both viewed and purchased) estimated by "
+        "intersecting two per-type sketches — the sketch family that "
+        "supports set algebra, so overlap questions at 100 TB need "
+        "no distinct-join of raw ids, only kilobyte sketch merges. "
+        "The estimate is asserted within 5% of the exact INTERSECT "
+        "(with a +-1 floor for small audiences), which the oracle "
+        "pins; sketches are deterministic for fixed data.",
+    tags=("sketch", "approx", "setop"),
+)
+def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    both = ev.filter(F.col("event_type").isin("view", "purchase"))
+    sk = (both.groupBy("event_type")
+          .agg(F.expr("theta_sketch_agg(user_id)").alias("sk")))
+    est = sk.agg(
+        F.expr("theta_sketch_estimate(theta_intersection_agg(sk))")
+        .alias("est_both"))
+    v = ev.filter(F.col("event_type") == "view") \
+        .agg(F.countDistinct("user_id").alias("n_view"))
+    p = ev.filter(F.col("event_type") == "purchase") \
+        .agg(F.countDistinct("user_id").alias("n_purchase"))
+    e = (ev.filter(F.col("event_type") == "view").select("user_id")
+         .intersect(ev.filter(F.col("event_type") == "purchase")
+                    .select("user_id"))
+         .agg(F.count(F.lit(1)).alias("n_both_exact")))
+    return (
+        v.crossJoin(p).crossJoin(e).crossJoin(F.broadcast(est))
+        .select(
+            F.col("n_view").cast("bigint").alias("n_view"),
+            F.col("n_purchase").cast("bigint").alias("n_purchase"),
+            F.col("n_both_exact").cast("bigint").alias("n_both_exact"),
+            (F.abs(F.col("est_both") - F.col("n_both_exact"))
+             <= F.greatest(F.lit(1.0), 0.05 * F.col("n_both_exact")))
+            .alias("overlap_within_5pct"))
+    )
