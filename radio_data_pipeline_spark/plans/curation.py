@@ -222,3 +222,60 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "reason")
     )
+
+
+_WSAMPLE_K = 5
+
+
+@register(
+    "weighted_sample_per_source",
+    oracle=f"""
+    WITH k AS (
+      SELECT source, doc_id, n_chars,
+             -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    ::UBIGINT + 1) / 4294967297.0) / n_chars AS skey
+      FROM documents
+      WHERE n_chars > 0
+    ),
+    r AS (
+      SELECT source, doc_id, n_chars, skey,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY skey, doc_id) AS rn
+      FROM k
+    )
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           round(skey, 6) AS sample_key
+    FROM r
+    WHERE rn <= {_WSAMPLE_K}
+    ORDER BY source, sample_key, doc_id
+    """,
+    doc="Deterministic weighted sampling without replacement "
+        "(Efraimidis-Spirakis A-ES): per document the key is "
+        "-ln(u)/w with u an md5-derived uniform in (0,1] and "
+        "w = n_chars, and the k smallest keys per source are the "
+        "sample — exactly the distribution of sequential weighted "
+        "draws, but computed as one map-side expression plus one "
+        "per-source top-k window (TakeOrdered shape, no global "
+        "sort). md5-seeded u makes the draw engine-portable and "
+        "rerun-stable, the property a training-mixture sampler "
+        "needs at 100 TB: re-executions and different engines pick "
+        "identical documents. ln() is bit-identical libm on both "
+        "engines (verified), so the oracle reproduces the keys "
+        "exactly.",
+    tags=("text", "sampling", "curation"),
+)
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                 16, 10).cast("double") + 1.0) / 4294967297.0)
+    k = docs.select(
+        "source", "doc_id", "n_chars",
+        (-F.log(u) / F.col("n_chars")).alias("skey"))
+    w = Window.partitionBy("source").orderBy("skey", "doc_id")
+    return (
+        k.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _WSAMPLE_K)
+        .select("source", "doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+                F.round("skey", 6).alias("sample_key"))
+        .orderBy("source", "sample_key", "doc_id")
+    )

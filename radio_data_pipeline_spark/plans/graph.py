@@ -1,0 +1,115 @@
+"""Graph analytics over relational tables: PageRank on the co-purchase
+graph.
+
+The reference has no graph surface; this family generalizes its
+iterative refinement loop (the RCR re-fit cycle, continuum.py:85-94)
+to the classic distributed-graph primitive, the same way
+``kmeans_embeddings`` generalizes it to clustering: every iteration is
+a join + aggregation expressed relationally, so Catalyst plans it and
+1000 executors run it with ZERO driver round trips (ranks stay a
+DataFrame end-to-end; nothing is collected).
+
+Graph construction: parts bought together in one order are linked
+(the co-purchase graph every recommender bootstrap builds). The
+lineitem self-join on l_orderkey is bounded fan-out — TPC-H orders
+have <= 7 lines, so each order emits <= 42 directed pairs; at 100 TB
+the join is one shuffle on l_orderkey and never quadratic. Edges are
+symmetric by construction, so every node has out-degree >= 1 and the
+dangling-mass term of textbook PageRank is identically zero — the
+plain update r' = (1-d)/N + d * sum(r_src / outdeg_src) is exact.
+
+Each iteration: one shuffle keyed on src (rank join) and one keyed on
+dst (contribution aggregation, partial-agg map side). The node count
+N rides along as a broadcast one-row DataFrame (a scalar subquery in
+the oracle), not a driver-side constant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from radio_data_pipeline_spark.plans.registry import register
+from radio_data_pipeline_spark.sources.parquet import load_table
+
+_DAMPING = 0.85
+_PR_ITERS = 2
+
+
+def _iter_sql(prev: str, out: str) -> str:
+    """One unrolled PageRank round as a DuckDB CTE body."""
+    return f"""
+    {out} AS (
+      SELECT e.dst AS node,
+             0.15 / (SELECT n FROM n)
+               + {_DAMPING} * sum({prev}.pr / deg.out_deg) AS pr
+      FROM e
+      JOIN {prev} ON e.src = {prev}.node
+      JOIN deg ON e.src = deg.src
+      GROUP BY e.dst
+    )"""
+
+
+@register(
+    "pagerank_copurchase",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg
+            FROM e GROUP BY src),
+    n AS (SELECT count(*) AS n FROM deg),
+    r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM n) AS pr FROM deg),
+    {_iter_sql("r0", "r1")},
+    {_iter_sql("r1", "r2")}
+    SELECT r2.node AS part, deg.out_deg, round(r2.pr, 8) AS pagerank
+    FROM r2 JOIN deg ON r2.node = deg.src
+    ORDER BY part
+    """,
+    doc="PageRank (d=0.85, 2 unrolled iterations, uniform init) on the "
+        "part co-purchase graph: parts sharing an order are linked "
+        "both ways. Bounded-fanout self-join builds edges; each "
+        "iteration is [join ranks on src -> aggregate contributions "
+        "on dst]; N is a broadcast one-row DataFrame, so no driver "
+        "round trips. Symmetric edges mean no dangling nodes and the "
+        "plain update rule is exact. Oracle unrolls the identical "
+        "rounds as CTEs.",
+    tags=("graph", "iterative", "join"),
+)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    n = deg.agg(F.count(F.lit(1)).alias("n"))
+
+    ranks = (deg.select(F.col("src").alias("node"))
+             .crossJoin(F.broadcast(n))
+             .select("node", (F.lit(1.0) / F.col("n")).alias("pr")))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("out_deg")).alias("mass"))
+        )
+        ranks = (contrib.crossJoin(F.broadcast(n))
+                 .select("node",
+                         (F.lit(0.15) / F.col("n")
+                          + F.lit(_DAMPING) * F.col("mass")).alias("pr")))
+
+    return (
+        ranks.join(deg, ranks["node"] == deg["src"])
+        .select(F.col("node").alias("part"), "out_deg",
+                F.round("pr", 8).alias("pagerank"))
+        .orderBy("part")
+    )

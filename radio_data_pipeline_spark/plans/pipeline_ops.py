@@ -1190,3 +1190,56 @@ def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
              <= F.greatest(F.lit(1.0), 0.05 * F.col("n_both_exact")))
             .alias("overlap_within_5pct"))
     )
+
+
+@register(
+    "zorder_locality_events",
+    oracle=(lambda _z: f"""
+    WITH k AS (
+      SELECT user_id, CAST(floor(value) AS BIGINT) AS vbucket,
+             {_z} AS zkey
+      FROM events
+    )
+    SELECT zkey >> 10 AS zbucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(user_id) AS BIGINT) AS min_user,
+           CAST(max(user_id) AS BIGINT) AS max_user,
+           min(vbucket) AS min_vbucket,
+           max(vbucket) AS max_vbucket
+    FROM k
+    GROUP BY zbucket
+    ORDER BY zbucket
+    """)(__import__("radio_data_pipeline_spark.sources.layout",
+                    fromlist=["zorder_key_sql"])
+         .zorder_key_sql("user_id", "CAST(floor(value) AS BIGINT)")),
+    doc="Z-order (Morton) locality audit: events keyed by the "
+        "bit-interleave of (user_id, floor(value)), grouped into "
+        "contiguous curve segments (zkey >> 10), reporting each "
+        "segment's span in BOTH dimensions. The point of the layout: "
+        "every segment covers a narrow user range AND a narrow value "
+        "range simultaneously, so files written in zkey order serve "
+        "min/max pruning for filters on either column — the "
+        "multi-dimensional data-skipping sort "
+        "(sources/layout.py write_zordered performs the write; "
+        "tests/test_layout.py proves the per-file span shrinkage). "
+        "Pure bit arithmetic, whole-stage codegen, one aggregation "
+        "shuffle.",
+    tags=("layout", "zorder", "data-skipping"),
+)
+def zorder_locality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.sources.layout import zorder_key
+
+    ev = load_table(spark, sf_dir, "events")
+    vbucket = F.floor("value").cast("long")
+    k = ev.select(
+        "user_id", vbucket.alias("vbucket"),
+        zorder_key(F.col("user_id"), vbucket).alias("zkey"))
+    return (
+        k.groupBy(F.shiftright("zkey", 10).alias("zbucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("user_id").cast("long").alias("min_user"),
+             F.max("user_id").cast("long").alias("max_user"),
+             F.min("vbucket").alias("min_vbucket"),
+             F.max("vbucket").alias("max_vbucket"))
+        .orderBy("zbucket")
+    )

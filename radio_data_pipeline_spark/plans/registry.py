@@ -50,6 +50,7 @@ def _load_all_modules() -> None:
     # radio_data_pipeline_spark` stays cheap.
     from radio_data_pipeline_spark.plans import arrays  # noqa: F401
     from radio_data_pipeline_spark.plans import curation  # noqa: F401
+    from radio_data_pipeline_spark.plans import graph  # noqa: F401
     from radio_data_pipeline_spark.plans import llm  # noqa: F401
     from radio_data_pipeline_spark.plans import multimodal  # noqa: F401
     from radio_data_pipeline_spark.plans import pipeline_ops  # noqa: F401

@@ -139,3 +139,51 @@ def test_fits_corpus_to_partitioned_lake(spark, tmp_path):
     plan = _plan(spark, one)
     assert "PartitionFilters" in plan
     assert one.count() == validated.filter(F.col("obs_id") == 1).count()
+
+
+def test_zorder_write_shrinks_per_file_spans(spark, sf_dir, tmp_path):
+    """Z-ordered files must cover narrow ranges in BOTH dimensions:
+    the mean per-file (max-min) span of each dimension must be well
+    under the global span (that shrinkage IS the min/max pruning
+    win), and the layout must be lossless."""
+    import pyarrow.parquet as pq
+
+    from radio_data_pipeline_spark.sources.layout import write_zordered
+
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_id", "user_id",
+                F.floor("value").cast("long").alias("vbucket"))
+    out = str(tmp_path / "events_zorder")
+    write_zordered(ev, out, F.col("user_id"), F.col("vbucket"),
+                   n_files=16)
+
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) >= 8  # range partitioner may merge empty ends
+
+    def spans(col):
+        out_spans = []
+        for f in files:
+            t = pq.read_table(f, columns=[col])[col]
+            vals = t.to_pylist()
+            if vals:
+                out_spans.append(max(vals) - min(vals))
+        return out_spans
+
+    n_total, u_glob, v_glob = ev.agg(
+        F.count(F.lit(1)),
+        F.max("user_id") - F.min("user_id"),
+        F.max("vbucket") - F.min("vbucket")).first()
+
+    u_spans, v_spans = spans("user_id"), spans("vbucket")
+    mean_u = sum(u_spans) / len(u_spans)
+    mean_v = sum(v_spans) / len(v_spans)
+    # Z-order on two 16-bit dims: each of 16 curve segments should
+    # span a fraction of both global ranges; a single-column sort
+    # would give ~full span in the other dimension.
+    assert mean_u < 0.5 * u_glob, (mean_u, u_glob)
+    assert mean_v < 0.5 * v_glob, (mean_v, v_glob)
+    # lossless
+    back = spark.read.parquet(out)
+    assert back.count() == n_total
+    assert back.select(F.sum("event_id")).first()[0] == \
+        ev.select(F.sum("event_id")).first()[0]
