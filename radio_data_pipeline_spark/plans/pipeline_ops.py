@@ -1243,3 +1243,130 @@ def zorder_locality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("vbucket").alias("max_vbucket"))
         .orderBy("zbucket")
     )
+
+
+@register(
+    "events_value_moments",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(value) AS s1, sum(value * value) AS s2,
+             sum(value * value * value) AS s3,
+             sum(value * value * value * value) AS s4
+      FROM events
+      GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n, s1 / n AS mean,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3 * (s1 / n) * (s2 / n)
+                  + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM s
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(mean, 6) AS mean,
+           round(sqrt(m2), 6) AS stddev,
+           round(m3 / pow(m2, 1.5), 6) AS skewness,
+           round(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis
+    FROM m
+    ORDER BY event_type
+    """,
+    doc="Single-pass distribution moments per event type: mean, "
+        "stddev, skewness, excess kurtosis, all derived from the raw "
+        "power sums (n, sum v, sum v^2..v^4) of ONE aggregation — the "
+        "mergeable-state generalization of the reference's mean (A4) "
+        "and sum-of-squares (A5) statistics. Power sums are "
+        "map-side-combinable, so 1000 executors each reduce their "
+        "partition to 5 numbers per group and the shuffle carries "
+        "fixed-size state regardless of row count (the same "
+        "mergeability argument as the HLL/theta sketch family, but "
+        "exact). Identical raw-moment arithmetic on both engines.",
+    tags=("aggregation", "statistics"),
+)
+def events_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s1"), F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"), F.sum(v * v * v * v).alias("s4"))
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - 3 * mean * (s2 / n) + 2 * mean * mean * mean
+    m4 = (s4 / n - 4 * mean * (s3 / n)
+          + 6 * mean * mean * (s2 / n) - 3 * mean * mean * mean * mean)
+    return (
+        s.select(
+            "event_type", n.cast("bigint").alias("n"),
+            F.round(mean, 6).alias("mean"),
+            F.round(F.sqrt(m2), 6).alias("stddev"),
+            F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skewness"),
+            F.round(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "user_type_scd2",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tus, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id)
+               AS prev_type
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, event_type, tus
+      FROM o
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    v AS (
+      SELECT user_id, event_type, tus AS valid_from_us,
+             lead(tus) OVER (PARTITION BY user_id ORDER BY tus)
+               AS valid_to_us,
+             row_number() OVER (PARTITION BY user_id ORDER BY tus)
+               AS version
+      FROM c
+    )
+    SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+           valid_from_us, valid_to_us,
+           (valid_to_us IS NULL) AS is_current
+    FROM v
+    ORDER BY user_id, version
+    """,
+    doc="Slowly-changing-dimension type-2 history build: per user, "
+        "each run of consecutive identical event_types collapses to "
+        "one versioned row with [valid_from, valid_to) interval "
+        "(NULL valid_to = current) — the warehouse pattern that turns "
+        "an event stream into a temporally-joinable dimension, and "
+        "the relational twin of the reference's segment extraction "
+        "(O15: change-point -> interval). Two windows and a filter, "
+        "all on the user_id partitioning established once; no "
+        "repartition between stages.",
+    tags=("window", "scd", "temporal"),
+)
+def user_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    o = ev.select(
+        "user_id", "event_type", F.col("ts_us").alias("tus"), "event_id",
+        F.lag("event_type").over(w).alias("prev_type"))
+    c = o.where(F.col("prev_type").isNull()
+                | (F.col("event_type") != F.col("prev_type")))
+    wv = Window.partitionBy("user_id").orderBy("tus")
+    v = c.select(
+        "user_id", "event_type", F.col("tus").alias("valid_from_us"),
+        F.lead("tus").over(wv).alias("valid_to_us"),
+        F.row_number().over(wv).alias("version"))
+    return (
+        v.select("user_id", F.col("version").cast("bigint").alias("version"),
+                 "event_type", "valid_from_us", "valid_to_us",
+                 F.col("valid_to_us").isNull().alias("is_current"))
+        .orderBy("user_id", "version")
+    )
