@@ -10,11 +10,13 @@ streaming-vs-batch equality through the availableNow harness.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from radio_data_pipeline_spark.plans.registry import register
 from radio_data_pipeline_spark.sources.parquet import load_table
 from radio_data_pipeline_spark.streaming.events import (
     session_event_counts,
+    sliding_user_activity,
     tumbling_event_counts,
 )
 
@@ -84,3 +86,37 @@ def events_session_window_counts(spark: SparkSession,
     events = load_table(spark, sf_dir, "events")
     return (session_event_counts(events, gap="30 minutes")
             .orderBy("user_id", "session_start_us"))
+
+
+@register(
+    "events_sliding_window_users",
+    oracle="""
+    WITH x AS (
+      SELECT user_id,
+             epoch_us(time_bucket(INTERVAL '1 hour', ts))
+               - k.k * 3600000000 AS win_start_us
+      FROM events, (SELECT unnest([0, 1]) AS k) k
+    )
+    SELECT CAST(win_start_us AS BIGINT) AS win_start_us,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM x
+    GROUP BY win_start_us
+    ORDER BY win_start_us
+    """,
+    doc="Sliding event-time window (2h window, 1h slide) distinct-user "
+        "activity (streaming/events.py sliding_user_activity, batch "
+        "form) — the third streaming window family alongside tumbling "
+        "and session. Spark replicates each event into window/slide "
+        "buckets before aggregating; the oracle reproduces that "
+        "assignment explicitly (each event joins to offsets [0,1] of "
+        "its hour bucket). Streaming state is bounded by the "
+        "watermark; the replication factor (=2) is the window/slide "
+        "ratio, the knob a 100 TB deployment sizes deliberately.",
+    tags=("streaming", "window-agg", "sliding"),
+)
+def events_sliding_window_users(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (sliding_user_activity(events)
+            .withColumn("n_users", F.col("n_users").cast("bigint"))
+            .orderBy("win_start_us"))

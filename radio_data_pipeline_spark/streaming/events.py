@@ -91,11 +91,21 @@ def sliding_user_activity(events: DataFrame, window: str = "2 hours",
                           slide: str = "1 hour",
                           watermark: str = "2 hours") -> DataFrame:
     """Sliding-window distinct-user activity; each event lands in
-    window_duration/slide windows. Returns (win_start_us, n_users)."""
+    window_duration/slide windows. Returns (win_start_us, n_users).
+
+    Batch inputs count exactly. Streaming inputs use HLL++
+    (``approx_count_distinct``, rsd=0.01) because Spark forbids exact
+    distinct aggregation over streams — unbounded per-group value
+    state; the sketch IS the production streaming answer (fixed-size
+    mergeable state per window), and tests/test_streaming.py pins the
+    stream result within the sketch's error bound of the exact batch
+    count."""
     e = _with_watermark(events, watermark)
+    n_users = (F.approx_count_distinct("user_id", rsd=0.01)
+               if events.isStreaming else F.count_distinct("user_id"))
     return (
         e.groupBy(F.window("ts", window, slide).alias("win"))
-        .agg(F.count_distinct("user_id").alias("n_users"))
+        .agg(n_users.alias("n_users"))
         .select(F.unix_micros(F.col("win.start")).alias("win_start_us"),
                 "n_users")
     )

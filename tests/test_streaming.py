@@ -25,6 +25,7 @@ from radio_data_pipeline_spark.streaming import (
     read_events_stream,
     run_available_now,
     session_event_counts,
+    sliding_user_activity,
     tumbling_event_counts,
 )
 
@@ -112,6 +113,23 @@ def test_session_windows_stream_matches_batch(spark, sf_smoke,
     exp = session_event_counts(load_table(spark, sf_smoke, "events"))
     cols = ["user_id", "session_start_us", "n_events"]
     assert _sorted_rows(got, cols) == _sorted_rows(exp, cols)
+
+
+def test_sliding_windows_stream_within_sketch_bound(spark, sf_smoke,
+                                                    events_stream):
+    # Streams forbid exact distinct agg, so the streaming path counts
+    # via HLL++ (rsd=0.01); same windows must appear, each count
+    # within 5% of the exact batch count.
+    got = {r["win_start_us"]: r["n_users"] for r in
+           run_available_now(sliding_user_activity(events_stream),
+                             "t_sliding", output_mode="complete")
+           .collect()}
+    exp = {r["win_start_us"]: r["n_users"] for r in
+           sliding_user_activity(load_table(spark, sf_smoke, "events"))
+           .collect()}
+    assert got.keys() == exp.keys() and len(exp) > 0
+    for w, exact in exp.items():
+        assert abs(got[w] - exact) <= max(1, 0.05 * exact), (w, got[w], exact)
 
 
 def test_streaming_dedup_matches_batch_distinct(spark, sf_smoke,
