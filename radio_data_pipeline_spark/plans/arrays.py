@@ -529,3 +529,65 @@ def quantized_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(_RERANK_K)
     )
+
+
+@register(
+    "vector_boxcar_peak",
+    oracle="""
+    WITH r AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, pos,
+             round(avg(val) OVER (PARTITION BY vec_id ORDER BY pos
+                                  ROWS BETWEEN 2 PRECEDING
+                                  AND 2 FOLLOWING), 6) AS sm
+      FROM r
+    ),
+    p AS (
+      SELECT vec_id, pos, sm,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sm DESC, pos) AS rn
+      FROM s
+    )
+    SELECT vec_id, CAST(pos AS BIGINT) AS peak_chan, sm AS peak_val
+    FROM p WHERE rn = 1
+    ORDER BY vec_id
+    """,
+    doc="Boxcar smoothing (width 5, truncated at edges) + peak finding "
+        "over the in-row spectral axis — the standard radio spectral "
+        "detection pair (smooth to suppress channel noise, then "
+        "argmax), generalizing the reference's channel-axis operators "
+        "(A1/F7). Spark side stays ARRAY-NATIVE: transform + slice + "
+        "aggregate per element, so the whole thing is one map-only "
+        "projection with no explode and no shuffle — at 100 TB the "
+        "spectra never leave their rows. The oracle computes the "
+        "identical truncated means via a posexploded window frame; "
+        "smoothed values are rounded to 6 places BEFORE the argmax on "
+        "both sides so tie-breaking (first channel) is engine-exact.",
+    tags=("array", "radio", "smoothing"),
+)
+def vector_boxcar_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arr = F.col("embedding").cast("array<double>")
+    n = F.size(arr)
+
+    def smoothed(x: F.Column, i: F.Column) -> F.Column:
+        start = F.greatest(i - 1, F.lit(1))          # 1-based slice start
+        end = F.least(i + 3, n)                      # 1-based slice end
+        length = end - start + 1
+        win = F.slice(arr, start, length)
+        total = F.aggregate(win, F.lit(0.0), lambda a, b: a + b)
+        return F.round(total / length.cast("double"), 6)
+
+    sm = F.transform(arr, smoothed)
+    return (
+        _emb(spark, sf_dir)
+        .select("vec_id", sm.alias("sm"))
+        .select("vec_id",
+                F.array_position(F.col("sm"), F.array_max("sm"))
+                 .cast("bigint").alias("peak_chan"),
+                F.array_max("sm").alias("peak_val"))
+        .orderBy("vec_id")
+    )

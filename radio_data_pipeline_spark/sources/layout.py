@@ -128,3 +128,24 @@ def write_zordered(df: DataFrame, path: str, x_col: F.Column,
     (keyed.repartitionByRange(n_files, F.col("zkey"))
      .sortWithinPartitions("zkey")
      .write.mode("overwrite").parquet(path))
+
+
+def overwrite_partitions(df: DataFrame, path: str,
+                         partition_cols: list[str]) -> None:
+    """Dynamic partition overwrite: replace ONLY the hive partitions
+    present in `df`, leaving every other partition of the dataset
+    untouched — the incremental-refresh primitive (recompute one day /
+    one source / one event_type and swap it in atomically per
+    partition) that turns the partitioned layout into an updatable
+    table without a table format.
+
+    Static overwrite (Spark's default) would truncate the WHOLE
+    dataset first; ``partitionOverwriteMode=dynamic`` scopes the
+    delete to partitions the job actually writes. At 100 TB this is
+    the difference between rewriting a day and rewriting the lake.
+    """
+    (df.repartition(*partition_cols)
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(*partition_cols)
+     .parquet(path))

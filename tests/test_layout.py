@@ -187,3 +187,42 @@ def test_zorder_write_shrinks_per_file_spans(spark, sf_dir, tmp_path):
     assert back.count() == n_total
     assert back.select(F.sum("event_id")).first()[0] == \
         ev.select(F.sum("event_id")).first()[0]
+
+
+def test_dynamic_partition_overwrite_scopes_to_written_partitions(
+        spark, sf_dir, tmp_path):
+    """Overwriting a recomputed single partition must replace that
+    partition only; all other partitions stay byte-identical."""
+    from radio_data_pipeline_spark.sources.layout import (
+        overwrite_partitions,
+        write_partitioned_dataset,
+    )
+
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_id", "user_id", "event_type", "value")
+    out = str(tmp_path / "events_dyn")
+    write_partitioned_dataset(ev, out, ["event_type"])
+
+    before = {r["event_type"]: (r["n"], r["s"]) for r in
+              spark.read.parquet(out)
+              .groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("event_id").alias("s")).collect()}
+    target = sorted(before)[0]
+
+    patch = (ev.where(F.col("event_type") == target)
+             .withColumn("value", F.col("value") * 2))
+    overwrite_partitions(patch, out, ["event_type"])
+
+    after_df = spark.read.parquet(out)
+    after = {r["event_type"]: (r["n"], r["s"]) for r in
+             after_df.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("event_id").alias("s")).collect()}
+    assert after == before  # same membership in every partition
+    # but the target partition's payload was really rewritten
+    doubled = (after_df.where(F.col("event_type") == target)
+               .agg(F.round(F.sum("value"), 2)).first()[0])
+    orig = (ev.where(F.col("event_type") == target)
+            .agg(F.round(F.sum("value") * 2, 2)).first()[0])
+    assert doubled == orig
