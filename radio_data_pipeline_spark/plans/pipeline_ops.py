@@ -1370,3 +1370,67 @@ def user_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("valid_to_us").isNull().alias("is_current"))
         .orderBy("user_id", "version")
     )
+
+
+@register(
+    "events_daily_gapfill",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n_events, sum(value) AS total_value
+      FROM events
+      GROUP BY event_type, day
+    ),
+    span AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+    spine AS (
+      SELECT t.event_type, CAST(g.day AS DATE) AS day
+      FROM (SELECT DISTINCT event_type FROM d) t,
+           (SELECT unnest(generate_series((SELECT lo FROM span),
+                                          (SELECT hi FROM span),
+                                          INTERVAL 1 DAY)) AS day) g
+    )
+    SELECT s.event_type,
+           CAST(epoch_us(CAST(s.day AS TIMESTAMP)) AS BIGINT) AS day_us,
+           CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
+           round(coalesce(d.total_value, 0), 2) AS total_value
+    FROM spine s
+    LEFT JOIN d ON s.event_type = d.event_type AND s.day = d.day
+    ORDER BY s.event_type, day_us
+    """,
+    doc="Calendar-spine gap filling: daily (event_type, count, value) "
+        "series densified to EVERY day in the observed span, missing "
+        "days zero-filled — the densification step before any "
+        "time-series model or day-over-day comparison (a left join "
+        "against a generated spine, the dual of LOCF forward-fill "
+        "which only patches interior NULLs). The spine is "
+        "sequence(min_day, max_day) exploded against the distinct "
+        "type dimension. The fact table is aggregated BEFORE the "
+        "outer join, so the join touches two dimension-sized inputs "
+        "(days x types), never the raw facts; the aggregated side is "
+        "the broadcast build side (Spark cannot broadcast the "
+        "preserved side of an outer join), and the span rides along "
+        "as a one-row broadcast aggregate.",
+    tags=("window", "gapfill", "events"),
+)
+def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = (ev.groupBy("event_type",
+                    F.date_trunc("DAY", "ts").cast("date").alias("day"))
+         .agg(F.count(F.lit(1)).alias("n_events"),
+              F.sum("value").alias("total_value")))
+    span = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = (d.select("event_type").distinct()
+             .crossJoin(F.broadcast(span))
+             .select("event_type",
+                     F.explode(F.sequence("lo", "hi")).alias("day")))
+    return (
+        spine.join(F.broadcast(d), ["event_type", "day"], "left")
+        .select("event_type",
+                F.unix_micros(F.col("day").cast("timestamp"))
+                 .alias("day_us"),
+                F.coalesce("n_events", F.lit(0)).cast("bigint")
+                 .alias("n_events"),
+                F.round(F.coalesce("total_value", F.lit(0.0)), 2)
+                 .alias("total_value"))
+        .orderBy("event_type", "day_us")
+    )
