@@ -186,3 +186,48 @@ def test_zscore_window_partitions_on_user(spark, sfq):
     plan = _plan(spark, sfq("events_user_zscore_outliers"))
     assert "hashpartitioning(user_id" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_boxcar_peak_is_map_only_no_explode(spark, sfq):
+    # Array-native smoothing: no generate/explode, no Python, no hash
+    # shuffle — only the final presentation sort exchanges data.
+    plan = _plan(spark, sfq("vector_boxcar_peak"))
+    assert "Generate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "hashpartitioning" not in plan
+
+
+def test_zorder_key_stays_in_codegen(spark, sfq):
+    # The Morton-key bit interleave must be plain expressions inside
+    # whole-stage codegen — one aggregation shuffle, no Python.
+    plan = _plan(spark, sfq("zorder_locality_events"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    df = sfq("zorder_locality_events")
+    df.collect()  # AQE finalizes codegen stages only on execution
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in executed, f"no codegen stage in:\n{executed}"
+
+
+def test_gapfill_broadcasts_aggregated_facts(spark, sfq):
+    # The outer join against the generated calendar spine must build
+    # on the aggregated (broadcast) side — the raw fact table never
+    # reshuffles for the join.
+    plan = _plan(spark, sfq("events_daily_gapfill"))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("LeftOuter") >= 1
+
+
+def test_scd2_single_user_partitioning(spark, sfq):
+    # Both windows and the change filter ride ONE user_id
+    # hashpartitioning — no second repartition between stages.
+    plan = _plan(spark, sfq("user_type_scd2"))
+    assert plan.count("hashpartitioning(user_id") >= 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_weighted_sample_is_one_window_topk(spark, sfq):
+    # A-ES sampling: map-side key computation + one per-source window;
+    # no global sort before the rank filter prunes to k.
+    plan = _plan(spark, sfq("weighted_sample_per_source"))
+    assert "hashpartitioning(source" in plan
+    assert "BatchEvalPython" not in plan
