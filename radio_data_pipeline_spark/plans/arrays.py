@@ -591,3 +591,66 @@ def vector_boxcar_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_max("sm").alias("peak_val"))
         .orderBy("vec_id")
     )
+
+
+_DFT_KS = range(1, 9)
+_PI = "3.141592653589793"
+
+
+def _dft_oracle() -> str:
+    mags = ",\n           ".join(
+        f"round(sqrt(pow(sum(val * cos(2 * {_PI} * {k} * j / n)), 2)"
+        f" + pow(sum(val * sin(2 * {_PI} * {k} * j / n)), 2)), 6)"
+        f" AS mag{k}" for k in _DFT_KS)
+    return f"""
+    WITH r AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+             CAST(unnest(embedding) AS DOUBLE) AS val,
+             len(embedding) AS n
+      FROM embeddings
+    )
+    SELECT vec_id,
+           {mags}
+    FROM r
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """
+
+
+@register(
+    "vector_dft8",
+    oracle=_dft_oracle(),
+    doc="Discrete Fourier transform, first 8 harmonics' magnitudes per "
+        "spectrum: |sum v_j e^(-2 pi i k j / n)| for k=1..8 — the "
+        "spectral-analysis primitive (periodicity detection, bandpass "
+        "ripple, standing-wave diagnosis in radio baselines) computed "
+        "EXACTLY as trig-weighted sums, so it carries a value-bearing "
+        "SQL oracle where an FFT library call could not. Spark side "
+        "is array-native (transform + in-order fold per harmonic): "
+        "map-only, no explode, no shuffle, spectra never leave their "
+        "rows; the oracle computes the same sums on the posexploded "
+        "form. An FFT beats this O(n*k) form only when k ~ n; for "
+        "fixed few harmonics at 100 TB the fold is the right plan.",
+    tags=("array", "radio", "spectral"),
+)
+def vector_dft8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arr = F.col("embedding").cast("array<double>")
+    n = F.size(arr).cast("double")
+    two_pi = 2.0 * 3.141592653589793
+
+    def mag(k: int) -> F.Column:
+        re = F.aggregate(
+            F.transform(arr, lambda x, i: x * F.cos(
+                F.lit(two_pi * k) * i.cast("double") / n)),
+            F.lit(0.0), lambda a, b: a + b)
+        im = F.aggregate(
+            F.transform(arr, lambda x, i: x * F.sin(
+                F.lit(two_pi * k) * i.cast("double") / n)),
+            F.lit(0.0), lambda a, b: a + b)
+        return F.round(F.sqrt(re * re + im * im), 6).alias(f"mag{k}")
+
+    return (
+        _emb(spark, sf_dir)
+        .select("vec_id", *[mag(k) for k in _DFT_KS])
+        .orderBy("vec_id")
+    )

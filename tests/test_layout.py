@@ -226,3 +226,32 @@ def test_dynamic_partition_overwrite_scopes_to_written_partitions(
     orig = (ev.where(F.col("event_type") == target)
             .agg(F.round(F.sum("value") * 2, 2)).first()[0])
     assert doubled == orig
+
+
+def test_schema_evolution_merge_across_generations(spark, sf_dir,
+                                                   tmp_path):
+    """A dataset whose later files gained a column must read as the
+    union schema with NULLs for the old files — the additive schema
+    evolution every long-lived lake layout depends on."""
+    out = str(tmp_path / "events_evolving")
+    ev = load_table(spark, sf_dir, "events")
+    v1 = ev.where(F.col("event_id") % 2 == 0) \
+        .select("event_id", "user_id", "value")
+    v2 = ev.where(F.col("event_id") % 2 == 1) \
+        .select("event_id", "user_id", "value",
+                (F.col("value") > 100).alias("is_large"))
+    v1.write.parquet(out + "/gen=1")
+    v2.write.parquet(out + "/gen=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"event_id", "user_id", "value",
+                                   "is_large", "gen"}
+    assert merged.count() == ev.count()
+    # old generation reads NULL for the new column, new reads values
+    nulls = merged.where(F.col("gen") == 1) \
+        .where(F.col("is_large").isNotNull()).count()
+    assert nulls == 0
+    n_large = merged.where(F.col("is_large")).count()
+    exp_large = ev.where((F.col("event_id") % 2 == 1)
+                         & (F.col("value") > 100)).count()
+    assert n_large == exp_large
