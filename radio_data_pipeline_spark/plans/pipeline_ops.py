@@ -1434,3 +1434,110 @@ def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("total_value"))
         .orderBy("event_type", "day_us")
     )
+
+
+def _corr_sql(x: str, y: str, alias: str) -> str:
+    return (f"round((count(*) * sum({x} * {y}) - sum({x}) * sum({y}))"
+            f" / sqrt((count(*) * sum({x} * {x}) - sum({x}) * sum({x}))"
+            f" * (count(*) * sum({y} * {y}) - sum({y}) * sum({y}))), 6)"
+            f" AS {alias}")
+
+
+_CORR_PAIRS = [("l_quantity", "l_extendedprice", "r_qty_price"),
+               ("l_quantity", "l_discount", "r_qty_disc"),
+               ("l_quantity", "l_tax", "r_qty_tax"),
+               ("l_extendedprice", "l_discount", "r_price_disc"),
+               ("l_extendedprice", "l_tax", "r_price_tax"),
+               ("l_discount", "l_tax", "r_disc_tax")]
+
+
+@register(
+    "lineitem_corr_matrix",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           {", ".join(_corr_sql(x, y, a) for x, y, a in _CORR_PAIRS)}
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Pairwise Pearson correlation matrix of the four lineitem "
+        "measures per return flag, computed from RAW POWER SUMS "
+        "(count, sum x, sum x^2, sum xy) in ONE aggregation pass — "
+        "not the built-in corr(), whose streaming update order would "
+        "differ between engines; the explicit sums make the "
+        "arithmetic engine-identical AND mergeable (fixed-size state "
+        "per group, map-side combinable — the events_value_moments "
+        "argument extended to the multivariate case). One shuffle of "
+        "14 numbers per group regardless of row count.",
+    tags=("aggregation", "statistics"),
+)
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def corr_col(x: str, y: str, alias: str) -> F.Column:
+        cx, cy, cn = F.col(x), F.col(y), F.count(F.lit(1))
+        num = cn * F.sum(cx * cy) - F.sum(cx) * F.sum(cy)
+        den = F.sqrt((cn * F.sum(cx * cx) - F.sum(cx) * F.sum(cx))
+                     * (cn * F.sum(cy * cy) - F.sum(cy) * F.sum(cy)))
+        return F.round(num / den, 6).alias(alias)
+
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+             *[corr_col(x, y, a) for x, y, a in _CORR_PAIRS])
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "events_winsorized_mean",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(quantile_cont(value, 0.01) AS DOUBLE) AS p01,
+             CAST(quantile_cont(value, 0.99) AS DOUBLE) AS p99
+      FROM events
+      GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 6) AS raw_mean,
+           round(avg(least(greatest(value, b.p01), b.p99)), 6)
+             AS winsorized_mean,
+           round(CAST(b.p01 AS DOUBLE), 6) AS p01,
+           round(CAST(b.p99 AS DOUBLE), 6) AS p99
+    FROM events e JOIN b ON e.event_type = b.event_type
+    GROUP BY e.event_type, b.p01, b.p99
+    ORDER BY e.event_type
+    """,
+    doc="Winsorized mean per event type: exact P1/P99 bounds "
+        "(interpolated percentile, identical definition on both "
+        "engines) computed in a first aggregation pass, broadcast "
+        "back onto the facts, values clipped into [p01, p99], then "
+        "re-averaged — the two-pass robust-mean idiom (clip, don't "
+        "drop) that tames heavy-tailed metrics, the bounded-influence "
+        "cousin of the MAD screen and the RCR rejection family. The "
+        "percentile table is groups-sized, so the join back is a "
+        "broadcast; the fact table is scanned twice but never "
+        "reshuffled on a new key.",
+    tags=("aggregation", "robust", "statistics"),
+)
+def events_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = (ev.groupBy("event_type")
+         .agg(F.percentile("value", 0.01).alias("p01"),
+              F.percentile("value", 0.99).alias("p99")))
+    clipped = F.least(F.greatest(F.col("value"), F.col("p01")),
+                      F.col("p99"))
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .groupBy("event_type", "p01", "p99")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+             F.round(F.avg("value"), 6).alias("raw_mean"),
+             F.round(F.avg(clipped), 6).alias("winsorized_mean"))
+        .select("event_type", "n", "raw_mean", "winsorized_mean",
+                F.round("p01", 6).alias("p01"),
+                F.round("p99", 6).alias("p99"))
+        .orderBy("event_type")
+    )

@@ -219,3 +219,41 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
              <= 0.05 * F.col("exact_users")).alias("approx_within_5pct"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "doc_token_entropy",
+    oracle=f"""
+    WITH w AS ({_WORDS_CTE}),
+    t AS (SELECT doc_id, unnest(words) AS word FROM w),
+    c AS (SELECT doc_id, word, count(*) AS c
+          FROM t GROUP BY doc_id, word)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+    FROM c
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Shannon entropy of each document's token distribution "
+        "(nats): H = ln(n) - sum(c ln c)/n over per-word counts — "
+        "the lexical-diversity quality signal that separates "
+        "natural text (high entropy) from boilerplate and keyword "
+        "spam (low), complementing repetition_signals' top-heaviness "
+        "ratios. Two aggregations: (doc_id, word) counts then the "
+        "per-doc reduction — the second rides the doc_id component "
+        "of the first's partitioning, and both partial-aggregate "
+        "map-side. ln() is bit-identical libm on both engines.",
+    tags=("text", "quality", "entropy"),
+)
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = _word_rows(spark, sf_dir)
+    c = rows.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    return (
+        c.groupBy("doc_id")
+        .agg(n.cast("bigint").alias("n_tokens"),
+             F.round(F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 6)
+              .alias("entropy"))
+        .orderBy("doc_id")
+    )
