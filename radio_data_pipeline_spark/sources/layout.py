@@ -149,3 +149,36 @@ def overwrite_partitions(df: DataFrame, path: str,
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy(*partition_cols)
      .parquet(path))
+
+
+def dataset_size_bytes(spark, path: str) -> int:
+    """Total bytes of a dataset's data files via the Hadoop FileSystem
+    API — scheme-agnostic (works on HDFS/S3/local alike), no driver
+    download of any data."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.getContentSummary(hpath).getLength()
+
+
+def compact_dataset(spark, path: str, out_path: str,
+                    target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Rewrite a dataset into ~target-sized files; returns the file
+    count written.
+
+    Small files are the silent killer of scan parallelism economics:
+    every file costs a task, a footer read, and an open per scan, so a
+    day of streaming micro-batches (thousands of KB-sized files)
+    makes downstream jobs scheduler-bound. Compaction = read, ONE
+    round-robin repartition to ceil(total_bytes / target), write.
+    Parquet re-encodes on write, so the task count is computed from
+    input bytes as the available proxy; sorted layouts (e.g.
+    write_zordered output) should re-sort instead via
+    repartitionByRange on their key to preserve clustering.
+    """
+    total = dataset_size_bytes(spark, path)
+    n_files = max(1, -(-total // target_file_bytes))
+    (spark.read.parquet(path)
+     .repartition(n_files)
+     .write.mode("overwrite").parquet(out_path))
+    return n_files

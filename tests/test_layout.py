@@ -255,3 +255,29 @@ def test_schema_evolution_merge_across_generations(spark, sf_dir,
     exp_large = ev.where((F.col("event_id") % 2 == 1)
                          & (F.col("value") > 100)).count()
     assert n_large == exp_large
+
+
+def test_compaction_collapses_small_files(spark, sf_dir, tmp_path):
+    """Many tiny files must compact to the byte-budgeted count with
+    the data intact."""
+    from radio_data_pipeline_spark.sources.layout import (
+        compact_dataset,
+        dataset_size_bytes,
+    )
+
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_id", "user_id", "value")
+    frag = str(tmp_path / "fragmented")
+    ev.repartition(40).write.parquet(frag)  # simulate micro-batch debris
+    assert len(glob.glob(frag + "/part-*.parquet")) == 40
+
+    total = dataset_size_bytes(spark, frag)
+    out = str(tmp_path / "compacted")
+    target = total // 3  # force ~3-4 output files
+    n = compact_dataset(spark, frag, out, target_file_bytes=target)
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) == n <= 4
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    assert back.agg(F.sum("event_id")).first()[0] == \
+        ev.agg(F.sum("event_id")).first()[0]
