@@ -279,3 +279,53 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("skey", 6).alias("sample_key"))
         .orderBy("source", "sample_key", "doc_id")
     )
+
+
+_SOURCE_CAP = 30
+
+
+@register(
+    "cap_docs_per_source",
+    oracle=f"""
+    WITH r AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rn <= {_SOURCE_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn <= {_SOURCE_CAP} THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM r
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Per-source contribution cap: rank each source's documents by "
+        "a quality proxy (n_chars, deterministic doc_id tie-break) "
+        "and keep at most N — the mixture-capping rule that stops any "
+        "single crawl domain from dominating the training corpus "
+        "(the deterministic-rank counterpart of "
+        "weighted_sample_per_source's probabilistic draw). One "
+        "per-source window then an aggregation riding the same "
+        "source partitioning; reports per-source kept counts and "
+        "retained volume.",
+    tags=("text", "curation", "sampling"),
+)
+def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    r = docs.select("source", "n_chars",
+                    F.row_number().over(w).alias("rn"))
+    kept = F.when(F.col("rn") <= _SOURCE_CAP, 1).otherwise(0)
+    kept_chars = F.when(F.col("rn") <= _SOURCE_CAP,
+                        F.col("n_chars")).otherwise(0)
+    return (
+        r.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+             F.sum(kept).cast("bigint").alias("n_kept"),
+             F.sum(kept_chars).cast("bigint").alias("kept_chars"))
+        .orderBy("source")
+    )

@@ -113,3 +113,56 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("pr", 8).alias("pagerank"))
         .orderBy("part")
     )
+
+
+@register(
+    "copurchase_degree_dist",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    b AS (SELECT CAST(floor(ln(d) / ln(2)) AS BIGINT) AS log2_bucket,
+                 d FROM deg)
+    SELECT log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(d) AS BIGINT) AS min_degree,
+           CAST(max(d) AS BIGINT) AS max_degree
+    FROM b
+    GROUP BY log2_bucket
+    ORDER BY log2_bucket
+    """,
+    doc="Degree distribution of the co-purchase graph in log2 buckets "
+        "— the first diagnostic run before any graph algorithm at "
+        "scale: a heavy power-law tail means the contribution "
+        "aggregation in PageRank (and any neighborhood join) needs "
+        "skew handling for hub nodes, while a capped distribution "
+        "(this graph: order fan-out is bounded) means plain hash "
+        "partitioning holds. Same bounded-fanout edge build as "
+        "pagerank_copurchase, one degree aggregation, one tiny "
+        "bucket aggregation.",
+    tags=("graph", "diagnostics", "skew"),
+)
+def copurchase_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    deg = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"))
+        .distinct()
+        .groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        deg.groupBy(F.floor(F.log(F.col("d").cast("double"))
+                            / F.log(F.lit(2.0))).cast("bigint")
+                    .alias("log2_bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+             F.min("d").cast("bigint").alias("min_degree"),
+             F.max("d").cast("bigint").alias("max_degree"))
+        .orderBy("log2_bucket")
+    )

@@ -1541,3 +1541,61 @@ def events_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("p99", 6).alias("p99"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "orders_pareto_share",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey, sum(o_totalprice) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    d AS (
+      SELECT o_custkey, rev,
+             ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+      FROM c
+    ),
+    g AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+             sum(rev) AS decile_rev
+      FROM d GROUP BY decile
+    )
+    SELECT decile, n_customers,
+           round(decile_rev, 2) AS decile_revenue,
+           round(sum(decile_rev) OVER (ORDER BY decile)
+                 / sum(decile_rev) OVER (), 6) AS cum_share
+    FROM g
+    ORDER BY decile
+    """,
+    doc="Revenue concentration (Pareto/Lorenz) report: customers "
+        "ranked into spend deciles, each decile's revenue and the "
+        "cumulative share — 'the top 10% of customers carry X% of "
+        "revenue', the concentration curve behind corpus source "
+        "weighting and skew planning alike. The global ntile needs a "
+        "TOTAL ordering, but only over the per-customer AGGREGATE "
+        "(one row per customer, facts already reduced), so the "
+        "single-partition window sees dimension-scale data — the "
+        "same argument as every final ORDER BY; the decile re-agg "
+        "and share windows then run over exactly 10 rows.",
+    tags=("window", "analytics", "distribution"),
+)
+def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    d = c.withColumn("decile", F.ntile(10).over(
+        Window.orderBy(F.desc("rev"), "o_custkey")))
+    g = (d.groupBy("decile")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+              F.sum("rev").alias("decile_rev")))
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wt = Window.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    return (
+        g.select("decile", "n_customers",
+                 F.round("decile_rev", 2).alias("decile_revenue"),
+                 F.round(F.sum("decile_rev").over(wc)
+                         / F.sum("decile_rev").over(wt), 6)
+                  .alias("cum_share"))
+        .orderBy("decile")
+    )
