@@ -1599,3 +1599,110 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("cum_share"))
         .orderBy("decile")
     )
+
+
+@register(
+    "events_autocorr_lag1",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, value AS x,
+             lag(value) OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM p WHERE y IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS autocorr_lag1
+    FROM s
+    WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    ORDER BY user_id
+    """,
+    doc="Lag-1 autocorrelation of each user's value series: Pearson r "
+        "between consecutive samples (event-time order, event_id "
+        "tie-break) — the first time-series diagnostic (white noise "
+        "~0, trending/sticky ~1, mean-reverting <0), the numeric "
+        "cousin of the categorical event_transition_matrix. One lag "
+        "window then power sums, both riding the user_id "
+        "partitioning; degenerate (zero-variance) series are "
+        "excluded identically on both engines.",
+    tags=("window", "statistics", "timeseries"),
+)
+def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    p = ev.select("user_id", F.col("value").alias("x"),
+                  F.lag("value").over(w).alias("y")) \
+        .where(F.col("y").isNotNull())
+    x, y = F.col("x"), F.col("y")
+    s = p.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"))
+    n, sx, sy, sxy, sxx, syy = (F.col(c) for c in
+                                ("n", "sx", "sy", "sxy", "sxx", "syy"))
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    return (
+        s.where((vx > 0) & (vy > 0))
+        .select("user_id", n.cast("bigint").alias("n_pairs"),
+                F.round((n * sxy - sx * sy) / F.sqrt(vx * vy), 6)
+                 .alias("autocorr_lag1"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "lineitem_benford_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(floor(l_extendedprice
+                        / pow(10, floor(log10(l_extendedprice))))
+                  AS BIGINT) AS digit
+      FROM lineitem WHERE l_extendedprice > 0
+    )
+    SELECT digit,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0 / (SELECT count(*) FROM d), 6)
+             AS observed_freq,
+           round(log10(1 + 1.0 / digit), 6) AS benford_freq
+    FROM d
+    GROUP BY digit
+    ORDER BY digit
+    """,
+    doc="Benford first-significant-digit audit of extended prices: "
+        "observed digit frequencies next to the Benford expectation "
+        "log10(1 + 1/d) — the classic large-scale data-quality / "
+        "fabrication screen (natural multiplicative data follows it; "
+        "synthetic or truncated pipelines visibly don't). Map-side "
+        "digit extraction in pure expressions, one 9-group "
+        "aggregation, total count as a scalar subquery (broadcast "
+        "one-row aggregate).",
+    tags=("aggregation", "audit", "quality"),
+)
+def lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem") \
+        .where(F.col("l_extendedprice") > 0)
+    digit = F.floor(F.col("l_extendedprice")
+                    / F.pow(F.lit(10.0),
+                            F.floor(F.log10("l_extendedprice")))) \
+        .cast("bigint")
+    d = li.select(digit.alias("digit"))
+    total = d.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        d.groupBy("digit").agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .select("digit", F.col("cnt").cast("bigint").alias("n"),
+                F.round(F.col("cnt") / F.col("total"), 6)
+                 .alias("observed_freq"),
+                F.round(F.log10(1 + 1.0 / F.col("digit")), 6)
+                 .alias("benford_freq"))
+        .orderBy("digit")
+    )
