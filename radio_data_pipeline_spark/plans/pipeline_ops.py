@@ -1706,3 +1706,41 @@ def lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("benford_freq"))
         .orderBy("digit")
     )
+
+
+@register(
+    "orders_gini_coefficient",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey, sum(o_totalprice) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS i
+      FROM c
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           round(2.0 * sum(i * rev) / (count(*) * sum(rev))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM r
+    """,
+    doc="Gini coefficient of customer spend: the scalar inequality "
+        "index behind the Pareto decile report (0 = uniform, 1 = one "
+        "customer holds everything), via the rank formula "
+        "G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending-ranked "
+        "totals — the metric used to monitor corpus source balance "
+        "and revenue concentration alike. The global rank runs over "
+        "the per-customer aggregate (facts already reduced), then "
+        "one scalar aggregation.",
+    tags=("window", "analytics", "distribution"),
+)
+def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    r = c.select("rev", F.row_number().over(
+        Window.orderBy("rev", "o_custkey")).alias("i"))
+    n, srev = F.count(F.lit(1)), F.sum("rev")
+    return r.agg(
+        n.cast("bigint").alias("n_customers"),
+        F.round(2.0 * F.sum(F.col("i") * F.col("rev")) / (n * srev)
+                - (n + 1.0) / n, 6).alias("gini"))
