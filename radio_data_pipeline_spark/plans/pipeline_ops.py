@@ -1744,3 +1744,79 @@ def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_customers"),
         F.round(2.0 * F.sum(F.col("i") * F.col("rev")) / (n * srev)
                 - (n + 1.0) / n, 6).alias("gini"))
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey, max(o_orderdate) AS last_order,
+             count(*) AS frequency, sum(o_totalprice) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    m AS (SELECT max(last_order) AS maxd FROM c),
+    s AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', last_order, m.maxd) AS BIGINT) AS recency_days,
+             CAST(frequency AS BIGINT) AS frequency,
+             monetary,
+             ntile(5) OVER (ORDER BY date_diff('day', last_order, m.maxd) DESC,
+                            o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+      FROM c CROSS JOIN m
+    )
+    SELECT o_custkey, recency_days, frequency,
+           round(monetary, 2) AS monetary,
+           r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                WHEN f_score >= 4 THEN 'loyal'
+                WHEN r_score >= 4 THEN 'recent'
+                WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                ELSE 'hibernating' END AS segment
+    FROM s
+    ORDER BY o_custkey
+    """,
+    doc="RFM customer segmentation: per-customer recency (days since "
+        "last order vs corpus max date), frequency, monetary, each "
+        "quintile-scored (deterministic custkey tie-breaks), then the "
+        "standard champion/loyal/recent/at_risk/hibernating labels — "
+        "the warehouse segmentation workload. Facts reduce to one row "
+        "per customer FIRST, so the three global ntile windows rank "
+        "only the dimension-sized aggregate (never raw orders), and "
+        "the corpus max date rides along as a one-row broadcast "
+        "aggregate, not a driver-side constant.",
+    tags=("window", "analytics", "segmentation"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("o_totalprice").alias("monetary"))
+    m = c.agg(F.max("last_order").alias("maxd"))
+    s = (c.crossJoin(F.broadcast(m))
+         .withColumn("recency_days",
+                     F.datediff("maxd", "last_order").cast("bigint")))
+    s = (s.withColumn("r_score", F.ntile(5).over(
+            Window.orderBy(F.desc("recency_days"), "o_custkey")))
+         .withColumn("f_score", F.ntile(5).over(
+            Window.orderBy("frequency", "o_custkey")))
+         .withColumn("m_score", F.ntile(5).over(
+            Window.orderBy("monetary", "o_custkey"))))
+    segment = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4),
+               "champion")
+        .when(F.col("f_score") >= 4, "loyal")
+        .when(F.col("r_score") >= 4, "recent")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3),
+              "at_risk")
+        .otherwise("hibernating"))
+    return (
+        s.select("o_custkey", "recency_days",
+                 F.col("frequency").cast("bigint").alias("frequency"),
+                 F.round("monetary", 2).alias("monetary"),
+                 "r_score", "f_score", "m_score",
+                 segment.alias("segment"))
+        .orderBy("o_custkey")
+    )
