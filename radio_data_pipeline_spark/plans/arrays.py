@@ -654,3 +654,61 @@ def vector_dft8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", *[mag(k) for k in _DFT_KS])
         .orderBy("vec_id")
     )
+
+
+@register(
+    "label_centroid_dispersion",
+    oracle="""
+    WITH r AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ),
+    c AS (
+      SELECT label, pos, avg(val) AS cval
+      FROM r GROUP BY label, pos
+    ),
+    d AS (
+      SELECT r.vec_id, r.label,
+             sum((r.val - c.cval) * (r.val - c.cval)) AS d2
+      FROM r JOIN c ON r.label = c.label AND r.pos = c.pos
+      GROUP BY r.vec_id, r.label
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(sqrt(d2)), 6) AS mean_dist,
+           round(max(sqrt(d2)), 6) AS max_dist
+    FROM d
+    GROUP BY label
+    ORDER BY label
+    """,
+    doc="Per-label embedding dispersion: each vector's Euclidean "
+        "distance to its label centroid, reduced to per-label mean "
+        "and max — the supervised cluster-quality audit (tight labels "
+        "embed coherently; a ballooning mean_dist flags label noise "
+        "or embedding drift before training does), the labeled-data "
+        "counterpart of kmeans_embeddings' unsupervised dispersion. "
+        "Centroids are (labels x dim) rows — BROADCAST back onto the "
+        "posexploded vectors, so the only fact-sized shuffles are "
+        "the two keyed aggregations, both map-side-combinable.",
+    tags=("array", "ml", "quality"),
+)
+def label_centroid_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    r = emb.select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding").cast("array<double>"))
+         .alias("pos0", "val")) \
+        .select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "val")
+    c = r.groupBy("label", "pos").agg(F.avg("val").alias("cval"))
+    d = (r.join(F.broadcast(c), ["label", "pos"])
+         .groupBy("vec_id", "label")
+         .agg(F.sum((F.col("val") - F.col("cval"))
+                    * (F.col("val") - F.col("cval"))).alias("d2")))
+    return (
+        d.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+             F.round(F.avg(F.sqrt("d2")), 6).alias("mean_dist"),
+             F.round(F.max(F.sqrt("d2")), 6).alias("max_dist"))
+        .orderBy("label")
+    )
