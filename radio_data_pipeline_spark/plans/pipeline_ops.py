@@ -1820,3 +1820,142 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                  segment.alias("segment"))
         .orderBy("o_custkey")
     )
+
+
+_AFFINITY_MIN_CO = 5
+
+
+@register(
+    "part_type_affinity",
+    oracle=f"""
+    WITH ot AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_type AS t
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT count(DISTINCT ok) AS n FROM ot),
+    s AS (SELECT t, count(*) AS c FROM ot GROUP BY t),
+    j AS (
+      SELECT a.t AS type_a, b.t AS type_b, count(*) AS c_ab
+      FROM ot a JOIN ot b ON a.ok = b.ok AND a.t < b.t
+      GROUP BY a.t, b.t
+    )
+    SELECT type_a, type_b,
+           CAST(c_ab AS BIGINT) AS n_co_orders,
+           round(c_ab * 1.0 * (SELECT n FROM n) / (sa.c * 1.0 * sb.c), 6)
+             AS lift
+    FROM j
+    JOIN s sa ON j.type_a = sa.t
+    JOIN s sb ON j.type_b = sb.t
+    WHERE c_ab >= {_AFFINITY_MIN_CO}
+    ORDER BY type_a, type_b
+    """,
+    doc="Market-basket affinity: lift = P(a,b) / (P(a) P(b)) for every "
+        "part-type pair co-occurring in >= 5 orders (lift > 1 = "
+        "bought together more than chance) — the association-rule "
+        "primitive behind recommenders and co-occurrence embeddings. "
+        "Baskets are (order, type) DISTINCT pairs (part dimension "
+        "broadcast onto lineitem), the pair join is the SAME "
+        "bounded-fanout self-join as the co-purchase graph (<= 7 "
+        "lines/order caps pairs per order at 21), marginals are "
+        "broadcast back, and the min-support cut applies BEFORE any "
+        "wide output materializes.",
+    tags=("analytics", "association", "join"),
+)
+def part_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    ot = (li.join(F.broadcast(part),
+                  li["l_partkey"] == part["p_partkey"])
+          .select(F.col("l_orderkey").alias("ok"),
+                  F.col("p_type").alias("t"))
+          .distinct())
+    n = ot.agg(F.countDistinct("ok").alias("n"))
+    s = ot.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    a, b = ot.alias("a"), ot.alias("b")
+    j = (a.join(b, (F.col("a.ok") == F.col("b.ok"))
+                & (F.col("a.t") < F.col("b.t")))
+         .groupBy(F.col("a.t").alias("type_a"),
+                  F.col("b.t").alias("type_b"))
+         .agg(F.count(F.lit(1)).alias("c_ab"))
+         .where(F.col("c_ab") >= _AFFINITY_MIN_CO))
+    sa = s.select(F.col("t").alias("ta"), F.col("c").alias("ca"))
+    sb = s.select(F.col("t").alias("tb"), F.col("c").alias("cb"))
+    return (
+        j.join(F.broadcast(sa), j["type_a"] == sa["ta"])
+        .join(F.broadcast(sb), j["type_b"] == sb["tb"])
+        .crossJoin(F.broadcast(n))
+        .select("type_a", "type_b",
+                F.col("c_ab").cast("bigint").alias("n_co_orders"),
+                F.round(F.col("c_ab") * F.col("n")
+                        / (F.col("ca") * 1.0 * F.col("cb")), 6)
+                 .alias("lift"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "orders_priority_month_chi2",
+    oracle="""
+    WITH x AS (
+      SELECT o_orderpriority AS pri, month(o_orderdate) AS mo
+      FROM orders
+    ),
+    o AS (SELECT pri, mo, count(*) AS obs FROM x GROUP BY pri, mo),
+    rp AS (SELECT pri, count(*) AS cp FROM x GROUP BY pri),
+    rm AS (SELECT mo, count(*) AS cm FROM x GROUP BY mo),
+    n AS (SELECT count(*) AS n FROM x),
+    cells AS (
+      SELECT rp.pri, rm.mo,
+             coalesce(o.obs, 0) AS obs,
+             rp.cp * 1.0 * rm.cm / (SELECT n FROM n) AS expected
+      FROM rp CROSS JOIN rm
+      LEFT JOIN o ON o.pri = rp.pri AND o.mo = rm.mo
+    )
+    SELECT CAST((SELECT n FROM n) AS BIGINT) AS n_orders,
+           CAST(((SELECT count(*) FROM rp) - 1)
+                * ((SELECT count(*) FROM rm) - 1) AS BIGINT) AS dof,
+           round(sum((obs - expected) * (obs - expected) / expected), 6)
+             AS chi2
+    FROM cells
+    """,
+    doc="Chi-square independence test of order priority vs calendar "
+        "month: observed cell counts against marginal-product "
+        "expectations over the FULL category cross (zero-observed "
+        "cells contribute their expectation — a left join against "
+        "the marginal cross, not just the observed cells) — the "
+        "categorical drift/seasonality screen a pipeline runs before "
+        "trusting a month's data mix, complementing the Benford "
+        "digit audit. Facts reduce to the contingency table first; "
+        "the 60-cell cross and all marginals are broadcast-sized.",
+    tags=("aggregation", "audit", "statistics"),
+)
+def orders_priority_month_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    x = orders.select(F.col("o_orderpriority").alias("pri"),
+                      F.month("o_orderdate").alias("mo"))
+    o = x.groupBy("pri", "mo").agg(F.count(F.lit(1)).alias("obs"))
+    rp = x.groupBy("pri").agg(F.count(F.lit(1)).alias("cp"))
+    rm = x.groupBy("mo").agg(F.count(F.lit(1)).alias("cm"))
+    n = x.agg(F.count(F.lit(1)).alias("n"))
+    np_ = rp.agg(F.count(F.lit(1)).alias("np"))
+    nm = rm.agg(F.count(F.lit(1)).alias("nm"))
+    cells = (rp.crossJoin(rm)
+             .join(o, ["pri", "mo"], "left")
+             .crossJoin(F.broadcast(n))
+             .select(F.coalesce("obs", F.lit(0)).alias("obs"),
+                     (F.col("cp") * 1.0 * F.col("cm") / F.col("n"))
+                     .alias("expected")))
+    chi2 = cells.agg(
+        F.round(F.sum((F.col("obs") - F.col("expected"))
+                      * (F.col("obs") - F.col("expected"))
+                      / F.col("expected")), 6).alias("chi2"))
+    return (
+        chi2.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(nm))
+        .select(F.col("n").cast("bigint").alias("n_orders"),
+                ((F.col("np") - 1) * (F.col("nm") - 1)).cast("bigint")
+                 .alias("dof"),
+                "chi2")
+    )
