@@ -48,15 +48,19 @@ def register(name: str, oracle: str | None, doc: str = "",
 def _load_all_modules() -> None:
     # Import side-effect registration; kept lazy so `import
     # radio_data_pipeline_spark` stays cheap.
+    # ORDER MATTERS for the driver's correctness sample: registration
+    # order is dict order, and the SURVEY §2-critical families (the
+    # radio hard core, then arrays/relational) must land inside the
+    # driver's query-sample window — hence radio first.
+    from radio_data_pipeline_spark.plans import radio  # noqa: F401
     from radio_data_pipeline_spark.plans import arrays  # noqa: F401
+    from radio_data_pipeline_spark.plans import relational  # noqa: F401
+    from radio_data_pipeline_spark.plans import multimodal  # noqa: F401
+    from radio_data_pipeline_spark.plans import llm  # noqa: F401
+    from radio_data_pipeline_spark.plans import quality  # noqa: F401
     from radio_data_pipeline_spark.plans import curation  # noqa: F401
     from radio_data_pipeline_spark.plans import graph  # noqa: F401
-    from radio_data_pipeline_spark.plans import llm  # noqa: F401
-    from radio_data_pipeline_spark.plans import multimodal  # noqa: F401
     from radio_data_pipeline_spark.plans import pipeline_ops  # noqa: F401
-    from radio_data_pipeline_spark.plans import quality  # noqa: F401
-    from radio_data_pipeline_spark.plans import radio  # noqa: F401
-    from radio_data_pipeline_spark.plans import relational  # noqa: F401
     from radio_data_pipeline_spark.plans import streaming_batch  # noqa: F401
     from radio_data_pipeline_spark.plans import tpch_extra  # noqa: F401
 
