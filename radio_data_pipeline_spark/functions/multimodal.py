@@ -358,6 +358,12 @@ def decode_bmp(content: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
             f"compression={comp})")
+    if w <= 0 or h == 0:
+        raise ValueError(f"invalid BMP dimensions {w}x{h}")
+    if off < 14 + hsz:
+        raise ValueError(
+            f"BMP pixel-array offset {off} points inside the header "
+            f"(ends at {14 + hsz})")
     top_down = h < 0
     height = abs(h)
     row_size = (w * 3 + 3) & ~3

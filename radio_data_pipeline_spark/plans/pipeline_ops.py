@@ -275,7 +275,7 @@ def events_view_purchase_attribution(spark: SparkSession, sf_dir: str
       SELECT user_id, event_type, event_id, value,
              row_number() OVER (
                PARTITION BY user_id, event_type
-               ORDER BY ts DESC, event_id DESC) AS rn
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
       FROM events
     )
     SELECT user_id, event_type, event_id AS latest_event_id,
@@ -1195,10 +1195,12 @@ def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "zorder_locality_events",
     oracle=(lambda _z: f"""
-    WITH k AS (
+    WITH vm AS (
+      SELECT CAST(floor(min(value)) AS BIGINT) AS vmin FROM events
+    ), k AS (
       SELECT user_id, CAST(floor(value) AS BIGINT) AS vbucket,
              {_z} AS zkey
-      FROM events
+      FROM events, vm
     )
     SELECT zkey >> 10 AS zbucket,
            CAST(count(*) AS BIGINT) AS n_events,
@@ -1211,7 +1213,8 @@ def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY zbucket
     """)(__import__("radio_data_pipeline_spark.sources.layout",
                     fromlist=["zorder_key_sql"])
-         .zorder_key_sql("user_id", "CAST(floor(value) AS BIGINT)")),
+         .zorder_key_sql(
+             "user_id", "(CAST(floor(value) AS BIGINT) - vm.vmin)")),
     doc="Z-order (Morton) locality audit: events keyed by the "
         "bit-interleave of (user_id, floor(value)), grouped into "
         "contiguous curve segments (zkey >> 10), reporting each "
@@ -1231,9 +1234,17 @@ def zorder_locality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     vbucket = F.floor("value").cast("long")
-    k = ev.select(
+    # zorder_key interleaves the LOW bits of non-negative dimensions;
+    # a negative floor(value) would mask to the top of the bit range
+    # and destroy the locality the layout exists for. Offset by the
+    # per-dataset min (one-row scalar aggregate, broadcast) so the
+    # interleaved dimension is always >= 0; the reported vbucket spans
+    # stay in original units.
+    vmin = ev.agg(F.min(vbucket).alias("vmin"))
+    k = ev.crossJoin(F.broadcast(vmin)).select(
         "user_id", vbucket.alias("vbucket"),
-        zorder_key(F.col("user_id"), vbucket).alias("zkey"))
+        zorder_key(F.col("user_id"),
+                   vbucket - F.col("vmin")).alias("zkey"))
     return (
         k.groupBy(F.shiftright("zkey", 10).alias("zbucket"))
         .agg(F.count(F.lit(1)).alias("n_events"),

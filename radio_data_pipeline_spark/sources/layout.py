@@ -83,6 +83,13 @@ def zorder_key(x: F.Column, y: F.Column, bits: int = 16) -> F.Column:
     odd), so sorting by the key clusters rows that are close in BOTH
     dimensions.
 
+    Caller contract: dimensions MUST be non-negative — a negative
+    value's two's-complement low bits mask to the TOP of the range,
+    destroying locality (both engines agree bit-for-bit, so this is a
+    layout-quality bug, not a correctness one). Offset signed
+    dimensions first (subtract the per-dataset min, as
+    zorder_locality_events does).
+
     This is the multi-dimensional data-skipping layout (Delta/Iceberg
     OPTIMIZE ZORDER): parquet row-group min/max stats only prune when
     a file's value range is narrow, and a sort on one column destroys

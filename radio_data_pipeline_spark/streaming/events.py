@@ -189,17 +189,24 @@ def stream_to_training_shards(stream_df: DataFrame, path: str,
     """Streaming sink into the training-shard layout: every
     micro-batch is hash-assigned to ``shard=K/`` hive partitions with
     the SAME deterministic membership as the batch writer
-    (sources/layout.shard_id), appended exactly-once under the
-    checkpoint. Streams-in, training-shards-out — the live-ingest
-    closing of the corpus pipeline: a shard's directory accumulates
-    files over time and a training reader still prunes to its shard
-    at planning time. Returns the StreamingQuery (caller awaits)."""
+    (sources/layout.shard_id), written exactly-once: each batch lands
+    in its own ``batch=<id>/`` directory with mode('overwrite'), so a
+    batch re-executed after a mid-write failure replaces its own
+    partial output instead of appending duplicates (a blind append
+    under foreachBatch is only at-least-once — the checkpoint prevents
+    reprocessing committed batches, not re-execution of failed ones).
+    Streams-in, training-shards-out — the live-ingest closing of the
+    corpus pipeline: readers scan ``path`` (batch and shard are both
+    hive partition columns) and a training reader still prunes to its
+    shard at planning time. Returns the StreamingQuery (caller
+    awaits)."""
     from ..sources.layout import shard_id
 
-    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (batch_df.withColumn("shard", shard_id(key_col, n_shards))
          .repartition(n_shards, F.col("shard"))
-         .write.mode("append").partitionBy("shard").parquet(path))
+         .write.mode("overwrite").partitionBy("shard")
+         .parquet(f"{path}/batch={batch_id}"))
 
     writer = (stream_df.writeStream.foreachBatch(write_batch)
               .queryName(query_name).trigger(availableNow=True))

@@ -377,3 +377,15 @@ def test_bmp_rejects_malformed_and_unsupported():
     struct.pack_into("<H", mangled, 28, 8)    # bpp=8 (palettized)
     with _pytest.raises(NotImplementedError):
         decode_bmp(bytes(mangled))
+    mangled = bytearray(good)
+    struct.pack_into("<i", mangled, 18, -4)   # width <= 0
+    with _pytest.raises(ValueError):
+        decode_bmp(bytes(mangled))
+    mangled = bytearray(good)
+    struct.pack_into("<i", mangled, 22, 0)    # height == 0
+    with _pytest.raises(ValueError):
+        decode_bmp(bytes(mangled))
+    mangled = bytearray(good)
+    struct.pack_into("<I", mangled, 10, 20)   # offset inside header
+    with _pytest.raises(ValueError):
+        decode_bmp(bytes(mangled))
