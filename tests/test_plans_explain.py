@@ -167,6 +167,15 @@ def test_q21_decorrelates_without_nested_loops(spark, sfq):
     assert "TakeOrderedAndProject" in plan  # top-10 without global sort
 
 
+def test_fuzzy_pairs_blocked_join_is_equi_not_nested_loop(spark, sfq):
+    # the (first-char, length-band) blocking must surface as a real
+    # equi-join — an unblocked Levenshtein theta join is a
+    # BroadcastNestedLoopJoin that goes quadratic in vocabulary size
+    plan = _plan(spark, sfq("fuzzy_part_name_pairs"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_unigram_vocab_join_is_broadcast(spark, sfq):
     plan = _plan(spark, sfq("unigram_logprob_scores"))
     assert "BroadcastHashJoin" in plan
