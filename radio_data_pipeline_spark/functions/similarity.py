@@ -95,10 +95,33 @@ def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     )
 
 
+def auto_n_planes(n_rows: int, target_bucket_rows: int = 64,
+                  min_planes: int = 4, max_planes: int = 16) -> int:
+    """Derive the hyperplane count from the corpus size so expected
+    bucket population stays ~target_bucket_rows as the corpus grows:
+    n_planes = ceil(log2(N / target)), clamped to [min, max].
+
+    This is the scaling contract the fixed-parameter form violates: a
+    static n_planes=4 (16 buckets) over a 20k-vector corpus means
+    ~1.2k-row buckets and ~12M candidate pairs (~27 s measured,
+    BENCH_SCALING.md §6) — and the |bucket|² cost is in the ALGORITHM,
+    so every engine pays it. Growing planes with log2(N) keeps
+    candidate pairs ~N * target/2, linear in N. At min_planes=4 the
+    derivation returns 4 for any corpus up to ~1k rows, so small-SF
+    results (and their pinned oracles) are unchanged."""
+    import math
+    if n_rows <= target_bucket_rows:
+        return min_planes
+    return max(min_planes,
+               min(max_planes,
+                   math.ceil(math.log2(n_rows / target_bucket_rows))))
+
+
 def near_dup_pairs_lsh(df: DataFrame, threshold: float = 0.4,
-                       n_planes: int = 4, seed: int = 7,
+                       n_planes: int | None = 4, seed: int = 7,
                        vec_col: str = "embedding", id_col: str = "vec_id",
-                       dim: int | None = None) -> DataFrame:
+                       dim: int | None = None,
+                       target_bucket_rows: int = 64) -> DataFrame:
     """Embedding-cosine near-duplicate pairs with LSH blocking: vectors
     only compare within their sign-pattern bucket, so the self-join is
     sum(|bucket|²)/2 candidate pairs instead of N²/2 — the blocking key
@@ -107,10 +130,19 @@ def near_dup_pairs_lsh(df: DataFrame, threshold: float = 0.4,
     is missed); raise recall with fewer planes or multiple plane sets.
     Returns (id_a, id_b, cosine) with cosine >= threshold.
 
+    n_planes=None derives the plane count from the corpus size
+    (auto_n_planes: buckets target ~target_bucket_rows rows), so the
+    blocking keeps candidate pairs linear in N instead of quadratic —
+    the 100 TB contract. The count is one metadata-cheap job over the
+    input (parquet count reads no column data); pass an explicit
+    n_planes to skip it when the caller already knows the scale.
+
     dim defaults to the width of the first non-null vector (one small
     eager job at plan time) — a mismatched hyperplane width would
     null-poison every projection and silently collapse all vectors
     into one bucket (the N^2 blowup this function exists to avoid)."""
+    if n_planes is None:
+        n_planes = auto_n_planes(df.count(), target_bucket_rows)
     if dim is None:
         head = (df.select(vec_col)
                 .filter(F.col(vec_col).isNotNull()).first())

@@ -101,3 +101,46 @@ def test_minhash_bucket_cap_publishes_overflow_metric(spark):
     # every band's bucket for the 200 identical docs overflows
     overflow = vals[0].getLong(0)
     assert overflow >= 1
+
+
+def test_auto_n_planes_derivation():
+    from radio_data_pipeline_spark.functions.similarity import auto_n_planes
+    # small corpora (the driver's sf<=0.01) stay at the minimum — the
+    # registered sf0.01 oracle (4 planes) is unchanged by auto mode
+    assert auto_n_planes(0) == 4
+    assert auto_n_planes(500) == 4
+    assert auto_n_planes(1024) == 4
+    # growth ~log2(N/target): 20k vectors -> 9 planes (512 buckets)
+    assert auto_n_planes(20_000) == 9
+    assert auto_n_planes(5_000) == 7
+    # clamped at the top so bucket count never exceeds 2^16
+    assert auto_n_planes(10**12) == 16
+
+
+def test_near_dup_auto_planes_bounds_candidates_at_40x(spark):
+    # The measured blowup (BENCH_SCALING.md §6): 20k vectors in 16
+    # static buckets => ~12M candidate pairs. Auto-derived planes must
+    # keep sum(|bucket| choose 2) linear in N (~N * target/2).
+    import numpy as np
+
+    from radio_data_pipeline_spark.functions.similarity import (
+        auto_n_planes,
+        hyperplanes,
+        lsh_bucket,
+    )
+    n, dim = 20_000, 16
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((n, dim)).astype(float)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>")
+
+    planes = auto_n_planes(n)
+    assert planes > 4  # the static toy setting must NOT survive scale
+    bucketed = df.withColumn(
+        "b", lsh_bucket(F.col("embedding"), hyperplanes(dim, planes, 7)))
+    sizes = bucketed.groupBy("b").count()
+    total_pairs = sizes.agg(
+        F.sum(F.col("count") * (F.col("count") - 1) / 2)).first()[0]
+    static_pairs = n * n / (2 * 2 ** 4)  # ~12.5M with 16 static buckets
+    assert total_pairs < 2_000_000 < static_pairs
