@@ -127,10 +127,18 @@ def spectrum_pipeline(df: DataFrame, header: ObservationHeader,
     else:
         spec = integrate_spectrum(data)
 
-    freq_col = F.element_at(
-        F.array(*[F.lit(float(f)) for f in freqs]), F.col("pos") + 1)
-    return spec.withColumn("frequency", freq_col).select(
-        "pos", "frequency", "intensity")
+    # frequency axis as a broadcast (pos, frequency) join, NOT an
+    # N-channel literal array expression: at HIRES widths (16k+
+    # channels) a literal F.array(...) is a giant expression tree —
+    # the measured codegen-blowup failure mode (BENCH_SCALING.md §4).
+    # The axis is one tiny driver-built table; the join is a broadcast
+    # hash join on pos, constant-size no matter the channel count.
+    freq_df = df.sparkSession.createDataFrame(
+        [(i, float(f)) for i, f in enumerate(freqs)],
+        "pos int, frequency double")
+    return (spec.join(F.broadcast(freq_df), "pos")
+            .select("pos", "frequency", "intensity")
+            .orderBy("pos"))
 
 
 def continuum_pipeline_distributed(df: DataFrame,

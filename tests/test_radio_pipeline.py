@@ -89,6 +89,29 @@ class TestSpectrum:
         got = result.sort_values("pos")["intensity"].to_numpy()
         np.testing.assert_allclose(got, expected, rtol=1e-9)
 
+    def test_wide_channel_axis_is_broadcast_join_not_literal(self, spark):
+        # HIRES-width axis (4096 channels): the frequency axis must be
+        # a broadcast (pos, frequency) join, not a 4096-element literal
+        # array expression (the codegen-blowup shape, BENCH_SCALING §4)
+        spec = ObsSpec(obs_id=7, n_channels=4096, n_science=8, n_cal=4,
+                       noise=0.2)
+        df = spark.createDataFrame(make_observation(spec))
+        header = make_header(spec)
+        out = spectrum_pipeline(df, header, ifnum=0, plnum=0)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        # a literal-array plan would carry thousands of float literals
+        assert len(plan) < 50_000
+        result = out.toPandas()
+        assert len(result) == spec.n_channels
+        pdf = make_observation(spec)
+        mask = (pdf["CALSTATE"] == 0) & (pdf["SWPVALID"] == 0)
+        expected = np.vstack(pdf.loc[mask, "DATA"].to_numpy()).sum(axis=0)
+        got = result.sort_values("pos")["intensity"].to_numpy()
+        np.testing.assert_allclose(got, expected, rtol=1e-9)
+        freqs = result.sort_values("pos")["frequency"].to_numpy()
+        assert (np.diff(freqs) < 0).all()  # descending axis preserved
+
     def test_frequency_crop(self, spark, track_obs):
         df, header, spec = track_obs
         freqs = make_header(spec).frequencies(0)
