@@ -86,18 +86,33 @@ def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav_pcm8(samples: np.ndarray, sample_rate: int) -> bytes:
+    """RIFF/WAVE container around 8-bit UNSIGNED PCM mono samples
+    (the historical 8-bit WAV convention: silence = 0x80)."""
+    pcm = np.asarray(samples, dtype=np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate, 1, 8)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
-    """Real RIFF/WAVE parser for PCM-16 mono: walks the chunk grammar
-    (id, little-endian size, word-aligned payloads), validates the fmt
-    chunk, returns (sample_rate, int16 sample array).
+    """Real RIFF/WAVE parser for PCM mono (16-bit signed and 8-bit
+    unsigned): walks the chunk grammar (id, little-endian size,
+    word-aligned payloads), validates the fmt chunk, returns
+    (sample_rate, int16 sample array) — 8-bit samples are converted to
+    int16 via the standard (b - 128) << 8 mapping so callers see one
+    sample domain regardless of container bit depth.
 
     Raises ValueError on malformed containers and NotImplementedError
-    on WAVE encodings beyond PCM-16 mono (compressed/float/multichannel
-    would need a real audio library)."""
+    on WAVE encodings beyond PCM mono 8/16-bit (compressed/float/
+    multichannel would need a real audio library)."""
     if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE container")
     pos, end = 12, min(12 + struct.unpack("<I", content[4:8])[0], len(content))
     sample_rate = None
+    bits = None
     data = None
     while pos + 8 <= end:
         cid = content[pos:pos + 4]
@@ -108,15 +123,19 @@ def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
                 raise ValueError("truncated fmt chunk")
             audio_fmt, channels, sample_rate, _, _, bits = struct.unpack(
                 "<HHIIHH", payload[:16])
-            if audio_fmt != 1 or channels != 1 or bits != 16:
+            if audio_fmt != 1 or channels != 1 or bits not in (8, 16):
                 raise NotImplementedError(
-                    f"only PCM-16 mono supported (fmt={audio_fmt}, "
+                    f"only PCM mono 8/16-bit supported (fmt={audio_fmt}, "
                     f"channels={channels}, bits={bits})")
         elif cid == b"data":
             data = payload
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if sample_rate is None or data is None:
         raise ValueError("missing fmt or data chunk")
+    if bits == 8:
+        return sample_rate, (
+            (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128)
+            << 8)
     return sample_rate, np.frombuffer(
         data[: len(data) - (len(data) % 2)], dtype="<i2")
 
@@ -130,13 +149,13 @@ def encode_ppm(img: np.ndarray) -> bytes:
             + np.asarray(img, dtype=np.uint8).tobytes())
 
 
-def decode_ppm(content: bytes) -> np.ndarray:
-    """Real binary-PPM parser: 'P6', then whitespace/comment-separated
-    width, height, maxval tokens, one whitespace byte, then w*h*3 raw
-    bytes. Returns (h, w, 3) uint8. Raises ValueError on malformed
-    input and NotImplementedError for maxval > 255 (16-bit PPM)."""
-    if content[:2] != b"P6":
-        raise ValueError("not a binary PPM (P6) image")
+def _parse_netpbm_header(content: bytes, magic: bytes,
+                         kind: str) -> tuple[int, int, int]:
+    """Shared binary-netpbm header walk: '<magic>', then whitespace/
+    comment-separated width, height, maxval tokens, one whitespace
+    byte. Returns (w, h, raster_start)."""
+    if content[:2] != magic:
+        raise ValueError(f"not a binary {kind} ({magic.decode()}) image")
     pos = 2
     tokens: list[int] = []
     while len(tokens) < 3:
@@ -150,12 +169,20 @@ def decode_ppm(content: bytes) -> np.ndarray:
         while pos < len(content) and not content[pos:pos + 1].isspace():
             pos += 1
         if pos == start:
-            raise ValueError("truncated PPM header")
+            raise ValueError(f"truncated {kind} header")
         tokens.append(int(content[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = tokens
     if maxval > 255:
-        raise NotImplementedError("16-bit PPM not supported")
+        raise NotImplementedError(f"16-bit {kind} not supported")
+    return w, h, pos
+
+
+def decode_ppm(content: bytes) -> np.ndarray:
+    """Real binary-PPM parser ('P6' + w*h*3 raw RGB bytes). Returns
+    (h, w, 3) uint8. Raises ValueError on malformed input and
+    NotImplementedError for maxval > 255 (16-bit PPM)."""
+    w, h, pos = _parse_netpbm_header(content, b"P6", "PPM")
     need = w * h * 3
     raster = content[pos:pos + need]
     if len(raster) < need:
@@ -163,23 +190,106 @@ def decode_ppm(content: bytes) -> np.ndarray:
     return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
 
 
+def encode_pgm(img: np.ndarray) -> bytes:
+    """Binary PGM ("P5") encoder: (h, w) uint8 grayscale -> header +
+    raw bytes (public netpbm format)."""
+    h, w = img.shape
+    return (f"P5\n{w} {h}\n255\n".encode("ascii")
+            + np.asarray(img, dtype=np.uint8).tobytes())
+
+
+def decode_pgm(content: bytes) -> np.ndarray:
+    """Real binary-PGM parser ('P5' + w*h raw grayscale bytes).
+    Returns (h, w) uint8; same header grammar (incl. comments) as
+    PPM."""
+    w, h, pos = _parse_netpbm_header(content, b"P5", "PGM")
+    need = w * h
+    raster = content[pos:pos + need]
+    if len(raster) < need:
+        raise ValueError(f"PGM raster truncated: {len(raster)} < {need}")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w)
+
+
+def encode_y4m(frames: np.ndarray, fps_num: int = 24,
+               fps_den: int = 1) -> bytes:
+    """YUV4MPEG2 (Y4M) encoder for grayscale video: (n, h, w) uint8
+    frames -> stream header + per-frame 'FRAME\\n' + luma plane
+    (public format; 'Cmono' = luma-only color space)."""
+    n, h, w = frames.shape
+    head = (f"YUV4MPEG2 W{w} H{h} F{fps_num}:{fps_den} Ip A1:1 Cmono\n"
+            .encode("ascii"))
+    parts = [head]
+    for f in np.asarray(frames, dtype=np.uint8):
+        parts.append(b"FRAME\n" + f.tobytes())
+    return b"".join(parts)
+
+
+def decode_y4m(content: bytes) -> tuple[float, np.ndarray]:
+    """Real YUV4MPEG2 parser for the mono (luma-only) case: stream
+    header tokens (W/H/F mandatory, C colorspace), then FRAME-prefixed
+    planes. Returns (fps, (n, h, w) uint8 array). Raises ValueError on
+    malformed streams and NotImplementedError for chroma-subsampled
+    color spaces (C420/C444... carry chroma planes a real video stack
+    would hand to a decoder library)."""
+    nl = content.find(b"\n")
+    if not content.startswith(b"YUV4MPEG2") or nl < 0:
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    fps = None
+    colorspace = "C420jpeg"  # the format's default when absent
+    for tok in content[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t.startswith("W"):
+            w = int(t[1:])
+        elif t.startswith("H"):
+            h = int(t[1:])
+        elif t.startswith("F"):
+            num, den = t[1:].split(":")
+            fps = int(num) / int(den)
+        elif t.startswith("C"):
+            colorspace = t
+    if not w or not h or not fps:
+        raise ValueError("Y4M header missing W/H/F")
+    if colorspace != "Cmono":
+        raise NotImplementedError(
+            f"only Cmono Y4M supported ({colorspace} carries chroma "
+            "planes — use a video library for subsampled formats)")
+    frames = []
+    pos = nl + 1
+    frame_size = w * h
+    while pos < len(content):
+        fnl = content.find(b"\n", pos)
+        if fnl < 0 or content[pos:pos + 5] != b"FRAME":
+            raise ValueError("malformed Y4M FRAME marker")
+        plane = content[fnl + 1:fnl + 1 + frame_size]
+        if len(plane) < frame_size:
+            raise ValueError("truncated Y4M frame plane")
+        frames.append(np.frombuffer(plane, dtype=np.uint8).reshape(h, w))
+        pos = fnl + 1 + frame_size
+    return fps, (np.stack(frames) if frames
+                 else np.empty((0, h, w), dtype=np.uint8))
+
+
 def _decode_image(content: bytes, width: int, height: int) -> np.ndarray:
     """Image decode to a grayscale [0, 1] array.
 
-    Real path: binary PPM ("P6") via decode_ppm (grayscale = RGB
-    mean). Fake path: FAKEIMG-prefixed fixture bytes -> md5 digest
-    tiled to (h, w). Anything else (JPEG/PNG/...) raises — those
-    formats need an imaging library not present in this environment
-    (PIL.Image.open is the drop-in)."""
+    Real paths: binary PPM ("P6") via decode_ppm (grayscale = RGB
+    mean) and binary PGM ("P5") via decode_pgm. Fake path:
+    FAKEIMG-prefixed fixture bytes -> md5 digest tiled to (h, w).
+    Anything else (JPEG/PNG/...) raises — those formats need an
+    imaging library not present in this environment (PIL.Image.open
+    is the drop-in)."""
     content = bytes(content)
     if content[:2] == b"P6":
         rgb = decode_ppm(content)
         return rgb.astype(np.float64).mean(axis=2) / 255.0
+    if content[:2] == b"P5":
+        return decode_pgm(content).astype(np.float64) / 255.0
     if not content.startswith(b"FAKEIMG"):
         raise NotImplementedError(
-            "only PPM (P6) decodes natively; JPEG/PNG need an imaging "
-            "library not present in this environment; test fixtures "
-            "use FAKEIMG bytes")
+            "only PPM (P6) / PGM (P5) decode natively; JPEG/PNG need "
+            "an imaging library not present in this environment; test "
+            "fixtures use FAKEIMG bytes")
     return _tile_digest(hashlib.md5(content).digest(), width, height)
 
 
@@ -258,10 +368,13 @@ def video_frame_features(df: DataFrame, every_nth: int = 5,
                          fps: float = 24.0, pool: int = 4) -> DataFrame:
     """Frame-sample video (every Nth frame) and mean-pool each sampled
     frame into a pool x pool feature — the decode-sample-project shape
-    of a video training pipeline. Decode is stubbed like image/audio
-    (FAKEVID prefix -> deterministic frames from the md5 digest +
-    frame index); one input row fans out to n_frames/every_nth rows
-    inside the Arrow kernel, so raw frames never exist as Spark rows."""
+    of a video training pipeline.
+
+    Real path: YUV4MPEG2 mono streams via decode_y4m (container fps
+    and dimensions win over table metadata). Fake path: FAKEVID prefix
+    -> deterministic frames from the md5 digest + frame index. Either
+    way one input row fans out to n_frames/every_nth rows inside the
+    Arrow kernel, so raw frames never exist as Spark rows."""
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
@@ -274,10 +387,23 @@ def video_frame_features(df: DataFrame, every_nth: int = 5,
             rows = []
             for _, row in pdf.iterrows():
                 content = bytes(row["content"])
+                if content.startswith(b"YUV4MPEG2"):
+                    real_fps, frames = decode_y4m(content)
+                    for f_idx in range(0, len(frames), every_nth):
+                        gray = frames[f_idx].astype(np.float64) / 255.0
+                        rows.append({
+                            "media_id": row["media_id"],
+                            "frame_idx": f_idx,
+                            "t_sec": f_idx / real_fps,
+                            "feature": _mean_pool(gray, pool)
+                            .ravel().tolist(),
+                        })
+                    continue
                 if not content.startswith(b"FAKEVID"):
                     raise NotImplementedError(
-                        "real video decode not available; fixtures use "
-                        "FAKEVID bytes")
+                        "only YUV4MPEG2 (mono) decodes natively; "
+                        "MP4/WebM need a video library not present "
+                        "here; fixtures use FAKEVID bytes")
                 w = _dim(row["width"], 16)
                 h = _dim(row["height"], 12)
                 n_frames = int(fps * float(row["duration_s"]))

@@ -1,17 +1,25 @@
 """Multimodal pipeline queries (driver north star: binary media
 columns + typed metadata at 100 TB).
 
-Two tiers, matching functions/multimodal.py:
-- multimodal_wav_rms / multimodal_ppm_features run REAL codecs (pure
-  numpy RIFF/PCM-16 WAV and binary-PPM parsers) over real-format bytes
-  built from a deterministic per-doc sample/pixel formula, so the
-  decoded values have an exact DuckDB oracle that evaluates the same
-  formula arithmetically — full value-bearing correctness rows.
-- The FAKE*-prefixed queries keep exercising the plumbing for formats
-  that genuinely need codec libraries (JPEG/MP3/MP4); those remain
-  rows-only by contract. Spark-side everything is real in both tiers:
-  binary column construction, mapInPandas Arrow batching, immediate
-  projection of the wide content column, explode-in-kernel fan-out.
+EVERY query here runs a REAL codec (pure numpy + struct parsers of
+public container formats — no codec library needed) over real-format
+bytes built from a deterministic per-doc sample/pixel formula, so
+every decoded value has an exact DuckDB oracle that evaluates the
+same formula arithmetically:
+
+- multimodal_wav_rms        RIFF/PCM-16 WAV   -> frame RMS
+- multimodal_audio_frame_rms RIFF/PCM-8 WAV   -> frame RMS
+- multimodal_ppm_features   binary PPM (P6)   -> pooled features
+- multimodal_image_features binary PGM (P5)   -> pooled features
+- multimodal_bmp_row_means  24-bit BMP        -> row means
+- multimodal_video_frame_sample YUV4MPEG2 mono -> sampled-frame pool
+
+Formats that genuinely need codec libraries (JPEG/MP3/MP4...) remain
+honest NotImplementedError paths in functions/multimodal.py, with the
+FAKE* deterministic fixtures exercising the Spark plumbing in tests.
+Spark-side everything is real: binary column construction, mapInPandas
+Arrow batching, immediate projection of the wide content column,
+explode-in-kernel fan-out.
 """
 
 from __future__ import annotations
@@ -36,48 +44,6 @@ from radio_data_pipeline_spark.plans.registry import register
 from radio_data_pipeline_spark.sources.parquet import load_table
 
 
-def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Derive a deterministic media table from `documents`: each doc
-    becomes one fake-encoded image (content = FAKEIMG || utf8(text))
-    and docs divisible by 4 also a fake audio clip. At scale this
-    models the real layout — media bytes inline in parquet rows (or a
-    path column for object-store offloading), typed metadata columns
-    carrying what the decoder needs."""
-    docs = load_table(spark, sf_dir, "documents")
-    images = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("image").alias("kind"),
-        F.concat(F.lit(b"FAKEIMG"), F.encode("text", "UTF-8"))
-         .alias("content"),
-        F.lit("image/fake").alias("mime"),
-        F.lit(32).alias("width"), F.lit(24).alias("height"),
-        F.lit(None).cast("int").alias("sample_rate"),
-        F.lit(None).cast("double").alias("duration_s"),
-    )
-    video = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 2_000_000).alias("media_id"),
-        F.lit("video").alias("kind"),
-        F.concat(F.lit(b"FAKEVID"), F.encode("text", "UTF-8"))
-         .alias("content"),
-        F.lit("video/fake").alias("mime"),
-        F.lit(16).alias("width"), F.lit(12).alias("height"),
-        F.lit(None).cast("int").alias("sample_rate"),
-        F.lit(2.0).alias("duration_s"),
-    )
-    audio = docs.filter(F.col("doc_id") % 4 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("media_id"),
-        F.lit("audio").alias("kind"),
-        F.concat(F.lit(b"FAKEAUD"), F.encode("text", "UTF-8"))
-         .alias("content"),
-        F.lit("audio/fake").alias("mime"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.lit(8000).alias("sample_rate"),
-        F.lit(0.5).alias("duration_s"),
-    )
-    return images.unionByName(audio).unionByName(video)
-
-
 # deterministic media-generation parameters shared by the Spark
 # kernels and the SQL oracles (any drift breaks the hash match)
 _WAV_SR = 8000
@@ -85,6 +51,12 @@ _WAV_N = 4000            # 0.5 s
 _WAV_FRAME_MS = 250      # -> 2000-sample frames, 2 per clip
 _PPM_W, _PPM_H = 32, 24
 _PPM_POOL_X, _PPM_POOL_Y = 4, 3   # 8x8 output grid
+_PGM_W, _PGM_H = 32, 24
+_WAV8_SR = 4000
+_WAV8_N = 2000           # 0.5 s
+_WAV8_FRAME_MS = 125     # -> 500-sample frames, 4 per clip
+_Y4M_W, _Y4M_H = 16, 12
+_Y4M_FRAMES, _Y4M_FPS, _Y4M_NTH = 12, 24, 5   # sampled frames 0,5,10
 
 
 def _wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,18 +208,68 @@ def multimodal_ppm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("media_id", "cell"))
 
 
+def _pgm_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One REAL binary-PGM (P5) grayscale image per document: pixel
+    (y, x) of doc d is (d*13 + y*7 + x*11) % 256."""
+    from radio_data_pipeline_spark.functions.multimodal import encode_pgm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ])
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        y = np.arange(_PGM_H).reshape(-1, 1)
+        x = np.arange(_PGM_W).reshape(1, -1)
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                img = ((int(d) * 13 + y * 7 + x * 11) % 256
+                       ).astype(np.uint8)
+                rows.append({
+                    "media_id": int(d), "kind": "image",
+                    "content": encode_pgm(img),
+                    "mime": "image/x-portable-graymap",
+                    "width": _PGM_W, "height": _PGM_H,
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return docs.mapInPandas(enc, schema=schema)
+
+
 @register(
     "multimodal_image_features",
-    oracle=None,  # decode kernel is a mapInPandas stub — rows-only check
-    doc="Image decode -> 8x8 mean-pool feature extraction over binary "
-        "media rows derived from documents (functions/multimodal.py "
-        "image_features). The content column is projected away inside "
-        "the Arrow kernel, so only 64 doubles per row survive the map "
-        "stage — the shape that keeps a 100 TB media scan shuffle-free.",
-    tags=("multimodal", "mapInPandas"),
+    oracle=f"""
+    WITH cell AS (
+      SELECT d.doc_id AS media_id,
+             (y.i // {_PGM_H // 8}) * 8 + (x.j // {_PGM_W // 8}) AS cell,
+             avg(CAST((d.doc_id * 13 + y.i * 7 + x.j * 11) % 256
+                      AS DOUBLE) / 255.0) AS v
+      FROM documents d, range({_PGM_H}) y(i), range({_PGM_W}) x(j)
+      GROUP BY 1, 2
+    )
+    SELECT media_id, 'image' AS kind, 64 AS feature_dim,
+           round(sum(v) / 64, 6) AS feature_mean
+    FROM cell GROUP BY media_id ORDER BY media_id
+    """,
+    doc="REAL binary-PGM (P5) decode -> 8x8 mean-pool feature "
+        "extraction (functions/multimodal.py image_features /"
+        " decode_pgm) with a full value-bearing oracle: genuine "
+        "netpbm grayscale containers built from a deterministic pixel "
+        "formula, every pooled cell re-derived arithmetically by "
+        "DuckDB (two-level mean mirrors the pooling exactly). The "
+        "content column is projected away inside the Arrow kernel, so "
+        "only 64 doubles per row survive the map stage — the shape "
+        "that keeps a 100 TB media scan shuffle-free.",
+    tags=("multimodal", "mapInPandas", "pgm"),
 )
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats = image_features(_media_from_documents(spark, sf_dir), pool=8)
+    feats = image_features(_pgm_media(spark, sf_dir), pool=8)
     return feats.select(
         "media_id", "kind", "feature_dim",
         F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x)
@@ -255,37 +277,146 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def _wav8_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One REAL 8-bit-unsigned-PCM WAV clip per document: byte j of
+    doc d is (d*13 + j*11) % 256 (0x80-centered convention)."""
+    from radio_data_pipeline_spark.functions.multimodal import (
+        encode_wav_pcm8,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ])
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        j = np.arange(_WAV8_N, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                samples = ((int(d) * 13 + j * 11) % 256).astype(np.uint8)
+                rows.append({
+                    "media_id": int(d), "kind": "audio",
+                    "content": encode_wav_pcm8(samples, _WAV8_SR),
+                    "mime": "audio/wav", "sample_rate": _WAV8_SR,
+                    "duration_s": _WAV8_N / _WAV8_SR,
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return docs.mapInPandas(enc, schema=schema)
+
+
 @register(
     "multimodal_audio_frame_rms",
-    oracle=None,  # decode kernel is a mapInPandas stub — rows-only check
-    doc="Audio frame-sampling -> per-frame RMS over binary media rows "
-        "(functions/multimodal.py audio_frame_stats): one input row "
-        "fans out to duration/frame_ms rows inside the Arrow kernel — "
-        "the explode-in-kernel pattern that avoids materializing "
-        "decoded waveforms as Spark rows.",
-    tags=("multimodal", "mapInPandas"),
+    oracle=f"""
+    SELECT d.doc_id AS media_id,
+           CAST(r.j // {_WAV8_SR * _WAV8_FRAME_MS // 1000} AS INT)
+             AS frame_idx,
+           round(sqrt(avg(pow(
+             (CAST((d.doc_id * 13 + r.j * 11) % 256 AS DOUBLE) - 128)
+             / 128.0, 2))), 6) AS rms
+    FROM documents d, range({_WAV8_N}) r(j)
+    GROUP BY d.doc_id, r.j // {_WAV8_SR * _WAV8_FRAME_MS // 1000}
+    ORDER BY media_id, frame_idx
+    """,
+    doc="REAL RIFF/PCM-8 WAV decode -> 125 ms frame RMS with a full "
+        "value-bearing oracle: genuine 8-bit-unsigned-PCM containers "
+        "built from a deterministic byte formula, parsed by the "
+        "chunk-walking decoder (functions/multimodal.py decode_wav, "
+        "which maps 8-bit samples to int16 via (b-128)<<8 — exact in "
+        "binary, so DuckDB verifies every frame RMS arithmetically). "
+        "One input row fans out to duration/frame_ms rows inside the "
+        "Arrow kernel — the explode-in-kernel pattern that avoids "
+        "materializing decoded waveforms as Spark rows.",
+    tags=("multimodal", "mapInPandas", "wav"),
 )
 def multimodal_audio_frame_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    frames = audio_frame_stats(_media_from_documents(spark, sf_dir),
-                               frame_ms=250)
+    frames = audio_frame_stats(_wav8_media(spark, sf_dir),
+                               frame_ms=_WAV8_FRAME_MS)
     return (frames.select("media_id", "frame_idx",
                           F.round("rms", 6).alias("rms"))
             .orderBy("media_id", "frame_idx"))
 
 
+def _y4m_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One REAL YUV4MPEG2 mono clip per document (12 frames @ 24fps):
+    luma of pixel (y, x) in frame f of doc d is
+    (d*5 + f*19 + y*7 + x*3) % 256."""
+    from radio_data_pipeline_spark.functions.multimodal import encode_y4m
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ])
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        f = np.arange(_Y4M_FRAMES).reshape(-1, 1, 1)
+        y = np.arange(_Y4M_H).reshape(1, -1, 1)
+        x = np.arange(_Y4M_W).reshape(1, 1, -1)
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                frames = ((int(d) * 5 + f * 19 + y * 7 + x * 3) % 256
+                          ).astype(np.uint8)
+                rows.append({
+                    "media_id": int(d), "kind": "video",
+                    "content": encode_y4m(frames, _Y4M_FPS, 1),
+                    "mime": "video/x-yuv4mpeg",
+                    "width": _Y4M_W, "height": _Y4M_H,
+                    "duration_s": _Y4M_FRAMES / _Y4M_FPS,
+                })
+            yield pd.DataFrame(rows, columns=[f_.name for f_ in schema])
+
+    return docs.mapInPandas(enc, schema=schema)
+
+
 @register(
     "multimodal_video_frame_sample",
-    oracle=None,  # decode kernel is a mapInPandas stub — rows-only check
-    doc="Video frame-sampling (every 5th of 48 frames) -> per-frame "
-        "4x4 mean-pool features (functions/multimodal.py "
-        "video_frame_features): decode-sample-project inside the Arrow "
-        "kernel, raw frames never materialize as Spark rows.",
-    tags=("multimodal", "mapInPandas"),
+    oracle=f"""
+    WITH cell AS (
+      SELECT d.doc_id AS media_id,
+             fr.k * {_Y4M_NTH} AS frame_idx,
+             (y.i // {_Y4M_H // 4}) * 4 + (x.j // {_Y4M_W // 4}) AS cell,
+             avg(CAST((d.doc_id * 5 + fr.k * {_Y4M_NTH} * 19
+                       + y.i * 7 + x.j * 3) % 256 AS DOUBLE)
+                 / 255.0) AS v
+      FROM documents d,
+           range({(_Y4M_FRAMES + _Y4M_NTH - 1) // _Y4M_NTH}) fr(k),
+           range({_Y4M_H}) y(i), range({_Y4M_W}) x(j)
+      GROUP BY 1, 2, 3
+    )
+    SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+           round(frame_idx / {_Y4M_FPS}.0, 6) AS t_sec,
+           round(sum(v) / 16, 6) AS feature_mean
+    FROM cell GROUP BY media_id, frame_idx
+    ORDER BY media_id, frame_idx
+    """,
+    doc="REAL YUV4MPEG2 (mono) decode -> every-5th-frame sampling -> "
+        "per-frame 4x4 mean-pool features (functions/multimodal.py "
+        "video_frame_features / decode_y4m) with a full value-bearing "
+        "oracle: genuine Y4M streams (stream header + FRAME-delimited "
+        "luma planes) built from a deterministic pixel formula; "
+        "DuckDB re-derives every sampled frame's pooled features and "
+        "timestamps arithmetically. Decode-sample-project happens "
+        "inside the Arrow kernel, raw frames never materialize as "
+        "Spark rows.",
+    tags=("multimodal", "mapInPandas", "y4m"),
 )
 def multimodal_video_frame_sample(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
-    frames = video_frame_features(_media_from_documents(spark, sf_dir),
-                                  every_nth=5, fps=24.0, pool=4)
+    frames = video_frame_features(_y4m_media(spark, sf_dir),
+                                  every_nth=_Y4M_NTH, pool=4)
     return frames.select(
         "media_id", "frame_idx", F.round("t_sec", 6).alias("t_sec"),
         F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x)

@@ -389,3 +389,72 @@ def test_bmp_rejects_malformed_and_unsupported():
     struct.pack_into("<I", mangled, 10, 20)   # offset inside header
     with _pytest.raises(ValueError):
         decode_bmp(bytes(mangled))
+
+
+def test_pgm_roundtrip_and_comments():
+    import numpy as np
+    from radio_data_pipeline_spark.functions.multimodal import (
+        decode_pgm,
+        encode_pgm,
+    )
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+    assert np.array_equal(decode_pgm(encode_pgm(img)), img)
+    # header comments are part of the public grammar
+    with_comment = b"P5\n# a comment\n32 24\n255\n" + img.tobytes()
+    assert np.array_equal(decode_pgm(with_comment), img)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_pgm(b"P5\n32 24\n255\n" + img.tobytes()[:-10])
+    with _pytest.raises(NotImplementedError):
+        decode_pgm(b"P5\n2 2\n65535\n" + bytes(8))
+
+
+def test_wav8_roundtrip_vs_stdlib():
+    # independent implementation check: the stdlib wave module writes
+    # the same 8-bit container our decoder must parse
+    import io
+    import wave
+
+    import numpy as np
+    from radio_data_pipeline_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav_pcm8,
+    )
+    rng = np.random.default_rng(6)
+    samples = rng.integers(0, 256, 500, dtype=np.uint8)
+    sr, got = decode_wav(encode_wav_pcm8(samples, 4000))
+    assert sr == 4000
+    assert np.array_equal(got, (samples.astype(np.int16) - 128) << 8)
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(4000)
+        w.writeframes(samples.tobytes())
+    sr2, got2 = decode_wav(buf.getvalue())
+    assert sr2 == 4000 and np.array_equal(got2, got)
+
+
+def test_y4m_roundtrip_and_unsupported_colorspace():
+    import numpy as np
+    import pytest as _pytest
+    from radio_data_pipeline_spark.functions.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, (5, 12, 16), dtype=np.uint8)
+    fps, got = decode_y4m(encode_y4m(frames, 24, 1))
+    assert fps == 24.0
+    assert np.array_equal(got, frames)
+    # chroma-subsampled streams need a real video stack -> honest raise
+    c420 = encode_y4m(frames).replace(b"Cmono", b"C420")
+    with _pytest.raises(NotImplementedError):
+        decode_y4m(c420)
+    with _pytest.raises(ValueError):
+        decode_y4m(b"NOTAY4M\n")
+    truncated = encode_y4m(frames)[:-10]
+    with _pytest.raises(ValueError):
+        decode_y4m(truncated)
