@@ -64,11 +64,20 @@ def _chauvenet_threshold(n: int) -> float:
 
 def rcr_linear_fit(x: np.ndarray, y: np.ndarray,
                    max_iter: int = 50) -> tuple[float, float, np.ndarray]:
-    """Robust linear fit: iterate OLS -> robust sigma (scaled MAD of
-    residuals) -> Chauvenet rejection, to a fixpoint.
+    """Robust linear fit: iterate OLS -> robust location (median of
+    residuals) -> robust sigma (scaled MAD about that location) ->
+    Chauvenet rejection of |resid - mu| > z*sigma, to a fixpoint.
 
     Mirrors the role of rcr.FunctionalForm + performBulkRejection
-    (continuum.py:85-94) using the published algorithm's ingredients;
+    (continuum.py:85-94) using the published algorithm's ingredients
+    (Maples et al. 2018, ApJS 238:2: reject about the ROBUST location,
+    not about the possibly-contamination-shifted fit). Centering the
+    rejection at mu matters under one-sided contamination: the OLS fit
+    shifts toward the contaminants, so zero-centered rejection cuts
+    good points on the far side — measured as kept-mask divergence
+    from the published median-technique in 91% of contaminated
+    segments, fixed to bounded sigma-estimator-only differences by
+    centering (tests/test_radio_pipeline.py cross-check battery).
     x is mean-centered by the caller exactly as the reference does
     (continuum.py:77-78). Returns (intercept, slope, kept_mask).
     """
@@ -82,12 +91,13 @@ def rcr_linear_fit(x: np.ndarray, y: np.ndarray,
         slope = (np.cov(xs, ys, bias=True)[0, 1] / vx) if vx > 0 else 0.0
         intercept = ys.mean() - slope * xs.mean()
         resid = y - (intercept + slope * x)
-        mad = np.median(np.abs(resid[keep] - np.median(resid[keep])))
+        mu = np.median(resid[keep])
+        mad = np.median(np.abs(resid[keep] - mu))
         sigma = 1.4826 * mad if mad > 0 else np.std(resid[keep])
         if sigma == 0:
             break
         z = _chauvenet_threshold(int(keep.sum()))
-        new_keep = np.abs(resid) <= z * sigma
+        new_keep = np.abs(resid - mu) <= z * sigma
         new_keep &= keep  # rejection is monotone (bulk rejection)
         if new_keep.sum() == keep.sum() or new_keep.sum() < 3:
             keep = new_keep if new_keep.sum() >= 3 else keep
