@@ -32,12 +32,17 @@ Measurement contract (both engines do the same work, transparently):
 
 Local-latency Spark settings (documented, env-overridable): at toy
 scale the dominant cost is per-stage scheduling, so the bench session
-uses ``spark.sql.shuffle.partitions=8`` and AQE off — at sf0.1 every
-shuffle fits one task-wave and AQE's per-stage replan rounds only add
-driver latency. On a real cluster (the engine's default `session.py`)
-AQE stays ON and partitions are sized by bytes; these two knobs are
-the standard small-input latency tuning, not a semantic change — the
-plans are identical modulo partition count.
+sizes ``spark.sql.shuffle.partitions`` from the input bytes (one
+partition per ~12 MB, clamped to [8, cpus]; sf0.1 resolves to 8, the
+10× corpus to 16) and keeps AQE off — at sf0.1 every shuffle fits one
+task-wave and AQE's per-stage replan rounds only add driver latency.
+When AQE is enabled (``SPARK_GRAFT_BENCH_AQE=true``) the session pins
+``coalescePartitions.minPartitionNum = cpus``, the measured mitigation
+for AQE's byte-based coalescing collapsing CPU-dense/byte-light hash
+kernels onto 1-2 cores (BENCH_SCALING.md finding 5). On a real cluster
+(the engine's default `session.py`) AQE stays ON with the same guard;
+these knobs are the standard input-size latency tuning, not a semantic
+change — the plans are identical modulo partition count.
 """
 
 from __future__ import annotations
@@ -51,8 +56,45 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
-SHUFFLE = os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "8")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 AQE = os.environ.get("SPARK_GRAFT_BENCH_AQE", "false")
+
+
+def _auto_shuffle_partitions(sf_dir: str, cpus: int) -> int:
+    """Scale-aware shuffle-partition default (round-3, per scaling study).
+
+    A fixed ``shuffle.partitions=8`` is the right latency knob at the
+    driver's sf0.1 (~60 MB total: every shuffle fits one task-wave),
+    but at the 10× corpus it schedules 1 M-row window sorts onto 8 of
+    32 cores — exactly why ``events_asof_prior_view`` grew 2.8× for
+    10× data in BENCH_SCALING.md. Sizing by input bytes is what AQE
+    does on a real cluster; doing it here at plan time avoids AQE's
+    byte-based-coalescing pitfall for CPU-dense/byte-light stages
+    (BENCH_SCALING.md finding 5) while keeping the small-input
+    latency behavior identical (sf0.1 still resolves to 8).
+    """
+    try:
+        total = 0
+        for entry in os.scandir(sf_dir):
+            if entry.name.endswith(".parquet"):
+                if entry.is_file():
+                    total += entry.stat().st_size
+                elif entry.is_dir():
+                    for sub in os.scandir(entry.path):
+                        if sub.is_file():
+                            total += sub.stat().st_size
+        # one partition per ~12 MB of input, clamped to [8, cpus]:
+        # sf0.1 (~17 MB) resolves to 8, the 10x corpus (~190 MB) to 16
+        # (measured best: 8 starves the 1 M-row window sorts, 24+
+        # taxes the many tiny-shuffle queries with task overhead)
+        return max(8, min(cpus, total // (12 << 20)))
+    except OSError:
+        return 8
+
+
+_shuffle_env = os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "auto")
+SHUFFLE = (str(_auto_shuffle_partitions(SF_DIR, CPUS))
+           if _shuffle_env == "auto" else _shuffle_env)
 
 # Headline set: the aggregation spine, the join pyramid, windows/
 # sessionization (the O13 compilation idiom), array integrations,
@@ -95,6 +137,11 @@ def main() -> None:
     # Local-latency knobs (see module docstring). Runtime-settable.
     spark.conf.set("spark.sql.adaptive.enabled", AQE)
     spark.conf.set("spark.sql.shuffle.partitions", SHUFFLE)
+    # Measured AQE mitigation (BENCH_SCALING.md finding 5): when AQE is
+    # on, stop byte-based coalescing from collapsing CPU-dense but
+    # byte-light stages (minhash/simhash) onto 1-2 cores.
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.minPartitionNum", str(CPUS))
     queries = all_queries()
 
     # Warm-up: JVM + parquet footer reads, not measured.

@@ -40,6 +40,12 @@ def get_spark(app_name: str = "radio-data-pipeline-spark",
         # shuffles collapse to few tasks, huge ones still fan out
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
                 "false")
+        # ...but never let byte-based coalescing collapse CPU-dense,
+        # byte-light stages (minhash/simhash kernels) below one task
+        # per core — the measured 6x regression in BENCH_SCALING.md
+        # finding 5. On a real cluster set this ~= total cores.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionNum",
+                str(cpus))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # single-node / fast-network clusters gain nothing from
         # locality delay scheduling
