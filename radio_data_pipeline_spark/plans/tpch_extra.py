@@ -582,3 +582,158 @@ def q22_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
         .orderBy("cust_group")
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH unit_cost AS (
+      SELECT l_partkey, l_suppkey,
+             round(sum(l_extendedprice) / sum(l_quantity), 6) AS cost
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type,
+           u.cost AS supplycost
+    FROM unit_cost u
+    JOIN part p     ON u.l_partkey = p.p_partkey
+    JOIN supplier s ON u.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
+      AND u.cost = (SELECT min(u2.cost) FROM unit_cost u2
+                    JOIN supplier s2 ON u2.l_suppkey = s2.s_suppkey
+                    JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+                    JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+                    WHERE u2.l_partkey = p.p_partkey
+                      AND r2.r_name = 'EUROPE')
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 class (minimum-cost supplier): the schema has no "
+        "partsupp, so supply cost is derived as the observed unit "
+        "price sum(extendedprice)/sum(quantity) per (part, supplier) "
+        "from lineitem. The correlated min subquery is decorrelated "
+        "into a per-part min aggregate joined back on (partkey, cost) "
+        "- the standard Catalyst shape. Region/nation/supplier/part "
+        "dims broadcast; the only large shuffle is the (partkey, "
+        "suppkey) unit-cost aggregation, keyed on the natural fact "
+        "keys, so it scales as one map-side-combinable pass over "
+        "lineitem.",
+    tags=("join", "subquery", "tpch"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    unit_cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.sum("l_extendedprice") / F.sum("l_quantity"), 6)
+             .alias("cost"))
+    )
+    # suppliers in the target region, with nation names (broadcast dim)
+    region_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    regional_cost = unit_cost.join(
+        F.broadcast(region_supp), unit_cost.l_suppkey == F.col("s_suppkey"))
+    min_cost = (regional_cost.groupBy(F.col("l_partkey").alias("mc_partkey"))
+                .agg(F.min("cost").alias("min_cost")))
+    return (
+        regional_cost
+        .join(min_cost, (regional_cost.l_partkey == F.col("mc_partkey"))
+              & (regional_cost.cost == F.col("min_cost")))
+        .join(F.broadcast(p), regional_cost.l_partkey == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+                F.col("cost").alias("supplycost"))
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH part_value AS (
+      SELECT l.l_partkey,
+             sum(l.l_extendedprice * l.l_quantity) AS value
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey = 3
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, round(value, 2) AS value
+    FROM part_value
+    WHERE value > (SELECT sum(value) * 0.001 FROM part_value)
+    ORDER BY value DESC, l_partkey
+    """,
+    doc="TPC-H Q11 class (important stock identification): per-part "
+        "inventory value restricted to one nation's suppliers, kept "
+        "when above a fraction of the total - the double-aggregation "
+        "+ scalar-subquery-gate shape (no partsupp; value derived "
+        "from lineitem price x quantity). The per-part aggregate is "
+        "computed once and reused for both the total and the filter "
+        "via a one-row broadcast cross join, exactly how Catalyst "
+        "decorrelates the scalar subquery; supplier dim broadcast.",
+    tags=("join", "subquery", "tpch"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
+    part_value = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+             .alias("value"))
+    )
+    threshold = part_value.agg(
+        (F.sum("value") * F.lit(0.001)).alias("threshold"))
+    return (
+        part_value.crossJoin(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_partkey", F.round("value", 2).alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+@register(
+    "q12_priority_by_returnflag",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    doc="TPC-H Q12 class (shipping-mode priority split): conditional "
+        "two-way counts of high/low priority orders per category over "
+        "a one-year ship window (the schema has no l_shipmode / "
+        "commitdate / receiptdate, so the category is l_returnflag "
+        "and the window predicate sits on l_shipdate alone). The "
+        "date filter pushes into the lineitem scan; the join shuffles "
+        "on orderkey and the conditional sums combine map-side.",
+    tags=("join", "agg", "tpch"),
+)
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    o = _t(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"))
+        .orderBy("l_returnflag")
+    )
