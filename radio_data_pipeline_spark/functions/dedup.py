@@ -377,3 +377,61 @@ def simhash_table(df: DataFrame, text_col: str = "text",
              .otherwise(F.lit(0).cast("long")) for j in range(k_bits)],
             start=F.lit(0).cast("long")).alias("simhash"))
     return packed
+
+
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3,
+                      threshold: float = 0.5,
+                      max_df: int | None = 100) -> DataFrame:
+    """Asymmetric containment similarity over candidate pairs from the
+    same inverted-index join as ``ngram_jaccard_pairs``.
+
+    containment(A in B) = |A ∩ B| / |A| over distinct-shingle sets —
+    the near-SUPERSET detector Jaccard misses: a short document quoted
+    wholesale inside a long one has low Jaccard (the union is large)
+    but containment ~1.0 in one direction. This is the signal used to
+    drop quotation/aggregator pages whose content is subsumed by
+    another crawl document.
+
+    Emits one row per unordered pair with BOTH directed containments;
+    a pair is kept when either direction reaches ``threshold``. All
+    counts are integers over the max_df-reduced feature space (same
+    stopword-shingle cutoff as the Jaccard operator, same oracle
+    exactness argument).
+
+    Scale: identical shape to ngram_jaccard_pairs — one shuffle on the
+    shingle key for the inverted index, candidate join bounded by the
+    document-frequency cutoff, never all-pairs.
+    """
+    sh = (df.select(F.col(id_col).alias("id"),
+                    F.explode(F.array_distinct(
+                        word_shingles(F.col(text_col), k))).alias("shingle")))
+    if max_df is not None:
+        rare = (sh.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") <= max_df)
+                .select("shingle"))
+        sh = sh.join(rare, "shingle", "left_semi")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle"))
+              & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter
+        .join(sizes.withColumnRenamed("id", "id_a")
+              .withColumnRenamed("n_shingles", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("n_shingles", "size_b"), "id_b")
+        .withColumn("cont_a",
+                    F.col("n_common").cast("double") / F.col("size_a"))
+        .withColumn("cont_b",
+                    F.col("n_common").cast("double") / F.col("size_b"))
+        .filter(F.greatest(F.col("cont_a"), F.col("cont_b")) >= threshold)
+        .select("id_a", "id_b", "n_common",
+                F.round("cont_a", 6).alias("cont_a"),
+                F.round("cont_b", 6).alias("cont_b"))
+    )
