@@ -62,6 +62,7 @@ def _load_all_modules() -> None:
     from radio_data_pipeline_spark.plans import graph  # noqa: F401
     from radio_data_pipeline_spark.plans import pipeline_ops  # noqa: F401
     from radio_data_pipeline_spark.plans import training_data  # noqa: F401
+    from radio_data_pipeline_spark.plans import analytics_extra  # noqa: F401
     from radio_data_pipeline_spark.plans import streaming_batch  # noqa: F401
     from radio_data_pipeline_spark.plans import tpch_extra  # noqa: F401
 
