@@ -116,6 +116,111 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "triangle_count_copurchase",
+    oracle="""
+    WITH und AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                      greatest(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+      GROUP BY node
+    ),
+    k AS (SELECT node, d * 1000000000 + node AS okey FROM deg),
+    o AS (
+      SELECT CASE WHEN ku.okey < kv.okey THEN und.u ELSE und.v END AS src,
+             CASE WHEN ku.okey < kv.okey THEN kv.okey ELSE ku.okey END
+               AS dst_key,
+             CASE WHEN ku.okey < kv.okey THEN und.v ELSE und.u END AS dst
+      FROM und JOIN k ku ON und.u = ku.node
+               JOIN k kv ON und.v = kv.node
+    ),
+    tri AS (
+      SELECT count(*) AS t
+      FROM o e1 JOIN o e2
+        ON e1.src = e2.src AND e1.dst_key < e2.dst_key
+      JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    ),
+    wedge AS (SELECT sum(d * (d - 1) / 2) AS w FROM deg)
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+           CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+           CAST((SELECT w FROM wedge) AS BIGINT) AS n_wedges,
+           round(3.0 * (SELECT t FROM tri) / (SELECT w FROM wedge), 6)
+             AS global_clustering
+    """,
+    doc="Exact triangle count + global clustering coefficient on the "
+        "co-purchase graph via the degree-ordered node-iterator: every "
+        "undirected edge is oriented from the (degree, id)-smaller "
+        "endpoint, wedges are enumerated by self-joining oriented "
+        "edges on their source, and a triangle is a wedge whose far "
+        "endpoints are themselves an oriented edge. The orientation is "
+        "THE scale move — it bounds every node's out-neighborhood by "
+        "O(sqrt(edges)) (arboricity), so hub nodes of a power-law "
+        "graph cannot explode the wedge join the way a naive "
+        "all-neighbor self-join does. Three edge-keyed hash joins, no "
+        "driver round trips; the (deg,id) order is packed into one "
+        "BIGINT so the join key stays primitive.",
+    tags=("graph", "join", "triangles"),
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(F.least("a.l_partkey", "b.l_partkey").alias("u"),
+                F.greatest("a.l_partkey", "b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (und.select(F.col("u").alias("node"))
+           .unionAll(und.select(F.col("v").alias("node")))
+           .groupBy("node")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("d")))
+    k = deg.select("node",
+                   (F.col("d") * F.lit(1_000_000_000) + F.col("node"))
+                   .alias("okey"))
+    ku = k.select(F.col("node").alias("u"), F.col("okey").alias("ukey"))
+    kv = k.select(F.col("node").alias("v"), F.col("okey").alias("vkey"))
+    o = (und.join(ku, "u").join(kv, "v")
+         .select(
+             F.when(F.col("ukey") < F.col("vkey"), F.col("u"))
+             .otherwise(F.col("v")).alias("src"),
+             F.when(F.col("ukey") < F.col("vkey"), F.col("vkey"))
+             .otherwise(F.col("ukey")).alias("dst_key"),
+             F.when(F.col("ukey") < F.col("vkey"), F.col("v"))
+             .otherwise(F.col("u")).alias("dst")))
+    e1 = o.select(F.col("src").alias("s1"), F.col("dst_key").alias("k1"),
+                  F.col("dst").alias("d1"))
+    e2 = o.select(F.col("src").alias("s2"), F.col("dst_key").alias("k2"),
+                  F.col("dst").alias("d2"))
+    wedges = e1.join(e2, (F.col("s1") == F.col("s2"))
+                     & (F.col("k1") < F.col("k2")))
+    tri = (wedges.join(o, (F.col("src") == F.col("d1"))
+                       & (F.col("dst") == F.col("d2")))
+           .agg(F.count(F.lit(1)).alias("t")))
+    wedge_total = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / F.lit(2)).cast("bigint")
+        .alias("w"))
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    n_edges = und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(wedge_total))
+        .select("n_nodes", "n_edges",
+                F.col("t").cast("bigint").alias("n_triangles"),
+                F.col("w").alias("n_wedges"),
+                F.round(F.lit(3.0) * F.col("t") / F.col("w"), 6)
+                .alias("global_clustering"))
+    )
+
+
+@register(
     "copurchase_degree_dist",
     oracle="""
     WITH e AS (

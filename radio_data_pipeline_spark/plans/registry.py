@@ -65,6 +65,8 @@ def _load_all_modules() -> None:
     from radio_data_pipeline_spark.plans import analytics_extra  # noqa: F401
     from radio_data_pipeline_spark.plans import streaming_batch  # noqa: F401
     from radio_data_pipeline_spark.plans import tpch_extra  # noqa: F401
+    from radio_data_pipeline_spark.plans import search_text  # noqa: F401
+    from radio_data_pipeline_spark.plans import timeseries_extra  # noqa: F401
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -240,3 +240,51 @@ def test_weighted_sample_is_one_window_topk(spark, sfq):
     plan = _plan(spark, sfq("weighted_sample_per_source"))
     assert "hashpartitioning(source" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bm25_filters_terms_before_shuffle(spark, sfq):
+    # The IN(query-terms) filter must sit below the tf aggregation's
+    # exchange — index-probe shape, only matching postings shuffle;
+    # everything JVM-side.
+    plan = _plan(spark, sfq("bm25_keyword_topk"), "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    exch = plan.find("Exchange hashpartitioning(doc_id")
+    filt = plan.rfind("IN (spark,vector,merge)")
+    assert exch != -1 and filt != -1 and filt > exch, \
+        "term filter is not below the doc_id aggregation exchange"
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_triangle_wedge_join_is_hash_not_nested_loop(spark, sfq):
+    # The degree-ordered wedge join (s1 = s2 with k1 < k2 residual)
+    # must plan as a hash join — the orientation exists precisely so
+    # this join is bounded; only the final one-row scalar combines may
+    # nested-loop.
+    plan = _plan(spark, sfq("triangle_count_copurchase"), "simple")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    # every BNLJ line must be a one-row scalar combine (cross join of
+    # count aggregates), never the wedge join condition
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, f"non-scalar nested loop: {line}"
+
+
+def test_islands_windows_share_one_exchange(spark, sfq):
+    # Both row_numbers sort on (user_id | user_id,event_type) but the
+    # physical plan must shuffle the events ONCE on user_id — the
+    # second window rides the same exchange.
+    plan = _plan(spark, sfq("events_type_islands"), "simple")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_ewma_band_join_builds_on_day_aggregate(spark, sfq):
+    # The band self-join may nested-loop ONLY because both sides are
+    # the day-aggregated table (calendar-bounded); the raw orders scan
+    # must aggregate to days before any join.
+    plan = _plan(spark, sfq("ewma_daily_revenue"), "simple")
+    bnlj = plan.find("BroadcastNestedLoopJoin")
+    agg = plan.find("HashAggregate")
+    assert bnlj != -1 and agg != -1
+    assert "partial_sum(o_totalprice" in plan or "partial_sum" in plan, \
+        "day revenue must partial-aggregate map-side below the join"
