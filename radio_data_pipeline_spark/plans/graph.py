@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from radio_data_pipeline_spark.functions.graph_ops import triangle_stats
 from radio_data_pipeline_spark.plans.registry import register
 from radio_data_pipeline_spark.sources.parquet import load_table
 
@@ -149,8 +150,10 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
            CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
            CAST((SELECT w FROM wedge) AS BIGINT) AS n_wedges,
-           round(3.0 * (SELECT t FROM tri) / (SELECT w FROM wedge), 6)
-             AS global_clustering
+           CASE WHEN (SELECT w FROM wedge) > 0
+                THEN round(3.0 * (SELECT t FROM tri)
+                           / (SELECT w FROM wedge), 6)
+           END AS global_clustering
     """,
     doc="Exact triangle count + global clustering coefficient on the "
         "co-purchase graph via the degree-ordered node-iterator: every "
@@ -177,47 +180,7 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.greatest("a.l_partkey", "b.l_partkey").alias("v"))
         .distinct()
     )
-    deg = (und.select(F.col("u").alias("node"))
-           .unionAll(und.select(F.col("v").alias("node")))
-           .groupBy("node")
-           .agg(F.count(F.lit(1)).cast("bigint").alias("d")))
-    k = deg.select("node",
-                   (F.col("d") * F.lit(1_000_000_000) + F.col("node"))
-                   .alias("okey"))
-    ku = k.select(F.col("node").alias("u"), F.col("okey").alias("ukey"))
-    kv = k.select(F.col("node").alias("v"), F.col("okey").alias("vkey"))
-    o = (und.join(ku, "u").join(kv, "v")
-         .select(
-             F.when(F.col("ukey") < F.col("vkey"), F.col("u"))
-             .otherwise(F.col("v")).alias("src"),
-             F.when(F.col("ukey") < F.col("vkey"), F.col("vkey"))
-             .otherwise(F.col("ukey")).alias("dst_key"),
-             F.when(F.col("ukey") < F.col("vkey"), F.col("v"))
-             .otherwise(F.col("u")).alias("dst")))
-    e1 = o.select(F.col("src").alias("s1"), F.col("dst_key").alias("k1"),
-                  F.col("dst").alias("d1"))
-    e2 = o.select(F.col("src").alias("s2"), F.col("dst_key").alias("k2"),
-                  F.col("dst").alias("d2"))
-    wedges = e1.join(e2, (F.col("s1") == F.col("s2"))
-                     & (F.col("k1") < F.col("k2")))
-    tri = (wedges.join(o, (F.col("src") == F.col("d1"))
-                       & (F.col("dst") == F.col("d2")))
-           .agg(F.count(F.lit(1)).alias("t")))
-    wedge_total = deg.agg(
-        F.sum(F.col("d") * (F.col("d") - 1) / F.lit(2)).cast("bigint")
-        .alias("w"))
-    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
-    n_edges = und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
-    return (
-        n_nodes.crossJoin(F.broadcast(n_edges))
-        .crossJoin(F.broadcast(tri))
-        .crossJoin(F.broadcast(wedge_total))
-        .select("n_nodes", "n_edges",
-                F.col("t").cast("bigint").alias("n_triangles"),
-                F.col("w").alias("n_wedges"),
-                F.round(F.lit(3.0) * F.col("t") / F.col("w"), 6)
-                .alias("global_clustering"))
-    )
+    return triangle_stats(und)
 
 
 @register(

@@ -39,6 +39,57 @@ _DECAY = 0.9
 _LOOKBACK_DAYS = 29  # window = current day + 29 predecessors
 
 
+def windowed_ewma(days: DataFrame, decay: float = _DECAY,
+                  lookback: int = _LOOKBACK_DAYS) -> DataFrame:
+    """Time-aware windowed EWMA over a ``(day DATE, rev DOUBLE)``
+    series: each day's smoothed value is the decay-weighted mean of
+    its value and up to ``lookback`` calendar-day predecessors
+    (weight decay**gap_days — calendar-aware, so data gaps decay by
+    elapsed time, not by row count). Bounded band self-join; exposed
+    separately so property tests can drive it with arbitrary series
+    against a NumPy reference."""
+    d1 = days.select(F.col("day").alias("day1"), F.col("rev").alias("rev1"))
+    d2 = days.select(F.col("day").alias("day2"), F.col("rev").alias("rev2"))
+    gap = F.datediff(F.col("day1"), F.col("day2"))
+    w = F.pow(F.lit(decay), gap)
+    return (
+        d1.join(d2, (F.col("day2") >= F.date_sub(F.col("day1"), lookback))
+                & (F.col("day2") <= F.col("day1")))
+        .groupBy(F.col("day1").alias("day"), F.col("rev1"))
+        .agg((F.sum(F.col("rev2") * w) / F.sum(w)).alias("e"))
+        .select("day", F.round("rev1", 2).alias("revenue"),
+                F.round("e", 4).alias("ewma"))
+        .orderBy("day")
+    )
+
+
+def type_islands(ev: DataFrame) -> DataFrame:
+    """Gaps-and-islands run statistics over ``(user_id, event_type,
+    event_id, ts_us)`` rows — the two-row_number difference trick,
+    reduced to per-type run stats. Exposed separately for the
+    property battery (random event sequences vs a pure-Python
+    run-length reference)."""
+    w1 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w2 = (Window.partitionBy("user_id", "event_type")
+          .orderBy("ts_us", "event_id"))
+    runs = (
+        ev.select("user_id", "event_type", "event_id",
+                  (F.row_number().over(w1)
+                   - F.row_number().over(w2)).alias("grp"))
+        .groupBy("user_id", "event_type", "grp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("run_len"))
+    )
+    return (
+        runs.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+             F.max("run_len").cast("bigint").alias("max_run"),
+             F.sum(F.when(F.col("run_len") >= 3, 1).otherwise(0))
+             .cast("bigint").alias("runs_ge3"),
+             F.round(F.avg("run_len"), 6).alias("avg_run"))
+        .orderBy("event_type")
+    )
+
+
 @register(
     "ewma_daily_revenue",
     oracle=f"""
@@ -73,20 +124,7 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     d = (orders.groupBy(F.to_date("o_orderdate").alias("day"))
          .agg(F.sum("o_totalprice").alias("rev")))
-    d1 = d.select(F.col("day").alias("day1"), F.col("rev").alias("rev1"))
-    d2 = d.select(F.col("day").alias("day2"), F.col("rev").alias("rev2"))
-    gap = F.datediff(F.col("day1"), F.col("day2"))
-    w = F.pow(F.lit(_DECAY), gap)
-    return (
-        d1.join(d2, (F.col("day2") >= F.date_sub(F.col("day1"),
-                                                 _LOOKBACK_DAYS))
-                & (F.col("day2") <= F.col("day1")))
-        .groupBy(F.col("day1").alias("day"), F.col("rev1"))
-        .agg((F.sum(F.col("rev2") * w) / F.sum(w)).alias("e"))
-        .select("day", F.round("rev1", 2).alias("revenue"),
-                F.round("e", 4).alias("ewma"))
-        .orderBy("day")
-    )
+    return windowed_ewma(d)
 
 
 @register(
@@ -128,22 +166,5 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_type_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w1 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    w2 = (Window.partitionBy("user_id", "event_type")
-          .orderBy("ts_us", "event_id"))
-    runs = (
-        ev.select("user_id", "event_type", "event_id",
-                  (F.row_number().over(w1)
-                   - F.row_number().over(w2)).alias("grp"))
-        .groupBy("user_id", "event_type", "grp")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("run_len"))
-    )
-    return (
-        runs.groupBy("event_type")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_runs"),
-             F.max("run_len").cast("bigint").alias("max_run"),
-             F.sum(F.when(F.col("run_len") >= 3, 1).otherwise(0))
-             .cast("bigint").alias("runs_ge3"),
-             F.round(F.avg("run_len"), 6).alias("avg_run"))
-        .orderBy("event_type")
-    )
+    return type_islands(
+        ev.select("user_id", "event_type", "event_id", "ts_us"))

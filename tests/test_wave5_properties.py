@@ -1,0 +1,155 @@
+"""Property battery for the wave-5 operators: every distributed plan
+is replayed against an independent brute-force / NumPy / pure-Python
+reference on randomized inputs — the same double-check strategy the
+segmentation operators use (tests/test_segmentation.py), guarding
+semantics beyond the single synthetic corpus the DuckDB oracles see.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from radio_data_pipeline_spark.functions.graph_ops import triangle_stats
+from radio_data_pipeline_spark.plans.timeseries_extra import (
+    type_islands,
+    windowed_ewma,
+)
+
+# ------------------------------------------------------------- triangles
+
+_edges_strategy = st.sets(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).map(
+        lambda p: (min(p), max(p))).filter(lambda p: p[0] != p[1]),
+    min_size=1, max_size=30)
+
+
+@settings(max_examples=12, deadline=None)
+@given(edges=_edges_strategy)
+def test_triangle_stats_matches_bruteforce(spark, edges):
+    und = spark.createDataFrame(
+        [(int(u), int(v)) for u, v in sorted(edges)], "u long, v long")
+    row = triangle_stats(und).collect()[0]
+
+    nodes = sorted({n for e in edges for n in e})
+    adj = {n: set() for n in nodes}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    tri = sum(1 for a, b, c in itertools.combinations(nodes, 3)
+              if b in adj[a] and c in adj[a] and c in adj[b])
+    wedges = sum(len(adj[n]) * (len(adj[n]) - 1) // 2 for n in nodes)
+
+    assert row["n_nodes"] == len(nodes)
+    assert row["n_edges"] == len(edges)
+    assert row["n_triangles"] == tri
+    assert row["n_wedges"] == wedges
+    if wedges:
+        assert row["global_clustering"] == pytest.approx(
+            3.0 * tri / wedges, abs=1e-6)
+
+
+# ------------------------------------------------------------------ EWMA
+
+_series_strategy = st.lists(
+    st.tuples(st.integers(0, 120),
+              st.floats(0.5, 1e6, allow_nan=False, allow_infinity=False)),
+    min_size=1, max_size=40, unique_by=lambda t: t[0])
+
+
+@settings(max_examples=12, deadline=None)
+@given(series=_series_strategy)
+def test_windowed_ewma_matches_numpy(spark, series):
+    base = dt.date(2024, 1, 1)
+    rows = [(base + dt.timedelta(days=off), float(v)) for off, v in series]
+    days = spark.createDataFrame(rows, "day date, rev double")
+    got = {r["day"]: r["ewma"] for r in windowed_ewma(days).collect()}
+
+    offs = np.array(sorted(o for o, _ in series))
+    vals = np.array([v for _, v in sorted(series)])
+    for i, o in enumerate(offs):
+        mask = (offs >= o - 29) & (offs <= o)
+        w = 0.9 ** (o - offs[mask])
+        expect = float(np.sum(vals[mask] * w) / np.sum(w))
+        day = base + dt.timedelta(days=int(o))
+        assert got[day] == pytest.approx(round(expect, 4), abs=2e-4), \
+            f"day offset {o}"
+
+
+# --------------------------------------------------------------- islands
+
+_events_strategy = st.lists(
+    st.tuples(st.integers(0, 2),        # user
+              st.sampled_from("abc")),  # type
+    min_size=1, max_size=60)
+
+
+@settings(max_examples=12, deadline=None)
+@given(seq=_events_strategy)
+def test_type_islands_matches_python(spark, seq):
+    rows = [(int(user), t, i, i * 1000) for i, (user, t) in enumerate(seq)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, event_id long, ts_us long")
+    got = {r["event_type"]: r for r in type_islands(ev).collect()}
+
+    runs: dict[str, list[int]] = {}
+    by_user: dict[int, list[str]] = {}
+    for user, t in seq:
+        by_user.setdefault(user, []).append(t)
+    for types in by_user.values():
+        for t, grp in itertools.groupby(types):
+            runs.setdefault(t, []).append(len(list(grp)))
+
+    assert set(got) == set(runs)
+    for t, lens in runs.items():
+        assert got[t]["n_runs"] == len(lens)
+        assert got[t]["max_run"] == max(lens)
+        assert got[t]["runs_ge3"] == sum(1 for x in lens if x >= 3)
+        assert got[t]["avg_run"] == pytest.approx(
+            round(sum(lens) / len(lens), 6), abs=1e-6)
+
+
+# ------------------------------------------------------------------ BM25
+
+def test_bm25_matches_pure_python_reference(spark, sf_smoke):
+    """Independent double-check of the registered BM25 query: a
+    from-scratch pure-Python Okapi BM25 over the same sf0.001 corpus
+    and the same tokenizer must produce the identical top-15."""
+    from radio_data_pipeline_spark.plans.search_text import (
+        _BM25_TERMS,
+        _BM25_TOPK,
+        bm25_keyword_topk,
+    )
+    got = [(r["doc_id"], r["bm25"])
+           for r in bm25_keyword_topk(spark, sf_smoke).collect()]
+
+    import duckdb
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, lower(trim(coalesce(text,''))) FROM "
+        f"read_parquet('{sf_smoke}/documents.parquet')").fetchall()
+    import re
+    toks = {d: re.split(r"\s+", t) for d, t in docs}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    k1, b = 1.2, 0.75
+    df = {t: sum(1 for ws in toks.values() if t in ws) for t in _BM25_TERMS}
+    scored = []
+    for d, ws in toks.items():
+        s = 0.0
+        for t in _BM25_TERMS:
+            tf = ws.count(t)
+            if not tf:
+                continue
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(ws) / avgdl))
+        if s > 0:
+            scored.append((d, round(s, 6)))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    assert got == scored[:_BM25_TOPK]
