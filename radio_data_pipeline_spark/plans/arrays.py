@@ -717,3 +717,121 @@ def label_centroid_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.max(F.sqrt("d2")), 6).alias("max_dist"))
         .orderBy("label")
     )
+
+
+_PQ_M = 4        # subspaces (64 dims -> 4 x 16)
+_PQ_SUBDIM = 16
+_PQ_K = 4        # centroids per subspace codebook
+_PQ_TOPK = 10
+
+
+@register(
+    "pq_adc_topk",
+    oracle=f"""
+    WITH r AS (
+      SELECT vec_id,
+             (generate_subscripts(embedding, 1) - 1) // {_PQ_SUBDIM}
+               AS sub,
+             (generate_subscripts(embedding, 1) - 1) % {_PQ_SUBDIM} AS spos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cluster, sub, spos, val AS cval
+           FROM r WHERE vec_id < {_PQ_K}),
+    d1 AS (SELECT r.vec_id, r.sub, c.cluster,
+                  sum((r.val - c.cval) * (r.val - c.cval)) AS d2
+           FROM r JOIN c0 c USING (sub, spos)
+           GROUP BY r.vec_id, r.sub, c.cluster),
+    a1 AS (SELECT vec_id, sub, cluster FROM (
+             SELECT vec_id, sub, cluster,
+                    row_number() OVER (PARTITION BY vec_id, sub
+                                       ORDER BY d2, cluster) AS rn
+             FROM d1) WHERE rn = 1),
+    c1 AS (SELECT a1.cluster, r.sub, r.spos, avg(r.val) AS cval
+           FROM a1 JOIN r USING (vec_id, sub)
+           GROUP BY a1.cluster, r.sub, r.spos),
+    d2 AS (SELECT r.vec_id, r.sub, c.cluster,
+                  sum((r.val - c.cval) * (r.val - c.cval)) AS d2
+           FROM r JOIN c1 c USING (sub, spos)
+           GROUP BY r.vec_id, r.sub, c.cluster),
+    codes AS (SELECT vec_id, sub, cluster FROM (
+                SELECT vec_id, sub, cluster,
+                       row_number() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY d2, cluster) AS rn
+                FROM d2) WHERE rn = 1),
+    lut AS (SELECT c.sub, c.cluster,
+                   sum((q.val - c.cval) * (q.val - c.cval)) AS pd2
+            FROM c1 c JOIN r q ON q.vec_id = 0 AND q.sub = c.sub
+                              AND q.spos = c.spos
+            GROUP BY c.sub, c.cluster),
+    adc AS (SELECT codes.vec_id, sum(lut.pd2) AS adc
+            FROM codes JOIN lut USING (sub, cluster)
+            GROUP BY codes.vec_id)
+    SELECT vec_id, round(adc, 6) AS adc_dist2
+    FROM adc
+    ORDER BY round(adc, 6), vec_id
+    LIMIT {_PQ_TOPK}
+    """,
+    doc="Product quantization + asymmetric distance computation: "
+        "64-dim embeddings split into 4 x 16-dim subspaces, each with "
+        "a k=4 codebook (deterministic first-k init + one Lloyd "
+        "refinement, lowest-index tiebreaks), every vector encoded as "
+        "4 codes, then ADC top-10 for the vec_id=0 query — estimated "
+        "distance = sum over subspaces of the precomputed "
+        "query-to-centroid partial. THE memory move for 100 TB ANN: "
+        "codes are M bytes vs 4*D float bytes (here 256 B -> 4 "
+        "codes), so the scan-side state shrinks ~32x and the ADC scan "
+        "reads codes plus a broadcast (M x k)-entry lookup table — "
+        "no float vectors touched after encoding; training runs on "
+        "the same relational k-means shape as kmeans_embeddings "
+        "(at 100 TB: train codebooks on a sample, encode the corpus "
+        "map-side). Fully relational, zero driver round trips; the "
+        "quantization ladder is int8 (embedding_quantize_int8) -> PQ "
+        "(this) -> rerank (quantized_rerank_topk).",
+    tags=("array", "similarity", "quantization", "topk"),
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    r = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>"))
+         .alias("pos0", "val")) \
+        .select("vec_id",
+                (F.col("pos0") / _PQ_SUBDIM).cast("bigint").alias("sub"),
+                (F.col("pos0") % _PQ_SUBDIM).alias("spos"), "val")
+
+    c = (r.filter(F.col("vec_id") < _PQ_K)
+         .select(F.col("vec_id").alias("cluster"), "sub", "spos",
+                 F.col("val").alias("cval")))
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        d = (r.join(F.broadcast(centroids), ["sub", "spos"])
+             .groupBy("vec_id", "sub", "cluster")
+             .agg(F.sum((F.col("val") - F.col("cval"))
+                        * (F.col("val") - F.col("cval"))).alias("d2")))
+        w = Window.partitionBy("vec_id", "sub").orderBy("d2", "cluster")
+        return (d.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "sub", "cluster"))
+
+    a1 = assign(c)                       # vs the first-k init
+    c = (a1.join(r, ["vec_id", "sub"])   # one Lloyd refinement
+         .groupBy("cluster", "sub", "spos")
+         .agg(F.avg("val").alias("cval")))
+    codes = assign(c)                    # final encoding vs trained book
+
+    q = (r.filter(F.col("vec_id") == 0)
+         .select("sub", "spos", F.col("val").alias("qval")))
+    lut = (c.join(F.broadcast(q), ["sub", "spos"])
+           .groupBy("sub", "cluster")
+           .agg(F.sum((F.col("qval") - F.col("cval"))
+                      * (F.col("qval") - F.col("cval"))).alias("pd2")))
+    return (
+        codes.join(F.broadcast(lut), ["sub", "cluster"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("pd2"), 6).alias("adc_dist2"))
+        .orderBy("adc_dist2", "vec_id")
+        .limit(_PQ_TOPK)
+    )

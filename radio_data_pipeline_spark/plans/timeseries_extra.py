@@ -168,3 +168,55 @@ def events_type_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return type_islands(
         ev.select("user_id", "event_type", "event_id", "ts_us"))
+
+
+@register(
+    "rolling_median_daily_revenue",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT day,
+           round(rev, 2) AS revenue,
+           round(median(rev) OVER (ORDER BY day
+                                   ROWS BETWEEN 6 PRECEDING
+                                   AND CURRENT ROW), 2) AS med7
+    FROM d
+    ORDER BY day
+    """,
+    doc="7-row rolling MEDIAN of daily revenue — the robust "
+        "smoother (one outlier day cannot move it, unlike the "
+        "moving average), exact in both engines (even-count frames "
+        "average the two middle values identically). Facts reduce "
+        "to the calendar-bounded day table FIRST, so the unkeyed "
+        "ordered window runs over ~hundreds of rows per decade "
+        "regardless of fact volume — same bounded-domain argument "
+        "as ewma_daily_revenue's band join; at 100 TB the day "
+        "aggregation is the only fact-sized shuffle.",
+    tags=("timeseries", "window", "robust", "median"),
+)
+def rolling_median_daily_revenue(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    # Spark refuses percentile-family aggregates over a window FRAME,
+    # so the 7-row median is computed explicitly: gather the frame via
+    # lags, drop the leading-edge NULLs, sort the <=7 values, average
+    # the middle pair — identical semantics to DuckDB's windowed
+    # median (quantile_cont 0.5), all JVM expression work.
+    orders = load_table(spark, sf_dir, "orders")
+    d = (orders.groupBy(F.to_date("o_orderdate").alias("day"))
+         .agg(F.sum("o_totalprice").alias("rev")))
+    w = Window.orderBy("day")
+    frame = F.array_sort(F.filter(
+        F.array(F.col("rev"),
+                *[F.lag("rev", i).over(w) for i in range(1, 7)]),
+        lambda x: x.isNotNull()))
+    n = F.size(frame)
+    med = (F.element_at(frame, ((n - 1) / 2).cast("int") + 1)
+           + F.element_at(frame, (n / 2).cast("int") + 1)) / 2
+    return (
+        d.select("day", F.round("rev", 2).alias("revenue"),
+                 F.round(med, 2).alias("med7"))
+        .orderBy("day")
+    )
