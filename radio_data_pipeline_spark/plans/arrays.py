@@ -719,9 +719,9 @@ def label_centroid_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PQ_M = 4        # subspaces (64 dims -> 4 x 16)
-_PQ_SUBDIM = 16
-_PQ_K = 4        # centroids per subspace codebook
+_PQ_M = 8        # subspaces (64 dims -> 8 x 8)
+_PQ_SUBDIM = 8
+_PQ_K = 32       # centroids per subspace codebook
 _PQ_TOPK = 10
 
 
@@ -773,13 +773,13 @@ _PQ_TOPK = 10
     LIMIT {_PQ_TOPK}
     """,
     doc="Product quantization + asymmetric distance computation: "
-        "64-dim embeddings split into 4 x 16-dim subspaces, each with "
-        "a k=4 codebook (deterministic first-k init + one Lloyd "
+        "64-dim embeddings split into 8 x 8-dim subspaces, each with "
+        "a k=32 codebook (deterministic first-k init + one Lloyd "
         "refinement, lowest-index tiebreaks), every vector encoded as "
-        "4 codes, then ADC top-10 for the vec_id=0 query — estimated "
+        "8 codes, then ADC top-10 for the vec_id=0 query — estimated "
         "distance = sum over subspaces of the precomputed "
         "query-to-centroid partial. THE memory move for 100 TB ANN: "
-        "codes are M bytes vs 4*D float bytes (here 256 B -> 4 "
+        "codes are M bytes vs 4*D float bytes (here 256 B -> 8 "
         "codes), so the scan-side state shrinks ~32x and the ADC scan "
         "reads codes plus a broadcast (M x k)-entry lookup table — "
         "no float vectors touched after encoding; training runs on "
