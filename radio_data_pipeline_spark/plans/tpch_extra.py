@@ -737,3 +737,116 @@ def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"))
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "lineitem_unpivot_measures",
+    oracle="""
+    WITH long AS (
+      SELECT l_returnflag, 'discount' AS measure, l_discount AS val
+      FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'quantity', l_quantity FROM lineitem
+    )
+    SELECT l_returnflag, measure,
+           round(sum(val), 2) AS total,
+           round(avg(val), 6) AS mean,
+           CAST(count(*) AS BIGINT) AS n
+    FROM long
+    GROUP BY l_returnflag, measure
+    ORDER BY l_returnflag, measure
+    """,
+    doc="UNPIVOT (wide->long): the three lineitem measures melted into "
+        "(measure, value) rows then aggregated per (returnflag, "
+        "measure) — the inverse of events_type_pivot, completing the "
+        "reshape pair. Spark's native unpivot compiles to an Expand "
+        "node: ONE scan emits all three rows per input row map-side "
+        "(no self-union, no triple scan), and the aggregation's "
+        "map-side partials collapse the 3x expansion before the "
+        "single shuffle — the same Expand machinery cube/rollup use. "
+        "The oracle spells it as UNION ALL, which DuckDB scan-shares.",
+    tags=("agg", "unpivot", "reshape"),
+)
+def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_discount", "l_extendedprice", "l_quantity"],
+        variableColumnName="measure",
+        valueColumnName="val")
+    # unpivot emits the source COLUMN NAMES as the measure labels;
+    # strip the l_ prefix so the long-form label is schema-agnostic
+    return (
+        long.withColumn("measure",
+                        F.regexp_replace("measure", "^l_", ""))
+        .groupBy("l_returnflag", "measure")
+        .agg(F.round(F.sum("val"), 2).alias("total"),
+             F.round(F.avg("val"), 6).alias("mean"),
+             F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem_without_order' AS check_name,
+           CAST(count(*) AS BIGINT) AS n_violations
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_without_part',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'order_without_customer',
+           CAST(count(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer_without_nation',
+           CAST(count(*) AS BIGINT)
+    FROM customer c WHERE NOT EXISTS
+      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    ORDER BY check_name
+    """,
+    doc="Referential-integrity audit: orphan counts for every FK edge "
+        "of the star (lineitem->orders, lineitem->part, orders->"
+        "customer, customer->nation) via LEFT ANTI joins — the "
+        "constraint check a lakehouse runs after every ingest, since "
+        "parquet enforces no FKs. Each anti-join broadcasts the key "
+        "side when dimension-sized or shuffles once on the key when "
+        "fact-sized; the four counts union into one 4-row report. "
+        "Zero violations on the driver corpus — the audit asserting "
+        "zero IS the product; fault-injection tests corrupt a copy to "
+        "prove the counts move.",
+    tags=("join", "anti", "audit", "validation"),
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def orphans(name: str, child: DataFrame, ckey: str,
+                parent: DataFrame, pkey: str) -> DataFrame:
+        return (child.join(parent.select(pkey),
+                           child[ckey] == parent[pkey], "left_anti")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+                .select(F.lit(name).alias("check_name"), "n_violations"))
+
+    return (
+        orphans("customer_without_nation", cust, "c_nationkey",
+                nation, "n_nationkey")
+        .unionAll(orphans("lineitem_without_order", li, "l_orderkey",
+                          orders, "o_orderkey"))
+        .unionAll(orphans("lineitem_without_part", li, "l_partkey",
+                          part, "p_partkey"))
+        .unionAll(orphans("order_without_customer", orders, "o_custkey",
+                          cust, "c_custkey"))
+        .orderBy("check_name")
+    )

@@ -196,3 +196,46 @@ def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
     # vec 0 reconstructs to its codebook cells, so it stays in the
     # returned top-10 unless quantization is broken
     assert 0 in adc_ids
+
+
+# ----------------------------------------------------- integrity audit
+
+def test_referential_audit_counts_move_under_fault_injection(
+        spark, sf_smoke, tmp_path):
+    """The audit's zero-violation report must be earned: corrupt a
+    copy of the corpus (orphan lineitem + orphan order) and the
+    corresponding counts must move by exactly the injected amounts."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from radio_data_pipeline_spark.plans.tpch_extra import (
+        referential_integrity_audit,
+    )
+
+    for t in ("lineitem", "orders", "customer", "part", "nation"):
+        shutil.copy(f"{sf_smoke}/{t}.parquet", tmp_path / f"{t}.parquet")
+
+    li = pq.read_table(tmp_path / "lineitem.parquet")
+    orphan = {c: [li[c][0].as_py()] for c in li.column_names}
+    orphan["l_orderkey"] = [-999]           # no such order
+    pq.write_table(
+        pa.concat_tables([li, pa.table(orphan, schema=li.schema)]),
+        tmp_path / "lineitem.parquet")
+
+    od = pq.read_table(tmp_path / "orders.parquet")
+    bad = {c: [od[c][0].as_py()] for c in od.column_names}
+    bad["o_orderkey"] = [-1]
+    bad["o_custkey"] = [-999]               # no such customer
+    pq.write_table(
+        pa.concat_tables([od, pa.table(bad, schema=od.schema)]),
+        tmp_path / "orders.parquet")
+
+    got = {r["check_name"]: r["n_violations"]
+           for r in referential_integrity_audit(
+               spark, str(tmp_path)).collect()}
+    assert got["lineitem_without_order"] == 1
+    assert got["order_without_customer"] == 1
+    assert got["customer_without_nation"] == 0
+    assert got["lineitem_without_part"] == 0
