@@ -116,6 +116,11 @@ HEADLINE = [
     "pricing_cube",
     "events_tumbling_counts",
 ]
+# Ad-hoc override for side studies (BENCH_SCALING addenda): a
+# comma-separated query list. The recorded BENCH_r{N} artifacts always
+# use the default set above for round-to-round comparability.
+if os.environ.get("SPARK_GRAFT_BENCH_QUERIES"):
+    HEADLINE = os.environ["SPARK_GRAFT_BENCH_QUERIES"].split(",")
 
 
 def _materialize(df) -> None:
