@@ -791,40 +791,58 @@ _PQ_TOPK = 10
     tags=("array", "similarity", "quantization", "topk"),
 )
 def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    # Distance evaluation is the hot path (N x M x K subvector
+    # distances, twice), so it runs as a MAP-ONLY fold over 8-element
+    # subvector arrays against a broadcast codebook — no per-element
+    # explode, no (vec, sub, cluster)-keyed aggregation shuffle. The
+    # argmin is min(struct(d2, cluster)): lexicographic struct min ==
+    # ORDER BY d2, cluster with map-side partial aggregation, and
+    # since all K candidate rows of a (vec, sub) are produced by the
+    # same broadcast-join task, the partial agg collapses K -> 1
+    # BEFORE the shuffle — the exchange moves N x M rows, not
+    # N x M x K. Element-level rows exist only for the cheap centroid
+    # update and query LUT (N x D rows, one aggregation each).
+    emb = _emb_fanned(spark, sf_dir)
+    sub_arrays = F.array(*[
+        F.slice(F.col("embedding").cast("array<double>"),
+                m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+        for m in range(_PQ_M)])
+    r2 = emb.select("vec_id", F.posexplode(sub_arrays).alias("sub", "svec"))
+    rpos = r2.select("vec_id", "sub",
+                     F.posexplode("svec").alias("spos", "val"))
 
-    emb = _emb(spark, sf_dir)
-    r = emb.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>"))
-         .alias("pos0", "val")) \
-        .select("vec_id",
-                (F.col("pos0") / _PQ_SUBDIM).cast("bigint").alias("sub"),
-                (F.col("pos0") % _PQ_SUBDIM).alias("spos"), "val")
+    def to_arrays(cent_rows: DataFrame) -> DataFrame:
+        # (cluster, sub, spos, cval) -> (cluster, sub, carr) with carr
+        # in spos order, so the fold pairs elements positionally
+        return (cent_rows.groupBy("cluster", "sub")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("spos", "cval"))),
+                    lambda x: x["cval"]).alias("carr")))
 
-    c = (r.filter(F.col("vec_id") < _PQ_K)
-         .select(F.col("vec_id").alias("cluster"), "sub", "spos",
-                 F.col("val").alias("cval")))
+    def assign(cent_arrays: DataFrame) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with(F.col("svec"), F.col("carr"),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        d = (r2.join(F.broadcast(cent_arrays), "sub")
+             .select("vec_id", "sub", "cluster", d2.alias("d2")))
+        return (d.groupBy("vec_id", "sub")
+                .agg(F.min(F.struct(F.col("d2"), F.col("cluster")))
+                     .alias("m"))
+                .select("vec_id", "sub", F.col("m.cluster").alias("cluster")))
 
-    def assign(centroids: DataFrame) -> DataFrame:
-        d = (r.join(F.broadcast(centroids), ["sub", "spos"])
-             .groupBy("vec_id", "sub", "cluster")
-             .agg(F.sum((F.col("val") - F.col("cval"))
-                        * (F.col("val") - F.col("cval"))).alias("d2")))
-        w = Window.partitionBy("vec_id", "sub").orderBy("d2", "cluster")
-        return (d.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("vec_id", "sub", "cluster"))
+    c0 = (r2.filter(F.col("vec_id") < _PQ_K)
+          .select(F.col("vec_id").alias("cluster"), "sub",
+                  F.col("svec").alias("carr")))
+    a1 = assign(c0)                       # vs the first-k init
+    c1 = (a1.join(rpos, ["vec_id", "sub"])  # one Lloyd refinement
+          .groupBy("cluster", "sub", "spos")
+          .agg(F.avg("val").alias("cval")))
+    codes = assign(to_arrays(c1))         # final encoding vs trained book
 
-    a1 = assign(c)                       # vs the first-k init
-    c = (a1.join(r, ["vec_id", "sub"])   # one Lloyd refinement
-         .groupBy("cluster", "sub", "spos")
-         .agg(F.avg("val").alias("cval")))
-    codes = assign(c)                    # final encoding vs trained book
-
-    q = (r.filter(F.col("vec_id") == 0)
+    q = (rpos.filter(F.col("vec_id") == 0)
          .select("sub", "spos", F.col("val").alias("qval")))
-    lut = (c.join(F.broadcast(q), ["sub", "spos"])
+    lut = (c1.join(F.broadcast(q), ["sub", "spos"])
            .groupBy("sub", "cluster")
            .agg(F.sum((F.col("qval") - F.col("cval"))
                       * (F.col("qval") - F.col("cval"))).alias("pd2")))
