@@ -1322,3 +1322,58 @@ def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("n_types"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_udaf_iqr_per_type",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.75)
+                 - quantile_cont(value, 0.25), 6) AS iqr,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="The user-defined AGGREGATE surface (completing the "
+        "UDF/UDAF/UDTF triad with events_lgamma_udf and "
+        "doc_chunks_udtf): a GROUPED_AGG pandas UDF computing the "
+        "per-type interquartile range with numpy's linearly "
+        "interpolated percentiles — the same definition as SQL "
+        "quantile_cont, so the oracle is exact, not a tolerance "
+        "check. Each group's values stream to the Python worker as "
+        "ONE Arrow batch; this is the escape hatch for aggregates "
+        "with no mergeable JVM form, and the docstring caveat IS the "
+        "scale story: a grouped-agg UDAF holds a whole group in "
+        "memory, so it is for bounded groups (5 types here) — "
+        "unbounded-group exact quantiles belong to the built-in "
+        "percentile/percentile_approx path "
+        "(events_value_percentiles).",
+    tags=("pandas-udf", "udaf", "agg"),
+)
+def events_udaf_iqr_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _iqr(v):
+        a = v.to_numpy(dtype=np.float64)
+        return float(np.percentile(a, 75) - np.percentile(a, 25))
+
+    def _n(v):
+        return len(v)
+
+    # Spark refuses to mix a GROUPED_AGG pandas UDF with JVM
+    # aggregates in one Aggregate node, so the row count is a second
+    # pandas aggregate rather than count(1)
+    from pyspark.sql.functions import PandasUDFType
+    iqr_udf = pandas_udf(_iqr, "double", PandasUDFType.GROUPED_AGG)
+    n_udf = pandas_udf(_n, "long", PandasUDFType.GROUPED_AGG)
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(iqr_udf(F.col("value")), 6).alias("iqr"),
+             n_udf(F.col("value")).alias("n"))
+        .orderBy("event_type")
+    )
