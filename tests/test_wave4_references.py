@@ -1,0 +1,143 @@
+"""Independent-reference battery for the wave-4 analytics operators:
+each distributed plan is replayed by a from-scratch NumPy / pure-Python
+implementation of the same published algorithm over the same corpus —
+the DuckDB oracles pin engine-vs-engine parity; these pin the
+ALGORITHM (a shared misreading of the math would pass the oracle but
+fail here).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+
+def _embeddings(sf_dir):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    ids = np.array([r[0] for r in rows])
+    X = np.array([r[1] for r in rows])
+    return ids, X
+
+
+def test_power_iteration_matches_numpy_and_aligns_with_svd(spark, sf_dir):
+    from radio_data_pipeline_spark.plans.analytics_extra import (
+        embedding_top_singular_dim,
+    )
+    got = embedding_top_singular_dim(spark, sf_dir).collect()
+    v_spark = np.array([r["component"]
+                        for r in sorted(got, key=lambda r: r["pos"])])
+
+    _, X = _embeddings(sf_dir)
+    G = X.T @ X
+    d = G.shape[0]
+    # replicate the registered algorithm: init = G @ (1/sqrt(d)),
+    # normalize, one more multiply, normalize
+    v = G @ (np.ones(d) / np.sqrt(d))
+    v /= np.linalg.norm(v)
+    v = G @ v
+    v /= np.linalg.norm(v)
+    assert np.allclose(v_spark, np.round(v, 6), atol=2e-6)
+
+    # quality: the query's contract is TWO power iterations, not full
+    # convergence — the synthetic embeddings have a near-flat spectrum
+    # (sigma2/sigma1 = 0.992, measured), where dominance takes O(100)
+    # iterations, so asserting SVD alignment would be dishonest. What
+    # two iterations DO guarantee: each multiply increases the
+    # Rayleigh quotient v'Gv (monotone convergence toward the top
+    # eigenvalue), which is the property asserted.
+    v0 = np.ones(d) / np.sqrt(d)
+    v1 = G @ v0
+    v1 /= np.linalg.norm(v1)
+    rq = [float(u @ G @ u) for u in (v0, v1, v)]
+    assert rq[0] < rq[1] < rq[2], f"Rayleigh quotient not improving: {rq}"
+    _, s, _ = np.linalg.svd(X, full_matrices=False)
+    assert rq[2] <= s[0] ** 2 * (1 + 1e-9)
+
+
+def test_mmr_matches_pure_python_greedy(spark, sf_dir):
+    from radio_data_pipeline_spark.plans.analytics_extra import (
+        _MMR_LAMBDA,
+        _MMR_POOL,
+        mmr_diversified_topk,
+    )
+    got = [(r["rank"], r["vec_id"])
+           for r in mmr_diversified_topk(spark, sf_dir).collect()]
+
+    ids, X = _embeddings(sf_dir)
+    q = X[ids == 0][0]
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))),
+                     9)
+
+    rel = {int(i): cos(X[k], q) for k, i in enumerate(ids) if i != 0}
+    pool = sorted(rel, key=lambda i: (-rel[i], i))[:_MMR_POOL]
+    vec = {int(i): X[list(ids).index(i)] for i in pool}
+
+    selected = []
+    for _ in range(3):
+        best = None
+        for i in pool:
+            if i in selected:
+                continue
+            if not selected:
+                score = rel[i]
+            else:
+                score = round(rel[i] - _MMR_LAMBDA
+                              * max(cos(vec[i], vec[s]) for s in selected),
+                              9)
+            if best is None or (score, -i) > best[0]:
+                best = ((score, -i), i)
+        selected.append(best[1])
+    assert got == [(k + 1, v) for k, v in enumerate(selected)]
+
+
+def test_asof_tolerance_matches_python_sweep(spark, sf_dir):
+    from radio_data_pipeline_spark.plans.analytics_extra import (
+        _ASOF_TOL_US,
+        events_asof_tolerance,
+    )
+    got = {r["event_id"]: (r["prior_view_event"], r["gap_us"])
+           for r in events_asof_tolerance(spark, sf_dir).collect()}
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, epoch_us(ts), event_id, event_type FROM "
+        f"read_parquet('{sf_dir}/events.parquet') "
+        f"ORDER BY user_id, epoch_us(ts), event_id").fetchall()
+    con.close()
+
+    expect = {}
+    last_view = {}  # user -> (ts_us, event_id)
+    for user, ts_us, eid, etype in rows:
+        if etype == "view":
+            last_view[user] = (ts_us, eid)
+        elif etype == "purchase" and user in last_view:
+            vts, vid = last_view[user]
+            gap = ts_us - vts
+            if gap <= _ASOF_TOL_US:
+                expect[eid] = (vid, gap)
+    assert got == expect
+
+
+def test_countmin_overestimates_and_bounds_error(spark, sf_dir):
+    """Count-min's defining contract: estimate >= true count for every
+    reported key, and the overestimate is bounded (here: tiny, since
+    the key cardinality is far below the sketch width)."""
+    from radio_data_pipeline_spark.plans.analytics_extra import (
+        countmin_heavy_hitters,
+    )
+    rows = countmin_heavy_hitters(spark, sf_dir).collect()
+    assert rows, "no heavy hitters reported"
+    cols = set(rows[0].asDict())
+    est_col = next(c for c in cols if "est" in c)
+    true_col = next(c for c in cols if "true" in c or "exact" in c)
+    for r in rows:
+        assert r[est_col] >= r[true_col], r
+        assert r[est_col] - r[true_col] <= max(3, 0.01 * r[true_col]), r
