@@ -288,3 +288,22 @@ def test_ewma_band_join_builds_on_day_aggregate(spark, sfq):
     assert bnlj != -1 and agg != -1
     assert "partial_sum(o_totalprice" in plan or "partial_sum" in plan, \
         "day revenue must partial-aggregate map-side below the join"
+
+
+def test_pq_distance_fold_is_map_only(spark, sfq):
+    # The ADC hot path (N x M x K subvector distances) must be a
+    # broadcast-join + fold with NO exchange between the scan and the
+    # argmin's partial aggregation, and no element-level explode in
+    # the distance branch (posexplode appears only in the cheap
+    # centroid-update/LUT branch).
+    plan = _plan(spark, sfq("pq_adc_topk"), "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # every distance evaluation joins the broadcast codebook
+    assert plan.count("BroadcastHashJoin") >= 2
+    # partial min(struct) collapses K candidates map-side: a
+    # partial_min must appear below the (vec_id, sub) exchange
+    first_exch = plan.find("Exchange hashpartitioning(vec_id")
+    first_partial = plan.find("partial_min")
+    assert first_partial != -1 and first_exch != -1 \
+        and first_partial > first_exch, \
+        "argmin is not partially aggregated before the shuffle"
