@@ -850,3 +850,106 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                           cust, "c_custkey"))
         .orderBy("check_name")
     )
+
+
+_MV_CUTOFF = "2000-01-01"
+
+
+@register(
+    "orders_incremental_monthly_revenue",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY 1
+    ORDER BY month
+    """,
+    doc="Incremental materialized-view maintenance: the monthly "
+        "revenue rollup computed as snapshot (orders before "
+        "2000-01-01) + delta (orders on/after), partial aggregates "
+        "combined by a full-outer month join summing counts and "
+        "sums — and the ORACLE is the plain full recompute, so the "
+        "oracle gate itself proves the incremental maintenance math "
+        "is exact (sum/count are commutative monoids; this is why "
+        "avg must be maintained as sum+count, never averaged "
+        "averages). At scale this is the nightly-ingest pattern: "
+        "only the delta partition is scanned and aggregated, the "
+        "snapshot side is the stored MV — both sides here scan the "
+        "one table only because the lake has no stored MV to read.",
+    tags=("agg", "incremental", "materialized-view"),
+)
+def orders_incremental_monthly_revenue(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return (df.groupBy(month)
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                     F.sum("o_totalprice").alias("rev")))
+
+    cut = F.to_date(F.lit(_MV_CUTOFF))
+    snap = partial(orders.filter(F.col("o_orderdate") < cut)).alias("s")
+    delta = partial(orders.filter(F.col("o_orderdate") >= cut)).alias("d")
+    return (
+        snap.join(delta, "month", "full_outer")
+        .select(
+            "month",
+            (F.coalesce(F.col("s.n"), F.lit(0))
+             + F.coalesce(F.col("d.n"), F.lit(0))).alias("n_orders"),
+            F.round(F.coalesce(F.col("s.rev"), F.lit(0.0))
+                    + F.coalesce(F.col("d.rev"), F.lit(0.0)), 2)
+            .alias("revenue"))
+        .orderBy("month")
+    )
+
+
+@register(
+    "orders_price_distribution_ranks",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             percent_rank() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey)
+               AS pr,
+             cume_dist() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey) AS cd
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_top_decile,
+           round(min(o_totalprice), 2) AS decile_floor,
+           round(avg(cd), 6) AS avg_cume_dist
+    FROM r
+    WHERE pr >= 0.9
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="percent_rank + cume_dist (completing the ranking-window "
+        "family beyond row_number/rank/ntile): per-priority relative "
+        "standing of every order, reduced to the top-decile cohort "
+        "per priority. Both functions ride ONE (priority, price, key) "
+        "sorted exchange; the o_orderkey tie-break makes rank "
+        "fractions engine-exact on duplicate prices. One window + "
+        "one hash aggregation.",
+    tags=("window", "rank", "distribution"),
+)
+def orders_price_distribution_ranks(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    orders = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_orderpriority")
+         .orderBy("o_totalprice", "o_orderkey"))
+    r = orders.select(
+        "o_orderpriority", "o_totalprice",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"))
+    return (
+        r.filter(F.col("pr") >= 0.9)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_top_decile"),
+             F.round(F.min("o_totalprice"), 2).alias("decile_floor"),
+             F.round(F.avg("cd"), 6).alias("avg_cume_dist"))
+        .orderBy("o_orderpriority")
+    )

@@ -135,9 +135,7 @@ def test_countmin_overestimates_and_bounds_error(spark, sf_dir):
     )
     rows = countmin_heavy_hitters(spark, sf_dir).collect()
     assert rows, "no heavy hitters reported"
-    cols = set(rows[0].asDict())
-    est_col = next(c for c in cols if "est" in c)
-    true_col = next(c for c in cols if "true" in c or "exact" in c)
     for r in rows:
-        assert r[est_col] >= r[true_col], r
-        assert r[est_col] - r[true_col] <= max(3, 0.01 * r[true_col]), r
+        assert r["est_n"] >= r["exact_n"], r
+        assert r["est_n"] - r["exact_n"] <= max(3, 0.01 * r["exact_n"]), r
+        assert r["overestimate"] == r["est_n"] - r["exact_n"], r
