@@ -1,0 +1,64 @@
+"""Pin that AQE's skew-join splitting — the mechanism the scale story
+leans on for hot keys (SURVEY §9, session.py skewJoin.enabled) —
+actually ENGAGES on a skewed sort-merge join, rather than existing
+only as a config line. Thresholds are lowered so the toy-sized build
+crosses AQE's size triggers; on a cluster the defaults (256 MB
+partition, 5x median) play the same role.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    old = {
+        k: spark.conf.get(k, None) for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        # one hot key (0) carrying ~300k rows vs 100 cold keys; forbid
+        # broadcast so the join must shuffle, and drop AQE's skew
+        # thresholds under the hot partition's size
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "256KB")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+        # payload must be incompressible and survive column pruning
+        # into the shuffle, or the hot partition compresses below the
+        # skew threshold and AQE (correctly) coalesces instead
+        big = spark.range(300_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 100).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"))
+        dim = spark.range(100).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("name_"), F.col("id")).alias("name"))
+
+        joined = big.join(dim, "k")
+        rows = joined.collect()      # executes THIS plan, so AQE
+        assert len(rows) == 300_000  # finalizes it (count() would
+                                     # build a separate execution)
+
+        executed = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in executed
+        assert "SortMergeJoin" in executed or "ShuffledHashJoin" in executed
+        assert "skew=true" in executed, (
+            "AQE did not mark the skewed join; plan:\n" + executed[:2000])
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
