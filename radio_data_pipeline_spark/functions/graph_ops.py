@@ -12,12 +12,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# (degree, id) total order packed into one BIGINT join key. Node ids
-# must be < _ORDER_BASE; degrees are bounded by node count so the
-# pack never collides. At larger id spaces use a struct key instead —
-# the plan shape is identical, only the key type widens.
-_ORDER_BASE = 1_000_000_000
-
 
 def triangle_stats(und: DataFrame) -> DataFrame:
     """Exact triangle count + global clustering coefficient.
@@ -52,9 +46,11 @@ def triangle_stats(und: DataFrame) -> DataFrame:
            .unionAll(und.select(F.col("v").alias("node")))
            .groupBy("node")
            .agg(F.count(F.lit(1)).cast("bigint").alias("d")))
-    k = deg.select("node",
-                   (F.col("d") * F.lit(_ORDER_BASE) + F.col("node"))
-                   .alias("okey"))
+    # (degree, id) total order as a STRUCT key — lexicographic struct
+    # comparison gives the exact (d, node) order with no numeric
+    # packing, so arbitrary id ranges (TPC-H partkey at SF >= 5000
+    # exceeds any fixed pack base) cannot collide or misorder
+    k = deg.select("node", F.struct("d", "node").alias("okey"))
     ku = k.select(F.col("node").alias("u"), F.col("okey").alias("ukey"))
     kv = k.select(F.col("node").alias("v"), F.col("okey").alias("vkey"))
     o = (und.join(ku, "u").join(kv, "v")

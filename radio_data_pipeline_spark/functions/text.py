@@ -28,6 +28,18 @@ def word_tokens(text: Column) -> Column:
     return F.regexp_extract_all(text, F.lit(WORD_RE), 0)
 
 
+# The corpus-wide whitespace tokenizer (lower, trim, NULL -> '' so a
+# NULL document tokenizes to [''], matching DuckDB's
+# string_split_regex on the same normalization). The SQL fragment is
+# the oracle-side mirror; keep the two in lockstep.
+WHITESPACE_WORDS_SQL = ("string_split_regex(lower(trim(coalesce(text, "
+                        "''))), '\\s+')")
+
+
+def whitespace_words(text: Column) -> Column:
+    return F.split(F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+")
+
+
 def word_count(text: Column) -> Column:
     return F.size(word_tokens(text))
 

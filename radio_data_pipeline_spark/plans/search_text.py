@@ -36,6 +36,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from radio_data_pipeline_spark.functions.text import (
+    WHITESPACE_WORDS_SQL,
+    whitespace_words,
+)
 from radio_data_pipeline_spark.plans.registry import register
 from radio_data_pipeline_spark.sources.parquet import load_table_fanned
 
@@ -45,14 +49,12 @@ _BM25_TERMS = ("spark", "vector", "merge")
 _BM25_TOPK = 15
 
 _WORDS_SQL = (
-    "SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), "
-    "'\\s+') AS words FROM documents"
+    f"SELECT doc_id, {WHITESPACE_WORDS_SQL} AS words FROM documents"
 )
 
 
 def _split_words() -> F.Column:
-    return F.split(
-        F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+")
+    return whitespace_words(F.col("text"))
 
 
 @register(
@@ -140,22 +142,32 @@ def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Inverted-index build: per-term document frequency and the "
         "first 10 sorted doc_ids, top-20 terms by df. Both outputs "
         "are explicitly capped because posting lists are unbounded at "
-        "corpus scale — sort_array+slice keeps the reduce state "
-        "bounded where an uncapped collect_list OOMs on a stopword. "
-        "One distinct + one term-keyed aggregation, map-side partial "
-        "on both.",
+        "corpus scale — and the cap is applied BEFORE any collect: a "
+        "per-term row_number filters to the 10 lowest doc_ids first, "
+        "so the collect_list buffer holds <= 10 ids per term where "
+        "collecting-then-slicing would buffer a stopword's entire "
+        "posting list on one reducer. The window and both "
+        "aggregations ride one term-keyed partitioning; df counts "
+        "the pre-filter rows with a map-side partial.",
     tags=("text", "search", "index"),
 )
 def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
     docs = load_table_fanned(spark, sf_dir, "documents")
     pairs = (docs.select("doc_id",
                          F.explode(_split_words()).alias("term"))
              .distinct())
+    df_tbl = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"))
+    w = Window.partitionBy("term").orderBy("doc_id")
+    head = (pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .groupBy("term")
+            .agg(F.sort_array(F.collect_list("doc_id"))
+                 .alias("postings_head")))
     return (
-        pairs.groupBy("term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("df"),
-             F.slice(F.sort_array(F.collect_set("doc_id")), 1, 10)
-             .alias("postings_head"))
+        df_tbl.join(head, "term")
+        .select("term", "df", "postings_head")
         .orderBy(F.desc("df"), "term")
         .limit(20)
     )
