@@ -345,9 +345,10 @@ def _cos_sql(a: str, b: str) -> str:
     tags=("similarity", "retrieval", "mmr"),
 )
 def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.plans.arrays import _query_vec
     emb = load_table_fanned(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    qarr = F.array(*[F.lit(float(v)) for v in qvec]).cast("array<double>")
+    qarr = F.array(*[F.lit(v) for v in _query_vec(emb)]) \
+        .cast("array<double>")
 
     def dot(a: F.Column, b: F.Column) -> F.Column:
         return F.aggregate(
@@ -364,6 +365,11 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", ev.alias("ev"), cos(ev, qarr).alias("rel"))
         .orderBy(F.desc("rel"), "vec_id")
         .limit(_MMR_POOL)
+        # the pool feeds every greedy step (s1, r2, r3) and ends in
+        # TakeOrderedAndProject, which has NO exchange for Spark's
+        # ReusedExchange to dedupe — without materialization the
+        # scan+cosine+top-k subtree re-runs ~6x per action
+        .localCheckpoint(eager=False)
     )
     s1 = (pool.orderBy(F.desc("rel"), "vec_id").limit(1)
           .select(F.col("vec_id").alias("s1_id"), F.col("ev").alias("s1_ev"),

@@ -37,6 +37,16 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+def _query_vec(emb: DataFrame, vec_id: int = 0) -> list[float]:
+    """Fetch the query vector as plain floats (one tiny driver job at
+    plan-build time — the ANN queries' only eager step). Fails loudly
+    when the id is absent instead of TypeError-ing on None."""
+    row = emb.filter(F.col("vec_id") == vec_id).select("embedding").first()
+    if row is None:
+        raise ValueError(f"query vector vec_id={vec_id} not found")
+    return [float(v) for v in row[0]]
+
+
 def _emb_fanned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out: similarity search does many dot products per row
     # (query/centroid/self-join sides), far above the vector bytes;
@@ -213,12 +223,13 @@ def vector_onoff_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_fanned(spark, sf_dir)
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return cosine_topk(emb, [float(v) for v in qvec], k=10)
+    return cosine_topk(emb, _query_vec(emb), k=10)
 
 
 def _plane_sql(plane) -> str:
-    return "[" + ",".join(f"{v!r}" for v in plane) + "]"
+    # float() first: numpy >= 2 reprs np.float64 as 'np.float64(x)',
+    # which is not SQL; plain-float repr round-trips exactly
+    return "[" + ",".join(f"{float(v)!r}" for v in plane) + "]"
 
 
 def _lsh_oracle(n_planes: int = 6, seed: int = 7, dim: int = 64) -> str:
@@ -256,8 +267,7 @@ def _lsh_oracle(n_planes: int = 6, seed: int = 7, dim: int = 64) -> str:
 )
 def lsh_bucket_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_fanned(spark, sf_dir)
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return lsh_bucket_topk(emb, [float(v) for v in qvec], k=10,
+    return lsh_bucket_topk(emb, _query_vec(emb), k=10,
                            n_planes=6, seed=7)
 
 
@@ -355,8 +365,7 @@ def _ivf_oracle(k: int = 10, n_centroids: int = 8, nprobe: int = 2,
 )
 def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_fanned(spark, sf_dir)
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return ivf_topk(emb, [float(v) for v in qvec], k=10, n_centroids=8,
+    return ivf_topk(emb, _query_vec(emb), k=10, n_centroids=8,
                     nprobe=2, seed=11)
 
 
@@ -394,6 +403,30 @@ def embedding_pair_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _int8_affine(df: DataFrame) -> DataFrame:
+    """Shared int8 affine quantization state: per-vector (v, mn, mx,
+    scale) with the degenerate constant-vector guard — the ONE
+    definition of the codes both embedding_quantize_int8 and
+    quantized_rerank_topk's prefilter use (their oracles mirror the
+    identical arithmetic, so a change here must change both)."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = df.select("vec_id", v.alias("v"),
+                  F.array_min(v).alias("mn"), F.array_max(v).alias("mx"))
+    return d.withColumn(
+        "scale",
+        F.when(F.col("mx") > F.col("mn"),
+               (F.col("mx") - F.col("mn")) / 255.0).otherwise(F.lit(1.0)))
+
+
+def _int8_reconstruct() -> F.Column:
+    """Dequantized vector: mn + round((x-mn)/scale) * scale (HALF_UP,
+    matching the oracle's round())."""
+    mn, scale = F.col("mn"), F.col("scale")
+    return F.transform(
+        F.col("v"), lambda x: mn + F.round((x - mn) / scale, 0) * scale)
+
+
+
 @register(
     "embedding_quantize_int8",
     oracle="""
@@ -427,19 +460,9 @@ def embedding_pair_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "quantization"),
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    d = _emb(spark, sf_dir).select(
-        "vec_id", v.alias("v"),
-        F.array_min(v).alias("mn"), F.array_max(v).alias("mx"))
-    d = d.withColumn(
-        "scale",
-        F.when(F.col("mx") > F.col("mn"),
-               (F.col("mx") - F.col("mn")) / 255.0).otherwise(F.lit(1.0)))
-    mn, scale = F.col("mn"), F.col("scale")
-    err = F.transform(
-        F.col("v"),
-        lambda x: (x - (mn + F.round((x - mn) / scale, 0) * scale))
-        * (x - (mn + F.round((x - mn) / scale, 0) * scale)))
+    d = _int8_affine(_emb(spark, sf_dir))
+    err = F.zip_with(F.col("v"), _int8_reconstruct(),
+                     lambda x, xh: (x - xh) * (x - xh))
     return (
         d.select(
             "vec_id",
@@ -507,20 +530,10 @@ _RERANK_K = 10
 )
 def quantized_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_fanned(spark, sf_dir)
-    qvec = [float(x) for x in
-            emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
-    q = F.array(*[F.lit(v) for v in qvec])
+    q = F.array(*[F.lit(v) for v in _query_vec(emb)])
 
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    d = emb.select("vec_id", v.alias("v"),
-                   F.array_min(v).alias("mn"), F.array_max(v).alias("mx"))
-    d = d.withColumn(
-        "scale",
-        F.when(F.col("mx") > F.col("mn"),
-               (F.col("mx") - F.col("mn")) / 255.0).otherwise(F.lit(1.0)))
-    mn, scale = F.col("mn"), F.col("scale")
-    xh = F.transform(
-        F.col("v"), lambda x: mn + F.round((x - mn) / scale, 0) * scale)
+    d = _int8_affine(emb)
+    xh = _int8_reconstruct()
     candidates = (
         d.select("vec_id", "v", cosine_similarity(xh, q).alias("ca"))
         .orderBy(F.desc("ca"), F.asc("vec_id"))

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from radio_data_pipeline_spark.plans.quality import _word_rows, _WORDS_CTE
+from radio_data_pipeline_spark.functions.splits import SPLIT_SQL, split_col
 from radio_data_pipeline_spark.plans.registry import register
 from radio_data_pipeline_spark.sources.parquet import load_table
 
@@ -148,12 +149,8 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_split_assignment",
-    oracle="""
-    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
-                THEN 'train'
-                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
-                THEN 'val'
-                ELSE 'test' END AS split,
+    oracle=f"""
+    SELECT {SPLIT_SQL.format(id='doc_id')} AS split,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
@@ -169,10 +166,7 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = (F.when(prefix < "cc", F.lit("train"))
-             .when(prefix < "e6", F.lit("val"))
-             .otherwise(F.lit("test")))
+    split = split_col(F.col("doc_id"))
     return (
         docs.groupBy(split.alias("split"))
         .agg(F.count(F.lit(1)).alias("n_docs"),

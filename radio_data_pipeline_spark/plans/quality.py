@@ -32,6 +32,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from radio_data_pipeline_spark.functions.text import (
+    WHITESPACE_WORDS_SQL,
+    whitespace_words,
+)
 from radio_data_pipeline_spark.plans.registry import register
 from radio_data_pipeline_spark.sources.parquet import (
     load_table,
@@ -39,8 +43,7 @@ from radio_data_pipeline_spark.sources.parquet import (
 )
 
 _WORDS_CTE = (
-    "SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), "
-    "'\\s+') AS words FROM documents"
+    f"SELECT doc_id, {WHITESPACE_WORDS_SQL} AS words FROM documents"
 )
 
 
@@ -60,9 +63,7 @@ def _word_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table_fanned(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.posexplode(F.split(
-            F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))),
-            r"\s+")).alias("pos", "w"))
+        F.posexplode(whitespace_words(F.col("text"))).alias("pos", "w"))
 
 
 def _lead_gram(k: int) -> F.Column:

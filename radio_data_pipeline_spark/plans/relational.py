@@ -272,7 +272,7 @@ def events_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionize",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
@@ -281,7 +281,8 @@ def events_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessioned AS (
       SELECT user_id, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING
                                          AND CURRENT ROW) AS session_id
       FROM flagged
@@ -302,7 +303,10 @@ def events_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    wrun = (Window.partitionBy("user_id").orderBy("ts_us")
+    # same (ts_us, event_id) order as the flag window: without the
+    # tie-break, duplicate timestamps make session_id assignment (and
+    # therefore n_sessions) order-nondeterministic across engines
+    wrun = (Window.partitionBy("user_id").orderBy("ts_us", "event_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     ev = _t(spark, sf_dir, "events")
     gap_us = F.col("ts_us") - F.lag("ts_us").over(w)
@@ -441,12 +445,16 @@ def events_time_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(min(value), 6) AS min_value,
            round(max(value), 6) AS max_value
     FROM events
-    WHERE value >= 0 AND value IS NOT NULL
+    WHERE value IS NULL OR value >= 0
     GROUP BY event_type
     ORDER BY event_type
     """,
     doc="Reference F5 non-negativity validation (validate.py:51-70) as "
-        "one conjunctive pushed-down filter.",
+        "one conjunctive pushed-down filter. NULL values are KEPT, "
+        "mirroring physical_filter's documented skip-NULL semantics "
+        "(the reference masks NaNs separately, F6) — the oracle "
+        "predicate matches exactly so a NULL-bearing source cannot "
+        "diverge.",
     tags=("filter", "validation"),
 )
 def events_physical_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -592,7 +600,10 @@ def except_active_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
     open_buyers = (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
                    .select("c_custkey"))
-    return machinery.exceptAll(open_buyers).distinct().orderBy("c_custkey")
+    # subtract == SQL EXCEPT (distinct semantics); exceptAll+distinct
+    # would WRONGLY keep a key that appears more times on the left
+    # than the right if the left side ever stopped being unique
+    return machinery.subtract(open_buyers).orderBy("c_custkey")
 
 
 # --------------------------------------------------------------------------
@@ -1317,8 +1328,9 @@ def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id")
-        .agg(F.sort_array(F.collect_set("event_type")).alias("event_types"),
-             F.size(F.collect_set("event_type")).cast("long")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("event_types"))
+        .select("user_id", "event_types",
+                F.size("event_types").cast("long")
              .alias("n_types"))
         .orderBy("user_id")
     )

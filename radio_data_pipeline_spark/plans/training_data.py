@@ -52,6 +52,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from radio_data_pipeline_spark.functions.text import (
+    WHITESPACE_WORDS_SQL,
+    whitespace_words,
+)
+from radio_data_pipeline_spark.functions.splits import (
+    SPLIT_SQL as _SPLIT_SQL,
+    split_col as _split_col,
+)
 from radio_data_pipeline_spark.plans.llm import (
     _BUCKET_CAP,
     _K,
@@ -187,10 +195,9 @@ def minhash_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bpe_pair_counts",
-    oracle="""
+    oracle=f"""
     WITH wrows AS (
-      SELECT unnest(string_split_regex(lower(trim(coalesce(text, ''))),
-                    '\\s+')) AS w
+      SELECT unnest({WHITESPACE_WORDS_SQL}) AS w
       FROM documents
     ),
     wf AS (SELECT w, count(*) AS freq FROM wrows WHERE w <> '' GROUP BY w),
@@ -218,9 +225,8 @@ def minhash_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    words = (docs.select(F.explode(F.split(
-        F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))),
-        r"\s+")).alias("w"))
+    words = (docs.select(
+        F.explode(whitespace_words(F.col("text"))).alias("w"))
         .filter(F.col("w") != ""))
     wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
     cs = wf.select(
@@ -347,17 +353,6 @@ def bloom_decontam_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SPLIT_SQL = ("CASE WHEN substr(md5(CAST({id} AS VARCHAR)), 1, 2) < 'cc' "
-              "THEN 'train' "
-              "WHEN substr(md5(CAST({id} AS VARCHAR)), 1, 2) < 'e6' "
-              "THEN 'val' ELSE 'test' END")
-
-
-def _split_col(id_col: F.Column) -> F.Column:
-    prefix = F.substring(F.md5(id_col.cast("string")), 1, 2)
-    return (F.when(prefix < "cc", F.lit("train"))
-            .when(prefix < "e6", F.lit("val"))
-            .otherwise(F.lit("test")))
 
 
 @register(
@@ -513,9 +508,8 @@ def word_pair_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     dw = (docs.select(
         "doc_id",
-        F.explode(F.array_distinct(F.split(
-            F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))),
-            r"\s+"))).alias("word"))
+        F.explode(F.array_distinct(
+            whitespace_words(F.col("text")))).alias("word"))
         .filter(F.col("word") != ""))
     band = (dw.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
             .filter((F.col("df") >= _PMI_MIN_DF)
