@@ -57,6 +57,15 @@ def _dim(value, default: int) -> int:
     return int(value) or default
 
 
+def _secs(value, default: float = 1.0) -> float:
+    """duration_s fallback: NULL (pandas NaN) or 0 -> default — the
+    float twin of _dim, so NULL metadata degrades to the default
+    instead of int(NaN) killing the Arrow kernel task."""
+    if value is None or (isinstance(value, float) and np.isnan(value)):
+        return default
+    return float(value) or default
+
+
 def _tile_digest(digest: bytes, width: int, height: int) -> np.ndarray:
     """The deterministic fake frame all stub decoders share: digest
     bytes tiled to (height, width), scaled to [0, 1]."""
@@ -175,6 +184,11 @@ def _parse_netpbm_header(content: bytes, magic: bytes,
     w, h, maxval = tokens
     if maxval > 255:
         raise NotImplementedError(f"16-bit {kind} not supported")
+    if maxval != 255:
+        # the decode paths normalize by a fixed 255; a smaller maxval
+        # would silently mis-scale, so refuse instead
+        raise NotImplementedError(
+            f"{kind} maxval {maxval} != 255 not supported")
     return w, h, pos
 
 
@@ -274,7 +288,8 @@ def _decode_image(content: bytes, width: int, height: int) -> np.ndarray:
     """Image decode to a grayscale [0, 1] array.
 
     Real paths: binary PPM ("P6") via decode_ppm (grayscale = RGB
-    mean) and binary PGM ("P5") via decode_pgm. Fake path:
+    mean), binary PGM ("P5") via decode_pgm, and uncompressed 24-bit
+    BMP ("BM") via decode_bmp. Fake path:
     FAKEIMG-prefixed fixture bytes -> md5 digest tiled to (h, w).
     Anything else (JPEG/PNG/...) raises — those formats need an
     imaging library not present in this environment (PIL.Image.open
@@ -285,9 +300,13 @@ def _decode_image(content: bytes, width: int, height: int) -> np.ndarray:
         return rgb.astype(np.float64).mean(axis=2) / 255.0
     if content[:2] == b"P5":
         return decode_pgm(content).astype(np.float64) / 255.0
+    if content[:2] == b"BM":
+        rgb = decode_bmp(content)
+        return rgb.astype(np.float64).mean(axis=2) / 255.0
     if not content.startswith(b"FAKEIMG"):
         raise NotImplementedError(
-            "only PPM (P6) / PGM (P5) decode natively; JPEG/PNG need "
+            "only PPM (P6) / PGM (P5) / BMP decode natively; JPEG/PNG "
+            "need "
             "an imaging library not present in this environment; test "
             "fixtures use FAKEIMG bytes")
     return _tile_digest(hashlib.md5(content).digest(), width, height)
@@ -341,8 +360,8 @@ def audio_frame_stats(df: DataFrame, frame_ms: int = 250) -> DataFrame:
                     n = len(wave)
                 elif content.startswith(b"FAKEAUD"):
                     digest = hashlib.md5(content).digest()
-                    sr = int(row["sample_rate"]) or 8000
-                    n = int(sr * float(row["duration_s"]))
+                    sr = _dim(row["sample_rate"], 8000)
+                    n = int(sr * _secs(row["duration_s"]))
                     base = np.frombuffer(digest, dtype=np.uint8).astype(float)
                     wave = np.resize(base - base.mean(), n) / 255.0
                 else:
@@ -406,7 +425,7 @@ def video_frame_features(df: DataFrame, every_nth: int = 5,
                         "here; fixtures use FAKEVID bytes")
                 w = _dim(row["width"], 16)
                 h = _dim(row["height"], 12)
-                n_frames = int(fps * float(row["duration_s"]))
+                n_frames = int(fps * _secs(row["duration_s"]))
                 base = hashlib.md5(content).digest()
                 for f_idx in range(0, n_frames, every_nth):
                     seed = hashlib.md5(base + f_idx.to_bytes(4, "big"))
@@ -444,7 +463,6 @@ def encode_bmp(img: np.ndarray) -> bytes:
     """Uncompressed 24-bit Windows BMP encoder (public format):
     BITMAPFILEHEADER + BITMAPINFOHEADER, BGR byte order, bottom-up
     rows, each row padded to a 4-byte boundary."""
-    import struct
 
     h, w, c = img.shape
     assert c == 3
@@ -469,7 +487,6 @@ def decode_bmp(content: bytes) -> np.ndarray:
     (height < 0) layouts. Returns (h, w, 3) uint8 RGB. Raises
     ValueError on malformed input and NotImplementedError for
     palettized / compressed / non-24bpp variants."""
-    import struct
 
     if content[:2] != b"BM":
         raise ValueError("not a BMP file (missing BM magic)")

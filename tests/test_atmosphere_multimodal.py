@@ -458,3 +458,54 @@ def test_y4m_roundtrip_and_unsupported_colorspace():
     truncated = encode_y4m(frames)[:-10]
     with _pytest.raises(ValueError):
         decode_y4m(truncated)
+
+
+def test_null_media_metadata_uses_defaults(spark):
+    """NULL sample_rate/duration_s (legal per MEDIA_SCHEMA) must fall
+    back to the documented defaults instead of int(NaN) killing the
+    Arrow kernel task — regression for the _dim/_secs guards."""
+    from radio_data_pipeline_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        audio_frame_stats,
+        video_frame_features,
+    )
+    audio = spark.createDataFrame(
+        [(1, "audio", b"FAKEAUD1x", "audio/fake", None, None, None, None)],
+        MEDIA_SCHEMA)
+    frames = audio_frame_stats(audio, frame_ms=250).collect()
+    assert len(frames) == 4  # 1.0 s default at 8 kHz default / 250 ms
+
+    video = spark.createDataFrame(
+        [(2, "video", b"FAKEVID0x", "video/fake", None, None, None, None)],
+        MEDIA_SCHEMA)
+    vf = video_frame_features(video, every_nth=5, fps=10.0).collect()
+    assert len(vf) == 2  # 1.0 s default * 10 fps -> frames 0 and 5
+
+
+def test_bmp_dispatch_in_image_features(spark):
+    """image_features must route 'BM' bytes through the module's own
+    BMP codec instead of raising the PPM/PGM-only error."""
+    import numpy as np
+    from radio_data_pipeline_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        image_features,
+    )
+    rgb = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    media = spark.createDataFrame(
+        [(3, "image", bytes(encode_bmp(rgb)), "image/bmp", 4, 4,
+          None, None)],
+        MEDIA_SCHEMA)
+    feats = image_features(media, pool=2).collect()
+    assert len(feats) == 1 and feats[0]["feature_dim"] == 4
+    assert all(0.0 <= v <= 1.0 for v in feats[0]["feature"])
+
+
+def test_low_maxval_netpbm_refused(spark):
+    """maxval < 255 would silently mis-scale through the fixed /255
+    normalization — the codec must refuse it loudly."""
+    import pytest as _pytest
+    from radio_data_pipeline_spark.functions.multimodal import decode_ppm
+    bad = b"P6\n2 2\n15\n" + bytes(12)
+    with _pytest.raises(NotImplementedError, match="maxval"):
+        decode_ppm(bad)
