@@ -44,6 +44,7 @@ from radio_data_pipeline_spark.plans.quality import (
     _word_rows,
     _WORDS_CTE,
 )
+from radio_data_pipeline_spark.sources.layout import md5_prefix_long
 from radio_data_pipeline_spark.plans.registry import register
 from radio_data_pipeline_spark.sources.parquet import load_table
 
@@ -266,8 +267,8 @@ _WSAMPLE_K = 5
 )
 def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
-    u = ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
-                 16, 10).cast("double") + 1.0) / 4294967297.0)
+    u = ((md5_prefix_long(F.col("doc_id")).cast("double") + 1.0)
+         / 4294967297.0)
     k = docs.select(
         "source", "doc_id", "n_chars",
         (-F.log(u) / F.col("n_chars")).alias("skey"))

@@ -51,13 +51,23 @@ def write_partitioned_dataset(df: DataFrame, path: str,
     writer.parquet(path)
 
 
+def md5_prefix_long(key_col):
+    """First 8 md5 hex digits of the stringified key as a LONG in
+    [0, 2^32) — the ONE engine-portable uniform hash the repo keys
+    determinism contracts on (shard membership, A-ES sampling u).
+    DuckDB mirror: ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT.
+    Changing the prefix width changes BOTH sides of every oracle that
+    uses it — do it here or not at all."""
+    return F.conv(F.substring(F.md5(key_col.cast("string")), 1, 8),
+                  16, 10).cast("long")
+
+
 def shard_id(key_col: str, n_shards: int) -> F.Column:
     """Deterministic shard assignment: first 8 md5 hex digits of the
     key, mod n_shards. Engine-portable (any system with md5 reproduces
     the same membership) and uniform for any key distribution —
     unlike key % n, which inherits the key's own structure."""
-    return (F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8),
-                   16, 10).cast("long") % n_shards).alias("shard")
+    return (md5_prefix_long(F.col(key_col)) % n_shards).alias("shard")
 
 
 def write_training_shards(df: DataFrame, path: str, key_col: str,

@@ -127,10 +127,17 @@ def session_event_counts(events: DataFrame, gap: str = "30 minutes",
 
 
 def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Streaming exact dedup on event_id: state holds ids no older than
-    the watermark. Batch form degenerates to dropDuplicates."""
+    """Streaming exact dedup on event_id with watermark-bounded state:
+    dropDuplicatesWithinWatermark evicts ids once they age past the
+    watermark. A plain dropDuplicates(["event_id"]) would keep ONE
+    state entry per distinct id FOREVER — the watermark is inert for
+    state cleanup unless the event-time column is in the subset or
+    the WithinWatermark variant is used. Batch form degenerates to
+    dropDuplicates."""
     e = _with_watermark(events, watermark)
-    return e.dropDuplicates(["event_id"])
+    if not e.isStreaming:
+        return e.dropDuplicates(["event_id"])
+    return e.dropDuplicatesWithinWatermark(["event_id"])
 
 
 def run_available_now(stream_df: DataFrame, query_name: str,
@@ -199,7 +206,16 @@ def stream_to_training_shards(stream_df: DataFrame, path: str,
     corpus pipeline: readers scan ``path`` (batch and shard are both
     hive partition columns) and a training reader still prunes to its
     shard at planning time. Returns the StreamingQuery (caller
-    awaits)."""
+    awaits). Requires ``checkpoint`` — see the guard below."""
+    if checkpoint is None:
+        # without a checkpoint a restarted query reuses batch ids from
+        # 0 with DIFFERENT batch boundaries: some batch=N dirs get
+        # overwritten, stale ones survive -> duplicated rows. The
+        # exactly-once contract below only holds with a checkpoint.
+        raise ValueError(
+            "stream_to_training_shards requires a checkpoint location; "
+            "the per-batch overwrite layout is only exactly-once under "
+            "a checkpointed batch-id sequence")
     from ..sources.layout import shard_id
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -208,8 +224,7 @@ def stream_to_training_shards(stream_df: DataFrame, path: str,
          .write.mode("overwrite").partitionBy("shard")
          .parquet(f"{path}/batch={batch_id}"))
 
-    writer = (stream_df.writeStream.foreachBatch(write_batch)
-              .queryName(query_name).trigger(availableNow=True))
-    if checkpoint is not None:
-        writer = writer.option("checkpointLocation", checkpoint)
-    return writer.start()
+    return (stream_df.writeStream.foreachBatch(write_batch)
+            .queryName(query_name).trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint)
+            .start())
