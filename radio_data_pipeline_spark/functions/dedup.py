@@ -22,7 +22,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from radio_data_pipeline_spark.functions.text import fingerprint
+from radio_data_pipeline_spark.functions.text import (
+    fingerprint,
+    whitespace_words,
+)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -40,7 +43,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 def word_shingles(text: Column, k: int = 3) -> Column:
     """k-word shingles of the lowercased word sequence, as strings
     joined with single spaces. Array expression, no explode."""
-    words = F.split(F.lower(F.trim(text)), "\\s+")
+    words = whitespace_words(text)
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     make = lambda i: F.array_join(F.slice(words, i + 1, k), " ")  # noqa: E731
@@ -108,9 +111,8 @@ def minhash_signature_table(df: DataFrame, text_col: str = "text",
     # doc from the output, breaking the one-row-per-doc contract
     words = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(
-            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
-            r"\s+")).alias("pos", "w"))
+        F.posexplode(whitespace_words(F.col(text_col)))
+        .alias("pos", "w"))
     win = Window.partitionBy("id").orderBy("pos")
     parts = [F.col("w")]
     for j in range(1, k):
@@ -214,6 +216,35 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def _shingle_candidates(df: DataFrame, text_col: str, id_col: str,
+                        k: int, max_df: int | None
+                        ) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate generation for the set-similarity family
+    (Jaccard + containment): distinct k-shingle inverted index with
+    the document-frequency stopword cutoff, per-doc set sizes, and
+    the pair intersection counts. One shuffle on the shingle key; the
+    semi join keeps the index partitioned on shingle, which the
+    candidate self-join immediately reuses. Returns (sizes, inter)."""
+    sh = (df.select(F.col(id_col).alias("id"),
+                    F.explode(F.array_distinct(
+                        word_shingles(F.col(text_col), k))).alias("shingle")))
+    if max_df is not None:
+        rare = (sh.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") <= max_df)
+                .select("shingle"))
+        sh = sh.join(rare, "shingle", "left_semi")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle"))
+              & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return sizes, inter
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         threshold: float = 0.2,
@@ -235,26 +266,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     state the identical cutoff). High-DF shingles carry no near-dup
     signal — they are shared boilerplate by definition. Pass None to
     disable."""
-    sh = (df.select(F.col(id_col).alias("id"),
-                    F.explode(F.array_distinct(
-                        word_shingles(F.col(text_col), k))).alias("shingle")))
-    if max_df is not None:
-        # one cheap pre-aggregation keyed by shingle; the semi join
-        # keeps the inverted index partitioned on shingle, which the
-        # candidate self-join immediately reuses
-        rare = (sh.groupBy("shingle")
-                .agg(F.count(F.lit(1)).alias("df"))
-                .filter(F.col("df") <= max_df)
-                .select("shingle"))
-        sh = sh.join(rare, "shingle", "left_semi")
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle"))
-              & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    sizes, inter = _shingle_candidates(df, text_col, id_col, k, max_df)
     return (
         inter
         .join(sizes.withColumnRenamed("id", "id_a")
@@ -360,6 +372,9 @@ def simhash_table(df: DataFrame, text_col: str = "text",
     Returns (id, simhash)."""
     words = df.select(
         F.col(id_col).alias("id"),
+        # NOT whitespace_words: simhash keeps NULL text as a NULL
+        # word row (explode_outer) so the doc still emits a signature
+        # — its oracle mirrors this exact non-coalesced form
         F.explode_outer(F.filter(
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
             lambda w: w != "")).alias("w"))
@@ -403,23 +418,7 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     shingle key for the inverted index, candidate join bounded by the
     document-frequency cutoff, never all-pairs.
     """
-    sh = (df.select(F.col(id_col).alias("id"),
-                    F.explode(F.array_distinct(
-                        word_shingles(F.col(text_col), k))).alias("shingle")))
-    if max_df is not None:
-        rare = (sh.groupBy("shingle")
-                .agg(F.count(F.lit(1)).alias("df"))
-                .filter(F.col("df") <= max_df)
-                .select("shingle"))
-        sh = sh.join(rare, "shingle", "left_semi")
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle"))
-              & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    sizes, inter = _shingle_candidates(df, text_col, id_col, k, max_df)
     return (
         inter
         .join(sizes.withColumnRenamed("id", "id_a")

@@ -147,9 +147,13 @@ def near_dup_pairs_lsh(df: DataFrame, threshold: float = 0.4,
         head = (df.select(vec_col)
                 .filter(F.col(vec_col).isNotNull()).first())
         if head is None:  # empty input -> empty pairs
-            spark = df.sparkSession
-            return spark.createDataFrame(
-                [], schema="id_a long, id_b long, cosine double")
+            # derive the id columns' type from the INPUT so the empty
+            # frame unions/joins cleanly with non-empty-path output
+            # (a hardcoded 'long' would mismatch string id columns)
+            ids = df.select(F.col(id_col).alias("id_a"),
+                            F.col(id_col).alias("id_b"),
+                            F.lit(0.0).alias("cosine"))
+            return ids.limit(0)
         dim = len(head[0])
     planes = hyperplanes(dim, n_planes, seed)
     b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),

@@ -18,12 +18,15 @@ from pyspark.sql import functions as F
 from radio_data_pipeline_spark.functions.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
-    minhash_signature,
+    connected_components,
+    minhash_signature_table,
     ngram_jaccard_pairs,
-    simhash64,
+    simhash_table,
 )
+from radio_data_pipeline_spark.functions.similarity import cosine_similarity
 from radio_data_pipeline_spark.functions.text import (
     BPE_RE,
+    WHITESPACE_WORDS_SQL,
     PUNCT_RE,
     STOPWORDS,
     WORD_RE,
@@ -70,9 +73,9 @@ _STOP_SQL = " + ".join(
            len(regexp_extract_all(text, '{WORD_RE}')) AS n_words,
            len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe_tokens,
            len(regexp_extract_all(text, '{_PUNCT_SQL}')) AS n_punct,
-           round(CAST(list_aggregate(
+           round(CAST(coalesce(list_aggregate(
                    list_transform(regexp_extract_all(text, '{WORD_RE}'),
-                                  w -> len(w)), 'sum') AS DOUBLE)
+                                  w -> len(w)), 'sum'), 0) AS DOUBLE)
                  / greatest(len(regexp_extract_all(text, '{WORD_RE}')), 1),
                  6) AS avg_word_len
     FROM documents
@@ -211,8 +214,8 @@ _SHINGLES_SQL = (
     "i -> array_to_string(words[i:i+{km1}], ' '))"
 ).format(km1=_K - 1)
 
-_WORDS_CTE = ("SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') "
-              "AS words FROM documents")
+_WORDS_CTE = (f"SELECT doc_id, {WHITESPACE_WORDS_SQL} AS words "
+              "FROM documents")
 
 
 def _sig_terms() -> list[str]:
@@ -249,7 +252,6 @@ _SIG_SQL_CORE = (
     tags=("dedup", "minhash"),
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from radio_data_pipeline_spark.functions.dedup import minhash_signature_table
     sigs = minhash_signature_table(_docs(spark, sf_dir), n_hashes=_N_HASHES,
                                    k=_K)
     return sigs.withColumnRenamed("id", "doc_id").orderBy("doc_id")
@@ -381,7 +383,6 @@ def _simhash_sql() -> str:
     tags=("dedup", "simhash"),
 )
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from radio_data_pipeline_spark.functions.dedup import simhash_table
     return (simhash_table(_docs(spark, sf_dir), k_bits=_SIMHASH_BITS)
             .withColumnRenamed("id", "doc_id")
             .orderBy("doc_id"))
@@ -419,9 +420,6 @@ _MS_THRESHOLD = 0.1
     tags=("dedup", "minhash", "similarity"),
 )
 def dedup_multi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from radio_data_pipeline_spark.functions.similarity import (
-        cosine_similarity,
-    )
     cand = minhash_lsh_pairs(_docs(spark, sf_dir), n_hashes=_N_HASHES,
                              band_size=_BAND_SIZE, k=_K,
                              bucket_cap=_BUCKET_CAP)
@@ -475,9 +473,6 @@ def _clusters_oracle() -> str:
     tags=("dedup", "graph", "iterative"),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from radio_data_pipeline_spark.functions.dedup import (
-        connected_components,
-    )
     docs = _docs(spark, sf_dir)
     pairs = minhash_lsh_pairs(docs, n_hashes=_N_HASHES,
                               band_size=_BAND_SIZE, k=_K,
