@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from radio_data_pipeline_spark.plans.quality import _word_rows, _WORDS_CTE
 from radio_data_pipeline_spark.functions.splits import SPLIT_SQL, split_col
 from radio_data_pipeline_spark.plans.registry import register
+from radio_data_pipeline_spark.sources.layout import zorder_key_sql
 from radio_data_pipeline_spark.sources.parquet import load_table
 
 _EMAIL_RE = r"[a-z0-9]+@[a-z]+\.[a-z]+"
@@ -338,8 +339,11 @@ def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     class ChunkDoc:
         def eval(self, text):
             # tokenization mirrors the oracle's string_split_regex
+            # over trim(): strip(' ') removes SPACES only, exactly
+            # like SQL trim — a bare .strip() would also eat tabs/
+            # newlines and tokenize edge documents differently
             # (an empty/whitespace doc yields one '' token)
-            words = re.split(r"\s+", (text or "").lower().strip())
+            words = re.split(r"\s+", (text or "").lower().strip(" "))
             for start in range(0, len(words), 10):
                 yield (start // 10, min(10, len(words) - start),
                        words[start])
@@ -532,11 +536,13 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "tokens", "stats"),
 )
 def token_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from radio_data_pipeline_spark.functions.text import BPE_RE
+    from radio_data_pipeline_spark.functions.text import (
+        bpe_ish_token_count,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     text = F.coalesce(F.col("text"), F.lit(""))
-    n_tokens = F.size(F.regexp_extract_all(text, F.lit(BPE_RE), 0))
+    n_tokens = bpe_ish_token_count(text)
     t = docs.select("lang", F.length(text).alias("n_chars_raw"),
                     n_tokens.alias("n_tokens"))
     return (
@@ -1212,14 +1218,18 @@ def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZKEY_SQL = zorder_key_sql(
+    "user_id", "(CAST(floor(value) AS BIGINT) - vm.vmin)")
+
+
 @register(
     "zorder_locality_events",
-    oracle=(lambda _z: f"""
+    oracle=f"""
     WITH vm AS (
       SELECT CAST(floor(min(value)) AS BIGINT) AS vmin FROM events
     ), k AS (
       SELECT user_id, CAST(floor(value) AS BIGINT) AS vbucket,
-             {_z} AS zkey
+             {_ZKEY_SQL} AS zkey
       FROM events, vm
     )
     SELECT zkey >> 10 AS zbucket,
@@ -1231,10 +1241,7 @@ def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM k
     GROUP BY zbucket
     ORDER BY zbucket
-    """)(__import__("radio_data_pipeline_spark.sources.layout",
-                    fromlist=["zorder_key_sql"])
-         .zorder_key_sql(
-             "user_id", "(CAST(floor(value) AS BIGINT) - vm.vmin)")),
+    """,
     doc="Z-order (Morton) locality audit: events keyed by the "
         "bit-interleave of (user_id, floor(value)), grouped into "
         "contiguous curve segments (zkey >> 10), reporting each "
@@ -1353,16 +1360,16 @@ def events_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     c AS (
-      SELECT user_id, event_type, tus
+      SELECT user_id, event_type, tus, event_id
       FROM o
       WHERE prev_type IS NULL OR event_type <> prev_type
     ),
     v AS (
       SELECT user_id, event_type, tus AS valid_from_us,
-             lead(tus) OVER (PARTITION BY user_id ORDER BY tus)
-               AS valid_to_us,
-             row_number() OVER (PARTITION BY user_id ORDER BY tus)
-               AS version
+             lead(tus) OVER (PARTITION BY user_id
+                             ORDER BY tus, event_id) AS valid_to_us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY tus, event_id) AS version
       FROM c
     )
     SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
@@ -1390,7 +1397,10 @@ def user_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_type").over(w).alias("prev_type"))
     c = o.where(F.col("prev_type").isNull()
                 | (F.col("event_type") != F.col("prev_type")))
-    wv = Window.partitionBy("user_id").orderBy("tus")
+    # (tus, event_id) — the same tie-break the changepoint window
+    # used; tus alone leaves version/valid_to nondeterministic when
+    # two changepoints share a timestamp
+    wv = Window.partitionBy("user_id").orderBy("tus", "event_id")
     v = c.select(
         "user_id", "event_type", F.col("tus").alias("valid_from_us"),
         F.lead("tus").over(wv).alias("valid_to_us"),
