@@ -114,6 +114,11 @@ def fit_stats(x: np.ndarray, y: np.ndarray, intercept: float, slope: float,
     resid = y - (slope * x + intercept)
     sigma2 = float(np.sum(resid ** 2)) / (n - 2)
     sxx = float(np.sum((x - x.mean()) ** 2))
+    if sxx == 0.0:
+        # all kept points share one timestamp: the slope (and its
+        # error) are undefined — report NaN like the degenerate-fit
+        # path instead of ZeroDivisionError inside the kernel
+        return float("nan"), float("nan")
     m_sd = math.sqrt(sigma2 / sxx)
     b_sd = math.sqrt(sigma2 * (1.0 / n + (x.mean() ** 2) / sxx))
     return b_sd, m_sd
@@ -265,9 +270,13 @@ def apply_gain_calibration(science: DataFrame,
     """
     y = F.col(y_col)
     if pre.delta is not None and post.delta is not None:
-        z = abs(pre.delta - post.delta) / math.sqrt(
-            pre.uncertainty ** 2 + post.uncertainty ** 2)
-        if z >= 1.96:
+        denom = math.sqrt(pre.uncertainty ** 2 + post.uncertainty ** 2)
+        # perfect (zero-residual) fits give denom == 0; the z test is
+        # then undefined and we fall through to the mean-height branch
+        # — the same outcome as the distributed form, where x/0 is
+        # null and null >= 1.96 is null (falsy)
+        z = abs(pre.delta - post.delta) / denom if denom > 0 else None
+        if z is not None and z >= 1.96:
             t1, t2 = science.agg(F.min(t_col), F.max(t_col)).first()
             if t2 == t1:
                 return science.withColumn(y_col, y / F.lit(pre.delta))

@@ -139,14 +139,7 @@ def find_calibrations(df: DataFrame, channel_count: int | None = None,
     (IFNUM, PLNUM) pairs when stream combinations are missing — with
     one tiny aggregate; the result joins back by obs_id (broadcast).
     """
-    if channel_count is None:
-        counts = (df.groupBy("obs_id")
-                  .agg((F.countDistinct("IFNUM") *
-                        F.countDistinct("PLNUM")).alias("_cc")))
-        # one row per observation; AQE broadcasts while small
-        df = df.join(counts, "obs_id")
-    else:
-        df = df.withColumn("_cc", F.lit(channel_count))
+    df = _with_channel_count(df, channel_count)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col)

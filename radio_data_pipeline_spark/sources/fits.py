@@ -142,8 +142,6 @@ def parse_header(buf: bytes, offset: int = 0,
 _TFORM_RE = re.compile(r"^(\d*)([LBIJKEDA])$")
 _TYPE_NP = {"L": ">u1", "B": ">u1", "I": ">i2", "J": ">i4", "K": ">i8",
             "E": ">f4", "D": ">f8"}
-_TYPE_WIDTH = {"L": 1, "B": 1, "I": 2, "J": 4, "K": 8, "E": 4, "D": 8}
-
 
 def _tform_dtype(tform: str) -> tuple[str, int, object]:
     m = _TFORM_RE.match(tform.strip().upper())
@@ -295,6 +293,14 @@ def write_sdfits(table: pd.DataFrame, header: dict | None = None,
                 [np.asarray(v, dtype=">f8") for v in s], dtype=">f8")
             spec.append((col, ">f8", (rep,)))
             tforms.append((fits_name, f"{rep}D"))
+        elif pd.api.types.is_bool_dtype(s):
+            # FITS logical 'L': one ASCII 'T'/'F' byte per value —
+            # without this branch bools fall into the string branch
+            # and round-trip as 'True'/'False' 5A strings
+            arrays[col] = np.where(s.to_numpy(dtype=bool),
+                                   ord("T"), ord("F")).astype(">u1")
+            spec.append((col, ">u1"))
+            tforms.append((fits_name, "L"))
         elif pd.api.types.is_float_dtype(s):
             arrays[col] = s.to_numpy(dtype=">f8")
             spec.append((col, ">f8"))
@@ -409,7 +415,11 @@ def corrupt_drop_end(buf: bytes) -> bytes:
     pos = 0
     while pos + BLOCK <= len(out):
         for i in range(pos, pos + BLOCK, CARD):
-            if bytes(out[i: i + 3]) == b"END":
+            # match the true END card (keyword field is 'END' padded
+            # with spaces), not any ENDxxx data keyword — otherwise
+            # the injector blanks a harmless card and the corruption
+            # test silently stops exercising the verify path
+            if bytes(out[i: i + 8]).rstrip() == b"END":
                 out[i: i + CARD] = b" " * CARD
                 return bytes(out)
         pos += BLOCK
@@ -499,20 +509,35 @@ def read_sdfits(spark, path_glob: str, dense_ids: bool = False,
                         tomb[name] = None
                     yield tomb
                     continue
-                t = obs.table
-                out = pd.DataFrame({
-                    "path": row["path"],
-                    "corrupt_error": None,
-                    "row_idx": np.arange(len(t), dtype=np.int64),
-                })
-                for name in names:
-                    if name in t.columns:
-                        col = t[name]
-                        if name in ("IFNUM", "PLNUM", "CALSTATE",
-                                    "SWPVALID"):
-                            col = col.astype("int32")
-                        out[name] = col
-                    else:
+                try:
+                    t = obs.table
+                    out = pd.DataFrame({
+                        "path": row["path"],
+                        "corrupt_error": None,
+                        "row_idx": np.arange(len(t), dtype=np.int64),
+                    })
+                    for name in names:
+                        if name in t.columns:
+                            col = t[name]
+                            if name in ("IFNUM", "PLNUM", "CALSTATE",
+                                        "SWPVALID"):
+                                col = col.astype("int32")
+                            out[name] = col
+                        else:
+                            out[name] = None
+                # the coercion loop is part of the decode for the
+                # permissive contract: a structurally valid file whose
+                # CALSTATE column holds NaN/strings must quarantine,
+                # not kill the corpus scan
+                except Exception as exc:
+                    if not permissive:
+                        raise
+                    out = pd.DataFrame({
+                        "path": [row["path"]],
+                        "corrupt_error": [str(exc)],
+                        "row_idx": np.array([-1], dtype=np.int64),
+                    })
+                    for name in names:
                         out[name] = None
                 yield out
 

@@ -408,3 +408,56 @@ def test_distributed_fits_sink_roundtrip(spark, tmp_path):
     np.testing.assert_allclose(
         np.vstack(one["DATA"].to_numpy()),
         np.vstack(orig["DATA"].map(np.asarray).to_numpy()))
+
+
+def test_logical_column_round_trips():
+    """FITS 'L' logical columns must survive write->read as bools,
+    not 'True'/'False' strings — regression for the missing bool
+    branch in write_sdfits."""
+    import numpy as np
+    import pandas as pd
+
+    from radio_data_pipeline_spark.sources.fits import (
+        parse_sdfits,
+        write_sdfits,
+    )
+    t = pd.DataFrame({"CALSTATE": [1, 0, 1],
+                      "FLAGGED": [True, False, True],
+                      "DATA": [np.ones(4), np.zeros(4), np.ones(4)]})
+    back = parse_sdfits(write_sdfits(t, {"OBSMODE": "track"})).table
+    assert back["FLAGGED"].dtype == bool
+    assert back["FLAGGED"].tolist() == [True, False, True]
+
+
+def test_corrupt_drop_end_skips_endlike_keywords():
+    """The O22 injector must blank the true END card, not a data
+    keyword that merely starts with 'END' (e.g. ENDTIME)."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from radio_data_pipeline_spark.sources.fits import (
+        FitsFormatError,
+        corrupt_drop_end,
+        parse_sdfits,
+        write_sdfits,
+    )
+    t = pd.DataFrame({"CALSTATE": [1], "DATA": [np.ones(4)]})
+    buf = write_sdfits(t, {"OBSMODE": "track", "ENDTIME": "12:00:00"})
+    with _pytest.raises(FitsFormatError):
+        parse_sdfits(corrupt_drop_end(buf))
+
+
+def test_degenerate_fit_uncertainty_is_nan_not_crash():
+    """All kept points at one timestamp: slope error is undefined —
+    fit_stats must report NaN, not raise ZeroDivisionError inside
+    the kernel."""
+    import math
+
+    import numpy as np
+
+    from radio_data_pipeline_spark.operators.calibration import fit_stats
+    x = np.array([5.0, 5.0, 5.0, 5.0])
+    y = np.array([1.0, 2.0, 3.0, 4.0])
+    b_sd, m_sd = fit_stats(x, y, slope=0.0, intercept=2.5)
+    assert math.isnan(b_sd) and math.isnan(m_sd)
