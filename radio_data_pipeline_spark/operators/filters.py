@@ -53,9 +53,12 @@ def time_range_predicate(ts: Column,
 def _iso_to_us(iso: str) -> int:
     """ISO timestamp -> exact epoch microseconds (naive = UTC, no local
     timezone involvement)."""
-    from datetime import datetime
+    from datetime import datetime, timedelta
     dt = datetime.fromisoformat(iso)
-    return int((dt - datetime(1970, 1, 1)).total_seconds()) * 1_000_000
+    # integer division by a 1us timedelta keeps fractional seconds
+    # exactly; int(total_seconds()) * 1e6 would TRUNCATE sub-second
+    # precision and shift every window bound down by up to 1 s
+    return (dt - datetime(1970, 1, 1)) // timedelta(microseconds=1)
 
 
 def time_range_predicate_us(ts_us: Column,
@@ -121,16 +124,36 @@ def filter_frequency_ranges(df: DataFrame, frequencies: Sequence[float],
     mapping). Returns (df, cropped_frequencies).
     """
     keep = frequency_channel_mask(frequencies, include, exclude)
-    # element_at is 1-based; filter DATA positionally against the
-    # driver-computed literal mask (metadata-only, so it constant-folds)
-    filtered = F.expr(
-        f"filter({data_col}, (x, i) -> element_at({_mask_sql(keep)}, i + 1))"
-    )
-    out = df.withColumn(data_col, filtered)
+    runs = _true_runs(keep)
+    if len(runs) == len(keep):  # nothing dropped
+        return df, list(frequencies)
+    if not runs:
+        out = df.withColumn(data_col, F.expr("array()")
+                            .cast(df.schema[data_col].dataType))
+    else:
+        # concat of slice() per surviving run: the expression tree is
+        # O(#runs) (one per crop window), NOT O(#channels) — the same
+        # literal-array blowup fix as the spectrum frequency axis
+        # (pipeline.py / BENCH_SCALING.md §4); slices stay positional
+        # and inside codegen, no explode, no shuffle
+        parts = [F.slice(F.col(data_col), start + 1, length)
+                 for start, length in runs]
+        out = df.withColumn(
+            data_col, parts[0] if len(parts) == 1 else F.concat(*parts))
     cropped = [f for f, k in zip(frequencies, keep) if k]
     return out, cropped
 
 
-def _mask_sql(keep: Iterable[bool]) -> str:
-    vals = ",".join("true" if k else "false" for k in keep)
-    return f"array({vals})"
+def _true_runs(keep: Sequence[bool]) -> list[tuple[int, int]]:
+    """Contiguous True runs of the mask as (start_0based, length)."""
+    runs: list[tuple[int, int]] = []
+    start = None
+    for i, k in enumerate(keep):
+        if k and start is None:
+            start = i
+        elif not k and start is not None:
+            runs.append((start, i - start))
+            start = None
+    if start is not None:
+        runs.append((start, len(keep) - start))
+    return runs

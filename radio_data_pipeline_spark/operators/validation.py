@@ -136,5 +136,8 @@ def physical_filter_observed(df: DataFrame,
     observed = df.observe(
         obs,
         F.count(F.lit(1)).alias("n_input"),
-        F.sum(bad.cast("long")).alias("n_negative"))
+        # coalesce: SUM over zero rows is NULL — an empty input must
+        # report 0 dropped, not None (monitoring does `> 0` checks)
+        F.coalesce(F.sum(bad.cast("long")), F.lit(0))
+        .alias("n_negative"))
     return physical_filter(observed, columns), obs

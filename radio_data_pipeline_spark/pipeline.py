@@ -49,10 +49,13 @@ def _prepare(df: DataFrame, header: ObservationHeader, ifnum: int, plnum: int,
     # PRODUCT len(unique IFNUM) * len(unique PLNUM), not the count of
     # observed (IFNUM, PLNUM) pairs — they diverge when some stream
     # combinations are missing, shifting the 3*channel_count
-    # false-start threshold in the segmentation state machine
-    row = df.agg(F.countDistinct("IFNUM").alias("i"),
-                 F.countDistinct("PLNUM").alias("p")).first()
-    stream_count = row["i"] * row["p"]
+    # false-start threshold in the segmentation state machine.
+    # Returned as a THUNK: only the continuum path needs it, and the
+    # aggregate is a full-input scan the spectrum path must not pay
+    def stream_count() -> int:
+        row = df.agg(F.countDistinct("IFNUM").alias("i"),
+                     F.countDistinct("PLNUM").alias("p")).first()
+        return row["i"] * row["p"]
     out = select_stream(df, ifnum, plnum)
     if extra_predicate is not None:
         out = out.filter(extra_predicate)
@@ -80,9 +83,14 @@ def continuum_pipeline(df: DataFrame, header: ObservationHeader,
         df, header, ifnum, plnum, include_time, exclude_time,
         include_freq, exclude_freq)
 
-    indices = find_calibrations(data, channel_count=stream_count,
+    indices = find_calibrations(data, channel_count=stream_count(),
                                 header_obsmode=header.obsmode)
-    labeled = label_segments(data, indices).cache()
+    # lazy localCheckpoint, not cache(): the subtree feeds cal_rows
+    # AND science, and checkpoint blocks are released by the
+    # ContextCleaner when the frame is collected — an unpersist-less
+    # cache would accumulate across a corpus loop (same rule as
+    # continuum_pipeline_distributed)
+    labeled = label_segments(data, indices).localCheckpoint(eager=False)
 
     # Calibration segments: diode on/off split (F2: SWPVALID==0 within
     # the pre/post windows, continuum.py:51-59) -> continuum integrate.
@@ -114,7 +122,7 @@ def spectrum_pipeline(df: DataFrame, header: ObservationHeader,
     (O14) -> A2 integration with ON-OFF subtraction (M7).
     """
     pred = (F.col("CALSTATE") == 0) & (F.col("SWPVALID") == 0)
-    data, freqs, stream_count = _prepare(
+    data, freqs, _stream_count = _prepare(
         df, header, ifnum, plnum, include_time, exclude_time,
         include_freq, exclude_freq, extra_predicate=pred)
 

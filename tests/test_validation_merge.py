@@ -153,3 +153,38 @@ def test_minhash_signatures_keep_null_text_docs(spark):
     assert sigs[0]["h0"] is not None
     assert all(sigs[1][f"h{i}"] is None for i in range(8))
     assert all(sigs[2][f"h{i}"] is None for i in range(8))
+
+
+def test_iso_to_us_keeps_fractional_seconds():
+    """Regression: int(total_seconds())*1e6 truncated sub-second
+    precision, shifting every exact-us window bound down by up to
+    1 s."""
+    from radio_data_pipeline_spark.operators.filters import _iso_to_us
+    assert _iso_to_us("1970-01-01T00:00:00.500000") == 500_000
+    assert _iso_to_us("2020-01-01T00:00:01.250000") \
+        == _iso_to_us("2020-01-01T00:00:01") + 250_000
+
+
+def test_frequency_crop_runs_match_mask(spark):
+    """The O(#runs) slice/concat rewrite must select exactly the
+    channels the boolean mask selects, for multi-window crops."""
+    import numpy as np
+
+    from radio_data_pipeline_spark.operators.filters import (
+        filter_frequency_ranges,
+        frequency_channel_mask,
+    )
+    freqs = [float(f) for f in np.linspace(1000.0, 1063.0, 64)]
+    df = spark.createDataFrame(
+        [(0, [float(i) for i in range(64)])], "id long, DATA array<double>")
+    include = [(1005.0, 1020.0), (1040.0, 1055.0)]
+    exclude = [(1010.0, 1012.0)]
+    out, cropped = filter_frequency_ranges(df, freqs, include, exclude)
+    keep = frequency_channel_mask(freqs, include, exclude)
+    expect = [float(i) for i, k in enumerate(keep) if k]
+    got = out.collect()[0]["DATA"]
+    assert got == expect
+    assert cropped == [f for f, k in zip(freqs, keep) if k]
+    # plan sanity: no giant literal array — expression mentions slice
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "slice(" in plan and "array(true" not in plan
