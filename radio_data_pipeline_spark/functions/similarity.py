@@ -118,7 +118,7 @@ def auto_n_planes(n_rows: int, target_bucket_rows: int = 64,
 
 
 def near_dup_pairs_lsh(df: DataFrame, threshold: float = 0.4,
-                       n_planes: int | None = 4, seed: int = 7,
+                       n_planes: int | None = None, seed: int = 7,
                        vec_col: str = "embedding", id_col: str = "vec_id",
                        dim: int | None = None,
                        target_bucket_rows: int = 64) -> DataFrame:
@@ -130,7 +130,7 @@ def near_dup_pairs_lsh(df: DataFrame, threshold: float = 0.4,
     is missed); raise recall with fewer planes or multiple plane sets.
     Returns (id_a, id_b, cosine) with cosine >= threshold.
 
-    n_planes=None derives the plane count from the corpus size
+    n_planes=None (the DEFAULT) derives the plane count from the corpus size
     (auto_n_planes: buckets target ~target_bucket_rows rows), so the
     blocking keeps candidate pairs linear in N instead of quadratic —
     the 100 TB contract. The count is one metadata-cheap job over the

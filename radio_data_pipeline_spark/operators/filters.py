@@ -125,7 +125,7 @@ def filter_frequency_ranges(df: DataFrame, frequencies: Sequence[float],
     """
     keep = frequency_channel_mask(frequencies, include, exclude)
     runs = _true_runs(keep)
-    if len(runs) == len(keep):  # nothing dropped
+    if sum(length for _, length in runs) == len(keep):  # nothing dropped
         return df, list(frequencies)
     if not runs:
         out = df.withColumn(data_col, F.expr("array()")

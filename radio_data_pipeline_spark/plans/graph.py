@@ -130,7 +130,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
       GROUP BY node
     ),
-    k AS (SELECT node, d * 1000000000 + node AS okey FROM deg),
+    k AS (SELECT node, ROW(d, node) AS okey FROM deg),
     o AS (
       SELECT CASE WHEN ku.okey < kv.okey THEN und.u ELSE und.v END AS src,
              CASE WHEN ku.okey < kv.okey THEN kv.okey ELSE ku.okey END
@@ -165,8 +165,9 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "O(sqrt(edges)) (arboricity), so hub nodes of a power-law "
         "graph cannot explode the wedge join the way a naive "
         "all-neighbor self-join does. Three edge-keyed hash joins, no "
-        "driver round trips; the (deg,id) order is packed into one "
-        "BIGINT so the join key stays primitive.",
+        "driver round trips; the (deg,id) order is a struct key on "
+        "both sides (Spark struct(d,node), oracle ROW(d,node)) so the "
+        "comparison is collision-proof for node ids of any magnitude.",
     tags=("graph", "join", "triangles"),
 )
 def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:

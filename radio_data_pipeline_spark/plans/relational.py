@@ -1369,7 +1369,13 @@ def events_udaf_iqr_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     def _iqr(v):
+        # NULL values arrive as NaN in the Arrow->numpy cast;
+        # SQL quantile_cont SKIPS NULLs, so drop them here too or a
+        # single NULL row poisons the whole group's IQR to NaN
         a = v.to_numpy(dtype=np.float64)
+        a = a[~np.isnan(a)]
+        if a.size == 0:
+            return None  # all-NULL group: quantile_cont yields NULL
         return float(np.percentile(a, 75) - np.percentile(a, 25))
 
     def _n(v):

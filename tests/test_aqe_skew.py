@@ -15,6 +15,7 @@ def test_aqe_splits_skewed_join_partitions(spark):
     old = {
         k: spark.conf.get(k, None) for k in (
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             "spark.sql.autoBroadcastJoinThreshold",
             "spark.sql.adaptive.autoBroadcastJoinThreshold",

@@ -69,3 +69,38 @@ def test_sql_event_time_columns_available(spark, sf_dir):
     """).first()["n"]
     exp = _SPECS["events_running_sum"].fn(spark, sf_dir).count()
     assert got == exp > 0
+
+
+def test_udaf_iqr_skips_nulls_like_quantile_cont(spark, tmp_path):
+    """ADVICE r3 (medium): NULL values must be SKIPPED by the IQR
+    UDAF, matching SQL quantile_cont — not propagated to NaN by
+    np.percentile. Pin it with a NULL-bearing events source run
+    through the registered query AND its DuckDB oracle."""
+    import duckdb
+
+    con = duckdb.connect()
+    d = str(tmp_path)
+    con.execute(f"""
+        COPY (
+          SELECT * FROM (VALUES
+            (1, TIMESTAMP '2024-01-01', 1, 'click',  1.0, ''),
+            (2, TIMESTAMP '2024-01-01', 1, 'click',  2.0, ''),
+            (3, TIMESTAMP '2024-01-01', 1, 'click',  3.0, ''),
+            (4, TIMESTAMP '2024-01-01', 1, 'click',  NULL, ''),
+            (5, TIMESTAMP '2024-01-01', 1, 'view',   NULL, ''),
+            (6, TIMESTAMP '2024-01-01', 1, 'view',   NULL, ''),
+            (7, TIMESTAMP '2024-01-01', 1, 'scroll', 5.0, '')
+          ) t(event_id, ts, user_id, event_type, value, props)
+        ) TO '{d}/events.parquet' (FORMAT PARQUET)
+    """)
+    got = _SPECS["events_udaf_iqr_per_type"].fn(spark, d).collect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet')")
+    exp = con.execute(_SPECS["events_udaf_iqr_per_type"].oracle).fetchall()
+    got_rows = sorted((r["event_type"], r["iqr"], r["n"]) for r in got)
+    assert got_rows == sorted(exp)
+    # the all-NULL group must be NULL (not NaN), with n counting rows
+    by_type = {t: (i, n) for t, i, n in got_rows}
+    assert by_type["view"] == (None, 2)
+    assert by_type["click"] == (1.0, 4)

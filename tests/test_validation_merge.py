@@ -188,3 +188,25 @@ def test_frequency_crop_runs_match_mask(spark):
     # plan sanity: no giant literal array — expression mentions slice
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "slice(" in plan and "array(true" not in plan
+
+
+def test_frequency_crop_all_true_mask_is_identity(spark):
+    """ADVICE r3: a multi-channel all-True mask (1 run of n channels)
+    must take the 'nothing dropped' early return — the SAME DataFrame
+    object back, not an identity slice wrapper."""
+    from radio_data_pipeline_spark.operators.filters import (
+        filter_frequency_ranges,
+    )
+    freqs = [1000.0, 1001.0, 1002.0, 1003.0]
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0])], "id long, DATA array<double>")
+    # include window spanning everything -> all-True mask, one run of 4
+    out, cropped = filter_frequency_ranges(
+        df, freqs, include=[(999.0, 1004.0)], exclude=None)
+    assert out is df
+    assert cropped == freqs
+    # and the 1-channel all-True case still early-returns too
+    df1 = spark.createDataFrame([(0, [1.0])], "id long, DATA array<double>")
+    out1, cropped1 = filter_frequency_ranges(
+        df1, [1000.0], include=[(999.0, 1001.0)], exclude=None)
+    assert out1 is df1 and cropped1 == [1000.0]
