@@ -28,8 +28,10 @@ FIXTURE_DIR = Path(__file__).resolve().parents[2] / "fixtures" / "radio"
 CORPUS_PATH = FIXTURE_DIR / "corpus.parquet"
 MERGE_PATH = FIXTURE_DIR / "merge.parquet"
 VALIDATION_PATH = FIXTURE_DIR / "validation.parquet"
+HIRES_PATH = FIXTURE_DIR / "hires.parquet"
 
 _N_OBS = 4
+HIRES_CHANNELS = 16384
 
 
 def corpus_specs():
@@ -72,6 +74,25 @@ def validation_frames():
     return pd.concat(frames, ignore_index=True)
 
 
+def hires_frames():
+    """One HIRES observation at 16,384 channels (SURVEY §1.1: real
+    HIRES observations carry 16 k+ channels; the committed corpus uses
+    64) as two polarization streams — the wide-channel stress for the
+    spectrum/continuum reductions. Row count stays small (24/stream)
+    so the fixture is compact while the CHANNEL axis is full-width:
+    every per-channel structure (posexplode widths, frequency-axis
+    join, integrate folds) runs at production width."""
+    from radio_data_pipeline_spark.sources.synthetic import (
+        ObsSpec,
+        make_observation,
+    )
+    import pandas as pd
+    spec = ObsSpec(obs_id=20, n_channels=HIRES_CHANNELS,
+                   n_science=8, n_cal=4, onoff=True)
+    return pd.concat([make_observation(spec, ifnum=0, plnum=p)
+                      for p in (0, 1)], ignore_index=True)
+
+
 def _write_parquet(pdf, path: Path) -> None:
     """pandas -> single parquet file with DATE_OBS as
     timestamp[us, UTC] (instant semantics on both engines)."""
@@ -94,6 +115,7 @@ def write_fixtures() -> None:
     _write_parquet(make_observation_set(corpus_specs()), CORPUS_PATH)
     _write_parquet(merge_frames(), MERGE_PATH)
     _write_parquet(validation_frames(), VALIDATION_PATH)
+    _write_parquet(hires_frames(), HIRES_PATH)
 
 
 def read_corpus(spark):
@@ -106,3 +128,7 @@ def read_merge(spark):
 
 def read_validation(spark):
     return spark.read.parquet(str(VALIDATION_PATH))
+
+
+def read_hires(spark):
+    return spark.read.parquet(str(HIRES_PATH))

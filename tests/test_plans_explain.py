@@ -307,3 +307,37 @@ def test_pq_distance_fold_is_map_only(spark, sfq):
     assert first_partial != -1 and first_exch != -1 \
         and first_partial > first_exch, \
         "argmin is not partially aggregated before the shuffle"
+
+
+def test_hires_spectrum_plan_is_channel_count_independent(spark, sfq):
+    """The 16,384-channel HIRES reduction must not inline anything
+    per-channel into the plan: posexplode + groupBy(pos) is a
+    constant-size expression tree no matter the array width (the
+    literal-array codegen blowup BENCH_SCALING.md §4 measured is the
+    failure mode this pins against)."""
+    df = sfq("radio_hires_spectrum_banded")
+    plan = _plan(spark, df, "extended")
+    # a 16k-element literal would put tens of thousands of commas /
+    # hundreds of KB into the plan string; the real plan is tiny
+    assert len(plan) < 100_000, f"plan blew up: {len(plan)} chars"
+    assert "posexplode" in plan.lower() or "generate" in plan.lower()
+    # and the banded output is exactly 2 streams x 64 bands
+    rows = df.collect()
+    assert len(rows) == 128
+    assert all(r["n_channels"] == 256 for r in rows)
+
+
+def test_hires_continuum_plan_is_channel_count_independent(spark, sfq):
+    """Same pin for the continuum path: the integrate fold
+    (F.aggregate) loops over the runtime array, so the plan carries
+    ONE fold expression, not 16k terms."""
+    df = sfq("radio_hires_continuum")
+    plan = _plan(spark, df, "extended")
+    assert len(plan) < 150_000, f"plan blew up: {len(plan)} chars"
+    rows = df.collect()
+    # 2 streams x 8 science rows (minus the 2 swpvalid transition
+    # blips that stay in science: all science rows produce continuum
+    # points) -> pinned by the VALUES oracle; sanity: non-empty, both
+    # streams present
+    assert len(rows) >= 16
+    assert {r["PLNUM"] for r in rows} == {0, 1}

@@ -91,7 +91,19 @@ def main() -> None:
 
     for table in REPLICATED:
         tbl = pq.read_table(f"{SRC}/{table}.parquet")
-        copies = []
+        total_rows = tbl.num_rows * n
+        # row groups sized so BOTH engines parallelize the scan
+        # (row group = the parallelism unit for Spark splits and
+        # DuckDB alike): ~16+ groups per table, floor 1024 rows —
+        # wide-array tables (embeddings) carry far more compute per
+        # row than bytes, the same reason real vector stores pick
+        # small row groups
+        rg = max(1024, min(65536, total_rows // 16))
+        # stream copy-by-copy through one ParquetWriter — at 100x the
+        # concat-all-copies form holds ~6 GB of Arrow buffers for
+        # lineitem alone; streaming holds one copy at a time
+        writer = pq.ParquetWriter(f"{out_dir}/{table}.parquet",
+                                  tbl.schema)
         for i in range(n):
             t = tbl
             for col, space in OFFSET_COLS[table]:
@@ -100,19 +112,10 @@ def main() -> None:
                                  pa.scalar(i * st[space],
                                            type=t.schema.field(col).type))
                 t = t.set_column(idx, t.schema.field(col), shifted)
-            copies.append(t)
-        big = pa.concat_tables(copies)
-        # row groups sized so BOTH engines parallelize the scan
-        # (row group = the parallelism unit for Spark splits and
-        # DuckDB alike): ~16+ groups per table, floor 1024 rows —
-        # wide-array tables (embeddings) carry far more compute per
-        # row than bytes, the same reason real vector stores pick
-        # small row groups
-        rg = max(1024, min(65536, big.num_rows // 16))
-        pq.write_table(big, f"{out_dir}/{table}.parquet",
-                       row_group_size=rg)
+            writer.write_table(t, row_group_size=rg)
+        writer.close()
         f = pq.ParquetFile(f"{out_dir}/{table}.parquet")
-        print(f"{table}: {big.num_rows} rows, "
+        print(f"{table}: {total_rows} rows, "
               f"{f.metadata.num_row_groups} row groups")
 
 
