@@ -45,16 +45,32 @@ def windowed_ewma(days: DataFrame, decay: float = _DECAY,
     series: each day's smoothed value is the decay-weighted mean of
     its value and up to ``lookback`` calendar-day predecessors
     (weight decay**gap_days — calendar-aware, so data gaps decay by
-    elapsed time, not by row count). Bounded band self-join; exposed
-    separately so property tests can drive it with arbitrary series
-    against a NumPy reference."""
+    elapsed time, not by row count). Exposed separately so property
+    tests can drive it with arbitrary series against a NumPy
+    reference.
+
+    Plan shape (round-4 rewrite): the naive band self-join
+    (day2 BETWEEN day1-lookback AND day1) has no equi key, so Spark
+    executes it as a CartesianProduct — measured 12.2 s at the 100x
+    corpus (BENCH_SCALING.md §9) because P_left x P_right task pairs
+    each rescan both sides. Instead each source day EXPLODES into its
+    <= lookback+1 future target days (sequence + date_add) and the
+    band becomes a pure equi hash join on the day key — O(days x
+    lookback) rows, linear in day count, broadcast-joined against the
+    day table (bounded: decades of days is ~10k rows). Pair set is
+    identical: gap in [0, lookback] and day1 = day2 + gap."""
     d1 = days.select(F.col("day").alias("day1"), F.col("rev").alias("rev1"))
-    d2 = days.select(F.col("day").alias("day2"), F.col("rev").alias("rev2"))
-    gap = F.datediff(F.col("day1"), F.col("day2"))
-    w = F.pow(F.lit(decay), gap)
+    taps = (
+        days.select(F.col("day").alias("day2"), F.col("rev").alias("rev2"))
+        .select("day2", "rev2",
+                F.explode(F.sequence(F.lit(0), F.lit(int(lookback))))
+                .alias("gap"))
+        .select(F.date_add(F.col("day2"), F.col("gap")).alias("day1"),
+                "rev2", "gap")
+    )
+    w = F.pow(F.lit(decay), F.col("gap"))
     return (
-        d1.join(d2, (F.col("day2") >= F.date_sub(F.col("day1"), lookback))
-                & (F.col("day2") <= F.col("day1")))
+        taps.join(F.broadcast(d1), "day1")
         .groupBy(F.col("day1").alias("day"), F.col("rev1"))
         .agg((F.sum(F.col("rev2") * w) / F.sum(w)).alias("e"))
         .select("day", F.round("rev1", 2).alias("revenue"),

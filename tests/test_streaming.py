@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -237,3 +238,64 @@ def test_streaming_segmentation_recovers_from_checkpoint(spark, tmp_path):
         pdf["OBSMODE"].tolist(), "track", 1)
     assert final["data_start_idx"] == (exp[0] if exp[0] is not None else 0)
     assert final["post_cal_start_idx"] == exp[1]
+
+
+def test_training_shards_exactly_once_after_midwrite_crash(spark, tmp_path):
+    """Kill-and-restart proof of the exactly-once contract
+    (streaming/events.py stream_to_training_shards): a micro-batch
+    that died MID-WRITE leaves a partial, uncommitted ``batch=N``
+    directory on disk; on restart from the checkpoint the batch
+    re-executes and must REPLACE that partial output (overwrite), not
+    append to it — final corpus has no duplicate and no phantom keys.
+    """
+    from radio_data_pipeline_spark.streaming.events import (
+        stream_to_training_shards,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "shards")
+    cp = str(tmp_path / "cp")
+    schema = "doc_id long, text string"
+
+    def add_file(name, lo, hi):
+        spark.createDataFrame(
+            [(i, f"doc-{i}") for i in range(lo, hi)], schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.read.parquet(str(src / "*")).schema
+        ).parquet(str(src / "*"))
+        q = stream_to_training_shards(stream, out, key_col="doc_id",
+                                      n_shards=4, checkpoint=cp)
+        q.awaitTermination()
+
+    # batch 0: committed cleanly
+    add_file("f1", 0, 50)
+    run()
+
+    # batch 1 "crashes mid-write": the source file exists, the output
+    # dir holds a PARTIAL write (a subset plus rows that the retry
+    # would produce again), but the checkpoint never committed batch 1
+    add_file("f2", 50, 100)
+    partial = spark.createDataFrame(
+        [(i, f"doc-{i}") for i in range(50, 70)], schema)
+    from radio_data_pipeline_spark.sources.layout import shard_id
+    (partial.withColumn("shard", shard_id("doc_id", 4))
+     .write.mode("overwrite").partitionBy("shard")
+     .parquet(f"{out}/batch=1"))
+
+    # restart: batch 1 re-executes from the checkpointed offsets and
+    # overwrites its own partial directory
+    run()
+
+    result = spark.read.parquet(out)
+    keys = [r["doc_id"] for r in result.select("doc_id").collect()]
+    assert sorted(keys) == list(range(100)), (
+        f"dup/missing keys: {len(keys)} rows, "
+        f"{len(set(keys))} distinct")
+    # shard membership matches the batch writer's deterministic rule
+    bad = result.withColumn("expect", shard_id("doc_id", 4)) \
+        .filter(F.col("shard") != F.col("expect")).count()
+    assert bad == 0
