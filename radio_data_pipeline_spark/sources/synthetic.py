@@ -134,3 +134,20 @@ def corrupt_nan(pdf: pd.DataFrame, n: int = 5) -> pd.DataFrame:
         vec[len(vec) // 2] = float("nan")
         out.at[i, "DATA"] = vec
     return out
+
+
+def make_clustered_embeddings(n: int = 4000, dim: int = 64,
+                              n_clusters: int = 16, separation: float = 4.0,
+                              noise: float = 0.5, seed: int = 5):
+    """Mixture-of-Gaussians embedding corpus: `n_clusters` centers at
+    scale `separation`, points jittered with `noise`. Real embedding
+    corpora are clustered — the driver's near-iid synthetic embeddings
+    (sigma2/sigma1 = 0.992, BENCH_SCALING.md §8) are ANN's
+    information-theoretic worst case, so the recall frontier must also
+    be measured on the clustered shape. Returns (vectors ndarray
+    [n, dim], cluster assignment ndarray [n])."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim)) * separation
+    assign = rng.integers(0, n_clusters, n)
+    vecs = centers[assign] + rng.standard_normal((n, dim)) * noise
+    return vecs, assign
