@@ -278,15 +278,19 @@ def test_islands_windows_share_one_exchange(spark, sfq):
     assert "BatchEvalPython" not in plan
 
 
-def test_ewma_band_join_builds_on_day_aggregate(spark, sfq):
-    # The band self-join may nested-loop ONLY because both sides are
-    # the day-aggregated table (calendar-bounded); the raw orders scan
-    # must aggregate to days before any join.
+def test_ewma_band_join_is_equi_hash_join_on_days(spark, sfq):
+    # Round-4 pin (BENCH_SCALING §9): the calendar band join must be
+    # the explode-to-equi form — a HASH join on the day key, never a
+    # CartesianProduct / nested loop (the 12.2 s failure the 100x
+    # decade caught); and the raw orders scan must aggregate to days
+    # before any join.
     plan = _plan(spark, sfq("ewma_daily_revenue"), "simple")
-    bnlj = plan.find("BroadcastNestedLoopJoin")
-    agg = plan.find("HashAggregate")
-    assert bnlj != -1 and agg != -1
-    assert "partial_sum(o_totalprice" in plan or "partial_sum" in plan, \
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan \
+        or "ShuffledHashJoin" in plan
+    assert "HashAggregate" in plan
+    assert "partial_sum" in plan, \
         "day revenue must partial-aggregate map-side below the join"
 
 
