@@ -1340,8 +1340,10 @@ def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_udaf_iqr_per_type",
     oracle="""
     SELECT event_type,
-           round(quantile_cont(value, 0.75)
-                 - quantile_cont(value, 0.25), 6) AS iqr,
+           round(quantile_cont(CASE WHEN isnan(value) THEN NULL
+                                    ELSE value END, 0.75)
+                 - quantile_cont(CASE WHEN isnan(value) THEN NULL
+                                      ELSE value END, 0.25), 6) AS iqr,
            CAST(count(*) AS BIGINT) AS n
     FROM events
     GROUP BY event_type
@@ -1369,9 +1371,12 @@ def events_udaf_iqr_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     def _iqr(v):
-        # NULL values arrive as NaN in the Arrow->numpy cast;
-        # SQL quantile_cont SKIPS NULLs, so drop them here too or a
-        # single NULL row poisons the whole group's IQR to NaN
+        # BOTH SQL NULL and genuine float NaN arrive as NaN in the
+        # Arrow->numpy cast (indistinguishable here), so the
+        # operator's definition is "IQR over finite values": drop
+        # NaN. The oracle mirrors it by NULLing NaN before
+        # quantile_cont (whose default would instead sort NaN
+        # greatest) — the engine-portable semantic.
         a = v.to_numpy(dtype=np.float64)
         a = a[~np.isnan(a)]
         if a.size == 0:

@@ -24,7 +24,17 @@ from __future__ import annotations
 
 from pathlib import Path
 
-FIXTURE_DIR = Path(__file__).resolve().parents[2] / "fixtures" / "radio"
+# repo-checkout default; a NON-editable install does not ship the
+# repo-root fixtures/ tree, so installed users point RDPS_FIXTURE_DIR
+# at a checkout's fixtures/radio (or regenerate with
+# tools/gen_radio_fixtures.py) — the registry embeds these paths into
+# the oracle SQL at import time, so the variable must be set before
+# the first plans import
+import os as _os
+
+FIXTURE_DIR = Path(
+    _os.environ.get("RDPS_FIXTURE_DIR")
+    or Path(__file__).resolve().parents[2] / "fixtures" / "radio")
 CORPUS_PATH = FIXTURE_DIR / "corpus.parquet"
 MERGE_PATH = FIXTURE_DIR / "merge.parquet"
 VALIDATION_PATH = FIXTURE_DIR / "validation.parquet"
@@ -87,8 +97,16 @@ def hires_frames():
         make_observation,
     )
     import pandas as pd
+    # n_science MUST exceed the false-start discard threshold on BOTH
+    # sides of the onoff transition blip: the state machine discards
+    # science runs of <= 3 x stream_count rows (utils.py:166-173),
+    # and this observation has 2 streams -> threshold 6. With
+    # n_science=24 the pre-blip run is 12 and the post-blip run is 10,
+    # so segmentation/RCR/heights/gain all genuinely execute at 16 k
+    # channels (a shorter spec silently degrades to the
+    # no-calibration fallback — caught by round-4 review).
     spec = ObsSpec(obs_id=20, n_channels=HIRES_CHANNELS,
-                   n_science=8, n_cal=4, onoff=True)
+                   n_science=24, n_cal=4, onoff=True)
     return pd.concat([make_observation(spec, ifnum=0, plnum=p)
                       for p in (0, 1)], ignore_index=True)
 

@@ -174,13 +174,21 @@ def test_near_dup_default_is_auto_planes(spark):
     derived = S.auto_n_planes(n)
     assert derived == 7
 
-    # count distinct buckets actually produced by the default call's
-    # internal blocking: replicate by calling with n_planes=None
-    # explicitly and with the derived int — both must agree with the
-    # default call's pair count (None IS the default now)
-    pairs_default = S.near_dup_pairs_lsh(df, threshold=0.99).count()
-    pairs_auto = S.near_dup_pairs_lsh(df, threshold=0.99,
-                                      n_planes=None).count()
-    pairs_derived = S.near_dup_pairs_lsh(df, threshold=0.99,
-                                         n_planes=derived).count()
-    assert pairs_default == pairs_auto == pairs_derived
+    # behavioral A/B at a permissive threshold where plane count
+    # visibly changes the survivor set: the DEFAULT call must match
+    # the explicit derived-plane call AND must NOT match the old
+    # static-4 behavior (the regression this test exists to catch —
+    # measured: static4 701,040 pairs vs derived7 178,220 at th=0.2)
+    df = df.cache()
+    df.count()
+    try:
+        pairs_default = S.near_dup_pairs_lsh(df, threshold=0.2).count()
+        pairs_derived = S.near_dup_pairs_lsh(df, threshold=0.2,
+                                             n_planes=derived).count()
+        pairs_static4 = S.near_dup_pairs_lsh(df, threshold=0.2,
+                                             n_planes=4).count()
+    finally:
+        df.unpersist()
+    assert pairs_default == pairs_derived
+    assert pairs_default != pairs_static4, (
+        "default path behaves like the old static-4 setting")

@@ -339,9 +339,16 @@ def test_hires_continuum_plan_is_channel_count_independent(spark, sfq):
     plan = _plan(spark, df, "extended")
     assert len(plan) < 150_000, f"plan blew up: {len(plan)} chars"
     rows = df.collect()
-    # 2 streams x 8 science rows (minus the 2 swpvalid transition
-    # blips that stay in science: all science rows produce continuum
-    # points) -> pinned by the VALUES oracle; sanity: non-empty, both
-    # streams present
-    assert len(rows) >= 16
+    # 2 streams x 24 SCIENCE rows — the segmentation must have
+    # actually segmented (data_start 8, post_cal 32): a fixture the
+    # state machine false-start-discards degrades to the
+    # no-calibration fallback, which emits the CAL rows too (round-4
+    # review catch). Pin the science-only row count AND the
+    # gain-CALIBRATED magnitude (~0.25; the uncalibrated fallback
+    # emits raw sums ~10-50).
+    assert len(rows) == 48, f"expected 48 science rows, got {len(rows)}"
     assert {r["PLNUM"] for r in rows} == {0, 1}
+    assert all(0.1 < r["intensity"] < 1.0 for r in rows), (
+        "intensities not gain-calibrated — segmentation fell back? "
+        f"range [{min(r['intensity'] for r in rows)}, "
+        f"{max(r['intensity'] for r in rows)}]")

@@ -89,7 +89,9 @@ def test_udaf_iqr_skips_nulls_like_quantile_cont(spark, tmp_path):
             (4, TIMESTAMP '2024-01-01', 1, 'click',  NULL, ''),
             (5, TIMESTAMP '2024-01-01', 1, 'view',   NULL, ''),
             (6, TIMESTAMP '2024-01-01', 1, 'view',   NULL, ''),
-            (7, TIMESTAMP '2024-01-01', 1, 'scroll', 5.0, '')
+            (7, TIMESTAMP '2024-01-01', 1, 'scroll', 5.0, ''),
+            (8, TIMESTAMP '2024-01-01', 1, 'click',
+             CAST('nan' AS DOUBLE), '')
           ) t(event_id, ts, user_id, event_type, value, props)
         ) TO '{d}/events.parquet' (FORMAT PARQUET)
     """)
@@ -100,7 +102,9 @@ def test_udaf_iqr_skips_nulls_like_quantile_cont(spark, tmp_path):
     exp = con.execute(_SPECS["events_udaf_iqr_per_type"].oracle).fetchall()
     got_rows = sorted((r["event_type"], r["iqr"], r["n"]) for r in got)
     assert got_rows == sorted(exp)
-    # the all-NULL group must be NULL (not NaN), with n counting rows
+    # the all-NULL group must be NULL (not NaN), with n counting rows;
+    # the click group carries a NULL AND a genuine NaN — both skipped
+    # by the finite-values IQR definition, both counted by n
     by_type = {t: (i, n) for t, i, n in got_rows}
     assert by_type["view"] == (None, 2)
-    assert by_type["click"] == (1.0, 4)
+    assert by_type["click"] == (1.0, 5)
