@@ -304,16 +304,20 @@ def _near_dup_oracle(threshold: float = 0.4, n_planes: int = 4,
         ": the self-join runs within sign-pattern buckets, so candidate "
         "pairs are sum(|bucket|^2)/2, not N^2/2 — at 100 TB the table "
         "is bucketed by the LSH id so each bucket joins co-located. "
-        "n_planes=None auto-derives the plane count from a cheap "
-        "input count (~log2(N/64), tests/test_dedup_caps.py pins the "
-        "bounded-candidate property at a 40x corpus); at the driver's "
-        "sf<=0.01 scale the derivation returns the minimum 4 planes, "
-        "which is what the static oracle mirrors.",
+        "n_planes is EXPLICIT here (4, the value the auto-derivation "
+        "returns for the sf0.01 gate corpus) because the static "
+        "oracle bakes its hyperplanes at registration time — an "
+        "auto-deriving registered query drifts from the fixed oracle "
+        "the moment the harness runs a bigger corpus (caught by the "
+        "round-4 full-sweep at sf0.1: 112 vs 177 rows). The LIBRARY "
+        "default (near_dup_pairs_lsh n_planes=None) auto-derives "
+        "~log2(N/64) planes; tests/test_dedup_caps.py pins both the "
+        "default and the bounded-candidate property at a 40x corpus.",
     tags=("similarity", "dedup", "lsh", "join"),
 )
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (near_dup_pairs_lsh(_emb_fanned(spark, sf_dir), threshold=0.4,
-                               n_planes=None, seed=7)
+                               n_planes=4, seed=7)
             .orderBy("id_a", "id_b"))
 
 
