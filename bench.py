@@ -152,6 +152,23 @@ def main() -> None:
     # Warm-up: JVM + parquet footer reads, not measured.
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
+    # Optional page-cache pre-warm (SPARK_GRAFT_BENCH_PREWARM=1):
+    # stream every table's bytes once before timing. At the gate
+    # scale (~17 MB) this is a no-op; at the 19 GB 1000x corpus the
+    # FIRST query otherwise eats the whole corpus' disk read inside
+    # its best-of-N (measured: q1 34 s cold vs 5.7 s warm,
+    # BENCH_SCALING.md §10) while later queries — and the DuckDB
+    # pass, which always runs second — get warm reads for free. The
+    # pre-warm makes the comparison IO-symmetric for both engines;
+    # off by default so recorded BENCH_r{N} artifacts keep charging
+    # cold costs honestly at the driver's scale.
+    if os.environ.get("SPARK_GRAFT_BENCH_PREWARM") == "1":
+        for entry in sorted(os.scandir(SF_DIR), key=lambda e: e.name):
+            if entry.name.endswith(".parquet"):
+                with open(entry.path, "rb", buffering=1 << 22) as f:
+                    while f.read(1 << 24):
+                        pass
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     build: dict[str, float] = {}
