@@ -155,12 +155,36 @@ def _tform_dtype(tform: str) -> tuple[str, int, object]:
     return code, rep, (np_t if rep == 1 else (np_t, (rep,)))
 
 
+def _req(cards: dict, key: str):
+    """Required card lookup with STRUCTURED failure: a corrupted or
+    missing keyword must surface as FitsFormatError (the type the
+    permissive scan's quarantine routes on), never a raw KeyError —
+    found by the byte-mutation fuzz (tests/test_fits.py)."""
+    try:
+        return cards[key]
+    except KeyError:
+        raise FitsFormatError(f"required card {key} missing or "
+                              "corrupted") from None
+
+
+def _req_int(cards: dict, key: str) -> int:
+    """Required integer card; non-numeric corruption -> FitsFormatError
+    (int('!  0') was escaping as ValueError before the fuzz)."""
+    try:
+        return int(_req(cards, key))
+    except (TypeError, ValueError):
+        raise FitsFormatError(
+            f"card {key} is not an integer: {cards.get(key)!r}") from None
+
+
 def _table_dtype(cards: dict) -> tuple[np.dtype, list[tuple[str, str, int]]]:
-    tfields = int(cards["TFIELDS"])
+    tfields = _req_int(cards, "TFIELDS")
+    if not 0 < tfields <= 999:  # FITS limit; also bounds corrupt blowup
+        raise FitsFormatError(f"implausible TFIELDS {tfields}")
     meta = []
     for i in range(1, tfields + 1):
-        name = str(cards[f"TTYPE{i}"]).strip()
-        code, rep, _ = _tform_dtype(str(cards[f"TFORM{i}"]))
+        name = str(_req(cards, f"TTYPE{i}")).strip()
+        code, rep, _ = _tform_dtype(str(_req(cards, f"TFORM{i}")))
         meta.append((name, code, rep))
     spec = []
     for (name, code, rep) in meta:
@@ -179,7 +203,10 @@ def parse_bintable(buf: bytes, cards: dict, offset: int) -> pd.DataFrame:
     (vector columns become per-row lists)."""
     if str(cards.get("XTENSION", "")).strip() != "BINTABLE":
         raise FitsFormatError("expected BINTABLE extension")
-    naxis1, naxis2 = int(cards["NAXIS1"]), int(cards["NAXIS2"])
+    naxis1, naxis2 = _req_int(cards, "NAXIS1"), _req_int(cards, "NAXIS2")
+    if naxis1 < 0 or naxis2 < 0:
+        raise FitsFormatError(
+            f"negative table dimensions: NAXIS1={naxis1} NAXIS2={naxis2}")
     dt, meta = _table_dtype(cards)
     if dt.itemsize != naxis1:
         raise FitsFormatError(
@@ -194,7 +221,12 @@ def parse_bintable(buf: bytes, cards: dict, offset: int) -> pd.DataFrame:
         col = arr[name]
         canon = _CANON_NAME.get(name, name)
         if code == "A":
-            out[canon] = [v.decode("ascii").rstrip() for v in col]
+            try:
+                out[canon] = [v.decode("ascii").rstrip() for v in col]
+            except UnicodeDecodeError:
+                raise FitsFormatError(
+                    f"non-ASCII bytes in string column {canon}"
+                ) from None
         elif code == "L":
             # FITS logicals are ASCII 'T'/'F' bytes (0x54/0x46), not
             # 0/1 — `!= 0` would decode every 'F' as True
@@ -222,11 +254,13 @@ def _parse_headers(buf: bytes) -> tuple[dict, list[str], dict, int]:
     if primary.get("SIMPLE") is not True:
         raise FitsFormatError("primary header missing SIMPLE = T")
     # primary data unit (NAXIS=0 for SDFITS -> zero bytes)
-    naxis = int(primary.get("NAXIS", 0))
+    naxis = _req_int(primary, "NAXIS") if "NAXIS" in primary else 0
+    if not 0 <= naxis <= 999:
+        raise FitsFormatError(f"implausible NAXIS {naxis}")
     if naxis:
-        size = abs(int(primary["BITPIX"])) // 8
+        size = abs(_req_int(primary, "BITPIX")) // 8
         for i in range(1, naxis + 1):
-            size *= int(primary[f"NAXIS{i}"])
+            size *= _req_int(primary, f"NAXIS{i}")
         pos += math.ceil(size / BLOCK) * BLOCK
     ext, ext_hist, pos = parse_header(buf, pos)
     return primary, history + ext_hist, ext, pos

@@ -461,3 +461,64 @@ def test_degenerate_fit_uncertainty_is_nan_not_crash():
     y = np.array([1.0, 2.0, 3.0, 4.0])
     b_sd, m_sd = fit_stats(x, y, slope=0.0, intercept=2.5)
     assert math.isnan(b_sd) and math.isnan(m_sd)
+
+
+# ----------------------------------------------------------- fuzz
+
+def test_parser_fails_cleanly_on_arbitrary_corruption():
+    """Byte-mutation fuzz of the SDFITS parser (S2 hardening): for
+    ANY corruption — truncation, bit flips, splices — parse_sdfits
+    must either return a valid observation or raise FitsFormatError.
+    A raw struct.error / IndexError / UnicodeDecodeError escaping the
+    codec would crash the permissive scan's quarantine routing
+    (sources/fits.py read_sdfits mode='permissive'), which matches on
+    FitsFormatError."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from radio_data_pipeline_spark.sources.fits import (
+        FitsFormatError,
+        parse_sdfits,
+        write_sdfits,
+    )
+    import pandas as pd
+
+    base = write_sdfits(pd.DataFrame({
+        "row_idx": np.arange(6, dtype=np.int64),
+        "TSYS": np.linspace(29.0, 31.0, 6),
+        "OBSMODE": ["track"] * 6,
+        "DATA": [list(np.linspace(i, i + 1, 4)) for i in range(6)],
+    }), header={"TELESCOP": "FUZZ"}, history=["fuzz corpus"])
+
+    @settings(max_examples=300, deadline=None)
+    @given(data=st.data())
+    def run(data):
+        buf = bytearray(base)
+        kind = data.draw(st.sampled_from(
+            ["truncate", "flip", "splice", "zero_block", "grow"]))
+        if kind == "truncate":
+            cut = data.draw(st.integers(0, len(buf)))
+            buf = buf[:cut]
+        elif kind == "flip":
+            for _ in range(data.draw(st.integers(1, 16))):
+                i = data.draw(st.integers(0, len(buf) - 1))
+                buf[i] ^= 1 << data.draw(st.integers(0, 7))
+        elif kind == "splice":
+            i = data.draw(st.integers(0, len(buf) - 1))
+            j = data.draw(st.integers(0, len(buf) - 1))
+            lo, hi = min(i, j), max(i, j)
+            buf = buf[:lo] + buf[hi:]
+        elif kind == "zero_block":
+            i = data.draw(st.integers(0, max(0, len(buf) - 80)))
+            buf[i:i + 80] = b"\x00" * 80
+        else:  # grow: random trailing garbage
+            buf = buf + bytes(data.draw(st.binary(
+                min_size=1, max_size=2880)))
+        try:
+            parse_sdfits(bytes(buf))
+        except FitsFormatError:
+            pass  # the contract: structured rejection
+        # any OTHER exception type propagates and fails the test
+
+    run()
