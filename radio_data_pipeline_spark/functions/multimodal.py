@@ -258,12 +258,18 @@ def decode_y4m(content: bytes) -> tuple[float, np.ndarray]:
         elif t.startswith("H"):
             h = int(t[1:])
         elif t.startswith("F"):
-            num, den = t[1:].split(":")
+            num, _, den = t[1:].partition(":")
+            if not den or int(den) == 0:  # corrupt rate -> structured
+                raise ValueError(f"malformed Y4M frame rate {t!r}")
             fps = int(num) / int(den)
         elif t.startswith("C"):
             colorspace = t
     if not w or not h or not fps:
         raise ValueError("Y4M header missing W/H/F")
+    if w < 0 or h < 0:
+        # negative dims would make frame_size negative and walk `pos`
+        # BACKWARD below — an infinite loop on corrupt input
+        raise ValueError(f"invalid Y4M dimensions {w}x{h}")
     if colorspace != "Cmono":
         raise NotImplementedError(
             f"only Cmono Y4M supported ({colorspace} carries chroma "

@@ -509,3 +509,63 @@ def test_low_maxval_netpbm_refused(spark):
     bad = b"P6\n2 2\n15\n" + bytes(12)
     with _pytest.raises(NotImplementedError, match="maxval"):
         decode_ppm(bad)
+
+
+def test_media_decoders_fail_cleanly_on_arbitrary_corruption():
+    """Byte-mutation fuzz of every pure-numpy media codec: for ANY
+    corruption the decoder must return a valid result or raise
+    ValueError / NotImplementedError — the two types the decode
+    kernels' documented contract covers. A raw struct.error /
+    IndexError / ZeroDivisionError escaping a decoder would kill the
+    whole mapInPandas task instead of the one bad blob."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from radio_data_pipeline_spark.functions.multimodal import (
+        decode_bmp,
+        decode_pgm,
+        decode_ppm,
+        decode_wav,
+        decode_y4m,
+        encode_bmp,
+        encode_pgm,
+        encode_ppm,
+        encode_wav_pcm16,
+        encode_y4m,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (8, 6, 3), dtype=np.uint8)
+    gray = rng.integers(0, 255, (8, 6), dtype=np.uint8)
+    frames = rng.integers(0, 255, (3, 4, 4), dtype=np.uint8)
+    corpora = [
+        (decode_wav, encode_wav_pcm16(
+            rng.standard_normal(64).astype(np.float64), 8000)),
+        (decode_ppm, encode_ppm(img)),
+        (decode_pgm, encode_pgm(gray)),
+        (decode_bmp, encode_bmp(img)),
+        (decode_y4m, encode_y4m(frames)),
+    ]
+
+    @settings(max_examples=400, deadline=None)
+    @given(data=st.data())
+    def run(data):
+        decoder, base = data.draw(st.sampled_from(corpora))
+        buf = bytearray(base)
+        kind = data.draw(st.sampled_from(["truncate", "flip", "grow"]))
+        if kind == "truncate":
+            buf = buf[:data.draw(st.integers(0, len(buf)))]
+        elif kind == "flip":
+            for _ in range(data.draw(st.integers(1, 12))):
+                i = data.draw(st.integers(0, max(0, len(buf) - 1)))
+                if buf:
+                    buf[i] ^= 1 << data.draw(st.integers(0, 7))
+        else:
+            buf += bytes(data.draw(st.binary(min_size=1, max_size=256)))
+        try:
+            decoder(bytes(buf))
+        except (ValueError, NotImplementedError):
+            pass  # the documented rejection contract
+
+    run()
