@@ -332,3 +332,88 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.unionAll(c)
     return out.orderBy("round")
+
+
+_LPA_ROUNDS = 2
+
+_LPA_STEP = """
+    {out} AS (
+      SELECT node, label FROM (
+        SELECT adj.s AS node, {prev}.label,
+               count(*) AS c,
+               row_number() OVER (
+                 PARTITION BY adj.s
+                 ORDER BY count(*) DESC, {prev}.label) AS rn
+        FROM adj JOIN {prev} ON adj.t = {prev}.node
+        GROUP BY adj.s, {prev}.label
+      ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "lpa_communities_copurchase",
+    oracle=f"""
+    WITH {_KCORE_ADJ},
+    l0 AS (SELECT DISTINCT s AS node, s AS label FROM adj),
+    {_LPA_STEP.format(prev="l0", out="l1")},
+    {_LPA_STEP.format(prev="l1", out="l2")}
+    SELECT label AS community,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(node) AS BIGINT) AS min_member,
+           CAST(max(node) AS BIGINT) AS max_member
+    FROM l2
+    GROUP BY label
+    ORDER BY n_members DESC, community
+    """,
+    doc=f"Synchronous label propagation ({_LPA_ROUNDS} unrolled "
+        "rounds, deterministic: each node adopts its neighbors' "
+        "modal label, ties to the smallest) on the co-purchase graph "
+        "— the community-detection primitive a cluster-based dedup "
+        "pipeline runs over its near-duplicate pair graph to pick "
+        "one representative per community. Per round: one edge-keyed "
+        "join, one (node, label) count with map-side partials, and a "
+        "row_number mode pick riding the SAME node partitioning — "
+        "two shuffles per round, labels never leave the cluster. The "
+        "mode update is the structural difference from PageRank's "
+        "sum and kcore's threshold: together the three span the "
+        "aggregate-shapes an iterative graph engine must support. "
+        "Oracle unrolls identical rounds as CTEs.",
+    tags=("graph", "iterative", "communities"),
+)
+def lpa_communities_copurchase(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(F.least("a.l_partkey", "b.l_partkey").alias("u"),
+                F.greatest("a.l_partkey", "b.l_partkey").alias("v"))
+        .distinct()
+    )
+    adj = (und.select(F.col("u").alias("s"), F.col("v").alias("t"))
+           .unionAll(und.select(F.col("v").alias("s"),
+                                F.col("u").alias("t"))))
+    adj = adj.localCheckpoint(eager=False)  # feeds every round
+
+    labels = adj.select(F.col("s").alias("node")).distinct() \
+        .select("node", F.col("node").alias("label"))
+    for _ in range(_LPA_ROUNDS):
+        counted = (
+            adj.join(labels.withColumnRenamed("node", "t"), "t")
+            .groupBy(F.col("s").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+        labels = (counted.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1).select("node", "label"))
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"),
+             F.min("node").alias("min_member"),
+             F.max("node").alias("max_member"))
+        .orderBy(F.desc("n_members"), "community")
+    )
