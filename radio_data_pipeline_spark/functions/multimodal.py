@@ -259,7 +259,10 @@ def decode_y4m(content: bytes) -> tuple[float, np.ndarray]:
             h = int(t[1:])
         elif t.startswith("F"):
             num, _, den = t[1:].partition(":")
-            if not den or int(den) == 0:  # corrupt rate -> structured
+            # corrupt rate -> structured error: missing/zero denominator
+            # AND negative numerator/denominator (a sign-flipped byte
+            # would otherwise return fps=-24.0 as a "valid" decode)
+            if not den or int(den) <= 0 or int(num) <= 0:
                 raise ValueError(f"malformed Y4M frame rate {t!r}")
             fps = int(num) / int(den)
         elif t.startswith("C"):

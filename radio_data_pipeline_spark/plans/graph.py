@@ -51,6 +51,44 @@ def _iter_sql(prev: str, out: str) -> str:
     )"""
 
 
+# Shared co-purchase edge builders (round-4 dedup: triangle/kcore/LPA
+# each had a verbatim copy; the edge definition now lives ONCE per
+# engine side).
+_UND_SQL = """
+    und AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                      greatest(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    )"""
+
+
+def _copurchase_und(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected co-purchase edges (u < v) — the bounded
+    fan-out lineitem self-join every graph query starts from."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(F.least("a.l_partkey", "b.l_partkey").alias("u"),
+                F.greatest("a.l_partkey", "b.l_partkey").alias("v"))
+        .distinct()
+    )
+
+
+def _copurchase_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric (s, t) adjacency, lazily checkpointed: the iterative
+    queries (kcore, LPA) read it every round, so the distinct-edge
+    build materializes once instead of per round."""
+    und = _copurchase_und(spark, sf_dir)
+    adj = (und.select(F.col("u").alias("s"), F.col("v").alias("t"))
+           .unionAll(und.select(F.col("v").alias("s"),
+                                F.col("u").alias("t"))))
+    return adj.localCheckpoint(eager=False)
+
+
 @register(
     "pagerank_copurchase",
     oracle=f"""
@@ -171,17 +209,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "join", "triangles"),
 )
 def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    und = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(F.least("a.l_partkey", "b.l_partkey").alias("u"),
-                F.greatest("a.l_partkey", "b.l_partkey").alias("v"))
-        .distinct()
-    )
-    return triangle_stats(und)
+    return triangle_stats(_copurchase_und(spark, sf_dir))
 
 
 @register(
@@ -240,13 +268,7 @@ def copurchase_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KCORE_K = 100
 _KCORE_ROUNDS = 3
 
-_KCORE_ADJ = """
-    und AS (
-      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
-                      greatest(a.l_partkey, b.l_partkey) AS v
-      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-      WHERE a.l_partkey <> b.l_partkey
-    ),
+_KCORE_ADJ = _UND_SQL + """,
     adj AS (SELECT u AS s, v AS t FROM und
             UNION ALL SELECT v, u FROM und)
 """
@@ -295,22 +317,7 @@ _KCORE_ADJ = """
     tags=("graph", "iterative", "kcore"),
 )
 def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    und = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(F.least("a.l_partkey", "b.l_partkey").alias("u"),
-                F.greatest("a.l_partkey", "b.l_partkey").alias("v"))
-        .distinct()
-    )
-    adj = (und.select(F.col("u").alias("s"), F.col("v").alias("t"))
-           .unionAll(und.select(F.col("v").alias("s"),
-                                F.col("u").alias("t"))))
-    # the adjacency feeds every round twice; checkpoint it once so
-    # the expensive distinct-edge build is not re-derived per round
-    adj = adj.localCheckpoint(eager=False)
+    adj = _copurchase_adj(spark, sf_dir)
 
     alive = adj.select(F.col("s").alias("node")).distinct()
     counts = [alive.agg(F.count(F.lit(1)).alias("n_alive"))
@@ -384,20 +391,7 @@ def lpa_communities_copurchase(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    und = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(F.least("a.l_partkey", "b.l_partkey").alias("u"),
-                F.greatest("a.l_partkey", "b.l_partkey").alias("v"))
-        .distinct()
-    )
-    adj = (und.select(F.col("u").alias("s"), F.col("v").alias("t"))
-           .unionAll(und.select(F.col("v").alias("s"),
-                                F.col("u").alias("t"))))
-    adj = adj.localCheckpoint(eager=False)  # feeds every round
+    adj = _copurchase_adj(spark, sf_dir)
 
     labels = adj.select(F.col("s").alias("node")).distinct() \
         .select("node", F.col("node").alias("label"))

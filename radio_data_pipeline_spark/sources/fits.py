@@ -169,12 +169,16 @@ def _req(cards: dict, key: str):
 
 def _req_int(cards: dict, key: str) -> int:
     """Required integer card; non-numeric corruption -> FitsFormatError
-    (int('!  0') was escaping as ValueError before the fuzz)."""
-    try:
-        return int(_req(cards, key))
-    except (TypeError, ValueError):
+    (int('!  0') was escaping as ValueError before the fuzz). The
+    value must BE an integer, not merely coerce to one: a corrupted
+    NAXIS2 of '5.9' would int() to 5 and silently DROP a table row
+    (round-4 review repro), so any float/bool/string here is
+    structural corruption."""
+    v = _req(cards, key)
+    if isinstance(v, bool) or not isinstance(v, int):
         raise FitsFormatError(
-            f"card {key} is not an integer: {cards.get(key)!r}") from None
+            f"card {key} is not an integer: {v!r}")
+    return v
 
 
 def _table_dtype(cards: dict) -> tuple[np.dtype, list[tuple[str, str, int]]]:
@@ -279,7 +283,7 @@ def parse_sdfits_headers_only(buf: bytes) -> tuple[dict, list[str]]:
     Still verifies END cards and the row-width/TFORM consistency."""
     primary, history, ext, _pos = _parse_headers(buf)
     dt, _meta = _table_dtype(ext)
-    if dt.itemsize != int(ext["NAXIS1"]):
+    if dt.itemsize != _req_int(ext, "NAXIS1"):
         raise FitsFormatError("row width mismatch in extension header")
     return primary, history
 

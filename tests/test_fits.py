@@ -522,3 +522,31 @@ def test_parser_fails_cleanly_on_arbitrary_corruption():
         # any OTHER exception type propagates and fails the test
 
     run()
+
+
+def test_float_valued_integer_card_is_structural_corruption():
+    """A corrupted NAXIS2 of '5.9' must raise FitsFormatError — int()
+    coercion would silently DROP a table row (round-4 review repro:
+    a 6-row table parsed 'successfully' with 5 rows)."""
+    import numpy as np
+    import pandas as pd
+
+    from radio_data_pipeline_spark.sources.fits import (
+        FitsFormatError,
+        parse_sdfits,
+        write_sdfits,
+    )
+
+    buf = write_sdfits(pd.DataFrame({
+        "row_idx": np.arange(6, dtype=np.int64),
+        "TSYS": np.linspace(29.0, 31.0, 6),
+    }))
+    # find the extension's NAXIS2 card and corrupt its value to 5.9
+    idx = buf.rindex(b"NAXIS2  ")
+    card = bytearray(buf[idx:idx + 80])
+    val = card.decode("ascii")
+    assert "6" in val
+    newcard = ("NAXIS2  = " + "5.9".rjust(20)).ljust(80).encode("ascii")
+    corrupted = buf[:idx] + newcard + buf[idx + 80:]
+    with pytest.raises(FitsFormatError):
+        parse_sdfits(corrupted)
