@@ -258,3 +258,69 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
               .alias("entropy"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "events_constraint_report",
+    oracle="""
+    WITH m AS (
+      SELECT
+        avg(CASE WHEN event_id IS NOT NULL THEN 1.0 ELSE 0.0 END)
+          AS m_notnull,
+        CAST(count(DISTINCT event_id) AS DOUBLE) / count(*) AS m_unique,
+        coalesce(avg(CASE WHEN value IS NOT NULL THEN
+          CASE WHEN value >= 0 AND value <= 1000000 THEN 1.0
+               ELSE 0.0 END END), 1.0) AS m_range,
+        coalesce(avg(CASE WHEN event_type IS NOT NULL THEN
+          CASE WHEN event_type IN ('click','view','purchase',
+                                   'scroll','signup')
+               THEN 1.0 ELSE 0.0 END END), 1.0) AS m_set,
+        least(CAST(count(*) AS DOUBLE) / 100.0, 1.0) AS m_rows
+      FROM events
+    )
+    SELECT rule, round(metric, 6) AS metric, threshold,
+           round(metric, 6) >= threshold AS passed
+    FROM (
+      SELECT 'not_null(event_id)' AS rule, m_notnull AS metric,
+             1.0 AS threshold FROM m
+      UNION ALL SELECT 'unique(event_id)', m_unique, 1.0 FROM m
+      UNION ALL SELECT 'in_range(value,0.0,1000000.0)', m_range,
+             0.95 FROM m
+      UNION ALL SELECT 'in_set(event_type)', m_set, 1.0 FROM m
+      UNION ALL SELECT 'min_rows(100)', m_rows, 1.0 FROM m
+    )
+    ORDER BY rule
+    """,
+    doc="Declarative data-quality gate (functions/constraints.py — "
+        "the Deequ/Great-Expectations role, generalizing the "
+        "reference's per-column physicality checks validate.py:"
+        "104-127 into a reusable rule engine): five rules — "
+        "completeness, uniqueness, range, domain membership, volume "
+        "floor — ALL compiled into ONE aggregation pass over the "
+        "scan, so a 50-rule suite on a 100 TB ingest costs one "
+        "count()-shaped job (the distinct rule plans through the "
+        "same Aggregate via expand). The report rows are assembled "
+        "executor-side from the single aggregate row (inline array "
+        "-> explode); the driver never touches data. Oracle computes "
+        "the identical five metrics in one SQL aggregate.",
+    tags=("quality", "validation", "constraints", "agg"),
+)
+def events_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.functions.constraints import (
+        evaluate_constraints,
+        in_range,
+        in_set,
+        min_rows,
+        not_null,
+        unique,
+    )
+    ev = load_table(spark, sf_dir, "events")
+    report = evaluate_constraints(ev, [
+        not_null("event_id"),
+        unique("event_id"),
+        in_range("value", 0.0, 1000000.0, threshold=0.95),
+        in_set("event_type",
+               ["click", "view", "purchase", "scroll", "signup"]),
+        min_rows(100),
+    ])
+    return report.orderBy("rule")

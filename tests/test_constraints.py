@@ -1,0 +1,70 @@
+"""Constraint-engine unit tests: exact metrics on a crafted frame and
+the one-pass plan property (every rule aggregates over ONE scan)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from radio_data_pipeline_spark.functions.constraints import (
+    evaluate_constraints,
+    in_range,
+    in_set,
+    matches,
+    min_rows,
+    not_null,
+    unique,
+)
+
+
+def _frame(spark):
+    return spark.createDataFrame(
+        [(1, 10.0, "a", "x1"),
+         (2, -5.0, "b", "x2"),
+         (2, None, "c", "zz"),   # dup id, NULL value, bad code
+         (4, 50.0, None, "x4")],  # NULL cat
+        "id long, v double, cat string, code string")
+
+
+def test_metrics_exact(spark):
+    rows = {r["rule"]: r for r in evaluate_constraints(_frame(spark), [
+        not_null("v"),                       # 3/4
+        unique("id"),                        # 3 distinct / 4
+        in_range("v", 0.0, 100.0),           # 2 of 3 non-null
+        in_set("cat", ["a", "b"]),           # 2 of 3 non-null
+        matches("code", "^x"),               # 3 of 4 non-null
+        min_rows(2),                         # 4/2 capped at 1.0
+        min_rows(8),                         # 4/8 = 0.5 -> fails
+    ]).collect()}
+    assert rows["not_null(v)"]["metric"] == 0.75
+    assert rows["unique(id)"]["metric"] == 0.75
+    assert abs(rows["in_range(v,0.0,100.0)"]["metric"] - 2 / 3) < 1e-6
+    assert abs(rows["in_set(cat)"]["metric"] - 2 / 3) < 1e-6
+    assert rows["matches(code)"]["metric"] == 0.75
+    assert rows["min_rows(2)"]["metric"] == 1.0
+    assert rows["min_rows(2)"]["passed"] is True
+    assert rows["min_rows(8)"]["metric"] == 0.5
+    assert rows["min_rows(8)"]["passed"] is False
+
+
+def test_all_rules_share_one_scan(spark):
+    """The 100 TB contract: N rules != N jobs. Every rule's aggregate
+    must ride ONE scan of the input — the optimized plan contains
+    exactly one scan node even with a distinct-based rule mixed in."""
+    report = evaluate_constraints(_frame(spark), [
+        not_null("v"), unique("id"), in_range("v", 0, 100),
+        min_rows(2)])
+    plan = report._jdf.queryExecution().optimizedPlan().toString()
+    scans = (plan.count("LogicalRDD") + plan.count("LocalRelation")
+             + plan.count("Relation ["))
+    assert scans == 1, plan
+    assert plan.count("Aggregate") == 1, plan
+
+
+def test_empty_input(spark):
+    df = _frame(spark).limit(0)
+    rows = {r["rule"]: r for r in evaluate_constraints(df, [
+        not_null("v"), in_range("v", 0, 1), min_rows(1)]).collect()}
+    # avg over zero rows is NULL -> not_null metric NULL -> fails
+    assert rows["min_rows(1)"]["metric"] == 0.0
+    assert rows["min_rows(1)"]["passed"] is False
+    assert rows["in_range(v,0,1)"]["metric"] == 1.0  # vacuous
