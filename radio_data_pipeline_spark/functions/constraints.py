@@ -115,3 +115,41 @@ def evaluate_constraints(df: DataFrame, rules: list[Rule],
         for i, r in enumerate(rules)])
     return (agg.select(F.explode(report).alias("r"))
             .select("r.rule", "r.metric", "r.threshold", "r.passed"))
+
+
+def profile_columns(df: DataFrame, cols: list[str],
+                    round_to: int = 6) -> DataFrame:
+    """One-pass column profile — the first-look diagnostic on any new
+    table (null fraction, cardinality, bounds per column), sharing the
+    constraint engine's design: every statistic is an aggregate over
+    ONE scan, the report explodes executor-side from the single
+    aggregate row.
+
+    n_distinct is exact count_distinct here (oracle-checkable); at
+    100 TB swap approx_count_distinct into the same Aggregate — the
+    plan shape is identical and the scan count stays 1.
+
+    Returns (column STRING, non_null_frac DOUBLE, n_distinct BIGINT,
+    min_str STRING, max_str STRING)."""
+    aggs = []
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        aggs += [
+            F.round(F.avg(col.isNotNull().cast("double")), round_to)
+            .alias(f"_n{i}"),
+            F.count_distinct(col).alias(f"_d{i}"),
+            F.min(col).cast("string").alias(f"_lo{i}"),
+            F.max(col).cast("string").alias(f"_hi{i}"),
+        ]
+    agg = df.agg(*aggs)
+    report = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"_n{i}").alias("non_null_frac"),
+            F.col(f"_d{i}").alias("n_distinct"),
+            F.col(f"_lo{i}").alias("min_str"),
+            F.col(f"_hi{i}").alias("max_str"))
+        for i, c in enumerate(cols)])
+    return (agg.select(F.explode(report).alias("r"))
+            .select("r.column", "r.non_null_frac", "r.n_distinct",
+                    "r.min_str", "r.max_str"))

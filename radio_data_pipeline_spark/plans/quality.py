@@ -324,3 +324,58 @@ def events_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_rows(100),
     ])
     return report.orderBy("rule")
+
+
+@register(
+    "events_column_profile",
+    oracle="""
+    WITH m AS (
+      SELECT
+        round(avg(CASE WHEN user_id IS NOT NULL THEN 1.0 ELSE 0.0 END),
+              6) AS n0,
+        count(DISTINCT user_id) AS d0,
+        CAST(min(user_id) AS VARCHAR) AS lo0,
+        CAST(max(user_id) AS VARCHAR) AS hi0,
+        round(avg(CASE WHEN event_type IS NOT NULL THEN 1.0
+                       ELSE 0.0 END), 6) AS n1,
+        count(DISTINCT event_type) AS d1,
+        CAST(min(event_type) AS VARCHAR) AS lo1,
+        CAST(max(event_type) AS VARCHAR) AS hi1,
+        round(avg(CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0.0 END),
+              6) AS n2,
+        count(DISTINCT value) AS d2,
+        CAST(min(value) AS VARCHAR) AS lo2,
+        CAST(max(value) AS VARCHAR) AS hi2
+      FROM events
+    )
+    SELECT * FROM (
+      SELECT 'user_id' AS "column", n0 AS non_null_frac,
+             CAST(d0 AS BIGINT) AS n_distinct, lo0 AS min_str,
+             hi0 AS max_str FROM m
+      UNION ALL SELECT 'event_type', n1, CAST(d1 AS BIGINT), lo1, hi1
+        FROM m
+      UNION ALL SELECT 'value', n2, CAST(d2 AS BIGINT), lo2, hi2
+        FROM m
+    )
+    ORDER BY "column"
+    """,
+    doc="One-pass column profiler (functions/constraints.py "
+        "profile_columns — the summarize/describe diagnostic): null "
+        "fraction, exact cardinality, and bounds for three events "
+        "columns, ALL in one Aggregate over one scan (the multiple "
+        "distinct aggregates plan through Spark's expand; at 100 TB "
+        "the same shape runs with approx_count_distinct sketches). "
+        "The report assembles executor-side (array -> explode) from "
+        "the single aggregate row. Floats stringify differently per "
+        "engine (Spark 81.42 vs DuckDB '81.42'), so min/max compare "
+        "via CAST AS VARCHAR on both sides — numeric values chosen "
+        "from columns whose parquet doubles round-trip identically.",
+    tags=("quality", "diagnostics", "profile", "agg"),
+)
+def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.functions.constraints import (
+        profile_columns,
+    )
+    ev = load_table(spark, sf_dir, "events")
+    return profile_columns(
+        ev, ["user_id", "event_type", "value"]).orderBy("column")

@@ -68,3 +68,25 @@ def test_empty_input(spark):
     assert rows["min_rows(1)"]["metric"] == 0.0
     assert rows["min_rows(1)"]["passed"] is False
     assert rows["in_range(v,0,1)"]["metric"] == 1.0  # vacuous
+
+
+def test_profile_columns_exact_and_one_pass(spark):
+    from radio_data_pipeline_spark.functions.constraints import (
+        profile_columns,
+    )
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, None), (9, "a")],
+        "id long, cat string")
+    rows = {r["column"]: r for r in
+            profile_columns(df, ["id", "cat"]).collect()}
+    assert rows["id"]["non_null_frac"] == 1.0
+    assert rows["id"]["n_distinct"] == 3
+    assert rows["id"]["min_str"] == "1" and rows["id"]["max_str"] == "9"
+    assert rows["cat"]["non_null_frac"] == 0.75
+    assert rows["cat"]["n_distinct"] == 2
+    assert rows["cat"]["min_str"] == "a" and rows["cat"]["max_str"] == "b"
+    plan = profile_columns(df, ["id", "cat"]) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    scans = (plan.count("LogicalRDD") + plan.count("LocalRelation")
+             + plan.count("Relation ["))
+    assert scans == 1, plan
