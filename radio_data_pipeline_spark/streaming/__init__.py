@@ -10,6 +10,8 @@ from radio_data_pipeline_spark.streaming.events import (
     run_available_now,
     session_event_counts,
     sliding_user_activity,
+    stream_to_training_shards,
+    stream_with_constraint_gate,
     tumbling_event_counts,
     view_purchase_pairs,
 )
@@ -27,6 +29,8 @@ __all__ = [
     "run_available_now",
     "session_event_counts",
     "sliding_user_activity",
+    "stream_to_training_shards",
+    "stream_with_constraint_gate",
     "tumbling_event_counts",
     "view_purchase_pairs",
 ]

@@ -228,3 +228,53 @@ def stream_to_training_shards(stream_df: DataFrame, path: str,
             .queryName(query_name).trigger(availableNow=True)
             .option("checkpointLocation", checkpoint)
             .start())
+
+
+def stream_with_constraint_gate(stream_df: DataFrame, rules,
+                                good_path: str, quarantine_path: str,
+                                checkpoint: str,
+                                query_name: str = "constraint_gate"):
+    """Streaming ingest through the declarative quality gate
+    (functions/constraints.py): every micro-batch is evaluated
+    against `rules` in ONE aggregation pass; a batch where every rule
+    passes lands under ``good_path``, a failing batch lands — whole,
+    with its constraint report as JSON — under ``quarantine_path``
+    (the dead-letter pattern: bad ingest is never silently admitted
+    NOR silently dropped; an operator replays the quarantine after
+    fixing the producer).
+
+    Batch-granular by design: constraint metrics (uniqueness, volume
+    floors, null fractions) are properties of a BATCH, not a row —
+    row-level routing belongs to plain filters upstream. Exactly-once
+    via the same per-batch overwrite layout as
+    stream_to_training_shards (each batch owns batch=<id>/ under its
+    verdict directory; re-execution after a crash replaces its own
+    partial output).
+    """
+    import json as _json
+
+    from ..functions.constraints import evaluate_constraints
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        report = evaluate_constraints(batch_df, rules).collect()
+        ok = all(r["passed"] for r in report)
+        dest = good_path if ok else quarantine_path
+        (batch_df.write.mode("overwrite")
+         .parquet(f"{dest}/batch={batch_id}"))
+        if not ok:
+            # report travels WITH the quarantined data, executor-free
+            # (a few rows of metrics; the driver already holds them)
+            payload = _json.dumps([{
+                "rule": r["rule"], "metric": r["metric"],
+                "threshold": r["threshold"], "passed": r["passed"],
+            } for r in report])
+            spark = batch_df.sparkSession
+            (spark.createDataFrame([(batch_id, payload)],
+                                   "batch_id long, report string")
+             .write.mode("overwrite")
+             .json(f"{quarantine_path}/batch={batch_id}_report"))
+
+    return (stream_df.writeStream.foreachBatch(write_batch)
+            .queryName(query_name).trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint)
+            .start())

@@ -299,3 +299,58 @@ def test_training_shards_exactly_once_after_midwrite_crash(spark, tmp_path):
     bad = result.withColumn("expect", shard_id("doc_id", 4)) \
         .filter(F.col("shard") != F.col("expect")).count()
     assert bad == 0
+
+
+def test_constraint_gate_routes_bad_batches_to_quarantine(spark, tmp_path):
+    """The streaming quality gate (streaming/events.py): a clean batch
+    lands in good/, a rule-violating batch lands WHOLE in quarantine/
+    with its constraint report alongside — never admitted, never
+    silently dropped."""
+    from radio_data_pipeline_spark.functions.constraints import (
+        in_range,
+        not_null,
+        unique,
+    )
+    from radio_data_pipeline_spark.streaming.events import (
+        stream_with_constraint_gate,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    good = str(tmp_path / "good")
+    quar = str(tmp_path / "quarantine")
+    cp = str(tmp_path / "cp")
+    schema = "doc_id long, score double"
+    rules = [not_null("score"), unique("doc_id"),
+             in_range("score", 0.0, 1.0)]
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.read.parquet(str(src / "*")).schema
+        ).parquet(str(src / "*"))
+        q = stream_with_constraint_gate(stream, rules, good, quar, cp)
+        q.awaitTermination()
+
+    # batch 0: clean
+    spark.createDataFrame(
+        [(i, i / 100.0) for i in range(50)], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    run()
+    assert spark.read.parquet(good).count() == 50
+    import os
+    assert not os.path.exists(quar)
+
+    # batch 1: duplicate ids + out-of-range score -> quarantined whole
+    spark.createDataFrame(
+        [(1, 0.5), (1, 0.5), (2, 7.0)], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+    run()
+    assert spark.read.parquet(good).count() == 50  # nothing admitted
+    quarantined = spark.read.parquet(f"{quar}/batch=1")
+    assert quarantined.count() == 3
+    report = spark.read.json(f"{quar}/batch=1_report").collect()[0]
+    import json
+    rows = {r["rule"]: r for r in json.loads(report["report"])}
+    assert rows["unique(doc_id)"]["passed"] is False
+    assert rows["in_range(score,0.0,1.0)"]["passed"] is False
+    assert rows["not_null(score)"]["passed"] is True
