@@ -51,8 +51,9 @@ def main() -> None:
         src = f"{work}/src"
         ev = load_table(spark, SF_DIR, "events")
         ev.write.parquet(src)
-        n_rows = spark.read.parquet(src).count()
-        schema = spark.read.parquet(src).schema
+        materialized = spark.read.parquet(src)
+        n_rows = materialized.count()
+        schema = materialized.schema
 
         def stream():
             return spark.readStream.schema(schema).parquet(src)

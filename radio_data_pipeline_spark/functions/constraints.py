@@ -67,21 +67,24 @@ def in_range(col: str, lo: float, hi: float,
 
 
 def in_set(col: str, values: list, threshold: float = 1.0) -> Rule:
-    """Fraction of non-NULL values in the allowed set."""
+    """Fraction of non-NULL values in the allowed set. The rule name
+    embeds the values (like in_range embeds its bounds) so two
+    in_set rules on one column never collide in the report."""
     c = F.col(col)
     ok = c.isin(values).cast("double")
     return Rule(
-        f"in_set({col})",
+        f"in_set({col},[{','.join(str(v) for v in values)}])",
         F.coalesce(F.avg(F.when(c.isNotNull(), ok)), F.lit(1.0)),
         threshold)
 
 
 def matches(col: str, pattern: str, threshold: float = 1.0) -> Rule:
-    """Fraction of non-NULL values matching the regex."""
+    """Fraction of non-NULL values matching the regex; the pattern is
+    part of the rule name (report-key uniqueness)."""
     c = F.col(col)
     ok = c.rlike(pattern).cast("double")
     return Rule(
-        f"matches({col})",
+        f"matches({col},{pattern})",
         F.coalesce(F.avg(F.when(c.isNotNull(), ok)), F.lit(1.0)),
         threshold)
 
@@ -101,17 +104,26 @@ def evaluate_constraints(df: DataFrame, rules: list[Rule],
     """Evaluate every rule in ONE aggregation pass.
 
     Returns (rule STRING, metric DOUBLE, threshold DOUBLE,
-    passed BOOLEAN), one row per rule, in rule order."""
+    passed BOOLEAN), one row per rule, in rule order.
+
+    pass/fail compares the UNROUNDED metric — rounding first would
+    mask violations smaller than half an ulp of the display
+    precision (verified: one NULL in 2M rows rounds to metric 1.0
+    and would sail through a threshold=1.0 completeness gate; round-4
+    review catch). `metric` in the report is rounded for display
+    only. A NULL metric (empty input, all-NULL column) FAILS:
+    passed coalesces to False, never NULL."""
     agg = df.agg(*[
-        F.round(r.metric.cast("double"), round_to).alias(f"_m{i}")
+        r.metric.cast("double").alias(f"_m{i}")
         for i, r in enumerate(rules)])
     report = F.array(*[
         F.struct(
             F.lit(r.name).alias("rule"),
-            F.col(f"_m{i}").alias("metric"),
+            F.round(F.col(f"_m{i}"), round_to).alias("metric"),
             F.lit(float(r.threshold)).alias("threshold"),
-            (F.col(f"_m{i}") >= F.lit(float(r.threshold)))
-            .alias("passed"))
+            F.coalesce(
+                F.col(f"_m{i}") >= F.lit(float(r.threshold)),
+                F.lit(False)).alias("passed"))
         for i, r in enumerate(rules)])
     return (agg.select(F.explode(report).alias("r"))
             .select("r.rule", "r.metric", "r.threshold", "r.passed"))

@@ -256,23 +256,44 @@ def stream_with_constraint_gate(stream_df: DataFrame, rules,
     from ..functions.constraints import evaluate_constraints
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        report = evaluate_constraints(batch_df, rules).collect()
-        ok = all(r["passed"] for r in report)
-        dest = good_path if ok else quarantine_path
-        (batch_df.write.mode("overwrite")
-         .parquet(f"{dest}/batch={batch_id}"))
-        if not ok:
-            # report travels WITH the quarantined data, executor-free
-            # (a few rows of metrics; the driver already holds them)
-            payload = _json.dumps([{
-                "rule": r["rule"], "metric": r["metric"],
-                "threshold": r["threshold"], "passed": r["passed"],
-            } for r in report])
-            spark = batch_df.sparkSession
-            (spark.createDataFrame([(batch_id, payload)],
-                                   "batch_id long, report string")
-             .write.mode("overwrite")
-             .json(f"{quarantine_path}/batch={batch_id}_report"))
+        # the batch feeds TWO actions (constraint aggregate + write);
+        # without a persist each action re-reads the source files —
+        # 2x I/O per batch, forever (round-4 review catch)
+        batch_df.persist()
+        try:
+            report = evaluate_constraints(batch_df, rules).collect()
+            ok = all(r["passed"] for r in report)
+            dest = good_path if ok else quarantine_path
+            other = quarantine_path if ok else good_path
+            # a crash AFTER the write but BEFORE the checkpoint commit
+            # re-executes this batch; if the rule set changed across
+            # the restart the verdict can FLIP, so drop any copy the
+            # failed attempt left under the other verdict directory —
+            # otherwise the batch exists in both good/ and quarantine/
+            # and a quarantine replay ingests it twice
+            import shutil as _shutil
+            _shutil.rmtree(f"{other}/batch={batch_id}",
+                           ignore_errors=True)
+            _shutil.rmtree(f"{quarantine_path}/_reports/"
+                           f"batch={batch_id}", ignore_errors=True)
+            (batch_df.write.mode("overwrite")
+             .parquet(f"{dest}/batch={batch_id}"))
+            if not ok:
+                # report travels with the quarantined data under an
+                # underscore-prefixed dir, which Spark's file index
+                # IGNORES — so spark.read.parquet(quarantine_path)
+                # (the operator replay) still reads cleanly
+                payload = _json.dumps([{
+                    "rule": r["rule"], "metric": r["metric"],
+                    "threshold": r["threshold"], "passed": r["passed"],
+                } for r in report])
+                spark = batch_df.sparkSession
+                (spark.createDataFrame([(batch_id, payload)],
+                                       "batch_id long, report string")
+                 .write.mode("overwrite")
+                 .json(f"{quarantine_path}/_reports/batch={batch_id}"))
+        finally:
+            batch_df.unpersist()
 
     return (stream_df.writeStream.foreachBatch(write_batch)
             .queryName(query_name).trigger(availableNow=True)

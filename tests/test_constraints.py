@@ -38,8 +38,8 @@ def test_metrics_exact(spark):
     assert rows["not_null(v)"]["metric"] == 0.75
     assert rows["unique(id)"]["metric"] == 0.75
     assert abs(rows["in_range(v,0.0,100.0)"]["metric"] - 2 / 3) < 1e-6
-    assert abs(rows["in_set(cat)"]["metric"] - 2 / 3) < 1e-6
-    assert rows["matches(code)"]["metric"] == 0.75
+    assert abs(rows["in_set(cat,[a,b])"]["metric"] - 2 / 3) < 1e-6
+    assert rows["matches(code,^x)"]["metric"] == 0.75
     assert rows["min_rows(2)"]["metric"] == 1.0
     assert rows["min_rows(2)"]["passed"] is True
     assert rows["min_rows(8)"]["metric"] == 0.5
@@ -64,7 +64,9 @@ def test_empty_input(spark):
     df = _frame(spark).limit(0)
     rows = {r["rule"]: r for r in evaluate_constraints(df, [
         not_null("v"), in_range("v", 0, 1), min_rows(1)]).collect()}
-    # avg over zero rows is NULL -> not_null metric NULL -> fails
+    # avg over zero rows is NULL -> metric NULL -> passed must be
+    # False (coalesced), never None
+    assert rows["not_null(v)"]["passed"] is False
     assert rows["min_rows(1)"]["metric"] == 0.0
     assert rows["min_rows(1)"]["passed"] is False
     assert rows["in_range(v,0,1)"]["metric"] == 1.0  # vacuous
@@ -90,3 +92,17 @@ def test_profile_columns_exact_and_one_pass(spark):
     scans = (plan.count("LogicalRDD") + plan.count("LocalRelation")
              + plan.count("Relation ["))
     assert scans == 1, plan
+
+
+def test_threshold_compares_unrounded_metric(spark):
+    """One NULL in 2,000,001 rows: metric displays as 1.0 (6-decimal
+    rounding) but the gate must still FAIL a threshold=1.0
+    completeness rule — pass/fail compares the raw aggregate, not the
+    display value (round-4 review repro: rounding-first admitted the
+    violation)."""
+    df = spark.range(2_000_001).select(
+        F.when(F.col("id") == 0, None).otherwise(F.col("id"))
+        .alias("v"))
+    row = evaluate_constraints(df, [not_null("v")]).collect()[0]
+    assert row["metric"] == 1.0          # display rounds up
+    assert row["passed"] is False        # the gate does not

@@ -348,7 +348,11 @@ def test_constraint_gate_routes_bad_batches_to_quarantine(spark, tmp_path):
     assert spark.read.parquet(good).count() == 50  # nothing admitted
     quarantined = spark.read.parquet(f"{quar}/batch=1")
     assert quarantined.count() == 3
-    report = spark.read.json(f"{quar}/batch=1_report").collect()[0]
+    # the quarantine root must stay readable as ONE parquet dataset
+    # (the operator replay) even with the report present: reports live
+    # under an underscore dir Spark's file index ignores
+    assert spark.read.parquet(quar).count() == 3
+    report = spark.read.json(f"{quar}/_reports/batch=1").collect()[0]
     import json
     rows = {r["rule"]: r for r in json.loads(report["report"])}
     assert rows["unique(doc_id)"]["passed"] is False

@@ -83,8 +83,16 @@ def main() -> None:
         o_b, li_b = bucketed_join_ready(spark, "bb_orders", "bb_lineitem")
         bq5 = q5(li_b, o_b)
         plan = bq5._jdf.queryExecution().executedPlan().toString()
-        no_fact_exchange = \
+        no_fact_exchange = (
             "Exchange hashpartitioning(l_orderkey" not in plan
+            and "Exchange hashpartitioning(o_orderkey" not in plan)
+        if not no_fact_exchange:
+            # the measurement is meaningless if either fact side still
+            # shuffles — fail loudly instead of printing a "bucketed"
+            # number that includes an exchange
+            raise SystemExit(
+                "bucketed plan still contains a fact-side exchange:\n"
+                + plan[:2000])
         bucketed_best, bucketed_all = best(bq5)
     finally:
         spark.sql("DROP TABLE IF EXISTS bb_orders")
