@@ -163,11 +163,21 @@ def main() -> None:
     # off by default so recorded BENCH_r{N} artifacts keep charging
     # cold costs honestly at the driver's scale.
     if os.environ.get("SPARK_GRAFT_BENCH_PREWARM") == "1":
+        def _stream_file(path: str) -> None:
+            with open(path, "rb", buffering=1 << 22) as f:
+                while f.read(1 << 24):
+                    pass
+
         for entry in sorted(os.scandir(SF_DIR), key=lambda e: e.name):
-            if entry.name.endswith(".parquet"):
-                with open(entry.path, "rb", buffering=1 << 22) as f:
-                    while f.read(1 << 24):
-                        pass
+            if not entry.name.endswith(".parquet"):
+                continue
+            if entry.is_dir():  # Spark-written dataset directory
+                for sub in sorted(os.scandir(entry.path),
+                                  key=lambda e: e.name):
+                    if sub.is_file():
+                        _stream_file(sub.path)
+            else:
+                _stream_file(entry.path)
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}

@@ -279,7 +279,10 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT rule, round(metric, 6) AS metric, threshold,
-           round(metric, 6) >= threshold AS passed
+           -- pass/fail on the UNROUNDED metric, exactly like the
+           -- engine (rounding-first would bless sub-5e-7 violations);
+           -- coalesce mirrors the engine's NULL-metric-fails rule
+           coalesce(metric >= threshold, FALSE) AS passed
     FROM (
       SELECT 'not_null(event_id)' AS rule, m_notnull AS metric,
              1.0 AS threshold FROM m

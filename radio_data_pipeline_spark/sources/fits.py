@@ -186,8 +186,14 @@ def _table_dtype(cards: dict) -> tuple[np.dtype, list[tuple[str, str, int]]]:
     if not 0 < tfields <= 999:  # FITS limit; also bounds corrupt blowup
         raise FitsFormatError(f"implausible TFIELDS {tfields}")
     meta = []
+    seen: set[str] = set()
     for i in range(1, tfields + 1):
         name = str(_req(cards, f"TTYPE{i}")).strip()
+        if name in seen:
+            # np.dtype would raise a raw ValueError ('field occurs
+            # more than once') — keep the structured-rejection contract
+            raise FitsFormatError(f"duplicate column name {name!r}")
+        seen.add(name)
         code, rep, _ = _tform_dtype(str(_req(cards, f"TFORM{i}")))
         meta.append((name, code, rep))
     spec = []
@@ -264,7 +270,15 @@ def _parse_headers(buf: bytes) -> tuple[dict, list[str], dict, int]:
     if naxis:
         size = abs(_req_int(primary, "BITPIX")) // 8
         for i in range(1, naxis + 1):
-            size *= _req_int(primary, f"NAXIS{i}")
+            dim = _req_int(primary, f"NAXIS{i}")
+            if dim < 0:
+                # a negative dim makes the computed data-unit size
+                # negative and walks `pos` BACKWARD into the already-
+                # parsed header (same corrupt-input loop class as the
+                # BINTABLE/Y4M guards)
+                raise FitsFormatError(
+                    f"negative primary NAXIS{i} {dim}")
+            size *= dim
         pos += math.ceil(size / BLOCK) * BLOCK
     ext, ext_hist, pos = parse_header(buf, pos)
     return primary, history + ext_hist, ext, pos

@@ -230,6 +230,19 @@ def stream_to_training_shards(stream_df: DataFrame, path: str,
             .start())
 
 
+def _hadoop_rm(spark, path: str) -> None:
+    """Recursive delete through Hadoop's FileSystem — correct for any
+    scheme the DataFrame writer accepts (local, file:/, hdfs://,
+    s3a://), unlike a local shutil.rmtree. Missing paths are a
+    no-op."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jpath.getFileSystem(conf)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+
+
 def stream_with_constraint_gate(stream_df: DataFrame, rules,
                                 good_path: str, quarantine_path: str,
                                 checkpoint: str,
@@ -270,12 +283,15 @@ def stream_with_constraint_gate(stream_df: DataFrame, rules,
             # the restart the verdict can FLIP, so drop any copy the
             # failed attempt left under the other verdict directory —
             # otherwise the batch exists in both good/ and quarantine/
-            # and a quarantine replay ingests it twice
-            import shutil as _shutil
-            _shutil.rmtree(f"{other}/batch={batch_id}",
-                           ignore_errors=True)
-            _shutil.rmtree(f"{quarantine_path}/_reports/"
-                           f"batch={batch_id}", ignore_errors=True)
+            # and a quarantine replay ingests it twice. Deletion goes
+            # through the Hadoop FileSystem API so file:/, hdfs://,
+            # s3a:// paths — everything the writer itself accepts —
+            # are cleaned too (a local shutil.rmtree silently no-ops
+            # on URIs, defeating the protection; round-4 review catch)
+            spark = batch_df.sparkSession
+            _hadoop_rm(spark, f"{other}/batch={batch_id}")
+            _hadoop_rm(spark,
+                       f"{quarantine_path}/_reports/batch={batch_id}")
             (batch_df.write.mode("overwrite")
              .parquet(f"{dest}/batch={batch_id}"))
             if not ok:
@@ -287,7 +303,6 @@ def stream_with_constraint_gate(stream_df: DataFrame, rules,
                     "rule": r["rule"], "metric": r["metric"],
                     "threshold": r["threshold"], "passed": r["passed"],
                 } for r in report])
-                spark = batch_df.sparkSession
                 (spark.createDataFrame([(batch_id, payload)],
                                        "batch_id long, report string")
                  .write.mode("overwrite")
