@@ -870,3 +870,170 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_dist2", "vec_id")
         .limit(_PQ_TOPK)
     )
+
+
+_NEG_K = 4
+_ANCHOR_MOD = 10  # deterministic anchor subset: vec_id % 10 == 0
+
+_COS_SQL = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+            " * sqrt(list_dot_product({b}, {b})))")
+
+
+@register(
+    "negative_samples_per_anchor",
+    oracle=f"""
+    WITH idx AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             row_number() OVER (ORDER BY vec_id) - 1 AS pos
+      FROM embeddings
+    ),
+    n AS (SELECT count(*) AS n FROM idx),
+    anchors AS (SELECT * FROM idx WHERE vec_id % {_ANCHOR_MOD} = 0),
+    draws AS (
+      SELECT a.vec_id, a.v, j.j,
+             (('0x' || substr(md5(CAST(a.vec_id AS VARCHAR) || '#'
+                                  || CAST(j.j AS VARCHAR)), 1, 8))
+              ::BIGINT) % (SELECT n FROM n) AS neg_pos
+      FROM anchors a
+      CROSS JOIN (SELECT unnest(range(0, {_NEG_K})) AS j) j
+    )
+    SELECT d.vec_id, CAST(d.j AS INT) AS j, i.vec_id AS neg_id,
+           round({_COS_SQL.format(a="d.v", b="i.v")}, 6) AS cosine
+    FROM draws d JOIN idx i ON i.pos = d.neg_pos
+    WHERE i.vec_id <> d.vec_id
+    ORDER BY d.vec_id, j
+    """,
+    doc=f"Deterministic uniform negative sampling for contrastive "
+        f"training: each anchor (vec_id % {_ANCHOR_MOD} == 0 — the "
+        f"mini-batch subset) draws K={_NEG_K} pseudo-random partners "
+        "via md5(anchor#j) mod N mapped through a dense row_number "
+        "index, so the draw is reproducible on ANY engine and ANY "
+        "id layout (ids need not be contiguous — the index map costs "
+        "one window over N rows; self-collisions drop, yielding <= K "
+        "per anchor deterministically). The negatives join is an "
+        "equi hash join on the drawn position; cosine is computed "
+        "for each sampled pair (the training signal). At 100 TB: "
+        "the index map is the only global ordering, built once and "
+        "reused across epochs; draws are map-only.",
+    tags=("similarity", "sampling", "contrastive", "embedding"),
+)
+def negative_samples_per_anchor(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from radio_data_pipeline_spark.sources.layout import md5_prefix_long
+
+    emb = _emb_fanned(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    idx = emb.select(
+        "vec_id", v.alias("v"),
+        (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("pos"))
+    n = idx.agg(F.count(F.lit(1)).alias("n"))
+    anchors = idx.filter(F.col("vec_id") % _ANCHOR_MOD == 0)
+    js = spark.range(_NEG_K).select(F.col("id").alias("j"))
+    draws = (
+        anchors.crossJoin(F.broadcast(js))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "vec_id", "v", "j",
+            (md5_prefix_long(
+                F.concat_ws("#", F.col("vec_id"), F.col("j")))
+             % F.col("n")).alias("neg_pos"))
+    )
+    neg = idx.select(F.col("pos").alias("neg_pos"),
+                     F.col("vec_id").alias("neg_id"),
+                     F.col("v").alias("nv"))
+    return (
+        draws.join(neg, "neg_pos")
+        .filter(F.col("neg_id") != F.col("vec_id"))
+        .select("vec_id", F.col("j").cast("int").alias("j"), "neg_id",
+                F.round(cosine_similarity(F.col("v"), F.col("nv")), 6)
+                .alias("cosine"))
+        .orderBy("vec_id", "j")
+    )
+
+
+_HARDNEG_K = 3
+_HARDNEG_DUP_CEIL = 0.99  # candidates at/above this cosine are dups
+_HARDNEG_PLANES = 4
+
+
+def _hardneg_oracle() -> str:
+    planes = hyperplanes(64, _HARDNEG_PLANES, 7)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"{_plane_sql(list(p))}) > 0 THEN {1 << r} ELSE 0 END)"
+        for r, p in enumerate(planes))
+    cos = _COS_SQL.format(a="a.v", b="c.v")
+    return f"""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {bucket_terms} AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id, c.vec_id AS neg_id,
+             round({cos}, 6) AS cosine,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round({cos}, 6) DESC, c.vec_id) AS rn
+      FROM b a JOIN b c
+        ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+      WHERE a.vec_id % {_ANCHOR_MOD} = 0
+        AND round({cos}, 6) < {_HARDNEG_DUP_CEIL}
+    )
+    SELECT vec_id, CAST(rn AS INT) AS rank, neg_id, cosine
+    FROM scored WHERE rn <= {_HARDNEG_K}
+    ORDER BY vec_id, rank
+    """
+
+
+@register(
+    "hard_negatives_per_anchor",
+    oracle=_hardneg_oracle(),
+    doc=f"Hard-negative mining for contrastive training: for each "
+        f"anchor (vec_id % {_ANCHOR_MOD} == 0), the top-{_HARDNEG_K} "
+        f"most-similar NON-duplicate vectors (cosine < "
+        f"{_HARDNEG_DUP_CEIL} excludes near-dup positives) from the "
+        "anchor's LSH bucket — the candidates that teach an embedding "
+        "model the most, found WITHOUT an all-pairs scan: the bucket "
+        "equi-join bounds candidates exactly like near-dup detection, "
+        "then a per-anchor row_number keeps K (riding the bucket "
+        "join's partitioning, ordered on the ROUNDED cosine on both "
+        "engines so rank ties break identically). At 100 TB this is "
+        "the mining pass between training epochs: bucketed layout, "
+        "one shuffle, top-K per anchor, no global sort.",
+    tags=("similarity", "contrastive", "topk", "lsh"),
+)
+def hard_negatives_per_anchor(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from radio_data_pipeline_spark.functions.similarity import lsh_bucket
+
+    emb = _emb_fanned(spark, sf_dir)
+    planes = hyperplanes(64, _HARDNEG_PLANES, 7)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    b = emb.select("vec_id", v.alias("v"),
+                   lsh_bucket(F.col("embedding"), planes).alias("bucket"))
+    a = (b.filter(F.col("vec_id") % _ANCHOR_MOD == 0)
+         .select(F.col("vec_id"), F.col("v").alias("av"),
+                 F.col("bucket")))
+    c = b.select(F.col("vec_id").alias("neg_id"),
+                 F.col("v").alias("cv"), F.col("bucket"))
+    scored = (
+        a.join(c, "bucket")
+        .filter(F.col("vec_id") != F.col("neg_id"))
+        .select("vec_id", "neg_id",
+                F.round(cosine_similarity(F.col("av"), F.col("cv")), 6)
+                .alias("cosine"))
+        .filter(F.col("cosine") < _HARDNEG_DUP_CEIL)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"),
+                                             F.asc("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HARDNEG_K)
+        .select("vec_id", F.col("rank").cast("int"), "neg_id", "cosine")
+        .orderBy("vec_id", "rank")
+    )
