@@ -169,6 +169,79 @@ def near_dup_pairs_lsh(df: DataFrame, threshold: float = 0.4,
     )
 
 
+def hard_negative_mining(df: DataFrame, k: int = 3,
+                         dup_ceiling: float = 0.99,
+                         anchor_pred: Column | None = None,
+                         n_planes: int | None = None, seed: int = 7,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         dim: int | None = None,
+                         target_bucket_rows: int = 64) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (rows matching ``anchor_pred``; all rows when None), the top-k
+    most-similar NON-duplicate vectors (cosine < ``dup_ceiling``
+    excludes near-dup positives) from the anchor's LSH bucket — the
+    candidates that teach an embedding model the most, found WITHOUT
+    an all-pairs scan. Returns (vec_id, rank, neg_id, cosine); rank
+    orders by ROUNDED cosine desc then neg_id, so ties break
+    identically on any engine.
+
+    n_planes=None (the DEFAULT) derives the plane count from the
+    corpus size (auto_n_planes: buckets target ~target_bucket_rows
+    rows), exactly like near_dup_pairs_lsh — the 100 TB contract. A
+    static plane count means N/2^planes-row buckets and a quadratic
+    within-bucket join as the corpus grows; growing planes with
+    log2(N) keeps candidate pairs linear in N, so the mining pass
+    between training epochs stays one bucketed shuffle + a per-anchor
+    top-k riding the bucket join's partitioning (no global sort).
+    Pass an explicit n_planes when an oracle/baseline pins the
+    bucketing (registered query hard_negatives_per_anchor pins 4 to
+    match its DuckDB oracle).
+
+    Recall trade-off is the standard LSH one: a hard negative in a
+    different bucket is missed; raise recall with fewer planes or
+    multiple plane sets (at the cost of bucket size).
+    """
+    if n_planes is None:
+        n_planes = auto_n_planes(df.count(), target_bucket_rows)
+    if dim is None:
+        head = (df.select(vec_col)
+                .filter(F.col(vec_col).isNotNull()).first())
+        if head is None:
+            return (df.select(
+                F.col(id_col).alias("vec_id"),
+                F.lit(0).alias("rank"),
+                F.col(id_col).alias("neg_id"),
+                F.lit(0.0).alias("cosine")).limit(0))
+        dim = len(head[0])
+    from pyspark.sql import Window
+
+    planes = hyperplanes(dim, n_planes, seed)
+    v = _as_double(F.col(vec_col))
+    anchors_src = df.filter(anchor_pred) if anchor_pred is not None else df
+    a = anchors_src.select(
+        F.col(id_col).alias("vec_id"), v.alias("av"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+    c = df.select(F.col(id_col).alias("neg_id"), v.alias("cv"),
+                  lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+    scored = (
+        a.join(c, "bucket")
+        .filter(F.col("vec_id") != F.col("neg_id"))
+        .select("vec_id", "neg_id",
+                F.round(cosine_similarity(F.col("av"), F.col("cv")), 6)
+                .alias("cosine"))
+        .filter(F.col("cosine") < dup_ceiling)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"),
+                                             F.asc("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", F.col("rank").cast("int").alias("rank"),
+                "neg_id", "cosine")
+    )
+
+
 def ivf_centroids(dim: int, n_centroids: int = 8, seed: int = 11,
                   ) -> np.ndarray:
     """Deterministic unit-norm coarse-quantizer centroids. A production

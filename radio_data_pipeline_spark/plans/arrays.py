@@ -919,15 +919,16 @@ _COS_SQL = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
 )
 def negative_samples_per_anchor(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from radio_data_pipeline_spark.sources.layout import md5_prefix_long
+    from radio_data_pipeline_spark.sources.layout import (dense_index,
+                                                          md5_prefix_long)
 
     emb = _emb_fanned(spark, sf_dir)
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    idx = emb.select(
-        "vec_id", v.alias("v"),
-        (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("pos"))
+    # dense 0..N-1 position by vec_id via the two-pass partition-offset
+    # builder — same result as a global row_number window, but the sort
+    # parallelism is #buckets, not 1 (no Exchange SinglePartition over
+    # the embeddings table; see sources/layout.py dense_index).
+    idx = dense_index(emb.select("vec_id", v.alias("v")), "vec_id", "pos")
     n = idx.agg(F.count(F.lit(1)).alias("n"))
     anchors = idx.filter(F.col("vec_id") % _ANCHOR_MOD == 0)
     js = spark.range(_NEG_K).select(F.col("id").alias("j"))
@@ -1007,33 +1008,17 @@ def _hardneg_oracle() -> str:
 )
 def hard_negatives_per_anchor(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from radio_data_pipeline_spark.functions.similarity import lsh_bucket
+    from radio_data_pipeline_spark.functions.similarity import (
+        hard_negative_mining)
 
     emb = _emb_fanned(spark, sf_dir)
-    planes = hyperplanes(64, _HARDNEG_PLANES, 7)
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    b = emb.select("vec_id", v.alias("v"),
-                   lsh_bucket(F.col("embedding"), planes).alias("bucket"))
-    a = (b.filter(F.col("vec_id") % _ANCHOR_MOD == 0)
-         .select(F.col("vec_id"), F.col("v").alias("av"),
-                 F.col("bucket")))
-    c = b.select(F.col("vec_id").alias("neg_id"),
-                 F.col("v").alias("cv"), F.col("bucket"))
-    scored = (
-        a.join(c, "bucket")
-        .filter(F.col("vec_id") != F.col("neg_id"))
-        .select("vec_id", "neg_id",
-                F.round(cosine_similarity(F.col("av"), F.col("cv")), 6)
-                .alias("cosine"))
-        .filter(F.col("cosine") < _HARDNEG_DUP_CEIL)
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"),
-                                             F.asc("neg_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _HARDNEG_K)
-        .select("vec_id", F.col("rank").cast("int"), "neg_id", "cosine")
-        .orderBy("vec_id", "rank")
-    )
+    # n_planes PINNED to 4: the DuckDB oracle bakes the plane count
+    # into its bucket expression (the embedding_near_dup_lsh scale-
+    # coupling lesson). The library default (n_planes=None) auto-
+    # derives planes from the corpus count — use THAT form for real
+    # mining passes; this query exists to be oracle-checkable.
+    return (hard_negative_mining(
+                emb, k=_HARDNEG_K, dup_ceiling=_HARDNEG_DUP_CEIL,
+                anchor_pred=F.col("vec_id") % _ANCHOR_MOD == 0,
+                n_planes=_HARDNEG_PLANES, seed=7, dim=64)
+            .orderBy("vec_id", "rank"))

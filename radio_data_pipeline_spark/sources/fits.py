@@ -513,8 +513,10 @@ def read_sdfits(spark, path_glob: str, dense_ids: bool = False,
     (path, obs_id). obs_id defaults to xxhash64(path) — computed
     map-side with no shuffle, so a corpus of millions of files never
     funnels through one task; dense_ids=True instead assigns 0..n-1
-    via a single-partition window over the (tiny) distinct-paths
-    table — deterministic, for tests and small corpora.
+    by path via sources/layout.dense_index (two-pass partition-offset
+    build: sort parallelism = #buckets, never a single-partition
+    window, so dense ids stay safe even on a multi-million-file
+    corpus).
 
     mode='failfast' (default): structural corruption (S2) fails the
     decoding task, matching the reference's verify('exception') hard
@@ -524,7 +526,6 @@ def read_sdfits(spark, path_glob: str, dense_ids: bool = False,
     `df.filter("row_idx = -1")`."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
-    from pyspark.sql import Window
 
     files = spark.read.format("binaryFile").load(path_glob)
 
@@ -597,10 +598,9 @@ def read_sdfits(spark, path_glob: str, dense_ids: bool = False,
         decode, schema=out_schema)
     if not dense_ids:
         return decoded.withColumn("obs_id", F.xxhash64("path"))
-    ids = (files.select("path").distinct()
-           .withColumn("obs_id",
-                       F.row_number().over(Window.orderBy("path"))
-                       .cast("long") - 1))
+    from radio_data_pipeline_spark.sources.layout import dense_index
+    ids = dense_index(files.select("path").distinct(), "path",
+                      pos_col="obs_id")
     return decoded.join(F.broadcast(ids), "path")
 
 

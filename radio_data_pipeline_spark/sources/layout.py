@@ -30,6 +30,82 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def dense_index(df: DataFrame, order_col: str, pos_col: str = "pos",
+                n_buckets: int | None = None,
+                boundary_sample_rows: int = 200) -> DataFrame:
+    """Append a dense 0..N-1 position column ordered by ``order_col``
+    WITHOUT a single-task global sort.
+
+    ``row_number().over(Window.orderBy(col))`` — the obvious spelling —
+    plans an ``Exchange SinglePartition``: every row of the table moves
+    to ONE task, which at a 100 TB corpus is a one-executor sort of the
+    whole dataset (the same bottleneck class as a driver collect). This
+    builder produces the identical result in bounded parallel stages:
+
+    1. count N (column-pruned; parquet answers from footers),
+    2. sample ~``n_buckets * boundary_sample_rows`` values of
+       ``order_col`` to the driver and pick ``n_buckets - 1`` evenly
+       spaced range boundaries (the ``repartitionByRange`` sampling
+       trick, but with DETERMINISTIC bucket assignment: the bucket is a
+       pure expression over the row, so re-evaluating the plan can
+       never re-shuffle rows across buckets),
+    3. count rows per bucket (tiny aggregate: ``n_buckets`` rows to the
+       driver) and prefix-sum the offsets,
+    4. per-bucket window ``row_number() - 1 + offset`` — partitioned by
+       bucket, so the sort parallelism is ``n_buckets``, not 1.
+
+    ``order_col`` must be UNIQUE (same contract as the global-window
+    form: ties make row_number nondeterministic). Works for any
+    orderable type — boundaries are sampled values, not quantiles, so
+    strings (file paths) work as well as longs (vec_id).
+
+    The three build jobs each scan ONLY ``order_col``; the index is
+    metadata, built once and reused across epochs. Replaces the
+    unpartitioned window the round-4 review flagged at
+    plans/arrays.py (negative sampling) and sources/fits.py (obs-id
+    assignment).
+    """
+    spark = df.sparkSession
+    n = df.count()
+    if n == 0:
+        return df.withColumn(pos_col, F.lit(None).cast("long")).limit(0)
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions",
+                                       "200"))
+    n_buckets = max(1, min(n_buckets, n))
+    fraction = min(1.0, (n_buckets * boundary_sample_rows) / n)
+    sampled = sorted(
+        r[0] for r in
+        df.select(order_col).sample(False, fraction, seed=7).collect()
+        if r[0] is not None)
+    boundaries: list = []
+    for i in range(1, n_buckets):
+        if not sampled:
+            break
+        v = sampled[(i * len(sampled)) // n_buckets]
+        if not boundaries or v > boundaries[-1]:
+            boundaries.append(v)
+    bucket = F.lit(0)
+    for b in boundaries:
+        bucket = bucket + (F.col(order_col) > F.lit(b)).cast("int")
+    keyed = df.withColumn("_db", bucket.cast("int"))
+    counts = dict(keyed.groupBy("_db").count().collect())
+    offsets, acc = [], 0
+    for b in range(len(boundaries) + 1):
+        offsets.append((b, acc))
+        acc += counts.get(b, 0)
+    off_df = spark.createDataFrame(offsets, "_db int, _off long")
+    from pyspark.sql import Window
+    w = Window.partitionBy("_db").orderBy(order_col)
+    return (
+        keyed.join(F.broadcast(off_df), "_db")
+        .withColumn(pos_col,
+                    (F.col("_off") + F.row_number().over(w) - 1)
+                    .cast("long"))
+        .drop("_db", "_off")
+    )
+
+
 def write_partitioned_dataset(df: DataFrame, path: str,
                               partition_cols: list[str],
                               coalesce_per_partition: bool = True,
