@@ -171,11 +171,14 @@ def main() -> None:
         for entry in sorted(os.scandir(SF_DIR), key=lambda e: e.name):
             if not entry.name.endswith(".parquet"):
                 continue
-            if entry.is_dir():  # Spark-written dataset directory
-                for sub in sorted(os.scandir(entry.path),
-                                  key=lambda e: e.name):
-                    if sub.is_file():
-                        _stream_file(sub.path)
+            if entry.is_dir():
+                # Spark-written dataset directory — os.walk, not one
+                # scandir level, so nested layouts (partition subdirs
+                # like shard=N/ or event_type=X/) are streamed too
+                for root, dirs, names in sorted(os.walk(entry.path)):
+                    dirs.sort()
+                    for nm in sorted(names):
+                        _stream_file(os.path.join(root, nm))
             else:
                 _stream_file(entry.path)
 

@@ -68,12 +68,14 @@ def in_range(col: str, lo: float, hi: float,
 
 def in_set(col: str, values: list, threshold: float = 1.0) -> Rule:
     """Fraction of non-NULL values in the allowed set. The rule name
-    embeds the values (like in_range embeds its bounds) so two
-    in_set rules on one column never collide in the report."""
+    embeds repr(values) (like in_range embeds its bounds) so two
+    in_set rules on one column never collide in the report — repr,
+    not str-join, because a value containing ',' or ']' would
+    otherwise produce colliding/ambiguous report keys."""
     c = F.col(col)
     ok = c.isin(values).cast("double")
     return Rule(
-        f"in_set({col},[{','.join(str(v) for v in values)}])",
+        f"in_set({col},{values!r})",
         F.coalesce(F.avg(F.when(c.isNotNull(), ok)), F.lit(1.0)),
         threshold)
 
@@ -113,6 +115,10 @@ def evaluate_constraints(df: DataFrame, rules: list[Rule],
     review catch). `metric` in the report is rounded for display
     only. A NULL metric (empty input, all-NULL column) FAILS:
     passed coalesces to False, never NULL."""
+    if not rules:
+        raise ValueError(
+            "evaluate_constraints: rules must be non-empty — "
+            "df.agg() with zero expressions is not a report")
     agg = df.agg(*[
         r.metric.cast("double").alias(f"_m{i}")
         for i, r in enumerate(rules)])
@@ -143,6 +149,10 @@ def profile_columns(df: DataFrame, cols: list[str],
 
     Returns (column STRING, non_null_frac DOUBLE, n_distinct BIGINT,
     min_str STRING, max_str STRING)."""
+    if not cols:
+        raise ValueError(
+            "profile_columns: cols must be non-empty — "
+            "df.agg() with zero expressions is not a profile")
     aggs = []
     for i, c in enumerate(cols):
         col = F.col(c)

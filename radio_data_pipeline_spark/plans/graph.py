@@ -329,8 +329,20 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(alive.withColumnRenamed("node", "t"), "t")
             .groupBy("s").agg(F.count(F.lit(1)).alias("d"))
         )
+        # lazy localCheckpoint: each round's alive set is REUSED by
+        # both its count aggregate and the next round's two joins —
+        # without truncation the unioned plan re-executes every
+        # earlier round per consumer (r4 ADVICE: 48 shuffles for 3
+        # rounds), and the docstring's per-round-cost-shrinks claim
+        # is false. eager=False defers materialization to first use;
+        # lineage truncates from then on. (localCheckpoint is
+        # non-reliable storage — at cluster scale an executor loss
+        # mid-query fails the job and a retry recomputes; acceptable
+        # for an iterative interactive query, use checkpoint() on a
+        # reliable FS for multi-hour jobs.)
         alive = (deg.filter(F.col("d") >= _KCORE_K)
-                 .select(F.col("s").alias("node")))
+                 .select(F.col("s").alias("node"))
+                 .localCheckpoint(eager=False))
         counts.append(
             alive.agg(F.count(F.lit(1)).alias("n_alive"))
             .select(F.lit(r).cast("bigint").alias("round"),

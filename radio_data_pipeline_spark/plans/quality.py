@@ -289,7 +289,7 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT 'unique(event_id)', m_unique, 1.0 FROM m
       UNION ALL SELECT 'in_range(value,0.0,1000000.0)', m_range,
              0.95 FROM m
-      UNION ALL SELECT 'in_set(event_type,[click,view,purchase,scroll,signup])', m_set, 1.0 FROM m
+      UNION ALL SELECT 'in_set(event_type,[''click'', ''view'', ''purchase'', ''scroll'', ''signup''])', m_set, 1.0 FROM m
       UNION ALL SELECT 'min_rows(100)', m_rows, 1.0 FROM m
     )
     ORDER BY rule

@@ -69,9 +69,61 @@ def _load_all_modules() -> None:
     from radio_data_pipeline_spark.plans import timeseries_extra  # noqa: F401
 
 
+# The driver's correctness gate samples the FIRST 50 registered
+# queries. With 180 registered, module import order alone is too
+# fragile a guarantee (r4 VERDICT #8): this explicit window pins the
+# SURVEY §2-critical radio core plus one representative per
+# first-class brief family (dedup, ANN/similarity, contrastive,
+# constraint engine, text analysis, multimodal) into the sampled
+# prefix. all_specs() reorders these to the front; a typo here (name
+# not registered) fails loudly. tests/test_entry.py guards the
+# window's family coverage.
+SAMPLE_WINDOW = (
+    # radio hard core (S1-S4, F2, O13-O15, M3-M10, P1-P4)
+    "radio_segmentation_indices", "radio_continuum_distributed",
+    "radio_validation", "radio_atmosphere_correction", "radio_merge",
+    "radio_spectrum_distributed", "radio_hires_spectrum_banded",
+    "radio_hires_continuum",
+    # array/vector semantics (A1-A2, F4-F7, M7)
+    "vector_sum", "vector_slice_sum", "vector_mask_negative_sum",
+    "vector_elementwise_sum", "vector_onoff_diff",
+    # ANN / similarity search
+    "cosine_topk", "lsh_bucket_topk", "embedding_near_dup_lsh",
+    "ivf_topk", "embedding_pair_cosine", "embedding_quantize_int8",
+    "quantized_rerank_topk", "pq_adc_topk",
+    # embedding analytics
+    "vector_boxcar_peak", "vector_dft8", "label_centroid_dispersion",
+    # contrastive training ops
+    "negative_samples_per_anchor", "hard_negatives_per_anchor",
+    # data-quality constraint engine
+    "events_constraint_report", "events_column_profile",
+    # dedup family
+    "dedup_exact", "minhash_lsh_pairs", "ngram_jaccard_pairs",
+    "simhash_docs", "dedup_clusters",
+    # text analysis
+    "text_stats", "language_id", "quality_score", "doc_fingerprint",
+    # multimodal representative
+    "multimodal_wav_rms",
+    # TPC-H core
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    # events / §2 carriers (A3, F3, F5, M11, windows, as-of)
+    "distinct_event_users", "orders_rank_in_customer",
+    "events_sessionize", "events_asof_prior_view",
+    "events_time_filter", "events_physical_validation",
+    # calibration / atmosphere carriers (M1-M6, M8)
+    "linreg_value_vs_time", "buck_vapor_density", "gain_interpolation",
+)
+
+
 def all_specs() -> dict[str, QuerySpec]:
     _load_all_modules()
-    return dict(_REGISTRY)
+    missing = [n for n in SAMPLE_WINDOW if n not in _REGISTRY]
+    if missing:
+        raise ValueError(f"SAMPLE_WINDOW names not registered: {missing}")
+    ordered = {n: _REGISTRY[n] for n in SAMPLE_WINDOW}
+    ordered.update((n, s) for n, s in _REGISTRY.items()
+                   if n not in ordered)
+    return ordered
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -38,7 +38,7 @@ def test_metrics_exact(spark):
     assert rows["not_null(v)"]["metric"] == 0.75
     assert rows["unique(id)"]["metric"] == 0.75
     assert abs(rows["in_range(v,0.0,100.0)"]["metric"] - 2 / 3) < 1e-6
-    assert abs(rows["in_set(cat,[a,b])"]["metric"] - 2 / 3) < 1e-6
+    assert abs(rows["in_set(cat,['a', 'b'])"]["metric"] - 2 / 3) < 1e-6
     assert rows["matches(code,^x)"]["metric"] == 0.75
     assert rows["min_rows(2)"]["metric"] == 1.0
     assert rows["min_rows(2)"]["passed"] is True
@@ -106,3 +106,34 @@ def test_threshold_compares_unrounded_metric(spark):
     row = evaluate_constraints(df, [not_null("v")]).collect()[0]
     assert row["metric"] == 1.0          # display rounds up
     assert row["passed"] is False        # the gate does not
+
+
+def test_empty_rules_and_cols_raise_clear_errors(spark):
+    """Zero rules/cols must raise a clear ValueError, not fall into
+    df.agg() with no expressions (opaque Spark error; r4 ADVICE)."""
+    import pytest
+
+    from radio_data_pipeline_spark.functions.constraints import (
+        profile_columns,
+    )
+
+    df = _frame(spark)
+    with pytest.raises(ValueError, match="non-empty"):
+        evaluate_constraints(df, [])
+    with pytest.raises(ValueError, match="non-empty"):
+        profile_columns(df, [])
+
+
+def test_in_set_names_cannot_collide(spark):
+    """Values containing ',' or ']' must produce distinct report keys
+    (repr-embedded): ['a,b'] vs ['a','b'] are different rules."""
+    df = _frame(spark)
+    rows = evaluate_constraints(df, [
+        in_set("cat", ["a,b"]),
+        in_set("cat", ["a", "b"]),
+    ]).collect()
+    names = [r["rule"] for r in rows]
+    assert len(set(names)) == 2
+    by = {r["rule"]: r["metric"] for r in rows}
+    assert abs(by["in_set(cat,['a', 'b'])"] - 2 / 3) < 1e-6
+    assert by["in_set(cat,['a,b'])"] < 0.5  # no literal 'a,b' value

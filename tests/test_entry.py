@@ -27,3 +27,49 @@ def test_queries_and_oracles_aligned():
         assert {"mapInPandas", "multimodal", "radio"} \
                & set(specs[name].tags), \
                f"{name} lacks an oracle but is not a tagged non-SQL op"
+
+
+def test_sample_window_pins_critical_families_in_first_50():
+    """The driver samples the FIRST 50 registered queries. The
+    explicit SAMPLE_WINDOW must (a) be exactly the first 50 names in
+    queries() order, (b) cover the SURVEY §2 radio core and every
+    first-class brief family, (c) be fully oracle-checked — so a
+    future refactor cannot silently push the evidence out of the
+    driver's window (r4 VERDICT #8)."""
+    from radio_data_pipeline_spark.plans.registry import (
+        SAMPLE_WINDOW,
+        all_specs,
+    )
+
+    q_names = list(entry_mod.queries())
+    assert len(SAMPLE_WINDOW) == 50
+    assert q_names[:50] == list(SAMPLE_WINDOW)
+
+    window = set(SAMPLE_WINDOW)
+    # the full SURVEY §2 radio hard core
+    radio_core = {n for n in q_names if n.startswith("radio_")}
+    assert radio_core <= window
+    # one representative per first-class family, by name
+    for family in [
+        {"dedup_exact"}, {"minhash_lsh_pairs"}, {"simhash_docs"},
+        {"ngram_jaccard_pairs"}, {"embedding_near_dup_lsh"},
+        {"cosine_topk"}, {"ivf_topk"}, {"pq_adc_topk"},
+        {"negative_samples_per_anchor"}, {"hard_negatives_per_anchor"},
+        {"events_constraint_report"}, {"events_column_profile"},
+        {"text_stats", "language_id", "quality_score",
+         "doc_fingerprint"},
+        {"multimodal_wav_rms"},
+        {"q1_pricing_summary"},
+    ]:
+        assert family & window, f"family {family} outside sample window"
+    # vector semantics family
+    assert {n for n in q_names if n.startswith("vector_")} & window
+
+    # every windowed query is STRONGLY checked (has a DuckDB oracle),
+    # except tagged non-SQL ops (multimodal decode), which the driver
+    # records as rows-only — keep those to a small known set
+    specs = all_specs()
+    no_oracle = {n for n in window if specs[n].oracle is None}
+    for name in no_oracle:
+        assert {"mapInPandas", "multimodal", "radio"} \
+               & set(specs[name].tags), name

@@ -102,18 +102,21 @@ def main() -> None:
         # stream copy-by-copy through one ParquetWriter — at 100x the
         # concat-all-copies form holds ~6 GB of Arrow buffers for
         # lineitem alone; streaming holds one copy at a time
-        writer = pq.ParquetWriter(f"{out_dir}/{table}.parquet",
-                                  tbl.schema)
-        for i in range(n):
-            t = tbl
-            for col, space in OFFSET_COLS[table]:
-                idx = t.schema.get_field_index(col)
-                shifted = pc.add(t.column(col),
-                                 pa.scalar(i * st[space],
-                                           type=t.schema.field(col).type))
-                t = t.set_column(idx, t.schema.field(col), shifted)
-            writer.write_table(t, row_group_size=rg)
-        writer.close()
+        # context manager: a failed copy write must still close the
+        # handle (no fd leak, no silently-kept corrupt partial file
+        # masquerading as a finished table)
+        with pq.ParquetWriter(f"{out_dir}/{table}.parquet",
+                              tbl.schema) as writer:
+            for i in range(n):
+                t = tbl
+                for col, space in OFFSET_COLS[table]:
+                    idx = t.schema.get_field_index(col)
+                    shifted = pc.add(
+                        t.column(col),
+                        pa.scalar(i * st[space],
+                                  type=t.schema.field(col).type))
+                    t = t.set_column(idx, t.schema.field(col), shifted)
+                writer.write_table(t, row_group_size=rg)
         f = pq.ParquetFile(f"{out_dir}/{table}.parquet")
         print(f"{table}: {total_rows} rows, "
               f"{f.metadata.num_row_groups} row groups")
