@@ -358,3 +358,92 @@ def test_constraint_gate_routes_bad_batches_to_quarantine(spark, tmp_path):
     assert rows["unique(doc_id)"]["passed"] is False
     assert rows["in_range(score,0.0,1.0)"]["passed"] is False
     assert rows["not_null(score)"]["passed"] is True
+
+
+def test_constraint_gate_verdict_flip_after_midbatch_crash(spark, tmp_path):
+    """Crash-recovery proof for the quality gate (VERDICT r4 #7): a
+    batch that died AFTER writing its verdict directory but BEFORE the
+    checkpoint commit re-executes on restart — under a CHANGED rule
+    set, so the verdict FLIPS. The batch must end up exactly once,
+    under exactly one verdict, with the report consistent (present
+    iff quarantined, and reflecting the CURRENT rules). Both flip
+    directions are exercised."""
+    import os
+
+    from radio_data_pipeline_spark.functions.constraints import (
+        in_range,
+        not_null,
+    )
+    from radio_data_pipeline_spark.streaming.events import (
+        stream_with_constraint_gate,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    good = str(tmp_path / "good")
+    quar = str(tmp_path / "quarantine")
+    cp = str(tmp_path / "cp")
+    schema = "doc_id long, score double"
+
+    def run(rules):
+        stream = spark.readStream.schema(
+            spark.read.parquet(str(src / "*")).schema
+        ).parquet(str(src / "*"))
+        q = stream_with_constraint_gate(stream, rules, good, quar, cp)
+        q.awaitTermination()
+
+    lax = [not_null("score")]
+    strict = [not_null("score"), in_range("score", 0.0, 1.0)]
+
+    # batch 0: scores up to 4.9 — clean under lax, committed
+    spark.createDataFrame(
+        [(i, i / 10.0) for i in range(50)], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    run(lax)
+    assert spark.read.parquet(good).count() == 50
+
+    # batch 1 data: passes lax, fails strict. Simulate the crashed
+    # attempt: the LAX run wrote it to good/ and died before the
+    # checkpoint committed (so the checkpoint still points at batch 1)
+    batch1 = [(100 + i, 3.0 + i) for i in range(5)]
+    spark.createDataFrame(batch1, schema) \
+        .coalesce(1).write.parquet(str(src / "f2"))
+    spark.createDataFrame(batch1, schema) \
+        .write.mode("overwrite").parquet(f"{good}/batch=1")
+
+    # restart with STRICT rules: verdict flips good -> quarantine
+    run(strict)
+    assert not os.path.exists(f"{good}/batch=1"), \
+        "stale good/ copy must be removed on verdict flip"
+    assert spark.read.parquet(good).count() == 50
+    assert spark.read.parquet(f"{quar}/batch=1").count() == 5
+    assert spark.read.parquet(quar).count() == 5
+    import json
+    rep = {r["rule"]: r for r in json.loads(
+        spark.read.json(f"{quar}/_reports/batch=1").collect()[0]
+        ["report"])}
+    assert rep["in_range(score,0.0,1.0)"]["passed"] is False
+
+    # batch 2 data: fails strict, passes lax. Simulate the crashed
+    # STRICT attempt: quarantine copy + report written, no commit
+    batch2 = [(200 + i, 2.0 + i) for i in range(4)]
+    spark.createDataFrame(batch2, schema) \
+        .coalesce(1).write.parquet(str(src / "f3"))
+    spark.createDataFrame(batch2, schema) \
+        .write.mode("overwrite").parquet(f"{quar}/batch=2")
+    (spark.createDataFrame([(2, json.dumps([{
+        "rule": "in_range(score,0.0,1.0)", "metric": 0.0,
+        "threshold": 1.0, "passed": False}]))],
+        "batch_id long, report string")
+     .write.mode("overwrite").json(f"{quar}/_reports/batch=2"))
+
+    # restart with LAX rules: verdict flips quarantine -> good
+    run(lax)
+    assert spark.read.parquet(f"{good}/batch=2").count() == 4
+    assert not os.path.exists(f"{quar}/batch=2"), \
+        "stale quarantine copy must be removed on verdict flip"
+    assert not os.path.exists(f"{quar}/_reports/batch=2"), \
+        "stale report must be removed when the batch is admitted"
+    # batch 1 stays quarantined exactly once; totals consistent
+    assert spark.read.parquet(quar).count() == 5
+    assert spark.read.parquet(good).count() == 54
