@@ -176,7 +176,9 @@ def hard_negative_mining(df: DataFrame, k: int = 3,
                          vec_col: str = "embedding",
                          id_col: str = "vec_id",
                          dim: int | None = None,
-                         target_bucket_rows: int = 64) -> DataFrame:
+                         target_bucket_rows: int = 64,
+                         dedup_identical: bool = True,
+                         bucket_cap: int | None = 512) -> DataFrame:
     """Hard-negative mining for contrastive training: for each anchor
     (rows matching ``anchor_pred``; all rows when None), the top-k
     most-similar NON-duplicate vectors (cosine < ``dup_ceiling``
@@ -201,6 +203,33 @@ def hard_negative_mining(df: DataFrame, k: int = 3,
     Recall trade-off is the standard LSH one: a hard negative in a
     different bucket is missed; raise recall with fewer planes or
     multiple plane sets (at the cost of bucket size).
+
+    Skew hardening (BENCH_SCALING.md §12 — the skewed-key study found
+    a measured 17x blowup, 5.7 s -> 95.9 s at the 10x corpus, when
+    one bucket held 2,000 IDENTICAL vectors; auto-planes cannot split
+    identical vectors, so the hot bucket is irreducible by hashing):
+
+    - ``dedup_identical`` (default True): collapse byte-identical
+      candidate vectors to one representative (min id) per bucket
+      BEFORE the join. Identical copies of a non-dup negative carry
+      zero extra training signal, and identical copies of the anchor
+      are excluded by ``dup_ceiling`` anyway — today each copy pays
+      the cosine fold first. One groupBy on (bucket, vector); the
+      mass-duplicate hot bucket collapses to 1 candidate. Anchors are
+      NEVER deduped — every anchor id still gets its negatives.
+    - ``bucket_cap`` (default 512): per-bucket candidate bound for
+      buckets that are hot WITHOUT being identical (near-identical
+      clusters, degenerate embeddings): candidates in a bucket over
+      the cap are downsampled to ~cap by a deterministic md5 draw on
+      the candidate id (uniform, engine-portable, no per-bucket sort
+      — the rate comes from one tiny count aggregate broadcast back).
+      Total join cost is then <= N_anchors * bucket_cap — linear in
+      anchors regardless of skew. Capped buckets lose mining recall;
+      None disables.
+
+    The registered query passes dedup_identical=False, bucket_cap=None
+    (its oracle models the raw join); real mining passes keep the
+    defaults.
     """
     if n_planes is None:
         n_planes = auto_n_planes(df.count(), target_bucket_rows)
@@ -224,6 +253,20 @@ def hard_negative_mining(df: DataFrame, k: int = 3,
         lsh_bucket(F.col(vec_col), planes).alias("bucket"))
     c = df.select(F.col(id_col).alias("neg_id"), v.alias("cv"),
                   lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+    if dedup_identical:
+        # exact grouping on the vector value itself (no hash-collision
+        # risk); min id is the deterministic representative
+        c = (c.groupBy("bucket", "cv")
+             .agg(F.min("neg_id").alias("neg_id")))
+    if bucket_cap is not None:
+        from radio_data_pipeline_spark.sources.layout import (
+            md5_prefix_long)
+        sizes = c.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
+        u = md5_prefix_long(F.col("neg_id")) / F.lit(float(1 << 32))
+        c = (c.join(F.broadcast(sizes), "bucket")
+             .filter((F.col("_bn") <= bucket_cap)
+                     | (u < F.lit(float(bucket_cap)) / F.col("_bn")))
+             .drop("_bn"))
     scored = (
         a.join(c, "bucket")
         .filter(F.col("vec_id") != F.col("neg_id"))

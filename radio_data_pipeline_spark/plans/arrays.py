@@ -1020,5 +1020,6 @@ def hard_negatives_per_anchor(spark: SparkSession,
     return (hard_negative_mining(
                 emb, k=_HARDNEG_K, dup_ceiling=_HARDNEG_DUP_CEIL,
                 anchor_pred=F.col("vec_id") % _ANCHOR_MOD == 0,
-                n_planes=_HARDNEG_PLANES, seed=7, dim=64)
+                n_planes=_HARDNEG_PLANES, seed=7, dim=64,
+                dedup_identical=False, bucket_cap=None)
             .orderBy("vec_id", "rank"))

@@ -275,3 +275,52 @@ def test_hard_negative_mining_edge_paths(spark):
     assert rows and all(r["vec_id"] == 0 for r in rows)
     assert 1 not in {r["neg_id"] for r in rows}  # near-dup excluded
     assert 2 in {r["neg_id"] for r in rows}
+
+
+def test_hard_negative_mining_skew_hardening(spark):
+    """The skewed-key hazard (BENCH_SCALING.md §12): one bucket of
+    identical vectors defeats auto-planes (hashing cannot split
+    identical inputs; measured 17x blowup at the 10x corpus). The
+    defaults must collapse identical candidates and cap hot buckets
+    so join cost stays <= N_anchors * bucket_cap."""
+    import numpy as np
+
+    from radio_data_pipeline_spark.functions import similarity as S
+
+    n, dim, hot = 4_000, 8, 800
+    rng = np.random.default_rng(13)
+    vecs = rng.standard_normal((n, dim)).astype(float)
+    hot_vec = vecs[0]
+    rows = [(i, (hot_vec if i < hot else vecs[i]).tolist())
+            for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+
+    # with dedup_identical the hot cluster contributes ONE candidate:
+    # reproduce the internal candidate build and count it
+    planes = S.hyperplanes(dim, S.auto_n_planes(n), 7)
+    c = df.select(
+        F.col("vec_id").alias("neg_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+        S.lsh_bucket(F.col("embedding"), planes).alias("bucket"))
+    deduped = c.groupBy("bucket", "cv").agg(
+        F.min("neg_id").alias("neg_id"))
+    assert deduped.count() == n - hot + 1
+
+    # end-to-end with defaults: anchors from the hot cluster still
+    # get negatives (the identical copies are dup-excluded, the rest
+    # of their bucket serves), and no anchor exceeds k
+    mined = S.hard_negative_mining(df, k=3)
+    per = mined.groupBy("vec_id").count().collect()
+    assert per and max(r["count"] for r in per) <= 3
+    hot_anchors = mined.filter(F.col("vec_id") < hot)
+    assert hot_anchors.count() > 0
+    # no identical-copy negative survives the dup ceiling
+    assert hot_anchors.filter(F.col("neg_id") < hot).count() == 0
+
+    # cap path: with dedup off and a small cap, candidate volume per
+    # bucket is bounded ~cap (binomial downsample, deterministic)
+    capped = S.hard_negative_mining(
+        df, k=3, dedup_identical=False, bucket_cap=50)
+    assert capped.groupBy("vec_id").count().agg(
+        F.max("count")).first()[0] <= 3

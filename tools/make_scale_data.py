@@ -122,5 +122,71 @@ def main() -> None:
               f"{f.metadata.num_row_groups} row groups")
 
 
+def apply_skew(out_dir: str, hot_user_frac: float = 0.01,
+               hot_vec_frac: float = 0.10,
+               hot_doc_frac: float = 0.05) -> None:
+    """Rewrite events/embeddings/documents in `out_dir` with one hot
+    key each — the skewed-key stress corpus (BENCH_SCALING.md §12):
+
+    - events: ~hot_user_frac of rows reassigned to ONE user_id — the
+      sessionize/groupBy-hot-key shape AQE's skew handling exists for.
+    - embeddings: ~hot_vec_frac of rows replaced with copies of ONE
+      vector (distinct vec_id) — identical vectors share their LSH
+      bucket under EVERY plane set, so one bucket holds the mass and
+      the bucketed self-joins (near-dup, hard-negative mining) face a
+      quadratic hot bucket unless capped/auto-scaled.
+    - documents: ~hot_doc_frac of rows get ONE document's text — one
+      hot MinHash band bucket (the cap/overflow path).
+
+    In-memory pandas rewrite: the skew corpus exists at the 10x study
+    scale (~1M events / 20k embeddings), far under memory; reuse the
+    streaming writer path instead if ever applied at 100x+.
+    """
+    rg = 65536
+
+    ev = pq.read_table(f"{out_dir}/events.parquet")
+    df = ev.to_pandas()
+    hot_user = int(df["user_id"].min())
+    mask = (df["event_id"] % int(round(1 / hot_user_frac))) == 0
+    df.loc[mask, "user_id"] = hot_user
+    pq.write_table(pa.Table.from_pandas(df, schema=ev.schema,
+                                        preserve_index=False),
+                   f"{out_dir}/events.parquet", row_group_size=rg)
+    print(f"events: hot user {hot_user} now owns "
+          f"{int(mask.sum())}/{len(df)} rows")
+
+    emb = pq.read_table(f"{out_dir}/embeddings.parquet")
+    df = emb.to_pandas()
+    hot_vec = df["embedding"].iloc[0]
+    mask = (df["vec_id"] % int(round(1 / hot_vec_frac))) == 0
+    df.loc[mask, "embedding"] = df.loc[mask, "embedding"].apply(
+        lambda _: hot_vec)
+    pq.write_table(pa.Table.from_pandas(df, schema=emb.schema,
+                                        preserve_index=False),
+                   f"{out_dir}/embeddings.parquet", row_group_size=rg)
+    print(f"embeddings: hot bucket holds >= {int(mask.sum())}"
+          f"/{len(df)} identical vectors")
+
+    docs = pq.read_table(f"{out_dir}/documents.parquet")
+    df = docs.to_pandas()
+    hot_text = df["text"].iloc[0]
+    mask = (df["doc_id"] % int(round(1 / hot_doc_frac))) == 0
+    df.loc[mask, "text"] = hot_text
+    pq.write_table(pa.Table.from_pandas(df, schema=docs.schema,
+                                        preserve_index=False),
+                   f"{out_dir}/documents.parquet", row_group_size=rg)
+    print(f"documents: hot text on {int(mask.sum())}/{len(df)} docs")
+
+
 if __name__ == "__main__":
-    main()
+    if "--skew-only" in sys.argv:
+        # post-process an EXISTING scale dir in place:
+        #   python tools/make_scale_data.py <dir> --skew-only
+        apply_skew(sys.argv[1])
+    else:
+        main()
+        if "--skew" in sys.argv:
+            out = sys.argv[2] if len(sys.argv) > 2 and \
+                not sys.argv[2].startswith("--") else \
+                "/root/repo/.bench_scale/sf1"
+            apply_skew(out)
