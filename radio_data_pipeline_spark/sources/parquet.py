@@ -100,3 +100,48 @@ def load_table_fanned(spark: SparkSession, sf_dir: str,
         _FAN_MEMO[key] = df.rdd.getNumPartitions() < max(1, cores // 2)
     return df.repartition(spark.sparkContext.defaultParallelism) \
         if _FAN_MEMO[key] else df
+
+
+JOIN_STRATEGIES = ("broadcast", "merge", "shuffle_hash",
+                   "shuffle_replicate_nl")
+
+
+def join_with_strategy(left: DataFrame, right: DataFrame, on,
+                       how: str = "inner",
+                       strategy: str | None = None) -> DataFrame:
+    """Join with an optional PER-JOIN physical-strategy hint — the
+    narrow opt-in for the measured q5-class knob (BENCH_SCALING.md
+    §10: on the 600 M-row shuffle-bound join, ShuffledHashJoin ran
+    1.5-1.8x faster than SortMergeJoin, but `spark.sql.join.
+    preferSortMergeJoin=false` is SESSION-wide and SHJ fails hard
+    when a build partition outgrows memory, so flipping it globally
+    trades every join's robustness for one join's speed).
+
+    strategy=None (the default) is a PLAIN df.join — no hint, no
+    plan change, Catalyst/AQE pick as always; tests pin that the
+    default q5 plan is byte-identical in shape. Otherwise one of
+    JOIN_STRATEGIES, applied as a Spark join hint on the RIGHT side
+    (hints propagate through Catalyst and win over the cost-based
+    pick for that one join only):
+
+    - 'shuffle_hash': build a hash table of the right side per
+      partition — skips BOTH sorts; the measured q5 win. Caller
+      asserts the right side's partitions fit executor memory.
+    - 'merge': force sort-merge (pin robustness where a future AQE
+      version might choose SHJ).
+    - 'broadcast': force broadcast of the right side past
+      autoBroadcastJoinThreshold (caller asserts it fits).
+    - 'shuffle_replicate_nl': cartesian-replicate NL join —
+      almost never right; present for completeness.
+
+    A deployment flips the measured knob per-join::
+
+        join_with_strategy(lineitem, orders, on=..., strategy="shuffle_hash")
+    """
+    if strategy is not None:
+        if strategy not in JOIN_STRATEGIES:
+            raise ValueError(
+                f"unknown join strategy {strategy!r}; "
+                f"expected one of {JOIN_STRATEGIES} or None")
+        right = right.hint(strategy)
+    return left.join(right, on, how)
