@@ -213,14 +213,31 @@ def main() -> None:
                   "embeddings"):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                         f"read_parquet('{SF_DIR}/{t}.parquet')")
+        # optional per-query DuckDB time budget (seconds): a query
+        # that exceeds it is interrupted and recorded as an
+        # oracle_error (the honest DNF form — at the 19 GB corpus
+        # some baselines spill unboundedly; see BENCH_SCALING §10).
+        # 0 = no budget (the gate default).
+        duck_budget = float(os.environ.get(
+            "SPARK_GRAFT_BENCH_DUCKDB_TIMEOUT", "0"))
         for name in HEADLINE:
             try:
                 sql = oracles[name]
                 runs = []
                 for _ in range(RUNS):
-                    t0 = time.perf_counter()
-                    con.execute(sql).fetchall()
-                    runs.append(time.perf_counter() - t0)
+                    timer = None
+                    if duck_budget > 0:
+                        import threading
+                        timer = threading.Timer(duck_budget,
+                                                con.interrupt)
+                        timer.start()
+                    try:
+                        t0 = time.perf_counter()
+                        con.execute(sql).fetchall()
+                        runs.append(time.perf_counter() - t0)
+                    finally:
+                        if timer is not None:
+                            timer.cancel()
                 duckdb_timings[name] = round(min(runs), 3)
             except Exception as exc:  # visible, but never fail the bench
                 oracle_errors[name] = f"{type(exc).__name__}: {exc}"
