@@ -285,6 +285,62 @@ def hard_negative_mining(df: DataFrame, k: int = 3,
     )
 
 
+def uniform_negative_samples(df: DataFrame, k: int = 4,
+                             anchor_pred: Column | None = None,
+                             vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             with_cosine: bool = True) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive
+    training: each anchor (rows matching ``anchor_pred``; all rows
+    when None) draws ``k`` pseudo-random partners via
+    md5(anchor_id#j) mod N mapped through a dense 0..N-1 row index,
+    so the draw reproduces on ANY engine and ANY id layout (ids need
+    not be contiguous). Self-collisions drop, yielding <= k rows per
+    anchor deterministically. Returns (vec_id, j, neg_id[, cosine]).
+
+    Scale shape: the index is built by sources/layout.dense_index
+    (two-pass partition-offset — bucket-parallel sorts, never a
+    single-partition window over the corpus), the corpus count rides
+    along as a one-row broadcast, and the draws resolve with ONE
+    equi hash join on the drawn position — map-only around it. Built
+    once, the index serves every epoch's draws.
+
+    ``with_cosine=False`` skips the cosine fold when the trainer
+    computes its own similarity (the pairs are the product; ~3x less
+    compute per drawn pair)."""
+    from radio_data_pipeline_spark.sources.layout import (dense_index,
+                                                          md5_prefix_long)
+
+    v = _as_double(F.col(vec_col))
+    idx = dense_index(
+        df.select(F.col(id_col).alias("vec_id"), v.alias("v")),
+        "vec_id", "pos")
+    n = idx.agg(F.count(F.lit(1)).alias("n"))
+    anchors = idx.filter(anchor_pred) if anchor_pred is not None else idx
+    spark = df.sparkSession
+    js = spark.range(k).select(F.col("id").alias("j"))
+    draws = (
+        anchors.crossJoin(F.broadcast(js))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "vec_id", "v", "j",
+            (md5_prefix_long(
+                F.concat_ws("#", F.col("vec_id"), F.col("j")))
+             % F.col("n")).alias("neg_pos"))
+    )
+    neg = idx.select(F.col("pos").alias("neg_pos"),
+                     F.col("vec_id").alias("neg_id"),
+                     F.col("v").alias("nv"))
+    out = (draws.join(neg, "neg_pos")
+           .filter(F.col("neg_id") != F.col("vec_id")))
+    cols = ["vec_id", F.col("j").cast("int").alias("j"), "neg_id"]
+    if with_cosine:
+        cols.append(
+            F.round(cosine_similarity(F.col("v"), F.col("nv")), 6)
+            .alias("cosine"))
+    return out.select(*cols)
+
+
 def ivf_centroids(dim: int, n_centroids: int = 8, seed: int = 11,
                   ) -> np.ndarray:
     """Deterministic unit-norm coarse-quantizer centroids. A production

@@ -919,39 +919,18 @@ _COS_SQL = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
 )
 def negative_samples_per_anchor(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
-    from radio_data_pipeline_spark.sources.layout import (dense_index,
-                                                          md5_prefix_long)
+    from radio_data_pipeline_spark.functions.similarity import (
+        uniform_negative_samples)
 
+    # delegates to the library entry point: dense 0..N-1 index via the
+    # two-pass partition-offset builder (sources/layout.dense_index —
+    # never an Exchange SinglePartition over the corpus), md5 draws,
+    # one equi hash join on the drawn position.
     emb = _emb_fanned(spark, sf_dir)
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    # dense 0..N-1 position by vec_id via the two-pass partition-offset
-    # builder — same result as a global row_number window, but the sort
-    # parallelism is #buckets, not 1 (no Exchange SinglePartition over
-    # the embeddings table; see sources/layout.py dense_index).
-    idx = dense_index(emb.select("vec_id", v.alias("v")), "vec_id", "pos")
-    n = idx.agg(F.count(F.lit(1)).alias("n"))
-    anchors = idx.filter(F.col("vec_id") % _ANCHOR_MOD == 0)
-    js = spark.range(_NEG_K).select(F.col("id").alias("j"))
-    draws = (
-        anchors.crossJoin(F.broadcast(js))
-        .crossJoin(F.broadcast(n))
-        .select(
-            "vec_id", "v", "j",
-            (md5_prefix_long(
-                F.concat_ws("#", F.col("vec_id"), F.col("j")))
-             % F.col("n")).alias("neg_pos"))
-    )
-    neg = idx.select(F.col("pos").alias("neg_pos"),
-                     F.col("vec_id").alias("neg_id"),
-                     F.col("v").alias("nv"))
-    return (
-        draws.join(neg, "neg_pos")
-        .filter(F.col("neg_id") != F.col("vec_id"))
-        .select("vec_id", F.col("j").cast("int").alias("j"), "neg_id",
-                F.round(cosine_similarity(F.col("v"), F.col("nv")), 6)
-                .alias("cosine"))
-        .orderBy("vec_id", "j")
-    )
+    return (uniform_negative_samples(
+                emb, k=_NEG_K,
+                anchor_pred=F.col("vec_id") % _ANCHOR_MOD == 0)
+            .orderBy("vec_id", "j"))
 
 
 _HARDNEG_K = 3

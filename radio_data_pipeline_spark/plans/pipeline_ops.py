@@ -1617,7 +1617,12 @@ def events_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(one row per customer, facts already reduced), so the "
         "single-partition window sees dimension-scale data — the "
         "same argument as every final ORDER BY; the decile re-agg "
-        "and share windows then run over exactly 10 rows.",
+        "and share windows then run over exactly 10 rows. (If the "
+        "keyed aggregate itself ever reaches fact scale — billions "
+        "of customers — swap the rank/ntile for the two-pass "
+        "partition-offset builder in sources/layout.py dense_index, "
+        "which produces the same global positions with "
+        "bucket-parallel sorts.)",
     tags=("window", "analytics", "distribution"),
 )
 def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -324,3 +324,39 @@ def test_hard_negative_mining_skew_hardening(spark):
         df, k=3, dedup_identical=False, bucket_cap=50)
     assert capped.groupBy("vec_id").count().agg(
         F.max("count")).first()[0] <= 3
+
+
+def test_uniform_negative_samples_library_entry(spark):
+    """Library form of the deterministic uniform draw: <= k per
+    anchor, never self, ids from the corpus, reproducible across
+    calls; with_cosine=False skips the fold but keeps the pair set."""
+    import numpy as np
+
+    from radio_data_pipeline_spark.functions import similarity as S
+
+    n, dim = 500, 8
+    rng = np.random.default_rng(17)
+    # non-contiguous ids: the dense-index path must not assume layout
+    df = spark.createDataFrame(
+        [(i * 7 + 3, rng.standard_normal(dim).tolist())
+         for i in range(n)],
+        "vec_id long, embedding array<double>")
+
+    out = S.uniform_negative_samples(df, k=4).collect()
+    ids = {r["vec_id"] for r in out} | {r["neg_id"] for r in out}
+    corpus = {i * 7 + 3 for i in range(n)}
+    assert ids <= corpus
+    assert all(r["vec_id"] != r["neg_id"] for r in out)
+    from collections import Counter
+    per = Counter(r["vec_id"] for r in out)
+    assert len(per) == n            # every row is an anchor (pred=None)
+    assert max(per.values()) <= 4
+    # deterministic: second run produces the identical pair set
+    again = S.uniform_negative_samples(df, k=4).collect()
+    key = lambda r: (r["vec_id"], r["j"], r["neg_id"])  # noqa: E731
+    assert sorted(map(key, out)) == sorted(map(key, again))
+
+    lean = S.uniform_negative_samples(df, k=4, with_cosine=False)
+    assert lean.columns == ["vec_id", "j", "neg_id"]
+    assert sorted(key(r) for r in lean.collect()) == \
+        sorted(map(key, out))
