@@ -390,3 +390,87 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def semantic_dedup(df: DataFrame, eps: float = 0.4,
+                   n_clusters: int | None = None, lloyd_rounds: int = 2,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   target_cluster_rows: int = 256,
+                   dedup_identical: bool = True) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, then inside each
+    cluster remove every vector that has a SMALLER-id witness with
+    cosine >= ``eps``. Returns (vec_id, cluster, is_kept) — one verdict
+    per input row. Min-id-wins is the deterministic, engine-portable
+    stand-in for the paper's keep-one-per-epsilon-group rule; the full
+    transitive-component variant is functions/dedup.duplicate_clusters.
+
+    Clustering is Lloyd's algorithm done RELATIONALLY (the
+    kmeans_embeddings shape): centroids live as (k x dim)-row
+    DataFrames, each round is [broadcast centroid join -> per-(vector,
+    centroid) distance agg -> argmin window -> centroid mean], zero
+    driver round-trips. Seeds are the ``n_clusters`` smallest-id
+    vectors (deterministic on any engine / any id layout).
+
+    Scale contract (the reason clustering precedes the pair join):
+    within-cluster candidate pairs cost sum(|cluster|^2)/2, so
+    ``n_clusters=None`` auto-derives ceil(N / target_cluster_rows)
+    clusters, keeping pairs ~N * target/2 — linear in N, exactly the
+    near_dup_pairs_lsh blocking argument with learned (data-shaped)
+    buckets instead of random hyperplanes. Pass an explicit n_clusters
+    when an oracle pins the clustering (the registered
+    semantic_dedup_stats query pins 4 for its static SQL oracle).
+
+    ``dedup_identical`` (default True) collapses byte-identical
+    WITNESS vectors to their min-id representative before the pair
+    join — semantics-preserving (a removed row's witness requirement
+    is "exists smaller id with cos >= eps"; an identical twin of any
+    witness has the same cosine and the representative's id is <= the
+    witness's, so the removal set is unchanged — pinned by test) and
+    it collapses the mass-duplicate hot cluster the skew study showed
+    defeats size-based splitting (BENCH_SCALING.md SS12). Candidates
+    are never deduped: every id gets its verdict.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    if n_clusters is None:
+        n_clusters = max(1, math.ceil(df.count() / target_cluster_rows))
+    v = df.select(F.col(id_col).alias("vec_id"),
+                  _as_double(F.col(vec_col)).alias("v"))
+    r = v.select("vec_id", F.posexplode("v").alias("pos", "val"))
+    c = (v.orderBy("vec_id").limit(n_clusters)
+         .select(F.col("vec_id").alias("cluster"),
+                 F.posexplode("v").alias("pos", "cval")))
+    a = None
+    for _ in range(lloyd_rounds):
+        d = (r.join(F.broadcast(c), "pos")
+             .groupBy("vec_id", "cluster")
+             .agg(F.sum((F.col("val") - F.col("cval"))
+                        * (F.col("val") - F.col("cval"))).alias("d2")))
+        w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+        a = (d.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1).select("vec_id", "cluster"))
+        c = (a.join(r, "vec_id")
+             .groupBy("cluster", "pos")
+             .agg(F.avg("val").alias("cval")))
+    assigned = v.join(a, "vec_id")
+    wit = assigned.select("cluster", F.col("vec_id").alias("w_id"),
+                          F.col("v").alias("wv"))
+    if dedup_identical:
+        wit = (wit.groupBy("cluster", "wv")
+               .agg(F.min("w_id").alias("w_id")))
+    removed = (
+        assigned.join(wit, "cluster")
+        .filter(F.col("w_id") < F.col("vec_id"))
+        .filter(F.round(cosine_similarity(F.col("wv"), F.col("v")), 6)
+                >= eps)
+        .select("vec_id").distinct()
+        .withColumn("_rm", F.lit(True))
+    )
+    return (
+        assigned.join(removed, "vec_id", "left")
+        .select("vec_id", "cluster",
+                F.col("_rm").isNull().alias("is_kept"))
+    )

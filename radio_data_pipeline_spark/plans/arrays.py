@@ -1002,3 +1002,92 @@ def hard_negatives_per_anchor(spark: SparkSession,
                 n_planes=_HARDNEG_PLANES, seed=7, dim=64,
                 dedup_identical=False, bucket_cap=None)
             .orderBy("vec_id", "rank"))
+
+
+_SEMDEDUP_K = 4
+_SEMDEDUP_EPS = 0.4
+
+
+def _semantic_dedup_oracle(k: int = _SEMDEDUP_K,
+                           eps: float = _SEMDEDUP_EPS) -> str:
+    # the clustering CTE chain is the kmeans_embeddings oracle
+    # (plans/pipeline_ops.py) verbatim: deterministic first-k seeds,
+    # two Lloyd rounds, lowest-index tiebreak
+    cos = ("round(list_dot_product(a.v, b.v)"
+           " / (sqrt(list_dot_product(a.v, a.v))"
+           " * sqrt(list_dot_product(b.v, b.v))), 6)")
+    return f"""
+    WITH r AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cluster, pos, val AS cval FROM r
+           WHERE vec_id < {k}),
+    d1 AS (SELECT r.vec_id, c.cluster,
+                  sum((r.val - c.cval) * (r.val - c.cval)) AS d2
+           FROM r JOIN c0 c USING (pos) GROUP BY r.vec_id, c.cluster),
+    a1 AS (SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cluster) AS rn
+             FROM d1) WHERE rn = 1),
+    c1 AS (SELECT a1.cluster, r.pos, avg(r.val) AS cval
+           FROM a1 JOIN r USING (vec_id) GROUP BY a1.cluster, r.pos),
+    d2 AS (SELECT r.vec_id, c.cluster,
+                  sum((r.val - c.cval) * (r.val - c.cval)) AS d2
+           FROM r JOIN c1 c USING (pos) GROUP BY r.vec_id, c.cluster),
+    a2 AS (SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cluster) AS rn
+             FROM d2) WHERE rn = 1),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+    av AS (SELECT a2.vec_id, a2.cluster, v.v
+           FROM a2 JOIN v USING (vec_id)),
+    rem AS (SELECT DISTINCT b.vec_id
+            FROM av a JOIN av b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            WHERE {cos} >= {eps})
+    SELECT av.cluster,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN rem.vec_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+    FROM av LEFT JOIN rem USING (vec_id)
+    GROUP BY av.cluster
+    ORDER BY av.cluster
+    """
+
+
+@register(
+    "semantic_dedup_stats",
+    oracle=_semantic_dedup_oracle(),
+    doc="SemDeDup semantic deduplication (functions/similarity.py "
+        "semantic_dedup; Abbas et al. 2023): k-means the embeddings "
+        "(k=4 pinned for the static oracle — the library default "
+        "auto-derives ceil(N/256) clusters, the 100 TB contract), then "
+        "within each cluster remove every vector with a smaller-id "
+        "witness at cosine >= 0.4. The learned-cluster counterpart of "
+        "embedding_near_dup_lsh's random-hyperplane blocking: pair "
+        "cost is sum(|cluster|^2)/2, never N^2/2, and clusters follow "
+        "the data distribution so near-dups co-locate at higher "
+        "recall per bucket. Output: per-cluster size and removal "
+        "count. Witness-side identical-vector collapse is ON — "
+        "semantics-preserving (pinned by test) and it kills the "
+        "mass-duplicate hot-cluster quadratic the skew study found.",
+    tags=("similarity", "dedup", "clustering", "ml"),
+)
+def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.functions.similarity import (
+        semantic_dedup)
+
+    sd = semantic_dedup(_emb(spark, sf_dir), eps=_SEMDEDUP_EPS,
+                        n_clusters=_SEMDEDUP_K, lloyd_rounds=2)
+    return (
+        sd.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vecs"),
+             F.sum(F.when(~F.col("is_kept"), 1).otherwise(0))
+              .cast("long").alias("n_removed"))
+        .orderBy("cluster")
+    )

@@ -16,8 +16,18 @@ DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
 def get_spark(app_name: str = "radio-data-pipeline-spark",
-              cpus: int | None = None) -> SparkSession:
+              cpus: int | None = None,
+              master: str | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``master`` (or env ``SPARK_GRAFT_MASTER``) overrides the default
+    ``local[cpus]`` — e.g. ``local-cluster[2,8,4096]`` runs the same
+    plans on REAL separate executor JVMs (serialized closures, network
+    shuffle/broadcast, per-executor Python workers), the closest
+    in-container approximation of a multi-node cluster. For any
+    non-``local[...]`` master the repo root is exported to executor
+    Python workers via ``spark.executorEnv.PYTHONPATH`` so cloudpickled
+    UDF/applyInPandas kernels can import this package remotely.
 
     Scale rationale per config:
     - AQE on: runtime shuffle-partition coalescing, skew-join split,
@@ -30,9 +40,11 @@ def get_spark(app_name: str = "radio-data-pipeline-spark",
       ``initialPartitionNum``.
     """
     cpus = cpus or DEFAULT_CPUS
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") \
+        or f"local[{cpus}]"
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        .master(master)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # size post-shuffle partitions by bytes, not cluster default
@@ -66,4 +78,19 @@ def get_spark(app_name: str = "radio-data-pipeline-spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if not master.startswith("local["):
+        # Separate executor JVMs spawn their own Python workers in
+        # their own working directories; ship the repo root so
+        # cloudpickled kernels resolve this package there.
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        builder = (
+            builder
+            .config("spark.executorEnv.PYTHONPATH", repo_root)
+            # Spark's 1g executor default is sized for neither the
+            # array-fold kernels nor sf0.1 shuffles; without this the
+            # worker OOM-kills and relaunches executors mid-query.
+            # Must fit the local-cluster memoryPerWorker (MB) arg.
+            .config("spark.executor.memory",
+                    os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "6g"))
+        )
     return builder.getOrCreate()
