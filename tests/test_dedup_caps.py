@@ -360,3 +360,67 @@ def test_uniform_negative_samples_library_entry(spark):
     assert lean.columns == ["vec_id", "j", "neg_id"]
     assert sorted(key(r) for r in lean.collect()) == \
         sorted(map(key, out))
+
+
+def test_semantic_dedup_witness_collapse_is_exact(spark):
+    """dedup_identical collapses witness-side identical vectors — the
+    removal SET must be unchanged (the docstring's exactness claim):
+    a removed row's requirement is 'exists smaller id, cos >= eps';
+    any witness's identical twin has the same cosine and an id <= the
+    witness, so collapsing witnesses to min-id loses no removals."""
+    from radio_data_pipeline_spark.functions.similarity import (
+        semantic_dedup)
+
+    # 3 identical vectors (ids 10<11<12), one near-dup of them (13),
+    # one far vector (14), plus orthogonal fillers as extra seeds
+    rows = [
+        (10, [1.0, 0.0, 0.0, 0.0]),
+        (11, [1.0, 0.0, 0.0, 0.0]),
+        (12, [1.0, 0.0, 0.0, 0.0]),
+        (13, [0.9, 0.1, 0.0, 0.0]),   # cos ~0.994 to the triplet
+        (14, [0.0, 0.0, 0.0, 1.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    kw = dict(eps=0.9, n_clusters=2, lloyd_rounds=1)
+    on = semantic_dedup(df, dedup_identical=True, **kw)
+    off = semantic_dedup(df, dedup_identical=False, **kw)
+    got_on = {r["vec_id"]: r["is_kept"] for r in on.collect()}
+    got_off = {r["vec_id"]: r["is_kept"] for r in off.collect()}
+    assert got_on == got_off
+    # and the verdicts themselves: min-id of the identical triplet
+    # survives, its twins and the near-dup are removed
+    assert got_on[10] is True
+    assert got_on[11] is False and got_on[12] is False
+    assert got_on[13] is False
+    assert got_on[14] is True
+
+
+def test_semantic_dedup_auto_clusters_bounds_pairs(spark):
+    """n_clusters=None derives ceil(N/target) clusters so within-
+    cluster candidate pairs stay ~N*target/2 — the SemDeDup scale
+    contract (mirrors the near-dup auto-planes test)."""
+    import numpy as np
+
+    from radio_data_pipeline_spark.functions.similarity import (
+        semantic_dedup)
+
+    rng = np.random.default_rng(3)
+    n = 2048
+    rows = [(i, [float(v) for v in rng.standard_normal(8)])
+            for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, eps=0.999, n_clusters=None,
+                         lloyd_rounds=1, target_cluster_rows=64)
+    # every row gets exactly one verdict
+    assert out.count() == n
+    # auto k = ceil(2048/64) = 32 clusters; the largest cluster of a
+    # random corpus stays far below the all-pairs hazard size
+    sizes = [r["n"] for r in
+             out.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+                .collect()]
+    assert len(sizes) > 8          # clustering actually spread out
+    assert sum(s * s for s in sizes) < n * n / 8  # blocked join cost
