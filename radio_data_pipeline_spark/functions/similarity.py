@@ -396,7 +396,9 @@ def semantic_dedup(df: DataFrame, eps: float = 0.4,
                    n_clusters: int | None = None, lloyd_rounds: int = 2,
                    vec_col: str = "embedding", id_col: str = "vec_id",
                    target_cluster_rows: int = 256,
-                   dedup_identical: bool = True) -> DataFrame:
+                   dedup_identical: bool = True,
+                   train_fraction: float = 1.0, seed: int = 7,
+                   ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embeddings, then inside each
     cluster remove every vector that has a SMALLER-id witness with
@@ -440,21 +442,34 @@ def semantic_dedup(df: DataFrame, eps: float = 0.4,
     v = df.select(F.col(id_col).alias("vec_id"),
                   _as_double(F.col(vec_col)).alias("v"))
     r = v.select("vec_id", F.posexplode("v").alias("pos", "val"))
+    # Lloyd updates train on a sample (r_train); only the FINAL
+    # assignment touches every row. Centroid training is O(N*d*k) per
+    # round — at 100 TB that is the dominant cost and a sample-trained
+    # quantizer is the standard trade (the SemDeDup paper's own setup);
+    # train_fraction=1.0 (default) keeps the oracle-exact behavior.
+    r_train = (r if train_fraction >= 1.0
+               else v.sample(False, train_fraction, seed=seed)
+                     .select("vec_id",
+                             F.posexplode("v").alias("pos", "val")))
     c = (v.orderBy("vec_id").limit(n_clusters)
          .select(F.col("vec_id").alias("cluster"),
                  F.posexplode("v").alias("pos", "cval")))
-    a = None
-    for _ in range(lloyd_rounds):
-        d = (r.join(F.broadcast(c), "pos")
+
+    def _assign(rr, cc):
+        d = (rr.join(F.broadcast(cc), "pos")
              .groupBy("vec_id", "cluster")
              .agg(F.sum((F.col("val") - F.col("cval"))
                         * (F.col("val") - F.col("cval"))).alias("d2")))
         w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
-        a = (d.withColumn("rn", F.row_number().over(w))
-             .filter(F.col("rn") == 1).select("vec_id", "cluster"))
-        c = (a.join(r, "vec_id")
+        return (d.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1).select("vec_id", "cluster"))
+
+    for _ in range(max(0, lloyd_rounds - 1)):
+        a_t = _assign(r_train, c)
+        c = (a_t.join(r_train, "vec_id")
              .groupBy("cluster", "pos")
              .agg(F.avg("val").alias("cval")))
+    a = _assign(r, c)
     assigned = v.join(a, "vec_id")
     wit = assigned.select("cluster", F.col("vec_id").alias("w_id"),
                           F.col("v").alias("wv"))

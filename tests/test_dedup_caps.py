@@ -424,3 +424,26 @@ def test_semantic_dedup_auto_clusters_bounds_pairs(spark):
                 .collect()]
     assert len(sizes) > 8          # clustering actually spread out
     assert sum(s * s for s in sizes) < n * n / 8  # blocked join cost
+
+
+def test_semantic_dedup_sampled_training_still_total(spark):
+    """train_fraction<1 trains centroids on a seeded sample but the
+    FINAL assignment covers every row: one verdict per input id,
+    deterministic across runs."""
+    import numpy as np
+
+    from radio_data_pipeline_spark.functions.similarity import (
+        semantic_dedup)
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)])
+            for i in range(512)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    kw = dict(eps=0.999, n_clusters=8, lloyd_rounds=2,
+              train_fraction=0.25)
+    a = semantic_dedup(df, **kw)
+    assert a.count() == 512
+    assert a.select("vec_id").distinct().count() == 512
+    b = semantic_dedup(df, **kw)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
