@@ -489,3 +489,57 @@ def semantic_dedup(df: DataFrame, eps: float = 0.4,
         .select("vec_id", "cluster",
                 F.col("_rm").isNull().alias("is_kept"))
     )
+
+
+def write_ivf_index(df: DataFrame, path: str, n_centroids: int = 8,
+                    seed: int = 11, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> None:
+    """Materialize the IVF-Flat index as a parquet dataset PARTITIONED
+    BY the inverted-list id — the persisted form the ivf_topk
+    docstring promises: ``ivf_list=K/`` hive directories, one file per
+    list (each list's rows collapse to one task via the repartition).
+
+    This is what 'an ANN index' means on a data lake: no serving
+    process, no index file format — the PARTITION LAYOUT is the index.
+    A probe reads nprobe/n_centroids of the data at PLANNING time
+    (directory pruning, before any I/O), and the layout is readable by
+    any parquet engine. Rebuilds are one deterministic job (centroids
+    are seeded), so index refresh after an append is an
+    overwrite-partitions run of exactly the appended lists."""
+    head = (df.select(vec_col).filter(F.col(vec_col).isNotNull()).first())
+    if head is None:
+        raise ValueError("cannot index an empty/all-null vector table")
+    centroids = ivf_centroids(len(head[0]), n_centroids, seed)
+    assigned = df.withColumn("ivf_list", ivf_assign(F.col(vec_col),
+                                                    centroids))
+    (assigned.repartition(F.col("ivf_list"))
+     .write.mode("overwrite").partitionBy("ivf_list").parquet(path))
+
+
+def ivf_topk_indexed(spark, path: str, query_vec: list[float],
+                     k: int = 10, n_centroids: int = 8, nprobe: int = 2,
+                     seed: int = 11, vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Top-k over a write_ivf_index dataset: the query's ``nprobe``
+    nearest lists are computed driver-side from the same seeded
+    centroids (pure metadata — no data read), and the scan filter
+    ``ivf_list IN (probe)`` prunes to those hive directories at
+    planning time. Everything after the pruned scan is the exact
+    ivf_topk tail: one cosine fold + TakeOrdered, map-only.
+
+    The probe MUST use the same (n_centroids, seed) the index was
+    written with — a mismatch probes the wrong directories; pinned by
+    the parity test against inline ivf_topk."""
+    qvec = np.asarray(query_vec, dtype=float)
+    centroids = ivf_centroids(len(query_vec), n_centroids, seed)
+    probe = [int(i) for i in np.argsort(-(centroids @ qvec))[:nprobe]]
+    q = _query_literal(query_vec)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("ivf_list").isin(probe))
+        .select(F.col(id_col),
+                F.round(cosine_similarity(F.col(vec_col), q), 6)
+                .alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

