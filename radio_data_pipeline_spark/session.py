@@ -83,14 +83,23 @@ def get_spark(app_name: str = "radio-data-pipeline-spark",
         # their own working directories; ship the repo root so
         # cloudpickled kernels resolve this package there.
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        # Spark's 1g executor default is sized for neither the
+        # array-fold kernels nor sf0.1 shuffles; without this the
+        # worker OOM-kills and relaunches executors mid-query (362
+        # relaunches measured in one bench run). A local-cluster
+        # master declares memoryPerWorker itself — asking for more
+        # than that fails at SparkContext construction, so default to
+        # exactly the worker's allotment and let the env override
+        # DOWNWARD for multi-executor-per-worker layouts.
+        import re
+        exec_mem = os.environ.get("SPARK_GRAFT_EXECUTOR_MEM")
+        if exec_mem is None:
+            m = re.match(r"local-cluster\[\s*\d+\s*,\s*\d+\s*,\s*(\d+)\s*\]",
+                         master)
+            exec_mem = f"{m.group(1)}m" if m else "6g"
         builder = (
             builder
             .config("spark.executorEnv.PYTHONPATH", repo_root)
-            # Spark's 1g executor default is sized for neither the
-            # array-fold kernels nor sf0.1 shuffles; without this the
-            # worker OOM-kills and relaunches executors mid-query.
-            # Must fit the local-cluster memoryPerWorker (MB) arg.
-            .config("spark.executor.memory",
-                    os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "6g"))
+            .config("spark.executor.memory", exec_mem)
         )
     return builder.getOrCreate()
