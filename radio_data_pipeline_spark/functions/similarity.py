@@ -543,3 +543,57 @@ def ivf_topk_indexed(spark, path: str, query_vec: list[float],
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def multiprobe_buckets(query_vec: list[float], planes: np.ndarray,
+                       n_probes: int = 4) -> list[int]:
+    """Multi-probe LSH bucket schedule (Lv et al. 2007): the query's
+    own bucket first, then neighbors reached by flipping the
+    SMALLEST-|margin| hyperplane bits — the planes the query sits
+    closest to, i.e. the splits a true neighbor most likely straddles.
+    Probing T buckets recovers most of the recall that T independent
+    hash tables would, at 1/T the index storage. Pure driver-side
+    metadata (projections of one vector); single-bit flips in
+    ascending-margin order, then the two-smallest-bits flip, ...,
+    capped at n_probes buckets."""
+    from itertools import combinations
+
+    qvec = np.asarray(query_vec, dtype=float)
+    projs = planes @ qvec
+    base = int(sum((1 << r) for r, p in enumerate(projs) if p > 0))
+    order = np.argsort(np.abs(projs))          # nearest planes first
+    buckets = [base]
+    for n_flip in range(1, len(planes) + 1):
+        for combo in combinations(range(len(order)), n_flip):
+            if len(buckets) >= n_probes:
+                return buckets
+            mask = sum(1 << int(order[i]) for i in combo)
+            b = base ^ mask
+            if b not in buckets:
+                buckets.append(b)
+    return buckets
+
+
+def lsh_multiprobe_topk(df: DataFrame, query_vec: list[float],
+                        k: int = 10, n_planes: int = 6,
+                        n_probes: int = 4, seed: int = 7,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Approximate top-k scanning the query's multi-probe bucket
+    schedule instead of one bucket: candidates = ~n_probes * N/2^R
+    rows, recall approaches n_probes independent tables' without
+    storing them. Same scale shape as lsh_bucket_topk — with the
+    table written partitioned/bucketed by the sign-pattern id, the
+    IN-list prunes at planning time (the write_ivf_index pattern)."""
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    probe = multiprobe_buckets(query_vec, planes, n_probes)
+    bucketed = df.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
+    q = _query_literal(query_vec)
+    return (
+        bucketed.filter(F.col("_bucket").isin(probe))
+        .select(F.col(id_col),
+                F.round(cosine_similarity(F.col(vec_col), q), 6)
+                .alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

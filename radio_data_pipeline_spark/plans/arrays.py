@@ -1091,3 +1091,71 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
               .cast("long").alias("n_removed"))
         .orderBy("cluster")
     )
+
+
+def _multiprobe_oracle(k: int = 10, n_planes: int = 6, n_probes: int = 4,
+                       seed: int = 7, dim: int = 64) -> str:
+    # probe schedule: the query's bucket plus single-bit flips of the
+    # (n_probes-1) smallest-|projection| planes — the exact schedule
+    # multiprobe_buckets produces while n_probes-1 <= n_planes (the
+    # registered configuration; multi-bit flips only start beyond
+    # that). Stable ascending tiebreak on the plane index both sides.
+    planes = hyperplanes(dim, n_planes, seed)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_sql(list(p))}) > 0 "
+        f"THEN {1 << r} ELSE 0 END)"
+        for r, p in enumerate(planes))
+    proj_cols = ", ".join(
+        f"list_dot_product(v, {_plane_sql(list(p))}) AS p{r}"
+        for r, p in enumerate(planes))
+    margin_case = ("CASE t.r " + " ".join(
+        f"WHEN {r} THEN abs(q.p{r})" for r in range(n_planes)) + " END")
+    idx_vals = ", ".join(f"({r})" for r in range(n_planes))
+    return f"""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    bb AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM b),
+    q AS (SELECT v AS qv, bucket AS qbucket, {proj_cols}
+          FROM bb WHERE vec_id = 0),
+    fl AS (SELECT t.r FROM (VALUES {idx_vals}) t(r), q
+           ORDER BY {margin_case}, t.r LIMIT {n_probes - 1}),
+    probes AS (
+      SELECT qbucket AS pb FROM q
+      UNION ALL
+      SELECT xor(q.qbucket, (1::BIGINT << fl.r)) FROM q, fl
+    )
+    SELECT bb.vec_id,
+           round(list_dot_product(bb.v, q.qv)
+                 / (sqrt(list_dot_product(bb.v, bb.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+    FROM bb, q
+    WHERE bb.bucket IN (SELECT pb FROM probes)
+    ORDER BY cosine DESC, bb.vec_id
+    LIMIT {k}
+    """
+
+
+@register(
+    "lsh_multiprobe_topk",
+    oracle=_multiprobe_oracle(),
+    doc="Multi-probe LSH top-k (functions/similarity.py "
+        "lsh_multiprobe_topk; Lv et al. 2007): scan the query's bucket "
+        "PLUS its lowest-margin single-bit-flip neighbors — the "
+        "buckets a true neighbor most likely straddled into. Recovers "
+        "most of the recall of n_probes independent hash tables at "
+        "1/n_probes the index storage; the probe schedule is pure "
+        "driver-side metadata, and with the table partitioned by the "
+        "sign-pattern id the IN-list prunes directories at planning "
+        "time (the write_ivf_index pattern). Closes the measured "
+        "single-probe recall gap (BENCH_SCALING §15 addendum: 0.73 "
+        "single-probe on planted near-dups).",
+    tags=("similarity", "topk", "lsh"),
+)
+def lsh_multiprobe_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.functions.similarity import (
+        lsh_multiprobe_topk)
+
+    emb = _emb_fanned(spark, sf_dir)
+    return lsh_multiprobe_topk(emb, _query_vec(emb), k=10,
+                               n_planes=6, n_probes=4, seed=7)
