@@ -597,3 +597,50 @@ def lsh_multiprobe_topk(df: DataFrame, query_vec: list[float],
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def write_lsh_index(df: DataFrame, path: str, n_planes: int = 6,
+                    seed: int = 7, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> None:
+    """Materialize the sign-pattern LSH index as parquet partitioned
+    by bucket id (``lsh_bucket=K/`` hive dirs) — the same
+    layout-as-index idea as write_ivf_index, for the hyperplane
+    quantizer: no index format, no serving process, any parquet
+    engine reads it. A (multi-)probe reads n_probes/2^n_planes of the
+    data at PLANNING time. Seeded hyperplanes make rebuilds and
+    appended-shard refreshes deterministic. Pick n_planes ~
+    log2(N/target_bucket_rows) at scale (auto_n_planes)."""
+    head = (df.select(vec_col).filter(F.col(vec_col).isNotNull()).first())
+    if head is None:
+        raise ValueError("cannot index an empty/all-null vector table")
+    planes = hyperplanes(len(head[0]), n_planes, seed)
+    assigned = df.withColumn("lsh_bucket",
+                             lsh_bucket(F.col(vec_col), planes))
+    (assigned.repartition(F.col("lsh_bucket"))
+     .write.mode("overwrite").partitionBy("lsh_bucket").parquet(path))
+
+
+def lsh_multiprobe_topk_indexed(spark, path: str,
+                                query_vec: list[float], k: int = 10,
+                                n_planes: int = 6, n_probes: int = 4,
+                                seed: int = 7,
+                                vec_col: str = "embedding",
+                                id_col: str = "vec_id") -> DataFrame:
+    """Multi-probe top-k over a write_lsh_index dataset: the probe
+    schedule (pure driver-side metadata — same (n_planes, seed) as
+    the writer, or the wrong directories get probed) becomes a
+    partition filter, so only n_probes of 2^n_planes directories are
+    listed, opened, or scanned. The tail is the exact
+    lsh_multiprobe_topk tail: cosine fold + TakeOrdered, map-only."""
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    probe = multiprobe_buckets(query_vec, planes, n_probes)
+    q = _query_literal(query_vec)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("lsh_bucket").isin(probe))
+        .select(F.col(id_col),
+                F.round(cosine_similarity(F.col(vec_col), q), 6)
+                .alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

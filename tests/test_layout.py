@@ -406,3 +406,34 @@ def test_ivf_index_write_probe_prunes_and_matches_inline(spark, sf_dir,
     inline = ivf_topk(emb, qvec, k=10, n_centroids=8, nprobe=2, seed=11)
     assert sorted(map(tuple, out.collect())) \
         == sorted(map(tuple, inline.collect()))
+
+
+def test_lsh_index_write_multiprobe_prunes_and_matches_inline(
+        spark, sf_dir, tmp_path):
+    """write_lsh_index + lsh_multiprobe_topk_indexed: the probe
+    schedule must become a planning-time partition filter with
+    exactly n_probes buckets, and results must equal the inline
+    multi-probe scan."""
+    from radio_data_pipeline_spark.functions.similarity import (
+        lsh_multiprobe_topk,
+        lsh_multiprobe_topk_indexed,
+        write_lsh_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in
+            emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    path = str(tmp_path / "lsh_index")
+    write_lsh_index(emb, path, n_planes=6, seed=7)
+
+    out = lsh_multiprobe_topk_indexed(spark, path, qvec, k=10,
+                                      n_planes=6, n_probes=4, seed=7)
+    plan = _plan(spark, out)
+    pf_line = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "lsh_bucket" in pf_line and " IN (" in pf_line
+    assert len(pf_line.split("IN (")[1].split(")")[0].split(",")) == 4
+
+    inline = lsh_multiprobe_topk(emb, qvec, k=10, n_planes=6,
+                                 n_probes=4, seed=7)
+    assert sorted(map(tuple, out.collect())) \
+        == sorted(map(tuple, inline.collect()))
