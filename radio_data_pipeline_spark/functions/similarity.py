@@ -644,3 +644,81 @@ def lsh_multiprobe_topk_indexed(spark, path: str,
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def knn_join(queries_df: DataFrame, corpus_df: DataFrame, k: int = 3,
+             n_planes: int | None = None, n_probes: int = 2,
+             seed: int = 7, vec_col: str = "embedding",
+             id_col: str = "vec_id", exclude_self: bool = True,
+             target_bucket_rows: int = 64) -> DataFrame:
+    """Batch k-NN join — the retrieval primitive: for EVERY row of
+    ``queries_df``, the top-k most-cosine-similar rows of
+    ``corpus_df``, found through LSH blocking with PER-ROW multi-probe
+    (each query also probes the buckets reached by flipping its
+    ``n_probes - 1`` smallest-|margin| planes, computed inside the
+    plan — no driver loop over queries, unlike the single-vector
+    lsh_multiprobe_topk). Returns (vec_id, rank, nn_id, cosine); rank
+    orders by rounded cosine desc then nn_id (engine-portable ties).
+
+    Scale shape: candidates per query <= n_probes * max-bucket rows;
+    with auto planes (n_planes=None derives from the CORPUS count,
+    like near_dup_pairs_lsh) buckets hold ~target_bucket_rows, so the
+    join is ~N_q * n_probes * target rows — linear in queries, never
+    all-pairs. One explode (n_probes rows per query), one bucket
+    equi-join carrying both partitionings, one per-query top-k window
+    riding the join's hash partitioning. A corpus row lives in exactly
+    one bucket, so multi-probe never duplicates a candidate pair.
+    Over a write_lsh_index layout the corpus side arrives
+    pre-partitioned by the join key."""
+    if n_planes is None:
+        n_planes = auto_n_planes(corpus_df.count(), target_bucket_rows)
+    head = (corpus_df.select(vec_col)
+            .filter(F.col(vec_col).isNotNull()).first())
+    if head is None:
+        return (queries_df.select(
+            F.col(id_col).alias("vec_id"), F.lit(0).alias("rank"),
+            F.col(id_col).alias("nn_id"),
+            F.lit(0.0).alias("cosine")).limit(0))
+    planes = hyperplanes(len(head[0]), n_planes, seed)
+    from pyspark.sql import Window
+
+    v = _as_double(F.col(vec_col))
+    c = corpus_df.select(F.col(id_col).alias("nn_id"), v.alias("cv"),
+                         lsh_bucket(F.col(vec_col), planes)
+                         .alias("bucket"))
+    projs = [dot_product(F.col(vec_col), _query_literal(list(p)))
+             for p in planes]
+    base = lsh_bucket(F.col(vec_col), planes)
+    # per-row probe schedule: sort (|proj|, plane) pairs ascending —
+    # stable ties on the plane index, matching multiprobe_buckets —
+    # and flip the first n_probes-1 planes' bits one at a time
+    margins = F.array_sort(F.array(*[
+        F.struct(F.abs(p).alias("m"), F.lit(r).alias("r"))
+        for r, p in enumerate(projs)]))
+    probe_cols = [base]
+    for i in range(min(n_probes - 1, n_planes)):
+        r_i = margins[i]["r"]
+        bit = F.lit(0).cast("long")
+        for r in range(n_planes):
+            bit = F.when(r_i == r, F.lit(1 << r).cast("long")) \
+                   .otherwise(bit)
+        probe_cols.append(base.bitwiseXOR(bit))
+    q = queries_df.select(
+        F.col(id_col).alias("vec_id"), v.alias("qv"),
+        F.explode(F.array(*probe_cols)).alias("bucket"))
+    scored = (
+        q.join(c, "bucket")
+        .select("vec_id", "nn_id",
+                F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+                .alias("cosine"))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("vec_id") != F.col("nn_id"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"),
+                                             F.asc("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", F.col("rank").cast("int").alias("rank"),
+                "nn_id", "cosine")
+    )

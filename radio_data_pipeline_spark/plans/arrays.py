@@ -1159,3 +1159,81 @@ def lsh_multiprobe_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_fanned(spark, sf_dir)
     return lsh_multiprobe_topk(emb, _query_vec(emb), k=10,
                                n_planes=6, n_probes=4, seed=7)
+
+
+_KNN_K = 3
+_KNN_PLANES = 4
+_KNN_ANCHOR_MOD = 50
+
+
+def _knn_join_oracle(k: int = _KNN_K, n_planes: int = _KNN_PLANES,
+                     anchor_mod: int = _KNN_ANCHOR_MOD,
+                     seed: int = 7, dim: int = 64) -> str:
+    planes = hyperplanes(dim, n_planes, seed)
+    proj_cols = ", ".join(
+        f"list_dot_product(v, {_plane_sql(list(p))}) AS p{r}"
+        for r, p in enumerate(planes))
+    bucket = " + ".join(
+        f"(CASE WHEN p{r} > 0 THEN {1 << r} ELSE 0 END)"
+        for r in range(n_planes))
+    # argmin |p_r| with lowest-index tiebreak, as a <=-ordered CASE
+    # chain (p0 wins all ties, p1 wins ties against p2.., ...) —
+    # identical to the stable (|m|, r) sort on the Spark side
+    argmin_terms = []
+    for r in range(n_planes):
+        conds = " AND ".join(f"abs(p{r}) <= abs(p{s})"
+                             for s in range(r + 1, n_planes))
+        argmin_terms.append(
+            f"WHEN {conds} THEN {1 << r}" if conds else f"ELSE {1 << r}")
+    flip_bit = "CASE " + " ".join(argmin_terms) + " END"
+    return f"""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    pp AS (SELECT vec_id, v, {proj_cols} FROM b),
+    bb AS (SELECT vec_id, v, {bucket} AS bucket,
+                  {flip_bit} AS flip FROM pp),
+    qq AS (SELECT vec_id, v, bucket,
+                  xor(bucket, flip) AS alt
+           FROM bb WHERE vec_id % {anchor_mod} = 0),
+    cand AS (
+      SELECT q.vec_id, c.vec_id AS nn_id,
+             round(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+      FROM qq q JOIN bb c
+        ON c.bucket IN (q.bucket, q.alt) AND c.vec_id != q.vec_id
+    )
+    SELECT vec_id, CAST(rank AS INT) AS rank, nn_id, cosine FROM (
+      SELECT vec_id, nn_id, cosine,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cosine DESC, nn_id) AS rank
+      FROM cand) WHERE rank <= {k}
+    ORDER BY vec_id, rank
+    """
+
+
+@register(
+    "knn_join_topk",
+    oracle=_knn_join_oracle(),
+    doc="Batch k-NN join (functions/similarity.py knn_join): every "
+        "anchor row retrieves its top-3 corpus neighbors through LSH "
+        "blocking with PER-ROW multi-probe — each anchor also probes "
+        "the bucket across its smallest-|margin| hyperplane, computed "
+        "inside the plan (no driver loop over queries). Candidates "
+        "per anchor <= n_probes x bucket size; the library default "
+        "auto-derives planes from the corpus count so the bound is "
+        "~n_probes x target_bucket_rows at any scale. n_planes=4 "
+        "pinned here for the static oracle (the near-dup scale-"
+        "coupling lesson). The retrieval primitive behind RAG corpus "
+        "joins and per-example nearest-neighbor eval.",
+    tags=("similarity", "topk", "lsh", "join"),
+)
+def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.functions.similarity import knn_join
+
+    emb = _emb_fanned(spark, sf_dir)
+    anchors = emb.filter(F.col("vec_id") % _KNN_ANCHOR_MOD == 0)
+    return (knn_join(anchors, emb, k=_KNN_K, n_planes=_KNN_PLANES,
+                     n_probes=2, seed=7)
+            .orderBy("vec_id", "rank"))

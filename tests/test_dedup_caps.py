@@ -447,3 +447,39 @@ def test_semantic_dedup_sampled_training_still_total(spark):
     assert a.select("vec_id").distinct().count() == 512
     b = semantic_dedup(df, **kw)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_knn_join_shape_and_probe_widening(spark):
+    """knn_join: one top-k list per query row, self excluded, ranks
+    dense from 1; widening probes can only add candidates, so the
+    best-rank cosine per anchor is monotone non-decreasing."""
+    import numpy as np
+
+    from radio_data_pipeline_spark.functions.similarity import knn_join
+
+    rng = np.random.default_rng(9)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)])
+            for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    anchors = df.filter(F.col("vec_id") % 40 == 0)
+
+    out = knn_join(anchors, df, k=3, n_planes=4, n_probes=2).collect()
+    by_anchor = {}
+    for r in out:
+        assert r["vec_id"] != r["nn_id"]
+        by_anchor.setdefault(r["vec_id"], []).append(r)
+    assert len(by_anchor) == 10
+    for rs in by_anchor.values():
+        assert sorted(x["rank"] for x in rs) == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+
+    def best(n_probes):
+        got = knn_join(anchors, df, k=1, n_planes=4,
+                       n_probes=n_probes).collect()
+        return {r["vec_id"]: r["cosine"] for r in got}
+
+    b1, b4 = best(1), best(4)
+    assert all(b4[a] >= b1[a] for a in b1)
+    # auto-planes default runs (corpus-count derivation)
+    assert knn_join(anchors, df, k=2).count() <= 20
