@@ -650,7 +650,8 @@ def knn_join(queries_df: DataFrame, corpus_df: DataFrame, k: int = 3,
              n_planes: int | None = None, n_probes: int = 2,
              seed: int = 7, vec_col: str = "embedding",
              id_col: str = "vec_id", exclude_self: bool = True,
-             target_bucket_rows: int = 64) -> DataFrame:
+             target_bucket_rows: int = 64,
+             bucket_cap: int | None = 1024) -> DataFrame:
     """Batch k-NN join — the retrieval primitive: for EVERY row of
     ``queries_df``, the top-k most-cosine-similar rows of
     ``corpus_df``, found through LSH blocking with PER-ROW multi-probe
@@ -669,7 +670,20 @@ def knn_join(queries_df: DataFrame, corpus_df: DataFrame, k: int = 3,
     riding the join's hash partitioning. A corpus row lives in exactly
     one bucket, so multi-probe never duplicates a candidate pair.
     Over a write_lsh_index layout the corpus side arrives
-    pre-partitioned by the join key."""
+    pre-partitioned by the join key.
+
+    ``bucket_cap`` (default 1024) is the skew guard the mining study
+    mandated (BENCH_SCALING §12: identical vectors defeat plane
+    splitting, and AQE's byte-based skew split never sees a hot
+    COMPUTE bucket): corpus candidates in a bucket over the cap are
+    md5-rate downsampled to ~cap, bounding join cost at N_q * n_probes
+    * cap under ANY skew. It engages only on buckets 16x past the
+    auto-plane target, i.e. degenerate (mass-duplicate) buckets where
+    the dropped candidates are interchangeable copies; None disables
+    (the registered oracle query does, modeling the raw join).
+    Identical-vector collapse is deliberately NOT offered here —
+    unlike mining, retrieval output names specific neighbor ids, so
+    collapsing twins would change the answer, not just the cost."""
     if n_planes is None:
         n_planes = auto_n_planes(corpus_df.count(), target_bucket_rows)
     head = (corpus_df.select(vec_col)
@@ -686,6 +700,15 @@ def knn_join(queries_df: DataFrame, corpus_df: DataFrame, k: int = 3,
     c = corpus_df.select(F.col(id_col).alias("nn_id"), v.alias("cv"),
                          lsh_bucket(F.col(vec_col), planes)
                          .alias("bucket"))
+    if bucket_cap is not None:
+        from radio_data_pipeline_spark.sources.layout import (
+            md5_prefix_long)
+        sizes = c.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
+        u = md5_prefix_long(F.col("nn_id")) / F.lit(float(1 << 32))
+        c = (c.join(F.broadcast(sizes), "bucket")
+             .filter((F.col("_bn") <= bucket_cap)
+                     | (u < F.lit(float(bucket_cap)) / F.col("_bn")))
+             .drop("_bn"))
     projs = [dot_product(F.col(vec_col), _query_literal(list(p)))
              for p in planes]
     base = lsh_bucket(F.col(vec_col), planes)

@@ -1235,5 +1235,5 @@ def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_fanned(spark, sf_dir)
     anchors = emb.filter(F.col("vec_id") % _KNN_ANCHOR_MOD == 0)
     return (knn_join(anchors, emb, k=_KNN_K, n_planes=_KNN_PLANES,
-                     n_probes=2, seed=7)
+                     n_probes=2, seed=7, bucket_cap=None)
             .orderBy("vec_id", "rank"))

@@ -483,3 +483,45 @@ def test_knn_join_shape_and_probe_widening(spark):
     assert all(b4[a] >= b1[a] for a in b1)
     # auto-planes default runs (corpus-count derivation)
     assert knn_join(anchors, df, k=2).count() <= 20
+
+
+def test_knn_join_bucket_cap_bounds_hot_bucket(spark):
+    """knn_join bucket_cap: a mass-duplicate corpus (2000 identical
+    vectors = one hot LSH bucket that planes cannot split) stays
+    bounded — the capped run returns full top-k per anchor and, because
+    the dropped candidates are interchangeable copies, an anchor that
+    IS the duplicated vector still finds a ~1.0-cosine neighbor."""
+    import numpy as np
+
+    from radio_data_pipeline_spark.functions.similarity import knn_join
+
+    rng = np.random.default_rng(11)
+    hot = [float(x) for x in rng.standard_normal(16)]
+    rows = [(i, list(hot)) for i in range(2000)]
+    rows += [(2000 + i, [float(x) for x in rng.standard_normal(16)])
+             for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    anchors = df.filter(F.col("vec_id").isin(0, 1, 2100, 2150))
+
+    out = knn_join(anchors, df, k=3, n_planes=4, n_probes=1,
+                   bucket_cap=64).collect()
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r["vec_id"], []).append(r)
+    # hot-bucket anchors keep full k and a near-exact twin at rank 1
+    for a in (0, 1):
+        rs = sorted(by_anchor[a], key=lambda r: r["rank"])
+        assert len(rs) == 3
+        assert rs[0]["cosine"] > 0.999999
+    # the cap really engaged: capped corpus side carries ~cap of the
+    # 2000 hot rows, so distinct hot neighbors across anchors is small
+    hot_nbrs = {r["nn_id"] for rs in by_anchor.values()
+                for r in rs if r["nn_id"] < 2000}
+    assert len(hot_nbrs) <= 128
+    # cap=None reproduces the uncapped join exactly on a benign corpus
+    benign = df.filter(F.col("vec_id") >= 2000)
+    a2 = benign.filter(F.col("vec_id") % 50 == 0)
+    c1 = knn_join(a2, benign, k=2, n_planes=4, bucket_cap=None).collect()
+    c2 = knn_join(a2, benign, k=2, n_planes=4, bucket_cap=1024).collect()
+    assert sorted(map(tuple, c1)) == sorted(map(tuple, c2))
