@@ -12,6 +12,8 @@ from radio_data_pipeline_spark.functions.dedup import (  # noqa: F401
     word_shingles,
     minhash_signature,
     minhash_lsh_pairs,
+    band_table,
+    greedy_band_survivors,
     ngram_jaccard_pairs,
     simhash64,
 )

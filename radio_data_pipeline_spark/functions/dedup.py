@@ -138,6 +138,74 @@ def minhash_signature_table(df: DataFrame, text_col: str = "text",
     return digests.groupBy("id").agg(*aggs)
 
 
+def band_table(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", n_hashes: int = 8,
+               band_size: int = 2, k: int = 3) -> DataFrame:
+    """LSH band rows ``(id, band_id, band_hash)`` — one row per
+    (document, band), the shared blocking structure under
+    minhash_lsh_pairs, greedy_band_survivors, and the persisted band
+    index (streaming/dedup.py). NULL-hash rows (shingle-less docs —
+    fewer than k words) are excluded: such docs can never pair.
+    Cost: the single minhash_signature_table shuffle plus a map-side
+    explode to n_bands rows per doc."""
+    assert n_hashes % band_size == 0
+    n_bands = n_hashes // band_size
+    sigged = minhash_signature_table(df, text_col, id_col, n_hashes, k)
+
+    def band_hash(b: int):
+        # F.concat (not concat_ws): NULL components must poison the
+        # band hash so shingle-less docs never pair, matching SQL
+        # NULL-propagating || semantics.
+        parts: list = []
+        for j in range(band_size):
+            if parts:
+                parts.append(F.lit("_"))
+            parts.append(F.col(f"h{b * band_size + j}"))
+        return F.concat(*parts)
+
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band_id"), band_hash(b).alias("band_hash"))
+        for b in range(n_bands)
+    ])
+    return (sigged.select("id", F.explode(bands).alias("b"))
+            .select("id", F.col("b.band_id").alias("band_id"),
+                    F.col("b.band_hash").alias("band_hash"))
+            .filter(F.col("band_hash").isNotNull()))
+
+
+def greedy_band_survivors(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", n_hashes: int = 8,
+                          band_size: int = 2, k: int = 3) -> DataFrame:
+    """One-pass greedy near-dup dedup: a document is DROPPED iff any
+    of its LSH bands is shared with a smaller-id document; survivors
+    keep their full input row. This is the corpus-dedup semantics
+    (each kept doc is the band-wise first of everything it collides
+    with), computed with a window-min per bucket — cost is LINEAR in
+    bucket size, so unlike pair generation no bucket_cap is needed and
+    a mass-duplicate cluster of 10^6 copies costs 10^6 rows, not
+    10^12 pairs.
+
+    Greedy trade, stated plainly: the witness that drops a doc may
+    itself be dropped (a~b and b~c drops BOTH b and c even when a!~c —
+    chain annihilation). That is the standard single-pass choice at
+    corpus scale; when cluster-exact representatives matter, use
+    connected_components over minhash_lsh_pairs instead (iterative,
+    cluster-transitive, min-id winner per component).
+
+    Shuffle budget: one for signatures (reused by the bucket window's
+    hash partitioning? no — the window keys on (band_id, band_hash)),
+    one for the bucket window, one for the anti-join. All keys are
+    md5-derived, so none can skew."""
+    from pyspark.sql import Window
+
+    bands = band_table(df, text_col, id_col, n_hashes, band_size, k)
+    w = Window.partitionBy("band_id", "band_hash")
+    dropped = (bands.withColumn("bmin", F.min("id").over(w))
+               .filter(F.col("bmin") < F.col("id"))
+               .select(F.col("id").alias(id_col)).distinct())
+    return df.join(dropped, id_col, "left_anti")
+
+
 # observation names must be unique within a query plan; a module
 # counter keeps repeated minhash_lsh_pairs calls composable
 _OBS_COUNTER = 0
@@ -162,32 +230,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     metric ``lsh_bucket_overflow`` (visible in QueryExecutionListener /
     the live StreamingQueryProgress — zero extra pass). Pass None to
     disable the cap."""
-    assert n_hashes % band_size == 0
-    n_bands = n_hashes // band_size
-    # Signatures via the aggregation form (computed exactly once —
-    # expression-form signatures get inlined by projection collapse
-    # and re-hashed per band; measured 40x slowdown at sf0.1).
-    sigged = minhash_signature_table(df, text_col, id_col, n_hashes, k)
-
-    def band_hash(b: int):
-        # F.concat (not concat_ws): NULL components must poison the
-        # band hash so shingle-less docs never pair, matching SQL
-        # NULL-propagating || semantics.
-        parts: list = []
-        for j in range(band_size):
-            if parts:
-                parts.append(F.lit("_"))
-            parts.append(F.col(f"h{b * band_size + j}"))
-        return F.concat(*parts)
-
-    bands = F.array(*[
-        F.struct(F.lit(b).alias("band_id"), band_hash(b).alias("band_hash"))
-        for b in range(n_bands)
-    ])
-    banded = (sigged.select("id", F.explode(bands).alias("b"))
-              .select("id", F.col("b.band_id").alias("band_id"),
-                      F.col("b.band_hash").alias("band_hash"))
-              .filter(F.col("band_hash").isNotNull()))
+    # Signatures via the aggregation form inside band_table (computed
+    # exactly once — expression-form signatures get inlined by
+    # projection collapse and re-hashed per band; measured 40x
+    # slowdown at sf0.1).
+    banded = band_table(df, text_col, id_col, n_hashes, band_size, k)
     # One shuffle: group ids per bucket, then generate the in-bucket
     # pairs with array expressions. Beats the naive self-join (which
     # recomputes the signature scan on both sides) and makes the

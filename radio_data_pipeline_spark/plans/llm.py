@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from radio_data_pipeline_spark.functions.dedup import (
     exact_dedup,
+    greedy_band_survivors,
     minhash_lsh_pairs,
     connected_components,
     minhash_signature_table,
@@ -307,6 +308,38 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                               band_size=_BAND_SIZE, k=_K,
                               bucket_cap=_BUCKET_CAP)
             .orderBy("id_a", "id_b"))
+
+
+@register(
+    "near_dup_survivors_greedy",
+    oracle=f"""
+    {_SIG_SQL_CORE},
+    bands AS ({_bands_sql()}),
+    dropped AS (
+      SELECT DISTINCT b.doc_id
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id
+                  AND a.band_hash = b.band_hash
+                  AND a.doc_id < b.doc_id)
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    ORDER BY doc_id
+    """,
+    doc="Greedy one-pass near-dup dedup (functions/dedup.py "
+        "greedy_band_survivors): a doc is dropped iff any LSH band is "
+        "shared with a smaller-id doc. Window-min per bucket — linear "
+        "in bucket size, so mass-duplicate clusters cost rows, not "
+        "pairs, and no bucket cap is needed. The batch semantics the "
+        "streaming incremental ingest (streaming/dedup.py) is proven "
+        "equivalent to under id-ordered arrival.",
+    tags=("dedup", "minhash", "lsh"),
+)
+def near_dup_survivors_greedy_q(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    return (greedy_band_survivors(_docs(spark, sf_dir),
+                                  n_hashes=_N_HASHES,
+                                  band_size=_BAND_SIZE, k=_K)
+            .select("doc_id").orderBy("doc_id"))
 
 
 _MAX_DF = 100  # ngram_jaccard_pairs document-frequency cutoff

@@ -1,0 +1,190 @@
+"""Incremental near-duplicate ingest: continuous dedup of an arriving
+document stream against the ENTIRE accumulated corpus, without ever
+rebuilding or rescanning it.
+
+This is the missing live half of the batch dedup surface
+(functions/dedup.py): batch `greedy_band_survivors` answers "dedup
+this corpus once"; this module answers "keep deduping as the corpus
+grows" — the shape a 100 TB training-data pipeline actually runs
+(crawl shards arrive forever; a doc near-duplicating ANYTHING already
+ingested must be dropped, cheaply, forever).
+
+Design — the persisted band index IS the dedup state:
+
+- Every processed document's LSH band rows land in a parquet dataset
+  partitioned by ``ingest_batch`` / ``band_id`` / ``bh_prefix`` (the
+  first hex chars of the band hash). No serving process, no bloom
+  sidecar to rebuild: the PARTITION LAYOUT is the index (the same
+  layout-as-index idea as similarity.write_lsh_index / write_ivf_index).
+- A micro-batch probes the index with a partition-pruning predicate
+  built from ITS OWN bands' (band_id, bh_prefix) pairs — at most
+  n_bands * |batch| directories are listed or read, so per-batch probe
+  I/O scales with the BATCH, not with the accumulated corpus. The
+  probe join broadcasts the batch's band table (micro-batch-sized)
+  against the pruned index scan: no shuffle of index data, ever.
+- ALL processed docs' bands are indexed — survivors AND dropped. A
+  new doc that duplicates an already-dropped doc must still be
+  dropped (its content is in the corpus' history even though the copy
+  was rejected); indexing only survivors would re-admit every second
+  copy of a dropped chain.
+
+Semantics: within a micro-batch, the batch-local greedy rule (dropped
+iff a band is shared with a smaller id — functions/dedup.py
+greedy_band_survivors); across batches, ARRIVAL order wins (any index
+hit drops the new doc regardless of id comparison). When batches
+arrive in nondecreasing id order the two orders coincide and the
+stream's survivor set equals the batch `greedy_band_survivors` of the
+full corpus — pinned by tests/test_streaming_dedup.py.
+
+Exactly-once: per-batch overwrite layout throughout (the
+stream_to_training_shards pattern). Each batch owns
+``out_path/batch=N`` and ``index_path/ingest_batch=N``; a batch
+re-executed after a mid-write crash replaces its own partial output.
+The probe excludes ``ingest_batch == current batch id`` so a replayed
+batch never matches the half-written index rows of its own failed
+attempt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.dedup import band_table
+
+# hex chars of band_hash used as the probe-pruning partition key:
+# 2 -> 256 directories per band, so a batch with B band rows probes
+# at most min(256 * n_bands, B) directories however big the corpus is
+_PREFIX_LEN = 2
+
+
+def _prefixed_bands(batch_df: DataFrame, text_col: str, id_col: str,
+                    n_hashes: int, band_size: int, k: int) -> DataFrame:
+    return (band_table(batch_df, text_col, id_col, n_hashes, band_size, k)
+            .withColumn("bh_prefix",
+                        F.substring("band_hash", 1, _PREFIX_LEN)))
+
+
+def _index_has_batches(spark: SparkSession, index_path: str) -> bool:
+    """True iff at least one committed ``ingest_batch=*`` directory
+    exists — through Hadoop's FileSystem so any writer-accepted scheme
+    (file:/, hdfs://, s3a://) answers correctly."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return False
+    for st in fs.listStatus(jpath):
+        if st.getPath().getName().startswith("ingest_batch="):
+            return True
+    return False
+
+
+def dedup_batch_against_index(batch_df: DataFrame, index_path: str,
+                              batch_id: int, text_col: str = "text",
+                              id_col: str = "doc_id", n_hashes: int = 8,
+                              band_size: int = 2, k: int = 3,
+                              ) -> tuple[DataFrame, DataFrame]:
+    """The per-batch kernel, usable outside streaming (backfill jobs
+    chunk a corpus through it with increasing batch ids). Returns
+    ``(survivors, bands)``: survivors are batch rows dropped-neither
+    within the batch nor against the index; ``bands`` is the batch's
+    prefixed band table, which the CALLER must append under
+    ``index_path/ingest_batch=<batch_id>`` (append_batch_bands) for
+    the next batch to see — split so a streaming wrapper can order
+    the writes for its exactly-once contract.
+
+    The index probe prunes partitions with a per-band IN-list over
+    (band_id, bh_prefix) — a boolean expression over partition
+    columns only, so pruning happens at PLANNING time — and
+    broadcasts the batch's bands into the pruned scan. The probe
+    filter also excludes this batch's own ``ingest_batch`` partition:
+    on crash-replay the failed attempt's index rows are invisible,
+    keeping the replayed verdicts identical."""
+    from pyspark.sql import Window
+
+    spark = batch_df.sparkSession
+    bands = _prefixed_bands(batch_df, text_col, id_col,
+                            n_hashes, band_size, k)
+    bands.persist()
+
+    w = Window.partitionBy("band_id", "band_hash")
+    dropped = (bands.withColumn("bmin", F.min("id").over(w))
+               .filter(F.col("bmin") < F.col("id"))
+               .select("id"))
+
+    if _index_has_batches(spark, index_path):
+        probe = (bands.select("band_id", "bh_prefix").distinct().collect())
+        by_band: dict[int, list[str]] = {}
+        for r in probe:
+            by_band.setdefault(r["band_id"], []).append(r["bh_prefix"])
+        cond = F.lit(False)
+        for b, prefixes in by_band.items():
+            cond = cond | ((F.col("band_id") == b)
+                           & F.col("bh_prefix").isin(prefixes))
+        idx = (spark.read.parquet(index_path)
+               .filter(F.col("ingest_batch") != batch_id)
+               .filter(cond))
+        matched = (idx.join(F.broadcast(bands.select(
+                       F.col("id").alias("new_id"),
+                       "band_id", "band_hash")),
+                   ["band_id", "band_hash"], "inner")
+                   .select(F.col("new_id").alias("id")))
+        dropped = dropped.union(matched)
+
+    survivors = batch_df.join(
+        dropped.distinct().withColumnRenamed("id", id_col),
+        id_col, "left_anti")
+    return survivors, bands
+
+
+def append_batch_bands(bands: DataFrame, index_path: str,
+                       batch_id: int) -> None:
+    """Commit a batch's band rows into the persisted index under its
+    own ``ingest_batch=<id>`` directory (mode overwrite — replay
+    replaces, never duplicates). Repartitioning on the partition keys
+    keeps it to one file per (band_id, bh_prefix) directory."""
+    (bands.repartition(F.col("band_id"), F.col("bh_prefix"))
+     .write.mode("overwrite").partitionBy("band_id", "bh_prefix")
+     .parquet(f"{index_path}/ingest_batch={batch_id}"))
+
+
+def stream_dedup_ingest(stream_df: DataFrame, index_path: str,
+                        out_path: str, checkpoint: str,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n_hashes: int = 8, band_size: int = 2,
+                        k: int = 3, query_name: str = "dedup_ingest"):
+    """Streaming near-dup gate: survivors of each micro-batch land
+    under ``out_path/batch=N``, every processed doc's bands land in
+    the band index. Write order (survivors first, index second) plus
+    the kernel's own-batch probe exclusion makes any crash point
+    replay to the identical result. Requires a checkpoint for the
+    same reason stream_to_training_shards does: the per-batch
+    overwrite layout is only exactly-once under a checkpointed
+    batch-id sequence. Returns the StreamingQuery (caller awaits)."""
+    if checkpoint is None:
+        raise ValueError(
+            "stream_dedup_ingest requires a checkpoint location; the "
+            "per-batch overwrite layout is only exactly-once under a "
+            "checkpointed batch-id sequence")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            survivors, bands = dedup_batch_against_index(
+                batch_df, index_path, batch_id, text_col=text_col,
+                id_col=id_col, n_hashes=n_hashes, band_size=band_size,
+                k=k)
+            try:
+                (survivors.write.mode("overwrite")
+                 .parquet(f"{out_path}/batch={batch_id}"))
+                append_batch_bands(bands, index_path, batch_id)
+            finally:
+                bands.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    return (stream_df.writeStream.foreachBatch(write_batch)
+            .queryName(query_name).trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint)
+            .start())

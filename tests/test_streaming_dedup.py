@@ -1,0 +1,144 @@
+"""Incremental near-dup ingest (streaming/dedup.py): the persisted
+band index accumulates, per-batch probes prune by (band_id,
+bh_prefix), and the stream's survivor set equals the batch
+greedy_band_survivors of the full corpus under id-ordered arrival."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from radio_data_pipeline_spark.functions.dedup import (
+    greedy_band_survivors,
+)
+from radio_data_pipeline_spark.streaming.dedup import (
+    append_batch_bands,
+    dedup_batch_against_index,
+    stream_dedup_ingest,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _corpus(spark, n=120):
+    # thirds: unique docs, exact copies of earlier docs, and a
+    # cross-batch near-dup chain (same text with one word swapped)
+    rows = []
+    for i in range(n):
+        if i % 3 == 0:
+            text = f"alpha bravo charlie delta echo foxtrot golf {i}"
+        elif i % 3 == 1:
+            text = ("the quick brown fox jumps over the lazy dog "
+                    "again and again and again")
+        else:
+            text = (f"the quick brown fox jumps over the lazy dog "
+                    f"again and again variant {i % 7}")
+        rows.append((i, text))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _chunks(df, n_chunks, n):
+    step = n // n_chunks
+    return [df.filter((F.col("doc_id") >= i * step)
+                      & (F.col("doc_id") < (i + 1) * step))
+            for i in range(n_chunks)]
+
+
+def test_incremental_kernel_matches_batch_greedy(spark, tmp_path):
+    """Chunking the corpus through the kernel in id order reproduces
+    the batch greedy_band_survivors set exactly."""
+    df = _corpus(spark)
+    expected = sorted(
+        r["doc_id"]
+        for r in greedy_band_survivors(df).select("doc_id").collect())
+
+    index = str(tmp_path / "band_index")
+    got = []
+    for bid, chunk in enumerate(_chunks(df, 3, 120)):
+        survivors, bands = dedup_batch_against_index(chunk, index, bid)
+        got.extend(r["doc_id"] for r in
+                   survivors.select("doc_id").collect())
+        append_batch_bands(bands, index, bid)
+        bands.unpersist()
+    assert sorted(got) == expected
+    # the index accumulated every processed doc's bands, not just
+    # survivors' — a later copy of a DROPPED doc must still match
+    idx = spark.read.parquet(index)
+    assert idx.select("id").distinct().count() > len(expected) - 1
+    assert set(idx.columns) >= {"id", "band_id", "band_hash",
+                                "bh_prefix", "ingest_batch"}
+
+
+def test_kernel_drops_duplicate_of_already_dropped_doc(spark, tmp_path):
+    """A doc near-duplicating an already-DROPPED doc is still dropped:
+    bands of dropped docs are indexed too."""
+    dup = "zulu yankee xray whiskee victor uniform tango sierra"
+    b0 = spark.createDataFrame(
+        [(0, dup), (1, dup)], "doc_id long, text string")
+    index = str(tmp_path / "idx")
+    s0, bands0 = dedup_batch_against_index(b0, index, 0)
+    assert [r["doc_id"] for r in s0.collect()] == [0]  # 1 dropped
+    append_batch_bands(bands0, index, 0)
+    bands0.unpersist()
+
+    # doc 2 duplicates doc 1 (the dropped one) == duplicates doc 0 here;
+    # the real chain case: doc text equal to the DROPPED doc's text
+    b1 = spark.createDataFrame([(2, dup)], "doc_id long, text string")
+    s1, bands1 = dedup_batch_against_index(b1, index, 1)
+    assert s1.count() == 0
+    bands1.unpersist()
+
+
+def test_kernel_replay_excludes_own_batch(spark, tmp_path):
+    """Crash-replay: a failed attempt left the batch's OWN bands in
+    the index; re-running the same batch id must not match against
+    them (else every replayed doc self-collides and is dropped)."""
+    # no two docs share ANY shingle -> no true collisions possible
+    df = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f")
+         for i in range(10)], "doc_id long, text string")
+    index = str(tmp_path / "idx")
+    s0, bands0 = dedup_batch_against_index(df, index, 0)
+    n_first = s0.count()
+    # simulate: index write happened, then crash before checkpoint
+    append_batch_bands(bands0, index, 0)
+    bands0.unpersist()
+    # replay of batch 0: own partition must be invisible to the probe
+    s0b, bands0b = dedup_batch_against_index(df, index, 0)
+    assert s0b.count() == n_first == 10
+    append_batch_bands(bands0b, index, 0)  # overwrite, not append
+    bands0b.unpersist()
+    assert spark.read.parquet(index).count() == bands0b.count()
+
+
+def test_stream_dedup_ingest_end_to_end(spark, tmp_path):
+    """Real Structured Streaming run in two phases (availableNow +
+    checkpoint = deterministic batch boundaries): survivors across
+    phases equal the batch greedy set of everything ingested."""
+    df = _corpus(spark)
+    expected = sorted(
+        r["doc_id"]
+        for r in greedy_band_survivors(df).select("doc_id").collect())
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "survivors")
+    index = str(tmp_path / "band_index")
+    cp = str(tmp_path / "cp")
+    schema = "doc_id long, text string"
+
+    def run_phase(lo, hi, fname):
+        (df.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+         .coalesce(1).write.mode("overwrite").parquet(str(src / fname)))
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = stream_dedup_ingest(stream, index, out, checkpoint=cp)
+        q.awaitTermination()
+
+    run_phase(0, 60, "f1")
+    run_phase(60, 120, "f2")
+
+    got = sorted(r["doc_id"] for r in
+                 spark.read.parquet(out).select("doc_id").collect())
+    assert got == expected
+    # index partition layout carries the probe-pruning keys
+    batches = spark.read.parquet(index).select(
+        "ingest_batch").distinct().count()
+    assert batches == 2
