@@ -620,6 +620,51 @@ def write_lsh_index(df: DataFrame, path: str, n_planes: int = 6,
      .write.mode("overwrite").partitionBy("lsh_bucket").parquet(path))
 
 
+def append_to_lsh_index(df: DataFrame, path: str, n_planes: int = 6,
+                        seed: int = 7, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> None:
+    """Incremental refresh of a write_lsh_index layout: hash the NEW
+    vectors with the SAME seeded hyperplanes (pass the writer's
+    (n_planes, seed) — a mismatch files rows under wrong buckets) and
+    ``mode('append')`` them into their bucket directories. Cost is one
+    map job over the appended shard; the existing corpus is never
+    read, rewritten, or locked, and concurrent readers keep planning
+    against a consistent directory tree (parquet appends are new
+    files, visible atomically per file).
+
+    At-least-once caveat: a retried append duplicates its rows (plain
+    parquet append has no transaction). Retry-safe ingest should wrap
+    this in the per-batch-directory pattern of streaming/dedup.py, or
+    follow with an exact dedup on ``id_col`` at read time."""
+    head = (df.select(vec_col).filter(F.col(vec_col).isNotNull()).first())
+    if head is None:
+        raise ValueError("cannot append an empty/all-null vector table")
+    planes = hyperplanes(len(head[0]), n_planes, seed)
+    assigned = df.withColumn("lsh_bucket",
+                             lsh_bucket(F.col(vec_col), planes))
+    (assigned.repartition(F.col("lsh_bucket"))
+     .write.mode("append").partitionBy("lsh_bucket").parquet(path))
+
+
+def append_to_ivf_index(df: DataFrame, path: str, n_centroids: int = 8,
+                        seed: int = 11, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> None:
+    """Incremental refresh of a write_ivf_index layout — the
+    'overwrite-partitions run of exactly the appended lists' the
+    writer's docstring promises, as an append: seeded centroids make
+    list assignment deterministic, so new vectors file under exactly
+    the ``ivf_list=K`` directories they belong to. Same at-least-once
+    caveat as append_to_lsh_index."""
+    head = (df.select(vec_col).filter(F.col(vec_col).isNotNull()).first())
+    if head is None:
+        raise ValueError("cannot append an empty/all-null vector table")
+    centroids = ivf_centroids(len(head[0]), n_centroids, seed)
+    assigned = df.withColumn("ivf_list", ivf_assign(F.col(vec_col),
+                                                    centroids))
+    (assigned.repartition(F.col("ivf_list"))
+     .write.mode("append").partitionBy("ivf_list").parquet(path))
+
+
 def lsh_multiprobe_topk_indexed(spark, path: str,
                                 query_vec: list[float], k: int = 10,
                                 n_planes: int = 6, n_probes: int = 4,

@@ -437,3 +437,55 @@ def test_lsh_index_write_multiprobe_prunes_and_matches_inline(
                                  n_probes=4, seed=7)
     assert sorted(map(tuple, out.collect())) \
         == sorted(map(tuple, inline.collect()))
+
+
+def test_index_append_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """Incremental refresh: building the index from half the corpus
+    then APPENDING the other half must answer every probe exactly
+    like an index built from the whole corpus in one shot — for both
+    the LSH and IVF layouts (same seeded quantizer => same bucket
+    per vector regardless of which write filed it)."""
+    from radio_data_pipeline_spark.functions.similarity import (
+        append_to_ivf_index,
+        append_to_lsh_index,
+        ivf_topk_indexed,
+        lsh_multiprobe_topk_indexed,
+        write_ivf_index,
+        write_lsh_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    qvec = [float(v) for v in
+            emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    lsh_inc = str(tmp_path / "lsh_inc")
+    lsh_full = str(tmp_path / "lsh_full")
+    write_lsh_index(first, lsh_inc, n_planes=6, seed=7)
+    append_to_lsh_index(second, lsh_inc, n_planes=6, seed=7)
+    write_lsh_index(emb, lsh_full, n_planes=6, seed=7)
+    a = lsh_multiprobe_topk_indexed(spark, lsh_inc, qvec, k=10,
+                                    n_planes=6, n_probes=4, seed=7)
+    b = lsh_multiprobe_topk_indexed(spark, lsh_full, qvec, k=10,
+                                    n_planes=6, n_probes=4, seed=7)
+    assert sorted(map(tuple, a.collect())) \
+        == sorted(map(tuple, b.collect()))
+    # the append touched only bucket dirs, never a full rewrite:
+    # incremental and full layouts expose the same bucket set
+    assert (sorted(os.path.basename(p) for p in
+                   glob.glob(os.path.join(lsh_inc, "lsh_bucket=*")))
+            == sorted(os.path.basename(p) for p in
+                      glob.glob(os.path.join(lsh_full, "lsh_bucket=*"))))
+
+    ivf_inc = str(tmp_path / "ivf_inc")
+    ivf_full = str(tmp_path / "ivf_full")
+    write_ivf_index(first, ivf_inc, n_centroids=8, seed=11)
+    append_to_ivf_index(second, ivf_inc, n_centroids=8, seed=11)
+    write_ivf_index(emb, ivf_full, n_centroids=8, seed=11)
+    c = ivf_topk_indexed(spark, ivf_inc, qvec, k=10,
+                         n_centroids=8, nprobe=2, seed=11)
+    d = ivf_topk_indexed(spark, ivf_full, qvec, k=10,
+                         n_centroids=8, nprobe=2, seed=11)
+    assert sorted(map(tuple, c.collect())) \
+        == sorted(map(tuple, d.collect()))
