@@ -149,6 +149,54 @@ def append_batch_bands(bands: DataFrame, index_path: str,
      .parquet(f"{index_path}/ingest_batch={batch_id}"))
 
 
+def compact_band_index(spark: SparkSession, index_path: str,
+                       generation: int = -1) -> int:
+    """Fold every ``ingest_batch=*`` directory into one consolidated
+    generation, bounding the file count that per-batch appends grow
+    without bound (10k micro-batches x up-to-1024 prefix dirs each is
+    a listing-time problem long before it is a byte problem).
+
+    Crash-safe BY SEMANTICS, not by transaction: the compacted copy is
+    written under ``ingest_batch=<generation>`` FIRST, sources are
+    deleted after. A crash in between leaves band rows duplicated
+    across old and new directories — harmless, because index matching
+    is EXISTENTIAL (a doc is dropped iff any band matches; duplicate
+    band rows change nothing) — so a re-run simply finishes the
+    deletes. ``generation`` must be negative: foreachBatch batch ids
+    are nonnegative, so a compacted generation can never collide with
+    a live batch id (the kernel's own-batch replay exclusion keys on
+    exact equality). Returns the number of source directories folded.
+
+    Run it offline or between availableNow drains; it must not race a
+    concurrently WRITING ingest (a batch appended after the compactor
+    listed its sources would be deleted without being folded)."""
+    if generation >= 0:
+        raise ValueError("compaction generation must be negative — "
+                         "nonnegative ids are live foreachBatch ids")
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return 0
+    gen_name = f"ingest_batch={generation}"
+    sources = [st.getPath() for st in fs.listStatus(jpath)
+               if st.getPath().getName().startswith("ingest_batch=")
+               and st.getPath().getName() != gen_name]
+    if not sources:
+        return 0
+    src_paths = [p.toString() for p in sources]
+    folded = (spark.read.option("basePath", index_path)
+              .parquet(*src_paths)
+              .select("id", "band_id", "band_hash", "bh_prefix"))
+    # one file per (band_id, bh_prefix) directory in the generation
+    (folded.repartition(F.col("band_id"), F.col("bh_prefix"))
+     .write.mode("overwrite").partitionBy("band_id", "bh_prefix")
+     .parquet(f"{index_path}/{gen_name}"))
+    for p in sources:
+        fs.delete(p, True)
+    return len(sources)
+
+
 def stream_dedup_ingest(stream_df: DataFrame, index_path: str,
                         out_path: str, checkpoint: str,
                         text_col: str = "text", id_col: str = "doc_id",

@@ -11,6 +11,7 @@ from radio_data_pipeline_spark.functions.dedup import (
 )
 from radio_data_pipeline_spark.streaming.dedup import (
     append_batch_bands,
+    compact_band_index,
     dedup_batch_against_index,
     stream_dedup_ingest,
 )
@@ -142,3 +143,53 @@ def test_stream_dedup_ingest_end_to_end(spark, tmp_path):
     batches = spark.read.parquet(index).select(
         "ingest_batch").distinct().count()
     assert batches == 2
+
+
+def test_compaction_preserves_verdicts_and_bounds_dirs(spark, tmp_path):
+    """compact_band_index folds per-batch generations into one:
+    identical band multiset, identical verdicts for the next batch,
+    fewer directories; and a second compaction is a no-op. Also pins
+    the crash-duplication argument: verdicts are unchanged even with
+    bands duplicated across old and new generations (matching is
+    existential)."""
+    import glob as _glob
+
+    df = _corpus(spark)
+    index = str(tmp_path / "idx")
+    for bid, chunk in enumerate(_chunks(df, 3, 120)[:2]):
+        _, bands = dedup_batch_against_index(chunk, index, bid)
+        append_batch_bands(bands, index, bid)
+        bands.unpersist()
+
+    before = sorted(map(tuple, spark.read.parquet(index)
+                        .select("id", "band_id", "band_hash").collect()))
+    last = _chunks(df, 3, 120)[2]
+
+    def verdict():
+        s, b = dedup_batch_against_index(last, index, 2)
+        got = sorted(r["doc_id"] for r in s.select("doc_id").collect())
+        b.unpersist()
+        return got
+
+    v_before = verdict()
+
+    # crash-window duplication: copy of gen written, sources not yet
+    # deleted == bands present twice; verdicts must not change
+    folded_df = spark.read.parquet(index) \
+        .select("id", "band_id", "band_hash", "bh_prefix")
+    (folded_df.write.mode("overwrite").partitionBy("band_id", "bh_prefix")
+     .parquet(f"{index}/ingest_batch=-1"))
+    assert verdict() == v_before
+
+    n = compact_band_index(spark, index)
+    assert n == 2
+    after = sorted(map(tuple, spark.read.parquet(index)
+                       .select("id", "band_id", "band_hash").collect()))
+    assert after == before
+    gens = _glob.glob(f"{index}/ingest_batch=*")
+    assert len(gens) == 1 and gens[0].endswith("ingest_batch=-1")
+    assert verdict() == v_before
+    assert compact_band_index(spark, index) == 0
+    # nonnegative generation is a live batch id — refused
+    with pytest.raises(ValueError):
+        compact_band_index(spark, index, generation=3)
