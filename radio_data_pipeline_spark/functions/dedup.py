@@ -192,10 +192,9 @@ def greedy_band_survivors(df: DataFrame, text_col: str = "text",
     connected_components over minhash_lsh_pairs instead (iterative,
     cluster-transitive, min-id winner per component).
 
-    Shuffle budget: one for signatures (reused by the bucket window's
-    hash partitioning? no — the window keys on (band_id, band_hash)),
-    one for the bucket window, one for the anti-join. All keys are
-    md5-derived, so none can skew."""
+    Shuffle budget: one for signatures (keyed by doc id), one for the
+    bucket window (keyed by (band_id, band_hash)), one for the
+    anti-join. All keys are md5-derived, so none can skew."""
     from pyspark.sql import Window
 
     bands = band_table(df, text_col, id_col, n_hashes, band_size, k)
