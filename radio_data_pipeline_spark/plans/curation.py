@@ -330,3 +330,119 @@ def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(kept_chars).cast("bigint").alias("kept_chars"))
         .orderBy("source")
     )
+
+
+# ------------------------------------------------------------------
+# The composite refinery: quality gate -> exact dedup -> greedy
+# near-dup -> split report, as ONE lazy plan. Constants and SQL
+# fragments are imported from the single-definition modules so the
+# composite cannot drift from the individual stages it chains.
+# ------------------------------------------------------------------
+
+_REFINERY_QUALITY_MIN = 0.6
+
+
+def _refinery_oracle() -> str:
+    from radio_data_pipeline_spark.functions.text import (
+        WHITESPACE_WORDS_SQL,
+    )
+    from radio_data_pipeline_spark.functions.splits import SPLIT_SQL
+    from radio_data_pipeline_spark.plans.llm import (
+        _bands_sql,
+        _PUNCT_SQL,
+        _SHINGLES_SQL,
+        _sig_terms,
+        _STOP_SQL,
+    )
+
+    quality = (
+        f"0.4 * least(len(regexp_extract_all(text, '{WORD_RE}')) / 100.0, 1.0)"
+        f" + 0.3 * (1.0 - least("
+        f"CAST(len(regexp_extract_all(text, '{_PUNCT_SQL}')) AS DOUBLE)"
+        f" / greatest(len(regexp_extract_all(text, '{WORD_RE}')), 1), 1.0))"
+        f" + 0.3 * least(10.0 * ({_STOP_SQL})"
+        f" / greatest(len(regexp_extract_all(text, '{WORD_RE}')), 1), 1.0)"
+    )
+    lang_en = (f"({_STOP_SQL}) * 100.0 / greatest("
+               f"len(regexp_extract_all(text, '{WORD_RE}')), 1) >= 2.0")
+    fp = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    return f"""
+    WITH q AS (
+      SELECT doc_id, text FROM documents
+      WHERE round({quality}, 6) >= {_REFINERY_QUALITY_MIN} AND {lang_en}
+    ),
+    e AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               min(doc_id) OVER (PARTITION BY {fp}) AS mn
+        FROM q)
+      WHERE doc_id = mn
+    ),
+    w AS (SELECT doc_id, {WHITESPACE_WORDS_SQL} AS words FROM e),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM w),
+    sigs AS (SELECT doc_id, {', '.join(_sig_terms())} FROM sh),
+    bands AS ({_bands_sql()}),
+    dropped AS (
+      SELECT DISTINCT b.doc_id
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id
+                  AND a.band_hash = b.band_hash
+                  AND a.doc_id < b.doc_id)
+    SELECT {SPLIT_SQL.format(id='doc_id')} AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text, '{WORD_RE}')))
+                AS BIGINT) AS total_words
+    FROM e
+    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    GROUP BY split ORDER BY split
+    """
+
+
+@register(
+    "corpus_refinery_report",
+    oracle=_refinery_oracle(),
+    doc="The whole raw-crawl -> training-corpus refinery as ONE lazy "
+        "lineage: quality gate (score >= 0.6 AND language-ID 'en') -> "
+        "exact dedup (min-id per fingerprint) -> greedy near-dup "
+        "(band-wise first survives) -> per-split doc/token report. "
+        "No stage materializes; Catalyst sees the full chain, so the "
+        "quality predicate prunes BEFORE any signature is hashed and "
+        "dropped fingerprint rows never reach the minhash shuffle. "
+        "Shuffle budget end-to-end: fingerprint window, signature "
+        "groupBy, band window, anti-join, final 3-row aggregate — "
+        "each on an md5-uniform key. The per-stage semantics are "
+        "imported from their single-definition homes (quality_score / "
+        "language_id / fingerprint / greedy_band_survivors / "
+        "split_col), so this composite cannot drift from the "
+        "individually-oracle-checked stages it chains.",
+    tags=("curation", "dedup", "pipeline", "split"),
+)
+def corpus_refinery_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.functions.dedup import (
+        greedy_band_survivors,
+    )
+    from radio_data_pipeline_spark.functions.splits import split_col
+    from radio_data_pipeline_spark.functions.text import (
+        fingerprint,
+        language_id,
+        quality_score,
+        word_count,
+    )
+    from radio_data_pipeline_spark.plans.llm import _docs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    q = docs.filter(
+        (F.round(quality_score(F.col("text")), 6)
+         >= F.lit(_REFINERY_QUALITY_MIN))
+        & (language_id(F.col("text")) == "en"))
+    w = Window.partitionBy(fingerprint(F.col("text")))
+    e = (q.withColumn("mn", F.min("doc_id").over(w))
+         .filter(F.col("doc_id") == F.col("mn")).drop("mn"))
+    d = greedy_band_survivors(e)
+    return (
+        d.groupBy(split_col(F.col("doc_id")).alias("split"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+             F.sum(word_count(F.col("text"))).cast("bigint")
+             .alias("total_words"))
+        .orderBy("split")
+    )
