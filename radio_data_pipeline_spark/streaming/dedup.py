@@ -60,9 +60,19 @@ _PREFIX_LEN = 2
 
 def _prefixed_bands(batch_df: DataFrame, text_col: str, id_col: str,
                     n_hashes: int, band_size: int, k: int) -> DataFrame:
+    # the 'p' prefix makes every partition value non-numeric ON
+    # PURPOSE: hive partition-type inference parses pure-hex dirs like
+    # '07' or '3f' ('3' + float suffix 'f') as Java doubles, and when
+    # EVERY dir in a small index parses, the column is inferred DOUBLE
+    # — the string isin() probe then matches nothing (silently
+    # admitting duplicates) and compaction would rewrite colliding
+    # values ('3f' -> 3.0 == '03' -> 3.0) permanently. A leading
+    # letter defeats numeric inference for any value.
     return (band_table(batch_df, text_col, id_col, n_hashes, band_size, k)
             .withColumn("bh_prefix",
-                        F.substring("band_hash", 1, _PREFIX_LEN)))
+                        F.concat(F.lit("p"),
+                                 F.substring("band_hash", 1,
+                                             _PREFIX_LEN))))
 
 
 def _index_has_batches(spark: SparkSession, index_path: str) -> bool:
@@ -149,27 +159,55 @@ def append_batch_bands(bands: DataFrame, index_path: str,
      .parquet(f"{index_path}/ingest_batch={batch_id}"))
 
 
+def _dir_snapshot(fs, path) -> list[tuple[str, int, int]]:
+    """Sorted (path, length, mtime) of every file under ``path`` —
+    metadata-only (no data read), the compactor's cheap change
+    detector."""
+    out = []
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        st = it.next()
+        out.append((st.getPath().toString(), int(st.getLen()),
+                    int(st.getModificationTime())))
+    return sorted(out)
+
+
 def compact_band_index(spark: SparkSession, index_path: str,
-                       generation: int = -1) -> int:
-    """Fold every ``ingest_batch=*`` directory into one consolidated
+                       generation: int = -1,
+                       _post_fold_hook=None) -> int:
+    """Fold every ``ingest_batch=*`` directory — live batch dirs AND
+    previous compacted generations — into one NEW consolidated
     generation, bounding the file count that per-batch appends grow
     without bound (10k micro-batches x up-to-1024 prefix dirs each is
     a listing-time problem long before it is a byte problem).
 
     Crash-safe BY SEMANTICS, not by transaction: the compacted copy is
-    written under ``ingest_batch=<generation>`` FIRST, sources are
-    deleted after. A crash in between leaves band rows duplicated
-    across old and new directories — harmless, because index matching
-    is EXISTENTIAL (a doc is dropped iff any band matches; duplicate
-    band rows change nothing) — so a re-run simply finishes the
-    deletes. ``generation`` must be negative: foreachBatch batch ids
-    are nonnegative, so a compacted generation can never collide with
-    a live batch id (the kernel's own-batch replay exclusion keys on
-    exact equality). Returns the number of source directories folded.
+    written FIRST, sources are deleted after. A crash in between
+    leaves band rows duplicated across old and new directories —
+    harmless, because index matching is EXISTENTIAL (a doc is dropped
+    iff any band matches; duplicate band rows change nothing) — so a
+    re-run simply finishes the deletes. Generation ids are NEGATIVE
+    (foreachBatch batch ids are nonnegative, so a generation can never
+    collide with a live batch id — the kernel's own-batch replay
+    exclusion keys on exact equality) and strictly DECREASE: each
+    compaction writes ``min(existing generations) - 1`` (at most
+    ``generation``), never overwriting a generation it is reading —
+    the previous same-dir overwrite silently destroyed earlier
+    generations' rows when leftover sources were folded later.
+    Returns the number of source directories folded AND deleted.
 
-    Run it offline or between availableNow drains; it must not race a
-    concurrently WRITING ingest (a batch appended after the compactor
-    listed its sources would be deleted without being folded)."""
+    Writer-race guard: a replayed/late batch that overwrites one of
+    the listed source directories AFTER the fold's scan would lose its
+    rewritten rows if the compactor blindly deleted it. Each source's
+    file listing (path, length, mtime) is snapshotted at fold time and
+    re-checked immediately before its delete; a changed directory is
+    SKIPPED — its previously-folded rows sit duplicated in the new
+    generation (harmless, existential matching) and its fresh content
+    survives for the next compaction. Brand-new ``ingest_batch=``
+    directories that appear mid-compaction are never touched (deletes
+    are restricted to the fold's own source list). Two compactions
+    must still not run concurrently (each assumes generations are
+    writer-free)."""
     if generation >= 0:
         raise ValueError("compaction generation must be negative — "
                          "nonnegative ids are live foreachBatch ids")
@@ -178,23 +216,36 @@ def compact_band_index(spark: SparkSession, index_path: str,
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jpath):
         return 0
-    gen_name = f"ingest_batch={generation}"
-    sources = [st.getPath() for st in fs.listStatus(jpath)
-               if st.getPath().getName().startswith("ingest_batch=")
-               and st.getPath().getName() != gen_name]
-    if not sources:
-        return 0
+    dirs = [st.getPath() for st in fs.listStatus(jpath)
+            if st.getPath().getName().startswith("ingest_batch=")]
+    gen_ids = [int(p.getName().split("=", 1)[1]) for p in dirs]
+    n_gens = sum(1 for g in gen_ids if g < 0)
+    if len(dirs) - n_gens == 0 and n_gens <= 1:
+        return 0  # nothing but (at most) one generation: compacted
+    new_gen = min([generation] + [g - 1 for g in gen_ids if g < 0])
+    sources = dirs
+    snapshots = {p.toString(): _dir_snapshot(fs, p) for p in sources}
     src_paths = [p.toString() for p in sources]
+    # distinct: crash-windows and generation-over-generation folds
+    # leave duplicate band rows, which matching ignores but storage
+    # pays for — the compactor is the one place to squeeze them out
     folded = (spark.read.option("basePath", index_path)
               .parquet(*src_paths)
-              .select("id", "band_id", "band_hash", "bh_prefix"))
+              .select("id", "band_id", "band_hash", "bh_prefix")
+              .distinct())
     # one file per (band_id, bh_prefix) directory in the generation
     (folded.repartition(F.col("band_id"), F.col("bh_prefix"))
      .write.mode("overwrite").partitionBy("band_id", "bh_prefix")
-     .parquet(f"{index_path}/{gen_name}"))
+     .parquet(f"{index_path}/ingest_batch={new_gen}"))
+    if _post_fold_hook is not None:  # test seam: writer racing the fold
+        _post_fold_hook()
+    deleted = 0
     for p in sources:
-        fs.delete(p, True)
-    return len(sources)
+        if (fs.exists(p)
+                and _dir_snapshot(fs, p) == snapshots[p.toString()]):
+            fs.delete(p, True)
+            deleted += 1
+    return deleted
 
 
 def stream_dedup_ingest(stream_df: DataFrame, index_path: str,

@@ -145,6 +145,93 @@ def test_stream_dedup_ingest_end_to_end(spark, tmp_path):
     assert batches == 2
 
 
+def test_prefix_partition_values_defeat_numeric_inference(spark, tmp_path):
+    """Regression (r5 advice): hive partition-type inference parses
+    pure-hex dir values like '07'/'3f'/'10' as DOUBLES when every dir
+    in the dataset parses (likely for a small early index), silently
+    breaking the string isin() probe and permanently colliding
+    prefixes under compaction ('3f' -> 3.0 == '03' -> 3.0). The
+    premise, pinned so a Spark behavior change surfaces here:"""
+    hazard = str(tmp_path / "hazard")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    for pfx in ["07", "3f", "10"]:
+        df.write.mode("overwrite").parquet(f"{hazard}/bh_prefix={pfx}")
+    inferred = spark.read.parquet(hazard).schema["bh_prefix"].dataType
+    assert inferred.simpleString() != "string"  # the trap is real
+
+    # ... and the fix: every bh_prefix starts with a letter, so the
+    # index ALWAYS reads back as string, however few dirs exist
+    index = str(tmp_path / "idx")
+    b0 = spark.createDataFrame(
+        [(0, "mike november oscar papa quebec romeo sierra")],
+        "doc_id long, text string")
+    _, bands = dedup_batch_against_index(b0, index, 0)
+    vals = [r["bh_prefix"] for r in
+            bands.select("bh_prefix").distinct().collect()]
+    import re
+    assert vals and all(re.fullmatch(r"p[0-9a-f]{2}", v) for v in vals)
+    append_batch_bands(bands, index, 0)
+    bands.unpersist()
+    back = spark.read.parquet(index)
+    assert back.schema["bh_prefix"].dataType.simpleString() == "string"
+    # cross-batch probe still matches through the persisted layout
+    b1 = spark.createDataFrame(
+        [(9, "mike november oscar papa quebec romeo sierra")],
+        "doc_id long, text string")
+    s1, bands1 = dedup_batch_against_index(b1, index, 1)
+    assert s1.count() == 0  # duplicate detected via the index
+    bands1.unpersist()
+
+
+def test_compaction_skips_source_overwritten_mid_fold(spark, tmp_path):
+    """Writer-race guard (r5 verdict #5): a batch directory overwritten
+    AFTER the compactor snapshotted its sources (crash-replay of that
+    batch) must NOT be deleted — its fresh rows survive for the next
+    compaction, and only unchanged sources are removed."""
+    import glob as _glob
+
+    df = _corpus(spark)
+    index = str(tmp_path / "idx")
+    chunks = _chunks(df, 3, 120)
+    for bid, chunk in enumerate(chunks[:2]):
+        _, bands = dedup_batch_against_index(chunk, index, bid)
+        append_batch_bands(bands, index, bid)
+        bands.unpersist()
+
+    extra = "hotel india juliett kilo lima mike november oscar"
+
+    def replay_batch_1_with_extra_doc():
+        b1 = chunks[1].union(spark.createDataFrame(
+            [(500, extra)], "doc_id long, text string"))
+        _, bands = dedup_batch_against_index(b1, index, 1)
+        append_batch_bands(bands, index, 1)  # overwrites its own dir
+        bands.unpersist()
+
+    n = compact_band_index(spark, index,
+                           _post_fold_hook=replay_batch_1_with_extra_doc)
+    assert n == 1  # batch 0 deleted; batch 1 changed -> kept
+    gens = sorted(_glob.glob(f"{index}/ingest_batch=*"))
+    assert {g.rsplit("/", 1)[1] for g in gens} == {"ingest_batch=-1",
+                                                   "ingest_batch=1"}
+    # the replayed batch's fresh rows survived: a later duplicate of
+    # the extra doc still matches the index
+    b2 = spark.createDataFrame([(600, extra)], "doc_id long, text string")
+    s2, bands2 = dedup_batch_against_index(b2, index, 2)
+    assert s2.count() == 0
+    bands2.unpersist()
+    # next compaction folds survivor + previous generation into a NEW
+    # strictly-older generation (never overwriting one it reads) —
+    # batch 0's rows, present only in gen -1, must survive the fold
+    before = set(map(tuple, spark.read.parquet(index)
+                     .select("id", "band_id", "band_hash").collect()))
+    assert compact_band_index(spark, index) == 2
+    gens = _glob.glob(f"{index}/ingest_batch=*")
+    assert [g.rsplit("/", 1)[1] for g in gens] == ["ingest_batch=-2"]
+    after = set(map(tuple, spark.read.parquet(index)
+                    .select("id", "band_id", "band_hash").collect()))
+    assert after == before
+
+
 def test_compaction_preserves_verdicts_and_bounds_dirs(spark, tmp_path):
     """compact_band_index folds per-batch generations into one:
     identical band multiset, identical verdicts for the next batch,
@@ -181,13 +268,15 @@ def test_compaction_preserves_verdicts_and_bounds_dirs(spark, tmp_path):
      .parquet(f"{index}/ingest_batch=-1"))
     assert verdict() == v_before
 
+    # fold consumes batches 0, 1 AND the crash-leftover generation;
+    # the distinct squeezes the duplicated rows back out
     n = compact_band_index(spark, index)
-    assert n == 2
+    assert n == 3
     after = sorted(map(tuple, spark.read.parquet(index)
                        .select("id", "band_id", "band_hash").collect()))
     assert after == before
     gens = _glob.glob(f"{index}/ingest_batch=*")
-    assert len(gens) == 1 and gens[0].endswith("ingest_batch=-1")
+    assert len(gens) == 1 and gens[0].endswith("ingest_batch=-2")
     assert verdict() == v_before
     assert compact_band_index(spark, index) == 0
     # nonnegative generation is a live batch id — refused
