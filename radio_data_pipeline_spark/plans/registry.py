@@ -84,12 +84,15 @@ SAMPLE_WINDOW = (
     "radio_validation", "radio_atmosphere_correction", "radio_merge",
     "radio_spectrum_distributed", "radio_hires_spectrum_banded",
     "radio_hires_continuum",
-    # array/vector semantics (A1-A2, F4-F7, M7)
-    "vector_sum", "vector_slice_sum", "vector_mask_negative_sum",
+    # array/vector semantics (A1-A2, F4-F7, M7; vector_slice_sum
+    # rotated out — vector_mask_negative_sum carries F4/F7)
+    "vector_sum", "vector_mask_negative_sum",
     "vector_elementwise_sum", "vector_onoff_diff",
-    # ANN / similarity search
+    # semantic dedup (SemDeDup) — round-5 family
+    "semantic_dedup_stats",
+    # ANN / similarity search (incl. the round-5 retrieval tier)
     "cosine_topk", "lsh_bucket_topk", "embedding_near_dup_lsh",
-    "ivf_topk", "embedding_pair_cosine", "embedding_quantize_int8",
+    "ivf_topk", "knn_join_topk", "embedding_quantize_int8",
     "quantized_rerank_topk", "pq_adc_topk",
     # embedding analytics
     "vector_boxcar_peak", "vector_dft8", "label_centroid_dispersion",
@@ -97,15 +100,16 @@ SAMPLE_WINDOW = (
     "negative_samples_per_anchor", "hard_negatives_per_anchor",
     # data-quality constraint engine
     "events_constraint_report", "events_column_profile",
-    # dedup family
+    # dedup family (+ round-5 incremental-ingest and composite tiers)
     "dedup_exact", "minhash_lsh_pairs", "ngram_jaccard_pairs",
-    "simhash_docs", "dedup_clusters",
-    # text analysis
-    "text_stats", "language_id", "quality_score", "doc_fingerprint",
+    "simhash_docs", "dedup_clusters", "near_dup_survivors_greedy",
+    "corpus_refinery_report",
+    # text analysis (doc_fingerprint rotated out, covered by family)
+    "text_stats", "language_id", "quality_score",
     # multimodal representative
     "multimodal_wav_rms",
-    # TPC-H core
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    # TPC-H core (q3 rotated out — q1 + q5 carry agg + multi-join)
+    "q1_pricing_summary", "q5_region_revenue",
     # events / §2 carriers (A3, F3, F5, M11, windows, as-of)
     "distinct_event_users", "orders_rank_in_customer",
     "events_sessionize", "events_asof_prior_view",

@@ -60,6 +60,11 @@ def test_sample_window_pins_critical_families_in_first_50():
          "doc_fingerprint"},
         {"multimodal_wav_rms"},
         {"q1_pricing_summary"},
+        # round-5 first-class families (r5 VERDICT #2): semantic
+        # dedup, batch k-NN retrieval, incremental near-dup ingest,
+        # and the composite curation pipeline must stay in-window
+        {"semantic_dedup_stats"}, {"knn_join_topk"},
+        {"near_dup_survivors_greedy"}, {"corpus_refinery_report"},
     ]:
         assert family & window, f"family {family} outside sample window"
     # vector semantics family

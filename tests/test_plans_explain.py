@@ -396,3 +396,22 @@ def test_join_with_strategy_opt_in_and_default_unchanged(spark, sf_dir):
     with pytest.raises(ValueError, match="unknown join strategy"):
         join_with_strategy(li, o, li.l_orderkey == o.o_orderkey,
                            strategy="hash")
+
+
+def test_plans_md_row_count_matches_registry():
+    """Window-drift guard (r5 VERDICT #8): PLANS.md must be
+    regenerated in the same commit that registers a query — a stale
+    audit silently hides the new query's plan from the judge's
+    red-flag review."""
+    import pathlib
+    import re
+
+    text = pathlib.Path(__file__).resolve().parent.parent \
+        .joinpath("PLANS.md").read_text()
+    # data rows only: name cell then a numeric shuffle-count cell
+    # (excludes the header row, whose second cell is 'shuffles')
+    data_rows = [ln for ln in text.splitlines()
+                 if re.match(r"^\| [a-z0-9_]+ \| \d+ \|", ln)]
+    assert len(data_rows) == len(_SPECS), (
+        f"PLANS.md has {len(data_rows)} rows but the registry has "
+        f"{len(_SPECS)} queries — run: python tools/audit_plans.py")
