@@ -316,7 +316,13 @@ def uniform_negative_samples(df: DataFrame, k: int = 4,
         df.select(F.col(id_col).alias("vec_id"), v.alias("v")),
         "vec_id", "pos")
     n = idx.agg(F.count(F.lit(1)).alias("n"))
-    anchors = idx.filter(anchor_pred) if anchor_pred is not None else idx
+    # anchor_pred filters the RAW df (caller's own column names) —
+    # the same contract as hard_negative_mining; filtering the
+    # aliased index instead would make the identical predicate work
+    # in one function and raise in the other (r5 advice)
+    anchors = ((df.filter(anchor_pred) if anchor_pred is not None
+                else df)
+               .select(F.col(id_col).alias("vec_id"), v.alias("v")))
     spark = df.sparkSession
     js = spark.range(k).select(F.col("id").alias("j"))
     draws = (
@@ -392,12 +398,24 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     )
 
 
+# above this cluster count the Lloyd assignment stage switches to the
+# two-level (coarse -> fine) form; at or below it the flat broadcast
+# join is both faster and what the pinned small-k oracles model.
+# Set by measurement (BENCH_SCALING.md §17): at k=79 (20k rows) flat
+# ran 14.5 s vs two-level 31 s (the extra stages dominate), at k=782
+# (200k rows) two-level ran 55 s vs a ~1e10-partial flat estimate —
+# the wall-clock crossover sits near k~128
+_TWO_LEVEL_MIN_CLUSTERS = 128
+
+
 def semantic_dedup(df: DataFrame, eps: float = 0.4,
                    n_clusters: int | None = None, lloyd_rounds: int = 2,
                    vec_col: str = "embedding", id_col: str = "vec_id",
                    target_cluster_rows: int = 256,
                    dedup_identical: bool = True,
                    train_fraction: float = 1.0, seed: int = 7,
+                   two_level: bool | None = None,
+                   coarse_clusters: int | None = None,
                    ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embeddings, then inside each
@@ -422,6 +440,31 @@ def semantic_dedup(df: DataFrame, eps: float = 0.4,
     buckets instead of random hyperplanes. Pass an explicit n_clusters
     when an oracle pins the clustering (the registered
     semantic_dedup_stats query pins 4 for its static SQL oracle).
+
+    Assignment cost (the r5-verdict quadratic hazard, closed here):
+    the flat Lloyd assignment joins every row with every centroid —
+    O(N·k·d) partials, and with auto k = N/target that is O(N²d) plus
+    a broadcast centroid table growing linearly in N. Above
+    ``_TWO_LEVEL_MIN_CLUSTERS`` fine centroids the assignment runs
+    TWO-LEVEL (the IVF idea applied to the quantizer itself):
+    ~sqrt(k) of the fine centroids act as a coarse quantizer; each
+    point (and each fine centroid) first picks its nearest coarse
+    cell — O(N·sqrt(k)·d) — then compares only against the fine
+    centroids filed under that cell (~sqrt(k) on average) — again
+    O(N·sqrt(k)·d). Total assignment work is O(N^1.5·d/sqrt(target))
+    instead of O(N²d/target), the only broadcast is the
+    sqrt(k)·d-row coarse table, and the within-cell join is a plain
+    equi-join on (pos, cell) that Catalyst/AQE sizes freely
+    (measured sub-quadratic across the 10x->100x decade,
+    BENCH_SCALING.md §17). Trade-off: a point whose true nearest
+    fine centroid files under a DIFFERENT coarse cell gets its
+    second-best — a standard ANN-quantizer approximation that moves
+    cluster BOUNDARIES only; the dedup verdict inside every cluster
+    remains exact. ``two_level=None`` auto-engages it above
+    ``_TWO_LEVEL_MIN_CLUSTERS`` fine clusters (measured wall-clock
+    crossover; pinned small-k oracles keep byte-identical output);
+    force with True/False, and size the coarse level with
+    ``coarse_clusters`` (default isqrt(n_clusters)).
 
     ``dedup_identical`` (default True) collapses byte-identical
     WITNESS vectors to their min-id representative before the pair
@@ -455,8 +498,47 @@ def semantic_dedup(df: DataFrame, eps: float = 0.4,
          .select(F.col("vec_id").alias("cluster"),
                  F.posexplode("v").alias("pos", "cval")))
 
+    if two_level is None:
+        two_level = n_clusters > _TWO_LEVEL_MIN_CLUSTERS
+    if coarse_clusters is None:
+        coarse_clusters = max(2, math.isqrt(n_clusters))
+
+    def _nearest(pts, cents, label):
+        # pts: (vec_id, pos, val); cents: (label, pos, cval) — cents
+        # is broadcast by the CALLER's choice of size (coarse table
+        # only; the fine table grows with N and must not broadcast)
+        d = (pts.join(cents, "pos")
+             .groupBy("vec_id", label)
+             .agg(F.sum((F.col("val") - F.col("cval"))
+                        * (F.col("val") - F.col("cval"))).alias("d2")))
+        w = Window.partitionBy("vec_id").orderBy("d2", label)
+        return (d.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1).select("vec_id", label))
+
     def _assign(rr, cc):
-        d = (rr.join(F.broadcast(cc), "pos")
+        if not two_level:
+            return _nearest(rr, F.broadcast(cc), "cluster")
+        # coarse quantizer: the coarse_clusters smallest fine-cluster
+        # ids stand in as cell representatives (deterministic, and a
+        # cell always contains at least its own representative)
+        cells = (cc.select("cluster").distinct()
+                 .orderBy("cluster").limit(coarse_clusters)
+                 .select(F.col("cluster").alias("cell")))
+        coarse = (cc.join(F.broadcast(cells),
+                          F.col("cluster") == F.col("cell"))
+                  .select("cell", "pos", "cval"))
+        # file every fine centroid under its nearest cell (k rows)
+        fine_cell = _nearest(
+            cc.select(F.col("cluster").alias("vec_id"), "pos",
+                      F.col("cval").alias("val")),
+            F.broadcast(coarse), "cell").withColumnRenamed(
+            "vec_id", "cluster")
+        # point -> nearest cell (N x sqrt(k) x d partials)
+        p_cell = _nearest(rr, F.broadcast(coarse), "cell")
+        # fine assignment only within the probed cell: plain equi-join
+        # on (pos, cell) — no broadcast of the k·d fine table
+        d = (rr.join(p_cell, "vec_id")
+             .join(cc.join(fine_cell, "cluster"), ["pos", "cell"])
              .groupBy("vec_id", "cluster")
              .agg(F.sum((F.col("val") - F.col("cval"))
                         * (F.col("val") - F.col("cval"))).alias("d2")))

@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 
 def dense_index(df: DataFrame, order_col: str, pos_col: str = "pos",
                 n_buckets: int | None = None,
-                boundary_sample_rows: int = 200) -> DataFrame:
+                boundary_sample_rows: int = 200,
+                boundary_sample_cap: int = 100_000) -> DataFrame:
     """Append a dense 0..N-1 position column ordered by ``order_col``
     WITHOUT a single-task global sort.
 
@@ -55,9 +56,20 @@ def dense_index(df: DataFrame, order_col: str, pos_col: str = "pos",
        bucket, so the sort parallelism is ``n_buckets``, not 1.
 
     ``order_col`` must be UNIQUE (same contract as the global-window
-    form: ties make row_number nondeterministic). Works for any
-    orderable type — boundaries are sampled values, not quantiles, so
-    strings (file paths) work as well as longs (vec_id).
+    form: ties make row_number nondeterministic) and NON-NULL: a NULL
+    makes the bucket expression NULL and the row would silently fall
+    out of the inner offset join (N_out < N_in with no error), so it
+    is rejected up front — the check rides the same count() pass.
+    Works for any orderable type — boundaries are sampled values, not
+    quantiles, so strings (file paths) work as well as longs (vec_id).
+
+    ``boundary_sample_cap`` bounds the DRIVER-side boundary sample
+    independently of ``n_buckets``: with shuffle.partitions tuned to
+    cluster scale (10k+), n_buckets * boundary_sample_rows would be a
+    multi-million-value collect. Boundaries from a fixed-size sample
+    are coarser but remain valid — the builder's result is invariant
+    to boundary placement (dedup/offset logic tolerates empty and
+    merged buckets; only parallelism degrades, gracefully).
 
     The three build jobs each scan ONLY ``order_col``; the index is
     metadata, built once and reused across epochs. Replaces the
@@ -66,14 +78,23 @@ def dense_index(df: DataFrame, order_col: str, pos_col: str = "pos",
     assignment).
     """
     spark = df.sparkSession
-    n = df.count()
+    counts = df.agg(F.count(F.lit(1)).alias("n"),
+                    F.count(order_col).alias("nn")).collect()[0]
+    n, n_nonnull = counts["n"], counts["nn"]
+    if n_nonnull != n:
+        raise ValueError(
+            f"dense_index order column {order_col!r} has "
+            f"{n - n_nonnull} NULL value(s); positions require a "
+            f"unique non-null ordering key")
     if n == 0:
         return df.withColumn(pos_col, F.lit(None).cast("long")).limit(0)
     if n_buckets is None:
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions",
                                        "200"))
     n_buckets = max(1, min(n_buckets, n))
-    fraction = min(1.0, (n_buckets * boundary_sample_rows) / n)
+    target_sample = min(n_buckets * boundary_sample_rows,
+                        boundary_sample_cap)
+    fraction = min(1.0, target_sample / n)
     sampled = sorted(
         r[0] for r in
         df.select(order_col).sample(False, fraction, seed=7).collect()
@@ -85,9 +106,18 @@ def dense_index(df: DataFrame, order_col: str, pos_col: str = "pos",
         v = sampled[(i * len(sampled)) // n_buckets]
         if not boundaries or v > boundaries[-1]:
             boundaries.append(v)
-    bucket = F.lit(0)
-    for b in boundaries:
-        bucket = bucket + (F.col(order_col) > F.lit(b)).cast("int")
+    # balanced-tree sum, NOT a left-deep chain: with cluster-scale
+    # n_buckets (10k+) a chained `+` builds an expression tree 10k
+    # deep and the JVM's recursive expression conversion overflows
+    # its stack (found by the boundary-cap test at 2048 buckets);
+    # pairwise reduction keeps depth at log2(B) for the same result
+    terms = [(F.col(order_col) > F.lit(b)).cast("int")
+             for b in boundaries]
+    while len(terms) > 1:
+        terms = [terms[i] + terms[i + 1]
+                 if i + 1 < len(terms) else terms[i]
+                 for i in range(0, len(terms), 2)]
+    bucket = terms[0] if terms else F.lit(0)
     keyed = df.withColumn("_db", bucket.cast("int"))
     counts = dict(keyed.groupBy("_db").count().collect())
     offsets, acc = [], 0

@@ -362,6 +362,37 @@ def test_uniform_negative_samples_library_entry(spark):
         sorted(map(key, out))
 
 
+def test_anchor_pred_filters_raw_columns_in_both_samplers(spark):
+    """anchor_pred is applied to the RAW input df (caller's own
+    column names) in BOTH hard_negative_mining and
+    uniform_negative_samples — with a non-default id_col the same
+    predicate used to work in one and raise AnalysisException in the
+    other (r5 advice)."""
+    import numpy as np
+
+    from radio_data_pipeline_spark.functions.similarity import (
+        hard_negative_mining,
+        uniform_negative_samples,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = [(i, [float(v) for v in rng.standard_normal(4)])
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "my_id long, emb array<double>")
+    pred = F.col("my_id") < 5
+
+    hard = hard_negative_mining(df, k=2, anchor_pred=pred,
+                                id_col="my_id", vec_col="emb",
+                                n_planes=2)
+    assert {r["vec_id"] for r in hard.select("vec_id").collect()} \
+        <= {0, 1, 2, 3, 4}
+
+    uni = uniform_negative_samples(df, k=3, anchor_pred=pred,
+                                   id_col="my_id", vec_col="emb")
+    got = {r["vec_id"] for r in uni.select("vec_id").collect()}
+    assert got == {0, 1, 2, 3, 4}
+
+
 def test_semantic_dedup_witness_collapse_is_exact(spark):
     """dedup_identical collapses witness-side identical vectors — the
     removal SET must be unchanged (the docstring's exactness claim):
@@ -447,6 +478,104 @@ def test_semantic_dedup_sampled_training_still_total(spark):
     assert a.select("vec_id").distinct().count() == 512
     b = semantic_dedup(df, **kw)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_semantic_dedup_two_level_matches_flat_on_separated_data(spark):
+    """Forced two-level assignment is exact when clusters are well
+    separated (each point's nearest fine centroid files under the
+    point's own coarse cell), so verdicts match the flat path
+    bit-for-bit on such data — pinning that the coarse level only
+    moves BOUNDARY assignments, never well-clustered ones."""
+    import numpy as np
+
+    from radio_data_pipeline_spark.functions.similarity import (
+        semantic_dedup)
+
+    # 6 well-separated lobes in 8-d: one axis each, tight noise
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(300):
+        axis = i % 6
+        v = rng.normal(0, 0.02, 8)
+        v[axis] += 10.0
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    kw = dict(eps=0.995, n_clusters=6, lloyd_rounds=2)
+    flat = semantic_dedup(df, two_level=False, **kw)
+    two = semantic_dedup(df, two_level=True, coarse_clusters=2, **kw)
+    assert sorted(map(tuple, flat.collect())) == \
+        sorted(map(tuple, two.collect()))
+
+
+def test_semantic_dedup_auto_two_level_above_threshold(spark):
+    """Auto mode: n_clusters above _TWO_LEVEL_MIN_CLUSTERS engages the
+    two-level assignment (the r5 quadratic hazard's fix); output is
+    still one deterministic verdict per row and clusters still
+    spread."""
+    import numpy as np
+
+    from radio_data_pipeline_spark.functions.similarity import (
+        _TWO_LEVEL_MIN_CLUSTERS,
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 2048
+    rows = [(i, [float(v) for v in rng.standard_normal(8)])
+            for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    # auto k = ceil(2048/8) = 256 > threshold -> two-level engages
+    assert 2048 // 8 > _TWO_LEVEL_MIN_CLUSTERS
+    kw = dict(eps=0.999, n_clusters=None, lloyd_rounds=1,
+              target_cluster_rows=8)
+    a = semantic_dedup(df, **kw)
+    assert a.count() == n
+    assert a.select("vec_id").distinct().count() == n
+    sizes = [r["n"] for r in
+             a.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+              .collect()]
+    assert len(sizes) > 32
+    assert sum(s * s for s in sizes) < n * n / 8
+    b = semantic_dedup(df, **kw)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_semantic_dedup_two_level_plan_has_no_fine_broadcast(spark):
+    """The scale point of two-level: the k·d fine-centroid table (grows
+    linearly with N) must NOT be broadcast — only the sqrt(k)-sized
+    coarse table is. The within-cell join on (pos, cell) must be a
+    shuffle-side join in the UNOPTIMIZED plan (AQE may still choose a
+    broadcast at runtime for a tiny test input; the contract is that
+    the PLAN does not force one)."""
+    import numpy as np
+
+    from radio_data_pipeline_spark.functions.similarity import (
+        semantic_dedup)
+
+    rng = np.random.default_rng(17)
+    rows = [(i, [float(v) for v in rng.standard_normal(4)])
+            for i in range(256)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    import re
+
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = semantic_dedup(df, eps=0.999, n_clusters=100,
+                             lloyd_rounds=1, two_level=True)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+    # with size-based broadcasts disabled, only HINTED joins broadcast
+    # — the within-cell fine join on (pos, cell) must plan as a
+    # shuffle-side join (hint-free), while the coarse-table joins are
+    # still broadcast-hinted
+    assert re.search(r"SortMergeJoin \[pos#\d+, cell#\d+", plan), \
+        plan[:2000]
+    assert "BroadcastExchange" in plan  # the coarse hints held
 
 
 def test_knn_join_shape_and_probe_widening(spark):

@@ -313,6 +313,37 @@ def test_dense_index_matches_global_window(spark):
     assert empty.count() == 0 and "pos" in empty.columns
 
 
+def test_dense_index_rejects_null_order_values(spark):
+    """A NULL order value would NULL the bucket expression and the
+    row would silently vanish through the inner offset join (r5
+    advice: N_out < N_in with no error) — rejected up front instead,
+    riding the existing count pass."""
+    import pytest as _pytest
+
+    from radio_data_pipeline_spark.sources.layout import dense_index
+
+    df = spark.createDataFrame([(1,), (None,), (3,)], "k long")
+    with _pytest.raises(ValueError, match="NULL"):
+        dense_index(df, "k").collect()
+
+
+def test_dense_index_boundary_sample_capped_at_high_bucket_count(spark):
+    """boundary_sample_cap bounds the driver collect independently of
+    n_buckets (r5 verdict #7: shuffle.partitions=10k would otherwise
+    collect ~2M values); positions stay exactly dense under a cap far
+    smaller than n_buckets * boundary_sample_rows."""
+    from radio_data_pipeline_spark.sources.layout import dense_index
+
+    n = 5000
+    ids = [(i * 2654435761) % (1 << 31) for i in range(n)]  # unique
+    df = spark.createDataFrame([(i,) for i in ids], "k long")
+    out = dense_index(df, "k", n_buckets=2048,
+                      boundary_sample_rows=200,
+                      boundary_sample_cap=500)
+    got = {r["k"]: r["pos"] for r in out.collect()}
+    assert got == {k: p for p, k in enumerate(sorted(ids))}
+
+
 def test_dense_index_no_single_partition_exchange(spark, sf_dir):
     """The whole point: the sort is partitioned by the range bucket,
     never an Exchange SinglePartition over the full table."""
