@@ -207,12 +207,17 @@ def main() -> None:
 
         from radio_data_pipeline_spark.plans.registry import all_oracle_sql
         oracles = all_oracle_sql()
-        con = duckdb.connect()
-        for t in ("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "events", "documents",
-                  "embeddings"):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                        f"read_parquet('{SF_DIR}/{t}.parquet')")
+
+        def _fresh_con():
+            c = duckdb.connect()
+            for t in ("region", "nation", "customer", "supplier",
+                      "part", "orders", "lineitem", "events",
+                      "documents", "embeddings"):
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                          f"read_parquet('{SF_DIR}/{t}.parquet')")
+            return c
+
+        con = _fresh_con()
         # optional per-query DuckDB time budget (seconds): a query
         # that exceeds it is interrupted and recorded as an
         # oracle_error (the honest DNF form — at the 19 GB corpus
@@ -220,16 +225,23 @@ def main() -> None:
         # 0 = no budget (the gate default).
         duck_budget = float(os.environ.get(
             "SPARK_GRAFT_BENCH_DUCKDB_TIMEOUT", "0"))
+        if duck_budget > 0:
+            import threading
         for name in HEADLINE:
             try:
                 sql = oracles[name]
                 runs = []
                 for _ in range(RUNS):
                     timer = None
+                    fired = None
                     if duck_budget > 0:
-                        import threading
-                        timer = threading.Timer(duck_budget,
-                                                con.interrupt)
+                        fired = threading.Event()
+
+                        def _interrupt(c=con, ev=fired):
+                            ev.set()
+                            c.interrupt()
+
+                        timer = threading.Timer(duck_budget, _interrupt)
                         timer.start()
                     try:
                         t0 = time.perf_counter()
@@ -238,6 +250,14 @@ def main() -> None:
                     finally:
                         if timer is not None:
                             timer.cancel()
+                            if fired.is_set():
+                                # the timer fired — possibly in the
+                                # gap between query completion and
+                                # cancel(); a pending interrupt would
+                                # abort the NEXT execute and record a
+                                # spurious oracle_error, so absorb it
+                                # by rebuilding the connection
+                                con = _fresh_con()
                 duckdb_timings[name] = round(min(runs), 3)
             except Exception as exc:  # visible, but never fail the bench
                 oracle_errors[name] = f"{type(exc).__name__}: {exc}"

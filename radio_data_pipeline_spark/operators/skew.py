@@ -45,3 +45,69 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     small_s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     return big_s.join(small_s, [key, "_salt"], how).drop("_salt")
+
+
+def salted_sessionize(df: DataFrame, key_col: str, ts_col: str,
+                      gap: int, bucket: Column,
+                      tiebreak_cols: tuple[str, ...] = (),
+                      session_col: str = "session_id") -> DataFrame:
+    """Gap-based sessionization whose window key is salted by a
+    calendar bucket — the mitigation BENCH_SCALING §12 prescribes for
+    the sessionize family's one hazard at 100 TB: a hot key's rows all
+    land in ONE window task (a 1%-hot-key day at corpus scale is ~1 TB
+    of single-task sort). Result is EXACTLY the unsalted
+    lag->flag->running-sum sessionization (pinned by equivalence
+    test): per (key, bucket) the heavy window computes local session
+    ids, then a per-(key, bucket) SUMMARY — one row per key-bucket,
+    thousands of times smaller than the events — is stitched across
+    buckets (merge a bucket's first session into the previous
+    bucket's last when the boundary gap is within ``gap``; offset the
+    rest), and the per-bucket base/merge pair joins back on
+    (key, bucket). The hot key's single-task bound drops from ALL its
+    rows to its rows per bucket; the stitch window is per key over
+    #buckets rows, not #events.
+
+    ``bucket`` must be a NONDECREASING function of ``ts_col`` (a
+    calendar truncation: day, hour) — bucket order is session order.
+    ``ts_col`` is numeric (epoch micros/nanos); ``gap`` is in the same
+    unit. ``tiebreak_cols`` disambiguate equal timestamps (same
+    contract as the unsalted form: without a unique ordering the
+    running count is engine-nondeterministic). Appends ``session_col``
+    (1-based per key, in time order)."""
+    from pyspark.sql import Window
+
+    order = [ts_col, *tiebreak_cols]
+    b = df.withColumn("_sb", bucket)
+    w_loc = Window.partitionBy(key_col, "_sb").orderBy(*order)
+    w_run = w_loc.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow)
+    prev_ts = F.lag(ts_col).over(w_loc)
+    flagged = b.withColumn(
+        "_flag",
+        F.when(prev_ts.isNull()
+               | (F.col(ts_col) - prev_ts > gap), 1).otherwise(0))
+    local = flagged.withColumn("_lsid", F.sum("_flag").over(w_run))
+
+    summ = (local.groupBy(key_col, "_sb")
+            .agg(F.min(ts_col).alias("_first_ts"),
+                 F.max(ts_col).alias("_last_ts"),
+                 F.max("_lsid").alias("_nloc")))
+    w_b = Window.partitionBy(key_col).orderBy("_sb")
+    prev_last = F.lag("_last_ts").over(w_b)
+    merged = summ.withColumn(
+        "_merge",
+        F.when(prev_last.isNotNull()
+               & (F.col("_first_ts") - prev_last <= gap), 1)
+         .otherwise(0))
+    w_base = w_b.rowsBetween(Window.unboundedPreceding, -1)
+    stitched = merged.withColumn(
+        "_base",
+        F.coalesce(F.sum(F.col("_nloc") - F.col("_merge")).over(w_base),
+                   F.lit(0))).select(key_col, "_sb", "_base", "_merge")
+
+    out = (local.join(stitched, [key_col, "_sb"])
+           .withColumn(session_col,
+                       (F.col("_base") + F.col("_lsid")
+                        - F.col("_merge")).cast("long"))
+           .drop("_sb", "_flag", "_lsid", "_base", "_merge"))
+    return out
