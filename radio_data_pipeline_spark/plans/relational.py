@@ -330,6 +330,63 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sessionize_salted",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessioned AS (
+      SELECT user_id, value,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           count(*)                                   AS n_events,
+           round(sum(value), 6)                       AS total_value
+    FROM sessioned
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="events_sessionize computed through the SKEW-SALTED window "
+        "(operators/skew.py salted_sessionize: heavy window keyed by "
+        "(user, day), per-user-day summary stitch) — the oracle is "
+        "the UNSALTED SQL, so the driver gate itself checks the "
+        "salted rewrite's exact equivalence (BENCH_SCALING §12 "
+        "addendum 2: 3.1x on a hot-key corpus at 16M rows).",
+    tags=("window", "sessionize", "skew"),
+)
+def events_sessionize_salted(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.operators.skew import (
+        salted_sessionize,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+    sess = salted_sessionize(
+        ev.select("user_id", "ts_us", "value", "event_id"),
+        "user_id", "ts_us", gap=30 * 60 * 1_000_000,
+        bucket=F.floor(F.col("ts_us") / day_us),
+        tiebreak_cols=("event_id",))
+    return (
+        sess.groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("n_sessions"),
+             F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 6).alias("total_value"))
+        .orderBy("user_id")
+    )
+
+
+@register(
     "events_first_transition",
     oracle="""
     SELECT user_id,

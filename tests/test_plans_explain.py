@@ -415,3 +415,16 @@ def test_plans_md_row_count_matches_registry():
     assert len(data_rows) == len(_SPECS), (
         f"PLANS.md has {len(data_rows)} rows but the registry has "
         f"{len(_SPECS)} queries — run: python tools/audit_plans.py")
+
+
+def test_queries_md_count_matches_registry():
+    """Same drift guard for the query catalog: QUERIES.md is
+    regenerated (tools/list_queries.py) whenever a query registers."""
+    import pathlib
+
+    text = pathlib.Path(__file__).resolve().parent.parent \
+        .joinpath("QUERIES.md").read_text()
+    headers = [ln for ln in text.splitlines() if ln.startswith("## ")]
+    assert len(headers) == len(_SPECS), (
+        f"QUERIES.md has {len(headers)} entries but the registry has "
+        f"{len(_SPECS)} queries — run: python tools/list_queries.py")
