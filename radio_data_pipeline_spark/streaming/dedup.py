@@ -52,14 +52,21 @@ from pyspark.sql import functions as F
 
 from ..functions.dedup import band_table
 
-# hex chars of band_hash used as the probe-pruning partition key:
-# 2 -> 256 directories per band, so a batch with B band rows probes
-# at most min(256 * n_bands, B) directories however big the corpus is
+# default hex chars of band_hash used as the probe-pruning partition
+# key: 2 -> 256 directories per band, so a batch with B band rows
+# probes at most min(256 * n_bands, B) directories however big the
+# corpus is. Widening to 3 (4,096 dirs/band) is the §16 growth knob
+# when the pruned scan's share of index bytes starts to matter — but
+# the width is BAKED INTO the index layout: every probe and append
+# against an index must use the width it was created with (pass the
+# same prefix_len), or probes look in the wrong directories and
+# silently admit duplicates.
 _PREFIX_LEN = 2
 
 
 def _prefixed_bands(batch_df: DataFrame, text_col: str, id_col: str,
-                    n_hashes: int, band_size: int, k: int) -> DataFrame:
+                    n_hashes: int, band_size: int, k: int,
+                    prefix_len: int = _PREFIX_LEN) -> DataFrame:
     # the 'p' prefix makes every partition value non-numeric ON
     # PURPOSE: hive partition-type inference parses pure-hex dirs like
     # '07' or '3f' ('3' + float suffix 'f') as Java doubles, and when
@@ -72,7 +79,7 @@ def _prefixed_bands(batch_df: DataFrame, text_col: str, id_col: str,
             .withColumn("bh_prefix",
                         F.concat(F.lit("p"),
                                  F.substring("band_hash", 1,
-                                             _PREFIX_LEN))))
+                                             prefix_len))))
 
 
 def _index_has_batches(spark: SparkSession, index_path: str) -> bool:
@@ -94,6 +101,7 @@ def dedup_batch_against_index(batch_df: DataFrame, index_path: str,
                               batch_id: int, text_col: str = "text",
                               id_col: str = "doc_id", n_hashes: int = 8,
                               band_size: int = 2, k: int = 3,
+                              prefix_len: int = _PREFIX_LEN,
                               ) -> tuple[DataFrame, DataFrame]:
     """The per-batch kernel, usable outside streaming (backfill jobs
     chunk a corpus through it with increasing batch ids). Returns
@@ -115,7 +123,7 @@ def dedup_batch_against_index(batch_df: DataFrame, index_path: str,
 
     spark = batch_df.sparkSession
     bands = _prefixed_bands(batch_df, text_col, id_col,
-                            n_hashes, band_size, k)
+                            n_hashes, band_size, k, prefix_len)
     bands.persist()
 
     w = Window.partitionBy("band_id", "band_hash")
@@ -252,7 +260,8 @@ def stream_dedup_ingest(stream_df: DataFrame, index_path: str,
                         out_path: str, checkpoint: str,
                         text_col: str = "text", id_col: str = "doc_id",
                         n_hashes: int = 8, band_size: int = 2,
-                        k: int = 3, query_name: str = "dedup_ingest"):
+                        k: int = 3, prefix_len: int = _PREFIX_LEN,
+                        query_name: str = "dedup_ingest"):
     """Streaming near-dup gate: survivors of each micro-batch land
     under ``out_path/batch=N``, every processed doc's bands land in
     the band index. Write order (survivors first, index second) plus
@@ -273,7 +282,7 @@ def stream_dedup_ingest(stream_df: DataFrame, index_path: str,
             survivors, bands = dedup_batch_against_index(
                 batch_df, index_path, batch_id, text_col=text_col,
                 id_col=id_col, n_hashes=n_hashes, band_size=band_size,
-                k=k)
+                k=k, prefix_len=prefix_len)
             try:
                 (survivors.write.mode("overwrite")
                  .parquet(f"{out_path}/batch={batch_id}"))

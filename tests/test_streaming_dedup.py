@@ -183,6 +183,30 @@ def test_prefix_partition_values_defeat_numeric_inference(spark, tmp_path):
     bands1.unpersist()
 
 
+def test_prefix_len_widens_layout_and_still_matches(spark, tmp_path):
+    """prefix_len=3 (the §16 widening knob, 4,096 dirs/band) keeps
+    exact cross-batch matching as long as every probe/append uses the
+    index's own width."""
+    import re
+
+    dup = "papa quebec romeo sierra tango uniform victor whiskey"
+    index = str(tmp_path / "idx3")
+    b0 = spark.createDataFrame([(0, dup)], "doc_id long, text string")
+    s0, bands0 = dedup_batch_against_index(b0, index, 0, prefix_len=3)
+    vals = [r["bh_prefix"] for r in
+            bands0.select("bh_prefix").distinct().collect()]
+    assert vals and all(re.fullmatch(r"p[0-9a-f]{3}", v) for v in vals)
+    append_batch_bands(bands0, index, 0)
+    bands0.unpersist()
+    b1 = spark.createDataFrame([(7, dup)], "doc_id long, text string")
+    s1, bands1 = dedup_batch_against_index(b1, index, 1, prefix_len=3)
+    assert s1.count() == 0  # matched through the wide layout
+    bands1.unpersist()
+    # compaction is width-agnostic (reads the layout it finds)
+    append_batch_bands(bands1, index, 1)
+    assert compact_band_index(spark, index) == 2
+
+
 def test_compaction_skips_source_overwritten_mid_fold(spark, tmp_path):
     """Writer-race guard (r5 verdict #5): a batch directory overwritten
     AFTER the compactor snapshotted its sources (crash-replay of that
