@@ -416,6 +416,7 @@ def semantic_dedup(df: DataFrame, eps: float = 0.4,
                    train_fraction: float = 1.0, seed: int = 7,
                    two_level: bool | None = None,
                    coarse_clusters: int | None = None,
+                   seed_strategy: str | None = None,
                    ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embeddings, then inside each
@@ -464,7 +465,14 @@ def semantic_dedup(df: DataFrame, eps: float = 0.4,
     ``_TWO_LEVEL_MIN_CLUSTERS`` fine clusters (measured wall-clock
     crossover; pinned small-k oracles keep byte-identical output);
     force with True/False, and size the coarse level with
-    ``coarse_clusters`` (default isqrt(n_clusters)).
+    ``coarse_clusters`` (default isqrt(n_clusters)). Seeds follow the
+    mode: flat uses the ``n_clusters`` smallest-id vectors (what the
+    pinned oracles model; a bounded-k TakeOrdered), two-level uses a
+    deterministic md5 rate draw of ~``n_clusters`` seeds — at auto
+    scale k grows with N and funneling k full vectors through
+    TakeOrdered's single reduce would be its own single-task
+    bottleneck. Override with ``seed_strategy`` ('smallest_id' /
+    'hash').
 
     ``dedup_identical`` (default True) collapses byte-identical
     WITNESS vectors to their min-id representative before the pair
@@ -480,8 +488,10 @@ def semantic_dedup(df: DataFrame, eps: float = 0.4,
 
     from pyspark.sql import Window
 
+    n_rows = None
     if n_clusters is None:
-        n_clusters = max(1, math.ceil(df.count() / target_cluster_rows))
+        n_rows = df.count()
+        n_clusters = max(1, math.ceil(n_rows / target_cluster_rows))
     v = df.select(F.col(id_col).alias("vec_id"),
                   _as_double(F.col(vec_col)).alias("v"))
     r = v.select("vec_id", F.posexplode("v").alias("pos", "val"))
@@ -494,14 +504,39 @@ def semantic_dedup(df: DataFrame, eps: float = 0.4,
                else v.sample(False, train_fraction, seed=seed)
                      .select("vec_id",
                              F.posexplode("v").alias("pos", "val")))
-    c = (v.orderBy("vec_id").limit(n_clusters)
-         .select(F.col("vec_id").alias("cluster"),
-                 F.posexplode("v").alias("pos", "cval")))
-
     if two_level is None:
         two_level = n_clusters > _TWO_LEVEL_MIN_CLUSTERS
     if coarse_clusters is None:
         coarse_clusters = max(2, math.isqrt(n_clusters))
+
+    if seed_strategy is None:
+        seed_strategy = "hash" if two_level else "smallest_id"
+    if seed_strategy == "smallest_id":
+        # smallest-id seeds (deterministic; what the pinned small-k
+        # oracles model) — an orderBy().limit(k) TakeOrdered, fine
+        # for the flat regime's bounded k
+        seeds = v.orderBy("vec_id").limit(n_clusters)
+    elif seed_strategy == "hash":
+        # hash-filtered seeds: at auto scale k grows with N, and
+        # pushing k full vectors through TakeOrdered's single reduce
+        # is its own single-task bottleneck (k=4e6 x 1k-d = ~32 GB
+        # through one task). A deterministic md5 rate draw selects
+        # ~n_clusters seeds with NO sort and no single task; Lloyd
+        # needs "about k" seeds, not exactly k (seed-count variance
+        # ~sqrt(k) — documented, not a contract)
+        from radio_data_pipeline_spark.sources.layout import (
+            md5_prefix_long)
+        n_total = max(1, n_rows if n_rows is not None else df.count())
+        rate = min(1.0, n_clusters / n_total)
+        seeds = v.filter(
+            md5_prefix_long(F.col("vec_id"))
+            < F.lit(int(rate * (1 << 32))))
+    else:
+        raise ValueError(
+            f"unknown seed_strategy {seed_strategy!r}: "
+            "use 'smallest_id', 'hash', or None (auto by mode)")
+    c = seeds.select(F.col("vec_id").alias("cluster"),
+                     F.posexplode("v").alias("pos", "cval"))
 
     def _nearest(pts, cents, label):
         # pts: (vec_id, pos, val); cents: (label, pos, cval) — cents
