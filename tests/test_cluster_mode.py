@@ -45,3 +45,18 @@ def test_representative_queries_green_on_local_cluster():
     )
     tail = "\n".join((proc.stdout + proc.stderr).splitlines()[-25:])
     assert proc.returncode == 0, f"cluster-mode parity failed:\n{tail}"
+
+
+def test_round6_library_paths_green_on_local_cluster():
+    """Library paths no registered query exercises — the two-level
+    semantic_dedup assignment, salted_sessionize, and the widened
+    band-index kernel + compaction — must also hold when closures
+    serialize and Python workers run in separate executor JVMs."""
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "tools", "run_cluster_library_check.py")],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    tail = "\n".join((proc.stdout + proc.stderr).splitlines()[-25:])
+    assert proc.returncode == 0, f"cluster library check failed:\n{tail}"
+    assert "all ok" in proc.stdout
