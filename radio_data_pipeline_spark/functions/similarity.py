@@ -633,7 +633,27 @@ def write_ivf_index(df: DataFrame, path: str, n_centroids: int = 8,
      .write.mode("overwrite").partitionBy("ivf_list").parquet(path))
 
 
-def ivf_topk_indexed(spark, path: str, query_vec: list[float],
+def open_index(spark, path: str) -> DataFrame:
+    """Open a write_ivf_index / write_lsh_index dataset ONCE for a
+    probe loop. Each ``spark.read.parquet(path)`` rebuilds the
+    partition listing from scratch — at 1,475 bucket directories that
+    is ~2 s of driver file-system walking per probe, dwarfing the
+    pruned scan itself (measured, BENCH_SCALING §15 addendum 3). The
+    returned DataFrame carries its InMemoryFileIndex, so passing it
+    to ivf_topk_indexed / lsh_multiprobe_topk_indexed makes repeated
+    probes planning-only. Re-open after appends (the cached listing
+    does not see new files)."""
+    return spark.read.parquet(path)
+
+
+def _index_df(spark, path_or_df) -> DataFrame:
+    if isinstance(path_or_df, DataFrame):
+        return path_or_df
+    return spark.read.parquet(path_or_df)
+
+
+def ivf_topk_indexed(spark, path: "str | DataFrame",
+                     query_vec: list[float],
                      k: int = 10, n_centroids: int = 8, nprobe: int = 2,
                      seed: int = 11, vec_col: str = "embedding",
                      id_col: str = "vec_id") -> DataFrame:
@@ -646,13 +666,15 @@ def ivf_topk_indexed(spark, path: str, query_vec: list[float],
 
     The probe MUST use the same (n_centroids, seed) the index was
     written with — a mismatch probes the wrong directories; pinned by
-    the parity test against inline ivf_topk."""
+    the parity test against inline ivf_topk. ``path`` may be an
+    open_index() DataFrame instead of a string — in a probe LOOP that
+    skips the per-call directory relisting (§15 addendum 3)."""
     qvec = np.asarray(query_vec, dtype=float)
     centroids = ivf_centroids(len(query_vec), n_centroids, seed)
     probe = [int(i) for i in np.argsort(-(centroids @ qvec))[:nprobe]]
     q = _query_literal(query_vec)
     return (
-        spark.read.parquet(path)
+        _index_df(spark, path)
         .filter(F.col("ivf_list").isin(probe))
         .select(F.col(id_col),
                 F.round(cosine_similarity(F.col(vec_col), q), 6)
@@ -782,7 +804,7 @@ def append_to_ivf_index(df: DataFrame, path: str, n_centroids: int = 8,
      .write.mode("append").partitionBy("ivf_list").parquet(path))
 
 
-def lsh_multiprobe_topk_indexed(spark, path: str,
+def lsh_multiprobe_topk_indexed(spark, path: "str | DataFrame",
                                 query_vec: list[float], k: int = 10,
                                 n_planes: int = 6, n_probes: int = 4,
                                 seed: int = 7,
@@ -792,13 +814,16 @@ def lsh_multiprobe_topk_indexed(spark, path: str,
     schedule (pure driver-side metadata — same (n_planes, seed) as
     the writer, or the wrong directories get probed) becomes a
     partition filter, so only n_probes of 2^n_planes directories are
-    listed, opened, or scanned. The tail is the exact
-    lsh_multiprobe_topk tail: cosine fold + TakeOrdered, map-only."""
+    opened or scanned. The tail is the exact lsh_multiprobe_topk
+    tail: cosine fold + TakeOrdered, map-only. ``path`` may be an
+    open_index() DataFrame — in a probe loop that skips the per-call
+    relisting of every bucket directory, which at high bucket counts
+    dominates the probe (§15 addendum 3)."""
     planes = hyperplanes(len(query_vec), n_planes, seed)
     probe = multiprobe_buckets(query_vec, planes, n_probes)
     q = _query_literal(query_vec)
     return (
-        spark.read.parquet(path)
+        _index_df(spark, path)
         .filter(F.col("lsh_bucket").isin(probe))
         .select(F.col(id_col),
                 F.round(cosine_similarity(F.col(vec_col), q), 6)

@@ -438,6 +438,16 @@ def test_ivf_index_write_probe_prunes_and_matches_inline(spark, sf_dir,
     assert sorted(map(tuple, out.collect())) \
         == sorted(map(tuple, inline.collect()))
 
+    # an open_index() handle (the probe-loop form that skips per-call
+    # directory relisting — §15 add. 3 measured 2.40 -> 0.18 s/query)
+    # returns the identical result
+    from radio_data_pipeline_spark.functions.similarity import open_index
+    handle = open_index(spark, path)
+    via_handle = ivf_topk_indexed(spark, handle, qvec, k=10,
+                                  n_centroids=8, nprobe=2, seed=11)
+    assert sorted(map(tuple, via_handle.collect())) \
+        == sorted(map(tuple, out.collect()))
+
 
 def test_lsh_index_write_multiprobe_prunes_and_matches_inline(
         spark, sf_dir, tmp_path):
@@ -468,6 +478,15 @@ def test_lsh_index_write_multiprobe_prunes_and_matches_inline(
                                  n_probes=4, seed=7)
     assert sorted(map(tuple, out.collect())) \
         == sorted(map(tuple, inline.collect()))
+
+    # open_index() handle parity (the probe-loop fast path)
+    from radio_data_pipeline_spark.functions.similarity import open_index
+    handle = open_index(spark, path)
+    via_handle = lsh_multiprobe_topk_indexed(spark, handle, qvec, k=10,
+                                             n_planes=6, n_probes=4,
+                                             seed=7)
+    assert sorted(map(tuple, via_handle.collect())) \
+        == sorted(map(tuple, out.collect()))
 
 
 def test_index_append_equals_full_rebuild(spark, sf_dir, tmp_path):
