@@ -480,3 +480,73 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
                 F.round("cont_a", 6).alias("cont_a"),
                 F.round("cont_b", 6).alias("cont_b"))
     )
+
+
+def duplicated_spans(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", k: int = 5,
+                     min_len: int = 10) -> DataFrame:
+    """Exact-substring duplicate spans (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better"
+    primitive, arXiv:2107.06499): for every document, the maximal
+    word ranges whose every k-gram occurs at least twice in the
+    corpus (any doc, including this one), kept when the range is at
+    least ``min_len`` words. Returns (id_col, span_start, span_end,
+    span_words) with 0-based inclusive word positions.
+
+    This is the SPAN-level member of the dedup family: exact_dedup /
+    minhash / simhash / semantic_dedup give whole-document verdicts,
+    while a crawl corpus' worst duplication is boilerplate PASSAGES
+    (license headers, navigation text, quoted articles) embedded in
+    otherwise-unique documents — the spans this operator extracts
+    (and a cleaner removes) without dropping the documents.
+
+    Semantics: a duplicated substring of length L >= k has all of its
+    L-k+1 k-gram starts duplicated, so maximal runs of duplicated
+    gram starts are exactly the maximal duplicated substrings, up to
+    the standard fingerprint-granularity approximation (the paper's
+    suffix-array finds per-PAIR matches; gram runs may chain
+    different witnesses — documented, deliberate: it is the k-gram
+    analogue every production pipeline ships). Two maximal spans CAN
+    overlap by up to k-2 words (gram-start runs separated by a gap
+    < k); callers measuring coverage must union them
+    (substring_dedup_stats does).
+
+    Scale shape: one posexplode (linear in corpus tokens), the gram
+    built by a lead() window riding the doc partitioning, ONE
+    corpus-wide shuffle keyed by the gram with map-side partial
+    counts, a count-filtered join back that reuses the gram hash
+    partitioning (output bounded by |gram starts| — each start row
+    matches at most one count row, so a stopword-heavy hot gram
+    costs its occurrence count, never a pair blowup), then doc-keyed
+    windows whose partitions are bounded by document length. No
+    driver-side state, no all-pairs stage.
+    """
+    from pyspark.sql import Window
+
+    rows = df.select(F.col(id_col).alias("id"),
+                     F.posexplode(whitespace_words(F.col(text_col)))
+                     .alias("pos", "w"))
+    win = Window.partitionBy("id").orderBy("pos")
+    parts: list[Column] = [F.col("w")]
+    for j in range(1, k):
+        parts.extend([F.lit(" "), F.lead("w", j).over(win)])
+    starts = (rows.select("id", "pos", F.concat(*parts).alias("gram"))
+              .where(F.col("gram").isNotNull()))
+    dup_grams = (starts.groupBy("gram")
+                 .agg(F.count(F.lit(1)).alias("_n"))
+                 .where(F.col("_n") >= 2)
+                 .select("gram"))
+    dup = starts.join(dup_grams, "gram").select("id", "pos")
+    isl = F.col("pos") - F.row_number().over(
+        Window.partitionBy("id").orderBy("pos"))
+    return (dup.withColumn("_isl", isl)
+            .groupBy("id", "_isl")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + F.lit(k - 1)).alias("span_end"))
+            .withColumn("span_words",
+                        F.col("span_end") - F.col("span_start") + 1)
+            .where(F.col("span_words") >= min_len)
+            .select(F.col("id").alias(id_col),
+                    F.col("span_start").cast("long").alias("span_start"),
+                    F.col("span_end").cast("long").alias("span_end"),
+                    F.col("span_words").cast("long").alias("span_words")))

@@ -382,3 +382,135 @@ def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return profile_columns(
         ev, ["user_id", "event_type", "value"]).orderBy("column")
+
+
+_SPAN_K = 5
+_SPAN_MIN_LEN = 10
+
+_SPANS_CTE = f"""
+    g AS (SELECT doc_id, i - 1 AS pos,
+                 array_to_string(words[i:i+{_SPAN_K - 1}], ' ') AS gram
+          FROM w, UNNEST(range(1, greatest(len(words) - {_SPAN_K - 1}, 0)
+                               + 1)) AS t(i)),
+    c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    d AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gram)),
+    isl AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM d),
+    s AS (SELECT doc_id, min(pos) AS a, max(pos) + {_SPAN_K - 1} AS b
+          FROM isl GROUP BY doc_id, grp),
+    q AS (SELECT doc_id, a, b FROM s
+          WHERE b - a + 1 >= {_SPAN_MIN_LEN})
+"""
+
+
+@register(
+    "exact_substring_spans",
+    oracle=f"""
+    WITH w AS ({_WORDS_CTE}),
+    {_SPANS_CTE}
+    SELECT doc_id,
+           CAST(a AS BIGINT) AS span_start,
+           CAST(b AS BIGINT) AS span_end,
+           CAST(b - a + 1 AS BIGINT) AS span_words
+    FROM q
+    ORDER BY doc_id, span_start
+    """,
+    doc="Exact-substring duplicate spans (Lee et al. 2021, "
+        "arXiv:2107.06499): per document, the maximal word ranges whose "
+        "every 5-gram occurs >= 2 times in the corpus, kept at >= "
+        f"{_SPAN_MIN_LEN} words — the span-level dedup the doc-level "
+        "family (minhash/simhash/semdedup) cannot express: boilerplate "
+        "passages inside otherwise-unique documents. Gram runs stand in "
+        "for the paper's suffix arrays (a duplicated substring's k-gram "
+        "starts are all duplicated; maximal runs = maximal spans at "
+        "fingerprint granularity). One corpus-wide gram-keyed count "
+        "shuffle with map-side partials, a count-filtered join back "
+        "reusing the gram partitioning (hot stopword grams cost their "
+        "occurrence count, never a pair blowup), then doc-keyed "
+        "gaps-and-islands windows bounded by document length.",
+    tags=("text", "dedup", "span", "islands"),
+)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.functions.dedup import duplicated_spans
+
+    docs = load_table_fanned(spark, sf_dir, "documents")
+    return (duplicated_spans(docs, k=_SPAN_K, min_len=_SPAN_MIN_LEN)
+            .orderBy("doc_id", "span_start"))
+
+
+@register(
+    "substring_dedup_stats",
+    oracle=f"""
+    WITH w AS ({_WORDS_CTE}),
+    {_SPANS_CTE},
+    m AS (SELECT doc_id, a, b,
+                 CASE WHEN a > coalesce(max(b) OVER (
+                          PARTITION BY doc_id ORDER BY a
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), -2) + 1
+                      THEN 1 ELSE 0 END AS brk
+          FROM q),
+    mg AS (SELECT doc_id, a, b,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY a
+                                 ROWS UNBOUNDED PRECEDING) AS grp
+           FROM m),
+    cov AS (SELECT doc_id, grp, min(a) AS ca, max(b) AS cb
+            FROM mg GROUP BY doc_id, grp),
+    per AS (SELECT doc_id,
+                   CAST(sum(cb - ca + 1) AS BIGINT) AS dup_words
+            FROM cov GROUP BY doc_id),
+    ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+           FROM q GROUP BY doc_id),
+    nw AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words FROM w)
+    SELECT doc_id, n_words, n_spans, dup_words,
+           round(CAST(dup_words AS DOUBLE) / n_words, 6) AS dup_frac
+    FROM per JOIN ns USING (doc_id) JOIN nw USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="Per-document exact-substring duplication coverage: the span "
+        "family's verdict signal (docs whose content mostly exists "
+        "elsewhere get dropped; the rest get spans removed). Spans from "
+        "the same gram-run builder as exact_substring_spans, then "
+        "UNIONED per doc before counting — maximal spans can overlap by "
+        "up to k-2 words (gram runs separated by a gap < k), so "
+        "coverage is an interval merge (running-max window: a span "
+        "starting past the farthest end so far opens a new covered "
+        "interval), not a sum of lengths. All windows are doc-keyed "
+        "(bounded by doc length); the merge input is spans, thousands "
+        "of times smaller than tokens.",
+    tags=("text", "dedup", "span", "quality"),
+)
+def substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.functions.dedup import duplicated_spans
+
+    docs = load_table_fanned(spark, sf_dir, "documents")
+    spans = duplicated_spans(docs, k=_SPAN_K, min_len=_SPAN_MIN_LEN)
+    w = Window.partitionBy("doc_id").orderBy("span_start")
+    prev_max_end = F.max("span_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (spans
+              .withColumn("_brk",
+                          F.when(F.col("span_start")
+                                 > F.coalesce(prev_max_end, F.lit(-2)) + 1,
+                                 1).otherwise(0))
+              .withColumn("_grp", F.sum("_brk").over(
+                  w.rowsBetween(Window.unboundedPreceding, 0))))
+    cov = (merged.groupBy("doc_id", "_grp")
+           .agg(F.min("span_start").alias("ca"),
+                F.max("span_end").alias("cb")))
+    per = (cov.groupBy("doc_id")
+           .agg(F.sum(F.col("cb") - F.col("ca") + 1)
+                .cast("long").alias("dup_words")))
+    ns = (spans.groupBy("doc_id")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_spans")))
+    nw = docs.select(
+        "doc_id",
+        F.size(whitespace_words(F.col("text"))).cast("long")
+        .alias("n_words"))
+    return (per.join(ns, "doc_id").join(nw, "doc_id")
+            .select("doc_id", "n_words", "n_spans", "dup_words",
+                    F.round(F.col("dup_words").cast("double")
+                            / F.col("n_words"), 6).alias("dup_frac"))
+            .orderBy("doc_id"))

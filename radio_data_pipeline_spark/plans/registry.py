@@ -95,7 +95,11 @@ SAMPLE_WINDOW = (
     "ivf_topk", "knn_join_topk", "embedding_quantize_int8",
     "quantized_rerank_topk", "pq_adc_topk",
     # embedding analytics
-    "vector_boxcar_peak", "vector_dft8", "label_centroid_dispersion",
+    "vector_dft8", "label_centroid_dispersion",
+    # span-level exact-substring dedup — round-6 family
+    # (vector_boxcar_peak rotated out; vector_dft8 carries the
+    # array-DSP representative)
+    "exact_substring_spans",
     # contrastive training ops
     "negative_samples_per_anchor", "hard_negatives_per_anchor",
     # data-quality constraint engine

@@ -65,6 +65,8 @@ def test_sample_window_pins_critical_families_in_first_50():
         # and the composite curation pipeline must stay in-window
         {"semantic_dedup_stats"}, {"knn_join_topk"},
         {"near_dup_survivors_greedy"}, {"corpus_refinery_report"},
+        # round-6 family: span-level exact-substring dedup
+        {"exact_substring_spans"},
     ]:
         assert family & window, f"family {family} outside sample window"
     # vector semantics family
