@@ -531,6 +531,15 @@ def semantic_dedup(df: DataFrame, eps: float = 0.4,
         seeds = v.filter(
             md5_prefix_long(F.col("vec_id"))
             < F.lit(int(rate * (1 << 32))))
+        # the rate draw selects ~n_clusters seeds in expectation but
+        # ZERO with probability ~e^-k over adversarial id sets — and
+        # Lloyd with zero centroids silently assigns nothing (the
+        # inner join drops every row, violating the one-verdict-per-
+        # row contract). Guard: an empty draw falls back to the
+        # bounded smallest-id TakeOrdered — cheap precisely in the
+        # small-k regime where an empty draw is actually reachable.
+        if seeds.limit(1).count() == 0:
+            seeds = v.orderBy("vec_id").limit(n_clusters)
     else:
         raise ValueError(
             f"unknown seed_strategy {seed_strategy!r}: "

@@ -657,3 +657,22 @@ def test_knn_join_bucket_cap_bounds_hot_bucket(spark):
     c1 = knn_join(a2, benign, k=2, n_planes=4, bucket_cap=None).collect()
     c2 = knn_join(a2, benign, k=2, n_planes=4, bucket_cap=1024).collect()
     assert sorted(map(tuple, c1)) == sorted(map(tuple, c2))
+
+
+def test_semantic_dedup_empty_hash_seed_draw_falls_back(spark):
+    """Forced two-level mode with tiny k: the md5 rate draw at
+    rate = n_clusters/N selects ZERO seeds for this id set (ids 0..19
+    all hash above 2^32/20 — verified constants), which previously
+    emitted an EMPTY result (Lloyd with no centroids assigns nothing
+    and the inner join dropped every row). The guard must fall back
+    to smallest-id seeding and keep the one-verdict-per-row
+    contract."""
+    from radio_data_pipeline_spark.functions.similarity import (
+        semantic_dedup)
+
+    rows = [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, n_clusters=1, two_level=True,
+                         seed_strategy="hash").collect()
+    assert len(out) == 20
+    assert {r.vec_id for r in out} == set(range(20))
