@@ -550,3 +550,67 @@ def duplicated_spans(df: DataFrame, text_col: str = "text",
                     F.col("span_start").cast("long").alias("span_start"),
                     F.col("span_end").cast("long").alias("span_end"),
                     F.col("span_words").cast("long").alias("span_words")))
+
+
+def remove_duplicated_spans(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 5,
+                            min_len: int = 10) -> DataFrame:
+    """The transform half of the span family: every document with its
+    ``duplicated_spans`` EXCISED — what Lee et al. 2021 actually do to
+    the training corpus (drop the duplicated substrings, keep the
+    documents). Returns one row per input doc: (id_col, n_words,
+    n_kept, clean_text), where clean_text is the space-joined kept
+    tokens of the NORMALIZED stream (lowercased, whitespace-collapsed
+    — cleaning re-tokenizes; it does not preserve original bytes) and
+    docs without qualifying spans pass through with n_kept == n_words.
+
+    Overlapping maximal spans are interval-MERGED per doc first (the
+    substring_dedup_stats union), so the coverage intervals are
+    disjoint and the word-classification join matches each word at
+    most once: join output is bounded by |words|, not
+    |words| x |spans|. Shape on top of duplicated_spans' one
+    gram-keyed shuffle: doc-keyed interval-merge windows over SPAN
+    rows (thousands of times fewer than tokens), one doc-keyed
+    range-classification join, one doc-keyed collect whose partitions
+    are bounded by document length.
+    """
+    from pyspark.sql import Window
+
+    spans = duplicated_spans(df, text_col, id_col, k, min_len)
+    w = Window.partitionBy(id_col).orderBy("span_start")
+    prev_max_end = F.max("span_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    cov = (spans
+           .withColumn("_brk",
+                       F.when(F.col("span_start")
+                              > F.coalesce(prev_max_end, F.lit(-2)) + 1,
+                              1).otherwise(0))
+           .withColumn("_grp", F.sum("_brk").over(
+               w.rowsBetween(Window.unboundedPreceding, 0)))
+           .groupBy(id_col, "_grp")
+           .agg(F.min("span_start").alias("_ca"),
+                F.max("span_end").alias("_cb"))
+           .select(F.col(id_col).alias("_cid"), "_ca", "_cb"))
+    words = df.select(F.col(id_col).alias("id"),
+                      F.posexplode(whitespace_words(F.col(text_col)))
+                      .alias("pos", "w"))
+    covered = (words.join(
+        cov, (words["id"] == cov["_cid"])
+        & (words["pos"] >= cov["_ca"]) & (words["pos"] <= cov["_cb"]))
+        .select("id", "pos"))
+    kept = words.join(covered, ["id", "pos"], "left_anti")
+    agg = (kept.groupBy("id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_kept"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("pos", "w"))),
+                        lambda s: s["w"]), " ").alias("clean_text")))
+    totals = (words.groupBy("id")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_words")))
+    return (totals.join(agg, "id", "left")
+            .select(F.col("id").alias(id_col), "n_words",
+                    F.coalesce("n_kept", F.lit(0).cast("long"))
+                    .alias("n_kept"),
+                    F.coalesce("clean_text", F.lit(""))
+                    .alias("clean_text")))

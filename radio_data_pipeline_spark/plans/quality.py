@@ -514,3 +514,63 @@ def substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("dup_words").cast("double")
                             / F.col("n_words"), 6).alias("dup_frac"))
             .orderBy("doc_id"))
+
+
+@register(
+    "substring_dedup_cleaned",
+    oracle=f"""
+    WITH w AS ({_WORDS_CTE}),
+    {_SPANS_CTE},
+    m AS (SELECT doc_id, a, b,
+                 CASE WHEN a > coalesce(max(b) OVER (
+                          PARTITION BY doc_id ORDER BY a
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), -2) + 1
+                      THEN 1 ELSE 0 END AS brk
+          FROM q),
+    mg AS (SELECT doc_id, a, b,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY a
+                                 ROWS UNBOUNDED PRECEDING) AS grp
+           FROM m),
+    cov AS (SELECT doc_id, grp, min(a) AS ca, max(b) AS cb
+            FROM mg GROUP BY doc_id, grp),
+    r AS (SELECT doc_id, unnest(words) AS wd,
+                 generate_subscripts(words, 1) - 1 AS pos
+          FROM w),
+    keepw AS (SELECT r.doc_id, r.pos, r.wd FROM r
+              WHERE NOT EXISTS (
+                SELECT 1 FROM cov
+                WHERE cov.doc_id = r.doc_id
+                  AND r.pos BETWEEN cov.ca AND cov.cb)),
+    ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                  string_agg(wd, ' ' ORDER BY pos) AS ct
+           FROM keepw GROUP BY doc_id),
+    nw AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words FROM w)
+    SELECT doc_id, n_words,
+           coalesce(n_kept, 0) AS n_kept,
+           md5(coalesce(ct, '')) AS clean_fp
+    FROM nw LEFT JOIN ag USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="The transform half of the span family: every document with "
+        "its duplicated spans EXCISED (what Lee et al. 2021 do to the "
+        "training corpus — drop the substrings, keep the documents), "
+        "reported as kept-token counts plus an md5 fingerprint of the "
+        "cleaned token stream so the oracle pins exact content "
+        "compactly. Overlapping spans interval-merge first, so the "
+        "word-classification range join matches each token at most "
+        "once (bounded by |tokens|, never |tokens| x |spans|); the "
+        "final per-doc collect is doc-keyed, bounded by document "
+        "length.",
+    tags=("text", "dedup", "span", "range-join"),
+)
+def substring_dedup_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.functions.dedup import (
+        remove_duplicated_spans)
+
+    docs = load_table_fanned(spark, sf_dir, "documents")
+    return (remove_duplicated_spans(docs, k=_SPAN_K,
+                                    min_len=_SPAN_MIN_LEN)
+            .select("doc_id", "n_words", "n_kept",
+                    F.md5("clean_text").alias("clean_fp"))
+            .orderBy("doc_id"))

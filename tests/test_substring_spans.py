@@ -119,3 +119,39 @@ def test_stats_interval_merge_no_double_count(spark):
 def test_no_duplication_no_spans(spark):
     rows = [(i, words(f"u{i}_", 30)) for i in range(4)]
     assert duplicated_spans(_docs(spark, rows), k=5, min_len=10).count() == 0
+
+
+def test_remove_duplicated_spans_excises_union(spark):
+    # same overlap corpus as the stats test: doc 1's two qualifying
+    # spans [0..12] and [10..21] overlap; removal must excise the
+    # UNION (all 22 words), not double-count, and docs 2/3 lose only
+    # their own duplicated halves.
+    from radio_data_pipeline_spark.functions.dedup import (
+        remove_duplicated_spans)
+
+    W = [f"w{i}" for i in range(22)]
+    rows = [(1, " ".join(W)),
+            (2, " ".join(W[:13]) + " " + words("uu", 3)),
+            (3, words("vv", 3) + " " + " ".join(W[10:]))]
+    out = {r.doc_id: r for r in
+           remove_duplicated_spans(_docs(spark, rows),
+                                   k=5, min_len=10).collect()}
+    assert (out[1].n_words, out[1].n_kept, out[1].clean_text) == \
+        (22, 0, "")
+    # doc 2: 16 words, span covers W[0..12] -> keeps its 3 uu-words
+    assert (out[2].n_words, out[2].n_kept) == (16, 3)
+    assert out[2].clean_text == words("uu", 3)
+    # doc 3: 15 words, span covers W[10..21] at offset 3 -> keeps vv
+    assert (out[3].n_words, out[3].n_kept) == (15, 3)
+    assert out[3].clean_text == words("vv", 3)
+
+
+def test_remove_spans_passthrough_without_duplication(spark):
+    from radio_data_pipeline_spark.functions.dedup import (
+        remove_duplicated_spans)
+
+    rows = [(i, words(f"u{i}_", 12)) for i in range(3)]
+    out = remove_duplicated_spans(_docs(spark, rows), k=5, min_len=10)
+    for r in out.collect():
+        assert r.n_kept == r.n_words == 12
+        assert r.clean_text == words(f"u{r.doc_id}_", 12)
