@@ -842,6 +842,33 @@ def lsh_multiprobe_topk_indexed(spark, path: "str | DataFrame",
     )
 
 
+def _probe_schedule_cols(vec_col: str, planes: np.ndarray,
+                         n_probes: int) -> "list[Column]":
+    """Per-ROW multi-probe schedule as column expressions: the row's
+    own sign-pattern bucket, then the buckets reached by flipping its
+    ``n_probes - 1`` smallest-|margin| plane bits one at a time —
+    sort (|proj|, plane) pairs ascending with stable plane-index
+    ties, matching the driver-side multiprobe_buckets schedule for
+    single-bit flips. Shared by knn_join and knn_join_indexed so the
+    two candidate sets are definitionally identical."""
+    n_planes = len(planes)
+    projs = [dot_product(F.col(vec_col), _query_literal(list(p)))
+             for p in planes]
+    base = lsh_bucket(F.col(vec_col), planes)
+    margins = F.array_sort(F.array(*[
+        F.struct(F.abs(p).alias("m"), F.lit(r).alias("r"))
+        for r, p in enumerate(projs)]))
+    probe_cols = [base]
+    for i in range(min(n_probes - 1, n_planes)):
+        r_i = margins[i]["r"]
+        bit = F.lit(0).cast("long")
+        for r in range(n_planes):
+            bit = F.when(r_i == r, F.lit(1 << r).cast("long")) \
+                   .otherwise(bit)
+        probe_cols.append(base.bitwiseXOR(bit))
+    return probe_cols
+
+
 def knn_join(queries_df: DataFrame, corpus_df: DataFrame, k: int = 3,
              n_planes: int | None = None, n_probes: int = 2,
              seed: int = 7, vec_col: str = "embedding",
@@ -905,28 +932,98 @@ def knn_join(queries_df: DataFrame, corpus_df: DataFrame, k: int = 3,
              .filter((F.col("_bn") <= bucket_cap)
                      | (u < F.lit(float(bucket_cap)) / F.col("_bn")))
              .drop("_bn"))
-    projs = [dot_product(F.col(vec_col), _query_literal(list(p)))
-             for p in planes]
-    base = lsh_bucket(F.col(vec_col), planes)
-    # per-row probe schedule: sort (|proj|, plane) pairs ascending —
-    # stable ties on the plane index, matching multiprobe_buckets —
-    # and flip the first n_probes-1 planes' bits one at a time
-    margins = F.array_sort(F.array(*[
-        F.struct(F.abs(p).alias("m"), F.lit(r).alias("r"))
-        for r, p in enumerate(projs)]))
-    probe_cols = [base]
-    for i in range(min(n_probes - 1, n_planes)):
-        r_i = margins[i]["r"]
-        bit = F.lit(0).cast("long")
-        for r in range(n_planes):
-            bit = F.when(r_i == r, F.lit(1 << r).cast("long")) \
-                   .otherwise(bit)
-        probe_cols.append(base.bitwiseXOR(bit))
     q = queries_df.select(
         F.col(id_col).alias("vec_id"), v.alias("qv"),
-        F.explode(F.array(*probe_cols)).alias("bucket"))
+        F.explode(F.array(*_probe_schedule_cols(vec_col, planes,
+                                                n_probes)))
+        .alias("bucket"))
     scored = (
         q.join(c, "bucket")
+        .select("vec_id", "nn_id",
+                F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+                .alias("cosine"))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("vec_id") != F.col("nn_id"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"),
+                                             F.asc("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", F.col("rank").cast("int").alias("rank"),
+                "nn_id", "cosine")
+    )
+
+
+def knn_join_indexed(spark, queries_df: DataFrame,
+                     path: "str | DataFrame", k: int = 3,
+                     n_planes: int = 6, n_probes: int = 2,
+                     seed: int = 7, vec_col: str = "embedding",
+                     id_col: str = "vec_id", exclude_self: bool = True,
+                     bucket_cap: int | None = 1024) -> DataFrame:
+    """Batch k-NN join over a write_lsh_index dataset — the retrieval
+    primitive reshaped for a PERSISTED corpus: identical results to
+    ``knn_join(queries, corpus, ...)`` (same probe schedule, same
+    bucket_cap semantics, parity-pinned), but the corpus side is the
+    index layout, which changes the cost model in two ways:
+
+    - **planning-time bucket pruning**: the batch's distinct probe
+      buckets (a bounded driver-side collect — at most
+      ``n_queries * n_probes`` longs, the dedup_batch_against_index
+      bounded-metadata pattern) become an IN partition filter, so
+      only probed ``lsh_bucket=K/`` directories are listed or read.
+      Probe I/O scales with the BATCH, not the corpus — at a small
+      serving batch most of the index is never touched.
+    - **no corpus shuffle**: the exploded query table (micro-batch
+      sized) is broadcast into the pruned scan, so candidate
+      generation is map-only over index files; the only shuffle is
+      the per-query top-k window over candidate rows
+      (~n_queries * n_probes * bucket rows). The inline knn_join
+      must instead hash 2 sides and shuffle the FULL corpus into the
+      bucket equi-join.
+
+    ``n_planes``/``seed`` MUST match the index writer's (a mismatch
+    probes the wrong directories — same contract as the other
+    ``*_indexed`` probes); there is deliberately no auto-planes here
+    because the plane count is baked into the layout. ``path`` may
+    be an ``open_index()`` handle to skip per-call re-listing.
+    ``bucket_cap`` counts rows per bucket on the PRUNED scan — whole
+    buckets survive pruning, so the counts (and the md5 downsample
+    verdicts) equal the inline form's.
+    """
+    from pyspark.sql import Window
+
+    head = (queries_df.select(vec_col)
+            .filter(F.col(vec_col).isNotNull()).first())
+    if head is None:
+        return (queries_df.select(
+            F.col(id_col).alias("vec_id"), F.lit(0).alias("rank"),
+            F.col(id_col).alias("nn_id"),
+            F.lit(0.0).alias("cosine")).limit(0))
+    planes = hyperplanes(len(head[0]), n_planes, seed)
+    v = _as_double(F.col(vec_col))
+    q = queries_df.select(
+        F.col(id_col).alias("vec_id"), v.alias("qv"),
+        F.explode(F.array(*_probe_schedule_cols(vec_col, planes,
+                                                n_probes)))
+        .alias("bucket"))
+    probe = [int(r["bucket"]) for r in
+             q.select("bucket").distinct().collect()]
+    c = (_index_df(spark, path)
+         .filter(F.col("lsh_bucket").isin(probe))
+         .select(F.col(id_col).alias("nn_id"), v.alias("cv"),
+                 F.col("lsh_bucket").alias("bucket")))
+    if bucket_cap is not None:
+        from radio_data_pipeline_spark.sources.layout import (
+            md5_prefix_long)
+        sizes = c.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
+        u = md5_prefix_long(F.col("nn_id")) / F.lit(float(1 << 32))
+        c = (c.join(F.broadcast(sizes), "bucket")
+             .filter((F.col("_bn") <= bucket_cap)
+                     | (u < F.lit(float(bucket_cap)) / F.col("_bn")))
+             .drop("_bn"))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
         .select("vec_id", "nn_id",
                 F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
                 .alias("cosine"))

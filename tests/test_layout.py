@@ -539,3 +539,81 @@ def test_index_append_equals_full_rebuild(spark, sf_dir, tmp_path):
                          n_centroids=8, nprobe=2, seed=11)
     assert sorted(map(tuple, c.collect())) \
         == sorted(map(tuple, d.collect()))
+
+
+def test_knn_join_indexed_matches_inline_and_prunes(
+        spark, sf_dir, tmp_path):
+    """knn_join_indexed over a write_lsh_index layout must return
+    EXACTLY the inline knn_join's rows (same probe schedule, same
+    bucket_cap semantics), while its plan (a) prunes the index scan
+    to the batch's distinct probe buckets at planning time and (b)
+    broadcasts the query batch instead of shuffling the corpus."""
+    from radio_data_pipeline_spark.functions.similarity import (
+        knn_join,
+        knn_join_indexed,
+        open_index,
+        write_lsh_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "lsh_index_knn")
+    write_lsh_index(emb, path, n_planes=6, seed=7)
+    q_batch = emb.filter(F.col("vec_id") < 20)
+
+    inline = knn_join(q_batch, emb, k=3, n_planes=6, n_probes=2,
+                      seed=7)
+    indexed = knn_join_indexed(spark, q_batch, path, k=3, n_planes=6,
+                               n_probes=2, seed=7)
+    assert sorted(map(tuple, indexed.collect())) \
+        == sorted(map(tuple, inline.collect()))
+
+    plan = _plan(spark, indexed)
+    pf_line = plan.split("PartitionFilters:")[1].split("\n")[0]
+    # Catalyst renders small probe lists as "IN (a,b)" and larger
+    # ones (>10) as "INSET a,b,..." — accept either
+    assert "lsh_bucket" in pf_line
+    assert (" IN (" in pf_line) or ("INSET" in pf_line)
+    # batch's distinct probes <= n_queries * n_probes, and the probed
+    # set must be a strict subset of the populated buckets (pruning
+    # is real, not a tautology)
+    import glob as _glob
+    if " IN (" in pf_line:
+        n_pruned = len(pf_line.split("IN (")[1].split(")")[0].split(","))
+    else:
+        n_pruned = len(pf_line.split("INSET ")[1].split(")")[0].split(","))
+    n_dirs = len(_glob.glob(f"{path}/lsh_bucket=*"))
+    assert 0 < n_pruned <= 20 * 2
+    assert n_pruned < n_dirs
+    assert "BroadcastHashJoin" in plan  # query side broadcast
+
+    # open_index() handle parity (serving-loop form)
+    handle = open_index(spark, path)
+    via_handle = knn_join_indexed(spark, q_batch, handle, k=3,
+                                  n_planes=6, n_probes=2, seed=7)
+    assert sorted(map(tuple, via_handle.collect())) \
+        == sorted(map(tuple, indexed.collect()))
+
+
+def test_knn_join_indexed_bucket_cap_equals_inline_cap(
+        spark, sf_dir, tmp_path):
+    """bucket_cap counts rows per bucket on the PRUNED scan; since
+    pruning keeps whole buckets, the per-bucket counts — and the md5
+    downsample verdicts — must equal the inline form's under a cap
+    small enough to engage."""
+    from radio_data_pipeline_spark.functions.similarity import (
+        knn_join,
+        knn_join_indexed,
+        write_lsh_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "lsh_index_cap")
+    # few planes -> big buckets, tiny cap -> the downsample engages
+    write_lsh_index(emb, path, n_planes=4, seed=7)
+    q_batch = emb.filter(F.col("vec_id") < 10)
+    inline = knn_join(q_batch, emb, k=3, n_planes=4, n_probes=2,
+                      seed=7, bucket_cap=16)
+    indexed = knn_join_indexed(spark, q_batch, path, k=3, n_planes=4,
+                               n_probes=2, seed=7, bucket_cap=16)
+    assert sorted(map(tuple, indexed.collect())) \
+        == sorted(map(tuple, inline.collect()))
