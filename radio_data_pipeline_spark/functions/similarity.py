@@ -11,6 +11,8 @@ expressions (they are metadata, like the reference's frequency axis).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from pyspark.sql import Column, DataFrame
@@ -408,6 +410,192 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 _TWO_LEVEL_MIN_CLUSTERS = 128
 
 
+def _nearest_label(pts: DataFrame, cents: DataFrame,
+                   label: str) -> DataFrame:
+    """Nearest-centroid argmin: ``pts`` is exploded (vec_id, pos, val),
+    ``cents`` is (label, pos, cval) — the CALLER decides whether cents
+    is broadcast (coarse tables only; a fine table growing with N must
+    not broadcast). Returns (vec_id, label), deterministic via the
+    lowest-label tiebreak."""
+    from pyspark.sql import Window
+
+    d = (pts.join(cents, "pos")
+         .groupBy("vec_id", label)
+         .agg(F.sum((F.col("val") - F.col("cval"))
+                    * (F.col("val") - F.col("cval"))).alias("d2")))
+    w = Window.partitionBy("vec_id").orderBy("d2", label)
+    return (d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select("vec_id", label))
+
+
+def _assign_points(rr: DataFrame, cc: DataFrame, two_level: bool = False,
+                   coarse_clusters: int | None = None) -> DataFrame:
+    """Assign exploded points ``rr`` (vec_id, pos, val) to centroids
+    ``cc`` (cluster, pos, cval). Flat mode broadcasts the centroid
+    table (bounded k only); two-level mode routes through a
+    ~``coarse_clusters``-cell coarse quantizer so the k·d fine table
+    is never broadcast (the §17 sub-quadratic assignment — see
+    semantic_dedup's docstring for the approximation trade-off)."""
+    if not two_level:
+        return _nearest_label(rr, F.broadcast(cc), "cluster")
+    if coarse_clusters is None:
+        raise ValueError("two_level assignment requires coarse_clusters")
+    from pyspark.sql import Window
+
+    # coarse quantizer: the coarse_clusters smallest fine-cluster
+    # ids stand in as cell representatives (deterministic, and a
+    # cell always contains at least its own representative)
+    cells = (cc.select("cluster").distinct()
+             .orderBy("cluster").limit(coarse_clusters)
+             .select(F.col("cluster").alias("cell")))
+    coarse = (cc.join(F.broadcast(cells),
+                      F.col("cluster") == F.col("cell"))
+              .select("cell", "pos", "cval"))
+    # file every fine centroid under its nearest cell (k rows)
+    fine_cell = _nearest_label(
+        cc.select(F.col("cluster").alias("vec_id"), "pos",
+                  F.col("cval").alias("val")),
+        F.broadcast(coarse), "cell").withColumnRenamed(
+        "vec_id", "cluster")
+    # point -> nearest cell (N x sqrt(k) x d partials)
+    p_cell = _nearest_label(rr, F.broadcast(coarse), "cell")
+    # fine assignment only within the probed cell: plain equi-join
+    # on (pos, cell) — no broadcast of the k·d fine table
+    d = (rr.join(p_cell, "vec_id")
+         .join(cc.join(fine_cell, "cluster"), ["pos", "cell"])
+         .groupBy("vec_id", "cluster")
+         .agg(F.sum((F.col("val") - F.col("cval"))
+                    * (F.col("val") - F.col("cval"))).alias("d2")))
+    w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+    return (d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select("vec_id", "cluster"))
+
+
+def train_semantic_centroids(df: DataFrame, n_clusters: int,
+                             lloyd_rounds: int = 2,
+                             vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             train_fraction: float = 1.0, seed: int = 7,
+                             two_level: bool | None = None,
+                             coarse_clusters: int | None = None,
+                             seed_strategy: str | None = None,
+                             _n_rows: int | None = None,
+                             ) -> tuple[DataFrame, dict]:
+    """Train the relational-Lloyd quantizer semantic_dedup clusters
+    with, WITHOUT assigning or deduping — the piece the incremental
+    ingest tier persists (streaming/semantic.py): centroids trained
+    once, then every arriving batch assigns against the frozen table.
+    Returns ``(centroids, resolved)`` where centroids is the exploded
+    (cluster, pos, cval) frame after ``lloyd_rounds - 1`` update
+    rounds (the final assignment round is the CALLER's — exactly the
+    split semantic_dedup itself uses) and ``resolved`` records the
+    mode ({'two_level', 'coarse_clusters', 'seed_strategy'}) so
+    assignment runs the same shape training did. Seeding, sampling
+    and the two-level threshold are semantic_dedup's, verbatim —
+    semantic_dedup delegates here, so the pinned oracles prove both."""
+    if two_level is None:
+        two_level = n_clusters > _TWO_LEVEL_MIN_CLUSTERS
+    if coarse_clusters is None:
+        coarse_clusters = max(2, math.isqrt(n_clusters))
+
+    v = df.select(F.col(id_col).alias("vec_id"),
+                  _as_double(F.col(vec_col)).alias("v"))
+    r_train = (v.select("vec_id", F.posexplode("v").alias("pos", "val"))
+               if train_fraction >= 1.0
+               else v.sample(False, train_fraction, seed=seed)
+                     .select("vec_id",
+                             F.posexplode("v").alias("pos", "val")))
+
+    if seed_strategy is None:
+        seed_strategy = "hash" if two_level else "smallest_id"
+    if seed_strategy == "smallest_id":
+        # smallest-id seeds (deterministic; what the pinned small-k
+        # oracles model) — an orderBy().limit(k) TakeOrdered, fine
+        # for the flat regime's bounded k
+        seeds = v.orderBy("vec_id").limit(n_clusters)
+    elif seed_strategy == "hash":
+        # hash-filtered seeds: at auto scale k grows with N, and
+        # pushing k full vectors through TakeOrdered's single reduce
+        # is its own single-task bottleneck (k=4e6 x 1k-d = ~32 GB
+        # through one task). A deterministic md5 rate draw selects
+        # ~n_clusters seeds with NO sort and no single task; Lloyd
+        # needs "about k" seeds, not exactly k (seed-count variance
+        # ~sqrt(k) — documented, not a contract)
+        from radio_data_pipeline_spark.sources.layout import (
+            md5_prefix_long)
+        n_total = max(1, _n_rows if _n_rows is not None else df.count())
+        rate = min(1.0, n_clusters / n_total)
+        seeds = v.filter(
+            md5_prefix_long(F.col("vec_id"))
+            < F.lit(int(rate * (1 << 32))))
+        # the rate draw selects ~n_clusters seeds in expectation but
+        # ZERO with probability ~e^-k over adversarial id sets — and
+        # Lloyd with zero centroids silently assigns nothing (the
+        # inner join drops every row, violating the one-verdict-per-
+        # row contract). Guard: an empty draw falls back to the
+        # bounded smallest-id TakeOrdered — cheap precisely in the
+        # small-k regime where an empty draw is actually reachable.
+        if seeds.limit(1).count() == 0:
+            seeds = v.orderBy("vec_id").limit(n_clusters)
+    else:
+        raise ValueError(
+            f"unknown seed_strategy {seed_strategy!r}: "
+            "use 'smallest_id', 'hash', or None (auto by mode)")
+    c = seeds.select(F.col("vec_id").alias("cluster"),
+                     F.posexplode("v").alias("pos", "cval"))
+
+    for _ in range(max(0, lloyd_rounds - 1)):
+        a_t = _assign_points(r_train, c, two_level, coarse_clusters)
+        c = (a_t.join(r_train, "vec_id")
+             .groupBy("cluster", "pos")
+             .agg(F.avg("val").alias("cval")))
+    resolved = {"two_level": two_level,
+                "coarse_clusters": coarse_clusters,
+                "seed_strategy": seed_strategy}
+    return c, resolved
+
+
+def assign_to_centroids(df: DataFrame, centroids: DataFrame,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        two_level: bool = False,
+                        coarse_clusters: int | None = None) -> DataFrame:
+    """Assign each row of ``df`` to its nearest centroid from an
+    exploded (cluster, pos, cval) table (train_semantic_centroids
+    output, or a persisted copy of one). Returns (vec_id, cluster).
+    The serving half of the quantizer: incremental semantic dedup
+    assigns every arriving micro-batch with this against FROZEN
+    centroids, so per-batch cost is O(|batch|·k·d) — independent of
+    the accumulated corpus."""
+    v = df.select(F.col(id_col).alias("vec_id"),
+                  _as_double(F.col(vec_col)).alias("v"))
+    r = v.select("vec_id", F.posexplode("v").alias("pos", "val"))
+    return _assign_points(r, centroids, two_level, coarse_clusters)
+
+
+def _semantic_removed(assigned: DataFrame, eps: float,
+                      dedup_identical: bool) -> DataFrame:
+    """The SemDeDup verdict kernel over an assigned frame (vec_id,
+    cluster, v): returns the DISTINCT vec_ids that have a SMALLER-id
+    same-cluster witness at round(cosine, 6) >= eps. Witnesses are ALL
+    rows (kept and removed alike — removal does not launder a
+    document's content out of the corpus history), optionally
+    collapsed to per-identical-vector min-id representatives
+    (semantics-preserving, see semantic_dedup)."""
+    wit = assigned.select("cluster", F.col("vec_id").alias("w_id"),
+                          F.col("v").alias("wv"))
+    if dedup_identical:
+        wit = (wit.groupBy("cluster", "wv")
+               .agg(F.min("w_id").alias("w_id")))
+    return (
+        assigned.join(wit, "cluster")
+        .filter(F.col("w_id") < F.col("vec_id"))
+        .filter(F.round(cosine_similarity(F.col("wv"), F.col("v")), 6)
+                >= eps)
+        .select("vec_id").distinct()
+    )
+
+
 def semantic_dedup(df: DataFrame, eps: float = 0.4,
                    n_clusters: int | None = None, lloyd_rounds: int = 2,
                    vec_col: str = "embedding", id_col: str = "vec_id",
@@ -484,132 +672,28 @@ def semantic_dedup(df: DataFrame, eps: float = 0.4,
     defeats size-based splitting (BENCH_SCALING.md SS12). Candidates
     are never deduped: every id gets its verdict.
     """
-    import math
-
-    from pyspark.sql import Window
-
     n_rows = None
     if n_clusters is None:
         n_rows = df.count()
         n_clusters = max(1, math.ceil(n_rows / target_cluster_rows))
-    v = df.select(F.col(id_col).alias("vec_id"),
-                  _as_double(F.col(vec_col)).alias("v"))
-    r = v.select("vec_id", F.posexplode("v").alias("pos", "val"))
-    # Lloyd updates train on a sample (r_train); only the FINAL
+    # Lloyd updates train on a sample (train_fraction); only the FINAL
     # assignment touches every row. Centroid training is O(N*d*k) per
     # round — at 100 TB that is the dominant cost and a sample-trained
     # quantizer is the standard trade (the SemDeDup paper's own setup);
     # train_fraction=1.0 (default) keeps the oracle-exact behavior.
-    r_train = (r if train_fraction >= 1.0
-               else v.sample(False, train_fraction, seed=seed)
-                     .select("vec_id",
-                             F.posexplode("v").alias("pos", "val")))
-    if two_level is None:
-        two_level = n_clusters > _TWO_LEVEL_MIN_CLUSTERS
-    if coarse_clusters is None:
-        coarse_clusters = max(2, math.isqrt(n_clusters))
-
-    if seed_strategy is None:
-        seed_strategy = "hash" if two_level else "smallest_id"
-    if seed_strategy == "smallest_id":
-        # smallest-id seeds (deterministic; what the pinned small-k
-        # oracles model) — an orderBy().limit(k) TakeOrdered, fine
-        # for the flat regime's bounded k
-        seeds = v.orderBy("vec_id").limit(n_clusters)
-    elif seed_strategy == "hash":
-        # hash-filtered seeds: at auto scale k grows with N, and
-        # pushing k full vectors through TakeOrdered's single reduce
-        # is its own single-task bottleneck (k=4e6 x 1k-d = ~32 GB
-        # through one task). A deterministic md5 rate draw selects
-        # ~n_clusters seeds with NO sort and no single task; Lloyd
-        # needs "about k" seeds, not exactly k (seed-count variance
-        # ~sqrt(k) — documented, not a contract)
-        from radio_data_pipeline_spark.sources.layout import (
-            md5_prefix_long)
-        n_total = max(1, n_rows if n_rows is not None else df.count())
-        rate = min(1.0, n_clusters / n_total)
-        seeds = v.filter(
-            md5_prefix_long(F.col("vec_id"))
-            < F.lit(int(rate * (1 << 32))))
-        # the rate draw selects ~n_clusters seeds in expectation but
-        # ZERO with probability ~e^-k over adversarial id sets — and
-        # Lloyd with zero centroids silently assigns nothing (the
-        # inner join drops every row, violating the one-verdict-per-
-        # row contract). Guard: an empty draw falls back to the
-        # bounded smallest-id TakeOrdered — cheap precisely in the
-        # small-k regime where an empty draw is actually reachable.
-        if seeds.limit(1).count() == 0:
-            seeds = v.orderBy("vec_id").limit(n_clusters)
-    else:
-        raise ValueError(
-            f"unknown seed_strategy {seed_strategy!r}: "
-            "use 'smallest_id', 'hash', or None (auto by mode)")
-    c = seeds.select(F.col("vec_id").alias("cluster"),
-                     F.posexplode("v").alias("pos", "cval"))
-
-    def _nearest(pts, cents, label):
-        # pts: (vec_id, pos, val); cents: (label, pos, cval) — cents
-        # is broadcast by the CALLER's choice of size (coarse table
-        # only; the fine table grows with N and must not broadcast)
-        d = (pts.join(cents, "pos")
-             .groupBy("vec_id", label)
-             .agg(F.sum((F.col("val") - F.col("cval"))
-                        * (F.col("val") - F.col("cval"))).alias("d2")))
-        w = Window.partitionBy("vec_id").orderBy("d2", label)
-        return (d.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1).select("vec_id", label))
-
-    def _assign(rr, cc):
-        if not two_level:
-            return _nearest(rr, F.broadcast(cc), "cluster")
-        # coarse quantizer: the coarse_clusters smallest fine-cluster
-        # ids stand in as cell representatives (deterministic, and a
-        # cell always contains at least its own representative)
-        cells = (cc.select("cluster").distinct()
-                 .orderBy("cluster").limit(coarse_clusters)
-                 .select(F.col("cluster").alias("cell")))
-        coarse = (cc.join(F.broadcast(cells),
-                          F.col("cluster") == F.col("cell"))
-                  .select("cell", "pos", "cval"))
-        # file every fine centroid under its nearest cell (k rows)
-        fine_cell = _nearest(
-            cc.select(F.col("cluster").alias("vec_id"), "pos",
-                      F.col("cval").alias("val")),
-            F.broadcast(coarse), "cell").withColumnRenamed(
-            "vec_id", "cluster")
-        # point -> nearest cell (N x sqrt(k) x d partials)
-        p_cell = _nearest(rr, F.broadcast(coarse), "cell")
-        # fine assignment only within the probed cell: plain equi-join
-        # on (pos, cell) — no broadcast of the k·d fine table
-        d = (rr.join(p_cell, "vec_id")
-             .join(cc.join(fine_cell, "cluster"), ["pos", "cell"])
-             .groupBy("vec_id", "cluster")
-             .agg(F.sum((F.col("val") - F.col("cval"))
-                        * (F.col("val") - F.col("cval"))).alias("d2")))
-        w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
-        return (d.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1).select("vec_id", "cluster"))
-
-    for _ in range(max(0, lloyd_rounds - 1)):
-        a_t = _assign(r_train, c)
-        c = (a_t.join(r_train, "vec_id")
-             .groupBy("cluster", "pos")
-             .agg(F.avg("val").alias("cval")))
-    a = _assign(r, c)
+    c, resolved = train_semantic_centroids(
+        df, n_clusters, lloyd_rounds=lloyd_rounds, vec_col=vec_col,
+        id_col=id_col, train_fraction=train_fraction, seed=seed,
+        two_level=two_level, coarse_clusters=coarse_clusters,
+        seed_strategy=seed_strategy, _n_rows=n_rows)
+    a = assign_to_centroids(df, c, vec_col=vec_col, id_col=id_col,
+                            two_level=resolved["two_level"],
+                            coarse_clusters=resolved["coarse_clusters"])
+    v = df.select(F.col(id_col).alias("vec_id"),
+                  _as_double(F.col(vec_col)).alias("v"))
     assigned = v.join(a, "vec_id")
-    wit = assigned.select("cluster", F.col("vec_id").alias("w_id"),
-                          F.col("v").alias("wv"))
-    if dedup_identical:
-        wit = (wit.groupBy("cluster", "wv")
-               .agg(F.min("w_id").alias("w_id")))
-    removed = (
-        assigned.join(wit, "cluster")
-        .filter(F.col("w_id") < F.col("vec_id"))
-        .filter(F.round(cosine_similarity(F.col("wv"), F.col("v")), 6)
-                >= eps)
-        .select("vec_id").distinct()
-        .withColumn("_rm", F.lit(True))
-    )
+    removed = (_semantic_removed(assigned, eps, dedup_identical)
+               .withColumn("_rm", F.lit(True)))
     return (
         assigned.join(removed, "vec_id", "left")
         .select("vec_id", "cluster",

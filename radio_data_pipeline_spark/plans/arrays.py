@@ -1008,8 +1008,8 @@ _SEMDEDUP_K = 4
 _SEMDEDUP_EPS = 0.4
 
 
-def _semantic_dedup_oracle(k: int = _SEMDEDUP_K,
-                           eps: float = _SEMDEDUP_EPS) -> str:
+def _semantic_dedup_ctes(k: int = _SEMDEDUP_K,
+                         eps: float = _SEMDEDUP_EPS) -> str:
     # the clustering CTE chain is the kmeans_embeddings oracle
     # (plans/pipeline_ops.py) verbatim: deterministic first-k seeds,
     # two Lloyd rounds, lowest-index tiebreak
@@ -1050,6 +1050,13 @@ def _semantic_dedup_oracle(k: int = _SEMDEDUP_K,
             FROM av a JOIN av b
               ON a.cluster = b.cluster AND a.vec_id < b.vec_id
             WHERE {cos} >= {eps})
+    """
+
+
+def _semantic_dedup_oracle(k: int = _SEMDEDUP_K,
+                           eps: float = _SEMDEDUP_EPS) -> str:
+    return f"""
+    {_semantic_dedup_ctes(k, eps)}
     SELECT av.cluster,
            CAST(count(*) AS BIGINT) AS n_vecs,
            CAST(sum(CASE WHEN rem.vec_id IS NOT NULL
@@ -1091,6 +1098,63 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
               .cast("long").alias("n_removed"))
         .orderBy("cluster")
     )
+
+
+@register(
+    "semantic_dedup_survivors_incremental",
+    oracle=f"""
+    {_semantic_dedup_ctes()}
+    SELECT av.vec_id, av.cluster
+    FROM av LEFT JOIN rem USING (vec_id)
+    WHERE rem.vec_id IS NULL
+    ORDER BY av.vec_id
+    """,
+    doc="Incremental SemDeDup ingest (streaming/semantic.py "
+        "semantic_dedup_batch_against_index): the corpus arrives as "
+        "three id-ordered chunks, each assigned against the ONE "
+        "frozen quantizer (trained up front — the init_semantic_index "
+        "contract) and deduped batch-locally plus against the "
+        "accumulated (id, v, cell) index of every previously "
+        "processed doc; arrival order wins across batches. Under "
+        "id-ordered arrival this equals batch semantic_dedup of the "
+        "full corpus — the equivalence the oracle checks (same CTE "
+        "chain as semantic_dedup_stats, survivors view) and "
+        "tests/test_streaming_semantic.py pins against the persisted "
+        "partition layout with crash-replay and compaction. Output: "
+        "surviving vec_ids with their quantizer cell.",
+    tags=("similarity", "dedup", "streaming", "incremental"),
+)
+def semantic_dedup_survivors_incremental(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.functions.similarity import (
+        train_semantic_centroids)
+    from radio_data_pipeline_spark.streaming.semantic import (
+        semantic_dedup_batch_against_index)
+
+    emb = _emb(spark, sf_dir)
+    cents, resolved = train_semantic_centroids(
+        emb, _SEMDEDUP_K, lloyd_rounds=2)
+    meta = {"two_level": resolved["two_level"],
+            "coarse_clusters": resolved["coarse_clusters"]}
+    n = emb.count()
+    cuts = [0, n // 3, 2 * n // 3, n + 1]
+    acc = None
+    outs = []
+    for bid in range(3):
+        chunk = emb.filter((F.col("vec_id") >= cuts[bid])
+                           & (F.col("vec_id") < cuts[bid + 1]))
+        survivors, rows = semantic_dedup_batch_against_index(
+            chunk, acc, bid, centroids=cents, meta=meta,
+            eps=_SEMDEDUP_EPS)
+        outs.append(rows.join(survivors.select("vec_id"),
+                              rows["id"] == F.col("vec_id"), "semi")
+                    .select(F.col("id").alias("vec_id"),
+                            F.col("cell").alias("cluster")))
+        acc = rows if acc is None else acc.unionByName(rows)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("vec_id")
 
 
 def _multiprobe_oracle(k: int = 10, n_planes: int = 6, n_probes: int = 4,

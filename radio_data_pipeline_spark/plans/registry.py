@@ -84,12 +84,14 @@ SAMPLE_WINDOW = (
     "radio_validation", "radio_atmosphere_correction", "radio_merge",
     "radio_spectrum_distributed", "radio_hires_spectrum_banded",
     "radio_hires_continuum",
-    # array/vector semantics (A1-A2, F4-F7, M7; vector_slice_sum
-    # rotated out — vector_mask_negative_sum carries F4/F7)
+    # array/vector semantics (A1-A2, F4-F7, M7; vector_slice_sum and
+    # vector_onoff_diff rotated out — vector_mask_negative_sum
+    # carries F4/F7, radio_spectrum_distributed carries M7)
     "vector_sum", "vector_mask_negative_sum",
-    "vector_elementwise_sum", "vector_onoff_diff",
-    # semantic dedup (SemDeDup) — round-5 family
-    "semantic_dedup_stats",
+    "vector_elementwise_sum",
+    # semantic dedup (SemDeDup) — round-5 family + the round-6
+    # incremental-ingest form (frozen quantizer, arrival-order wins)
+    "semantic_dedup_stats", "semantic_dedup_survivors_incremental",
     # ANN / similarity search (incl. the round-5 retrieval tier)
     "cosine_topk", "lsh_bucket_topk", "embedding_near_dup_lsh",
     "ivf_topk", "knn_join_topk", "embedding_quantize_int8",

@@ -216,6 +216,27 @@ def compact_band_index(spark: SparkSession, index_path: str,
     are restricted to the fold's own source list). Two compactions
     must still not run concurrently (each assumes generations are
     writer-free)."""
+    return _compact_ingest_index(
+        spark, index_path,
+        data_cols=("id", "band_id", "band_hash", "bh_prefix"),
+        partition_cols=("band_id", "bh_prefix"), generation=generation,
+        _post_fold_hook=_post_fold_hook)
+
+
+def _compact_ingest_index(spark: SparkSession, index_path: str,
+                          data_cols: tuple[str, ...],
+                          partition_cols: tuple[str, ...],
+                          generation: int = -1,
+                          _post_fold_hook=None) -> int:
+    """The generational fold shared by every per-batch-overwrite
+    ingest index (band index above; semantic index in
+    streaming/semantic.py). Correctness rests on EXISTENTIAL matching
+    — a probe's verdict depends only on whether a matching row
+    exists, so duplicated rows across a crash window or a skipped
+    racing source are harmless — which every index routed through
+    here must satisfy. See compact_band_index for the full contract
+    (negative strictly-decreasing generations, snapshot-and-recheck
+    delete guard, single-compactor assumption)."""
     if generation >= 0:
         raise ValueError("compaction generation must be negative — "
                          "nonnegative ids are live foreachBatch ids")
@@ -235,15 +256,15 @@ def compact_band_index(spark: SparkSession, index_path: str,
     snapshots = {p.toString(): _dir_snapshot(fs, p) for p in sources}
     src_paths = [p.toString() for p in sources]
     # distinct: crash-windows and generation-over-generation folds
-    # leave duplicate band rows, which matching ignores but storage
-    # pays for — the compactor is the one place to squeeze them out
+    # leave duplicate rows, which matching ignores but storage pays
+    # for — the compactor is the one place to squeeze them out
     folded = (spark.read.option("basePath", index_path)
               .parquet(*src_paths)
-              .select("id", "band_id", "band_hash", "bh_prefix")
+              .select(*data_cols)
               .distinct())
-    # one file per (band_id, bh_prefix) directory in the generation
-    (folded.repartition(F.col("band_id"), F.col("bh_prefix"))
-     .write.mode("overwrite").partitionBy("band_id", "bh_prefix")
+    # one file per partition directory in the generation
+    (folded.repartition(*[F.col(c) for c in partition_cols])
+     .write.mode("overwrite").partitionBy(*partition_cols)
      .parquet(f"{index_path}/ingest_batch={new_gen}"))
     if _post_fold_hook is not None:  # test seam: writer racing the fold
         _post_fold_hook()

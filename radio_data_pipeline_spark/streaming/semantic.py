@@ -1,0 +1,263 @@
+"""Incremental semantic (SemDeDup) dedup ingest: continuous
+embedding-level dedup of an arriving document stream against the
+ENTIRE accumulated corpus, without re-clustering or rescanning it.
+
+This is the semantic twin of the MinHash band-index ingest
+(streaming/dedup.py): batch `functions.similarity.semantic_dedup`
+answers "dedup this corpus once"; this module answers "keep deduping
+as the corpus grows". The reference pipeline has no streaming surface
+at all (it is a finite-observation ETL) — this tier exists for the
+100 TB training-data shape: crawl shards arrive forever, and a doc
+semantically duplicating ANYTHING already ingested must be dropped
+cheaply, forever.
+
+Design — quantizer frozen once, partition layout is the index:
+
+- ``init_semantic_index`` trains the relational-Lloyd quantizer
+  (functions/similarity.train_semantic_centroids — the exact code
+  path the batch form and its pinned oracles prove) on a training
+  frame and persists it under ``index_path/_quantizer`` (+ a one-row
+  ``_quantizer_meta``). Leading-underscore names are invisible to
+  Spark's partition discovery, so the quantizer can live inside the
+  index root without polluting dataset reads.
+- Every processed document's (id, v, cell) row lands under
+  ``index_path/ingest_batch=N/cell=K`` — the same per-batch-overwrite
+  exactly-once layout as the band index. ALL docs are indexed
+  (survivors AND dropped): a removed doc's content is still corpus
+  history, and a later twin of it must still be dropped.
+- A micro-batch assigns against the FROZEN quantizer —
+  O(|batch|·k·d), independent of the accumulated corpus — then
+  probes only the ``cell IN (its own cells)`` partitions. The probe
+  join broadcasts the (micro-batch-sized) assigned batch against the
+  pruned index scan: no shuffle of index data, ever.
+
+Semantics: within a micro-batch, the batch-local SemDeDup rule
+(removed iff a SMALLER-id same-cell witness has round(cosine,6) >=
+eps — functions/similarity._semantic_removed); across batches,
+ARRIVAL order wins (any index hit at >= eps drops the new doc). When
+batches arrive in nondecreasing id order AND the quantizer equals the
+batch run's trained centroids, the two orders coincide and the
+stream's verdicts equal batch ``semantic_dedup`` of the full corpus —
+pinned by tests/test_streaming_semantic.py.
+
+Scale note (the honest asymptote): with a frozen k, cell occupancy
+grows linearly with the corpus, so the per-batch within-cell
+candidate join grows as |batch|·(corpus/k). That is the SemDeDup
+paper's own serving trade — the fix when cells outgrow their budget
+is requantize-and-reindex (train a larger quantizer on the indexed
+corpus, fold every generation through the new cell assignment), which
+is an offline maintenance op like band-index compaction, not a
+per-batch cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.similarity import (
+    _as_double,
+    _semantic_removed,
+    assign_to_centroids,
+    cosine_similarity,
+    train_semantic_centroids,
+)
+from .dedup import _index_has_batches
+
+
+def init_semantic_index(train_df: DataFrame, index_path: str,
+                        n_clusters: int, lloyd_rounds: int = 2,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        train_fraction: float = 1.0, seed: int = 7,
+                        two_level: bool | None = None,
+                        coarse_clusters: int | None = None,
+                        seed_strategy: str | None = None) -> dict:
+    """Train the quantizer on ``train_df`` and persist it under the
+    index root. Must run ONCE before any ingest; the assignment mode
+    (two-level or flat) is resolved here and baked into
+    ``_quantizer_meta`` so every future probe assigns with the same
+    shape training did. Returns the resolved meta dict."""
+    c, resolved = train_semantic_centroids(
+        train_df, n_clusters, lloyd_rounds=lloyd_rounds,
+        vec_col=vec_col, id_col=id_col, train_fraction=train_fraction,
+        seed=seed, two_level=two_level, coarse_clusters=coarse_clusters,
+        seed_strategy=seed_strategy)
+    spark = train_df.sparkSession
+    # k·d rows: coalesce(1) keeps the quantizer a single file — it is
+    # broadcast-read per batch, never scanned in parallel
+    (c.coalesce(1).write.mode("overwrite")
+     .parquet(f"{index_path}/_quantizer"))
+    (spark.createDataFrame(
+        [(bool(resolved["two_level"]),
+          int(resolved["coarse_clusters"]))],
+        "two_level boolean, coarse_clusters int")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(f"{index_path}/_quantizer_meta"))
+    return resolved
+
+
+def read_semantic_quantizer(spark: SparkSession,
+                            index_path: str) -> tuple[DataFrame, dict]:
+    """Load the persisted quantizer + its resolved assignment mode."""
+    c = spark.read.parquet(f"{index_path}/_quantizer")
+    row = (spark.read.parquet(f"{index_path}/_quantizer_meta")
+           .collect()[0])
+    return c, {"two_level": bool(row["two_level"]),
+               "coarse_clusters": int(row["coarse_clusters"])}
+
+
+def semantic_dedup_batch_against_index(
+        batch_df: DataFrame, index, batch_id: int,
+        centroids: DataFrame | None = None, meta: dict | None = None,
+        eps: float = 0.4, vec_col: str = "embedding",
+        id_col: str = "vec_id", dedup_identical: bool = True,
+        ) -> tuple[DataFrame, DataFrame]:
+    """The per-batch kernel, usable outside streaming (backfill jobs
+    chunk a corpus through it with increasing batch ids). ``index``
+    is either the index PATH (persisted layout: partition-pruned
+    probe, own-batch replay exclusion) or an in-memory (id, v, cell)
+    DataFrame of previously processed rows (or None for the first
+    chunk) — the relational form the registered driver query uses so
+    it needs no filesystem. Returns ``(survivors, rows)``: survivors
+    are the batch rows dropped neither within the batch nor against
+    the index; ``rows`` is the batch's (id, v, cell) frame, which the
+    CALLER must append (append_semantic_batch for the persisted form)
+    for the next batch to see, and unpersist when done (it is
+    returned persisted — it backs every verdict branch) — split so a
+    streaming wrapper can order the writes for its exactly-once
+    contract."""
+    spark = batch_df.sparkSession
+    path_mode = isinstance(index, str)
+    if path_mode and (centroids is None or meta is None):
+        centroids, meta = read_semantic_quantizer(spark, index)
+    if centroids is None:
+        raise ValueError("centroids required when index is not a path")
+    meta = meta or {"two_level": False, "coarse_clusters": None}
+
+    a = assign_to_centroids(batch_df, centroids, vec_col=vec_col,
+                            id_col=id_col,
+                            two_level=meta["two_level"],
+                            coarse_clusters=meta["coarse_clusters"])
+    v = batch_df.select(F.col(id_col).alias("vec_id"),
+                        _as_double(F.col(vec_col)).alias("v"))
+    # rows is the PERSISTED frame (the caller's unpersist handle, per
+    # the contract below); assigned is a zero-cost rename of it, so
+    # the local rule, the probe, and the cell collect all hit the
+    # same cached assignment
+    rows = (v.join(a, "vec_id")
+            .select(F.col("vec_id").alias("id"), "v",
+                    F.col("cluster").alias("cell")))
+    rows.persist()
+    assigned = rows.select(F.col("id").alias("vec_id"), "v",
+                           F.col("cell").alias("cluster"))
+
+    dropped = _semantic_removed(assigned, eps, dedup_identical)
+
+    idx = None
+    if path_mode:
+        if _index_has_batches(spark, index):
+            idx = (spark.read.parquet(index)
+                   .filter(F.col("ingest_batch") != batch_id))
+    elif index is not None:
+        idx = index
+    if idx is not None:
+        # bounded driver metadata: <= min(|batch|, k) cell ids — the
+        # planning-time partition prune in path mode, a plain filter
+        # in DataFrame mode
+        cells = [r["cluster"]
+                 for r in assigned.select("cluster").distinct().collect()]
+        matched = (
+            idx.filter(F.col("cell").isin(cells))
+            .join(F.broadcast(assigned.select(
+                      F.col("vec_id").alias("new_id"),
+                      F.col("cluster").alias("cell"),
+                      F.col("v").alias("nv"))),
+                  "cell")
+            # arrival order wins: ANY index hit drops the new doc —
+            # no id comparison (prior batches hold the history)
+            .filter(F.round(cosine_similarity(F.col("v"),
+                                              F.col("nv")), 6)
+                    >= eps)
+            .select(F.col("new_id").alias("vec_id")))
+        dropped = dropped.union(matched)
+
+    survivors = batch_df.join(
+        dropped.distinct().withColumnRenamed("vec_id", id_col),
+        id_col, "left_anti")
+    return survivors, rows
+
+
+def append_semantic_batch(rows: DataFrame, index_path: str,
+                          batch_id: int) -> None:
+    """Commit a batch's (id, v, cell) rows under its own
+    ``ingest_batch=<id>`` directory (mode overwrite — replay
+    replaces, never duplicates). Repartitioning on the cell keeps it
+    to one file per cell directory."""
+    (rows.repartition(F.col("cell"))
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(f"{index_path}/ingest_batch={batch_id}"))
+
+
+def compact_semantic_index(spark: SparkSession, index_path: str,
+                           generation: int = -1,
+                           _post_fold_hook=None) -> int:
+    """Fold every ``ingest_batch=*`` directory into one new
+    consolidated generation — the band-index compactor
+    (streaming/dedup.compact_band_index) applied to the semantic
+    layout: same strictly-decreasing negative generation ids, same
+    write-new-then-delete-sources crash-safety-by-existential-
+    matching argument (duplicate (id, v, cell) rows cannot change an
+    "exists a witness at >= eps" verdict), same snapshot-and-recheck
+    writer-race guard. The ``_quantizer`` files are untouched (the
+    fold lists only ``ingest_batch=`` directories). Returns the
+    number of source directories folded and deleted."""
+    from .dedup import _compact_ingest_index
+
+    return _compact_ingest_index(
+        spark, index_path, data_cols=("id", "v", "cell"),
+        partition_cols=("cell",), generation=generation,
+        _post_fold_hook=_post_fold_hook)
+
+
+def stream_semantic_ingest(stream_df: DataFrame, index_path: str,
+                           out_path: str, checkpoint: str,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id", eps: float = 0.4,
+                           dedup_identical: bool = True,
+                           query_name: str = "semantic_ingest"):
+    """Streaming semantic-dup gate: survivors of each micro-batch
+    land under ``out_path/batch=N``, every processed doc's (id, v,
+    cell) row lands in the semantic index. Requires
+    ``init_semantic_index`` to have run first (the quantizer must be
+    frozen before any verdict) and a checkpoint (the per-batch
+    overwrite layout is only exactly-once under a checkpointed
+    batch-id sequence). Write order (survivors first, index second)
+    plus the kernel's own-batch probe exclusion makes any crash point
+    replay to the identical result. Returns the StreamingQuery."""
+    if checkpoint is None:
+        raise ValueError(
+            "stream_semantic_ingest requires a checkpoint location; "
+            "the per-batch overwrite layout is only exactly-once "
+            "under a checkpointed batch-id sequence")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            survivors, rows = semantic_dedup_batch_against_index(
+                batch_df, index_path, batch_id, eps=eps,
+                vec_col=vec_col, id_col=id_col,
+                dedup_identical=dedup_identical)
+            try:
+                (survivors.write.mode("overwrite")
+                 .parquet(f"{out_path}/batch={batch_id}"))
+                append_semantic_batch(rows, index_path, batch_id)
+            finally:
+                rows.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    return (stream_df.writeStream.foreachBatch(write_batch)
+            .queryName(query_name).trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint)
+            .start())

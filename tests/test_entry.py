@@ -65,8 +65,10 @@ def test_sample_window_pins_critical_families_in_first_50():
         # and the composite curation pipeline must stay in-window
         {"semantic_dedup_stats"}, {"knn_join_topk"},
         {"near_dup_survivors_greedy"}, {"corpus_refinery_report"},
-        # round-6 family: span-level exact-substring dedup
+        # round-6 families: span-level exact-substring dedup and
+        # incremental semantic dedup (streaming/semantic.py)
         {"exact_substring_spans"},
+        {"semantic_dedup_survivors_incremental"},
     ]:
         assert family & window, f"family {family} outside sample window"
     # vector semantics family

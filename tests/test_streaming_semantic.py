@@ -1,0 +1,243 @@
+"""Incremental semantic dedup ingest (streaming/semantic.py): the
+quantizer is trained once and frozen, the persisted (id, v, cell)
+index accumulates, per-batch probes prune by cell, and the stream's
+verdicts equal batch functions/similarity.semantic_dedup of the full
+corpus under id-ordered arrival with the same trained centroids."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from radio_data_pipeline_spark.functions.similarity import (
+    semantic_dedup,
+)
+from radio_data_pipeline_spark.streaming.semantic import (
+    append_semantic_batch,
+    compact_semantic_index,
+    init_semantic_index,
+    read_semantic_quantizer,
+    semantic_dedup_batch_against_index,
+    stream_semantic_ingest,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+_EPS = 0.9
+_K = 4
+
+
+def _emb_corpus(spark, n=90, d=8, seed=3):
+    # four base directions with per-doc noise (same-direction cosines
+    # sit around the eps boundary) plus exact cross-chunk copies
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(_K, d))
+    rows = []
+    for i in range(n):
+        v = base[i % _K] + 0.45 * rng.normal(size=d)
+        if i % 7 == 0 and i >= 7:
+            v = np.array(rows[i - 7][1])  # exact copy of an earlier doc
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+
+
+def _chunks(df, n_chunks, n):
+    step = n // n_chunks
+    return [df.filter((F.col("vec_id") >= i * step)
+                      & (F.col("vec_id") < (i + 1) * step))
+            for i in range(n_chunks)]
+
+
+def _batch_kept(df):
+    sd = semantic_dedup(df, eps=_EPS, n_clusters=_K, lloyd_rounds=2)
+    return sorted(r["vec_id"] for r in
+                  sd.filter("is_kept").select("vec_id").collect())
+
+
+def test_incremental_kernel_matches_batch_semantic_dedup(spark,
+                                                         tmp_path):
+    """Chunking the corpus through the persisted-index kernel in id
+    order reproduces batch semantic_dedup's kept set exactly (same
+    trained quantizer, arrival order == id order)."""
+    df = _emb_corpus(spark)
+    expected = _batch_kept(df)
+    assert 0 < len(expected) < 90  # nontrivial verdicts both ways
+
+    index = str(tmp_path / "sem_index")
+    init_semantic_index(df, index, n_clusters=_K, lloyd_rounds=2)
+    got = []
+    for bid, chunk in enumerate(_chunks(df, 3, 90)):
+        survivors, rows = semantic_dedup_batch_against_index(
+            chunk, index, bid, eps=_EPS)
+        got.extend(r["vec_id"] for r in
+                   survivors.select("vec_id").collect())
+        append_semantic_batch(rows, index, bid)
+        rows.unpersist()
+    assert sorted(got) == expected
+    # ALL processed docs are indexed (survivors AND dropped): a later
+    # twin of a dropped doc must still match
+    idx = spark.read.parquet(index)
+    assert idx.select("id").distinct().count() == 90
+    assert set(idx.columns) >= {"id", "v", "cell", "ingest_batch"}
+
+
+def test_dataframe_index_mode_matches_path_mode(spark, tmp_path):
+    """The in-memory (DataFrame) index form — the shape the
+    registered driver query uses, no filesystem — produces the same
+    verdicts as the persisted layout."""
+    df = _emb_corpus(spark)
+    expected = _batch_kept(df)
+
+    from radio_data_pipeline_spark.functions.similarity import (
+        train_semantic_centroids)
+    cents, resolved = train_semantic_centroids(df, _K, lloyd_rounds=2)
+    meta = {"two_level": resolved["two_level"],
+            "coarse_clusters": resolved["coarse_clusters"]}
+    acc = None
+    got = []
+    for bid, chunk in enumerate(_chunks(df, 3, 90)):
+        survivors, rows = semantic_dedup_batch_against_index(
+            chunk, acc, bid, centroids=cents, meta=meta, eps=_EPS)
+        got.extend(r["vec_id"] for r in
+                   survivors.select("vec_id").collect())
+        acc = rows if acc is None else acc.unionByName(rows)
+    assert sorted(got) == expected
+
+
+def test_kernel_drops_duplicate_of_already_dropped_doc(spark,
+                                                       tmp_path):
+    """A doc within eps of an already-DROPPED doc (but not of any
+    survivor) is still dropped: dropped docs' vectors are indexed
+    too. Geometry: a=(1,0), b at 45 deg (dropped by a), c at 90 deg
+    — cos(c,a)=0 < eps, cos(c,b)=0.707 >= eps=0.7."""
+    s = float(np.sqrt(0.5))
+    b0 = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [s, s])],
+        "vec_id long, embedding array<double>")
+    b1 = spark.createDataFrame(
+        [(2, [0.0, 1.0])], "vec_id long, embedding array<double>")
+    index = str(tmp_path / "idx")
+    init_semantic_index(b0, index, n_clusters=1, lloyd_rounds=1)
+    s0, rows0 = semantic_dedup_batch_against_index(
+        b0, index, 0, eps=0.7)
+    assert [r["vec_id"] for r in s0.collect()] == [0]
+    append_semantic_batch(rows0, index, 0)
+    rows0.unpersist()
+    s1, rows1 = semantic_dedup_batch_against_index(
+        b1, index, 1, eps=0.7)
+    assert s1.count() == 0  # dropped via the dropped doc 1
+    rows1.unpersist()
+
+
+def test_kernel_replay_excludes_own_batch(spark, tmp_path):
+    """Crash-replay: a batch whose index rows were already (partially
+    or fully) written re-executes to the IDENTICAL verdicts — the
+    probe excludes its own ingest_batch partition."""
+    df = _emb_corpus(spark, n=30)
+    index = str(tmp_path / "idx")
+    init_semantic_index(df, index, n_clusters=_K, lloyd_rounds=2)
+
+    s0, rows0 = semantic_dedup_batch_against_index(df, index, 0,
+                                                   eps=_EPS)
+    first = sorted(r["vec_id"] for r in s0.collect())
+    append_semantic_batch(rows0, index, 0)  # crash AFTER index write
+    rows0.unpersist()
+
+    s1, rows1 = semantic_dedup_batch_against_index(df, index, 0,
+                                                   eps=_EPS)
+    replay = sorted(r["vec_id"] for r in s1.collect())
+    rows1.unpersist()
+    assert replay == first  # without the exclusion: everything drops
+
+
+def test_quantizer_roundtrip_and_meta(spark, tmp_path):
+    """init persists centroids + resolved mode; read returns both,
+    and the quantizer files are invisible to index dataset reads."""
+    df = _emb_corpus(spark, n=30)
+    index = str(tmp_path / "idx")
+    resolved = init_semantic_index(df, index, n_clusters=_K,
+                                   lloyd_rounds=2)
+    cents, meta = read_semantic_quantizer(spark, index)
+    assert meta["two_level"] == resolved["two_level"] is False
+    assert meta["coarse_clusters"] == resolved["coarse_clusters"] == 2
+    assert cents.select("cluster").distinct().count() == _K
+
+    # underscore dirs are hidden from partition discovery: an index
+    # read right after an append sees only ingest_batch partitions
+    _, rows = semantic_dedup_batch_against_index(df, index, 0,
+                                                 eps=_EPS)
+    append_semantic_batch(rows, index, 0)
+    rows.unpersist()
+    assert set(spark.read.parquet(index).columns) == {
+        "id", "v", "cell", "ingest_batch"}
+
+
+def test_stream_semantic_ingest_end_to_end(spark, tmp_path):
+    """Real Structured Streaming run in two phases (availableNow +
+    checkpoint = deterministic batch boundaries): survivors across
+    phases equal batch semantic_dedup of everything ingested."""
+    df = _emb_corpus(spark)
+    expected = _batch_kept(df)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "survivors")
+    index = str(tmp_path / "sem_index")
+    cp = str(tmp_path / "cp")
+    init_semantic_index(df, index, n_clusters=_K, lloyd_rounds=2)
+    schema = "vec_id long, embedding array<double>"
+
+    def run_phase(lo, hi, fname):
+        (df.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+         .coalesce(1).write.mode("overwrite").parquet(str(src / fname)))
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = stream_semantic_ingest(stream, index, out, checkpoint=cp,
+                                   eps=_EPS)
+        q.awaitTermination()
+
+    run_phase(0, 45, "f1")
+    run_phase(45, 90, "f2")
+
+    got = sorted(r["vec_id"] for r in
+                 spark.read.parquet(out).select("vec_id").collect())
+    assert got == expected
+    assert (spark.read.parquet(index)
+            .select("ingest_batch").distinct().count() == 2)
+
+
+def test_compaction_preserves_verdicts_and_quantizer(spark, tmp_path):
+    """Folding the per-batch dirs into a generation changes no future
+    verdict (existential matching over the same row set), leaves the
+    quantizer readable, and bounds the directory count."""
+    df = _emb_corpus(spark)
+    index = str(tmp_path / "idx")
+    init_semantic_index(df, index, n_clusters=_K, lloyd_rounds=2)
+    probe = _emb_corpus(spark, n=12, seed=3).withColumn(
+        "vec_id", F.col("vec_id") + 1000)
+
+    for bid, chunk in enumerate(_chunks(df, 3, 90)):
+        _, rows = semantic_dedup_batch_against_index(chunk, index, bid,
+                                                     eps=_EPS)
+        append_semantic_batch(rows, index, bid)
+        rows.unpersist()
+
+    s_pre, rows_pre = semantic_dedup_batch_against_index(
+        probe, index, 99, eps=_EPS)
+    before = sorted(r["vec_id"] for r in s_pre.collect())
+    rows_pre.unpersist()
+
+    folded = compact_semantic_index(spark, index)
+    assert folded == 3
+    assert (spark.read.parquet(index)
+            .select("ingest_batch").distinct().count() == 1)
+
+    s_post, rows_post = semantic_dedup_batch_against_index(
+        probe, index, 99, eps=_EPS)
+    after = sorted(r["vec_id"] for r in s_post.collect())
+    rows_post.unpersist()
+    assert after == before
+    # quantizer survived the fold
+    cents, _ = read_semantic_quantizer(spark, index)
+    assert cents.count() > 0
+    # idempotent: a second fold with only one generation is a no-op
+    assert compact_semantic_index(spark, index) == 0
