@@ -44,10 +44,10 @@ Scale note (the honest asymptote): with a frozen k, cell occupancy
 grows linearly with the corpus, so the per-batch within-cell
 candidate join grows as |batch|·(corpus/k). That is the SemDeDup
 paper's own serving trade — the fix when cells outgrow their budget
-is requantize-and-reindex (train a larger quantizer on the indexed
-corpus, fold every generation through the new cell assignment), which
-is an offline maintenance op like band-index compaction, not a
-per-batch cost.
+is ``requantize_semantic_index`` (train a larger quantizer on the
+indexed corpus, fold every generation through the new cell
+assignment), an offline maintenance op like band-index compaction,
+not a per-batch cost.
 """
 
 from __future__ import annotations
@@ -83,10 +83,18 @@ def init_semantic_index(train_df: DataFrame, index_path: str,
         vec_col=vec_col, id_col=id_col, train_fraction=train_fraction,
         seed=seed, two_level=two_level, coarse_clusters=coarse_clusters,
         seed_strategy=seed_strategy)
-    spark = train_df.sparkSession
-    # k·d rows: coalesce(1) keeps the quantizer a single file — it is
-    # broadcast-read per batch, never scanned in parallel
-    (c.coalesce(1).write.mode("overwrite")
+    _write_quantizer(train_df.sparkSession, c, resolved, index_path,
+                     n_clusters)
+    return resolved
+
+
+def _write_quantizer(spark: SparkSession, c: DataFrame, resolved: dict,
+                     index_path: str, n_clusters: int) -> None:
+    # k·d rows: a handful of files, scaled by k so the write is never
+    # one multi-GB single task at auto-scale cluster counts (flat-mode
+    # probes broadcast it whole; two-level probes equi-join it, so
+    # file count is free either way)
+    (c.coalesce(max(1, n_clusters // 4096)).write.mode("overwrite")
      .parquet(f"{index_path}/_quantizer"))
     (spark.createDataFrame(
         [(bool(resolved["two_level"]),
@@ -94,7 +102,6 @@ def init_semantic_index(train_df: DataFrame, index_path: str,
         "two_level boolean, coarse_clusters int")
      .coalesce(1).write.mode("overwrite")
      .parquet(f"{index_path}/_quantizer_meta"))
-    return resolved
 
 
 def read_semantic_quantizer(spark: SparkSession,
@@ -218,6 +225,120 @@ def compact_semantic_index(spark: SparkSession, index_path: str,
         spark, index_path, data_cols=("id", "v", "cell"),
         partition_cols=("cell",), generation=generation,
         _post_fold_hook=_post_fold_hook)
+
+
+def requantize_semantic_index(spark: SparkSession, index_path: str,
+                              n_clusters: int, lloyd_rounds: int = 2,
+                              train_fraction: float = 1.0, seed: int = 7,
+                              two_level: bool | None = None,
+                              coarse_clusters: int | None = None,
+                              seed_strategy: str | None = None,
+                              generation: int = -1,
+                              _pre_swap_hook=None) -> int:
+    """Retrain the quantizer on the INDEXED corpus and re-file every
+    accumulated (id, v) row under the new cell assignment — the
+    maintenance op for when a frozen quantizer's cells outgrow their
+    per-cell candidate budget (cell occupancy grows as corpus/k; this
+    resets k to match the corpus the index has actually accumulated).
+    Offline like compaction: it must not run concurrently with ingest.
+
+    Commit protocol — the quantizer swap is the commit point, ordered
+    so every crash window leaves a SOUND index (a probe can only gain
+    candidates, and a candidate only drops a doc via a true
+    cosine >= eps match; the hazard to design out is MISSED rows,
+    i.e. rows filed under cells the active quantizer no longer maps
+    their vectors to):
+
+    1. read all generations, retrain at ``n_clusters`` on the distinct
+       (id, v) corpus, re-assign every row, write one new generation
+       (strictly decreasing negative id, like compaction). Crash here:
+       the OLD quantizer is still active and the old generations are
+       untouched and correctly filed — the new generation is only
+       extra candidates. Re-running repairs (it re-reads everything,
+       and (id, v) distinct collapses the double copies).
+    2. re-list and snapshot-check the sources: if any ``ingest_batch``
+       directory changed or appeared since step 1's listing, a writer
+       raced — the new generation is deleted (it was never active) and
+       RuntimeError is raised. A racing batch assigned with the OLD
+       quantizer would be mis-filed the moment the NEW one activates,
+       which no later fold of cell values can repair — so the race
+       refuses to commit rather than admit duplicates silently.
+    3. overwrite ``_quantizer`` + ``_quantizer_meta``. A crash MIDWAY
+       through this non-atomic overwrite leaves an unreadable
+       quantizer: probes fail LOUDLY (never silently wrong), and
+       re-running this op repairs it — requantize retrains from the
+       index rows, never from the old quantizer.
+    4. delete the old source directories (snapshot-checked, as in
+       compaction). Crash here: new quantizer + new generation are
+       complete; leftover old-cell rows are extra candidates only.
+
+    Returns the number of source directories folded and deleted."""
+    from .dedup import _dir_snapshot
+
+    if generation >= 0:
+        raise ValueError("requantize generation must be negative — "
+                         "nonnegative ids are live foreachBatch ids")
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        raise ValueError(f"no semantic index at {index_path}")
+    sources = [st.getPath() for st in fs.listStatus(jpath)
+               if st.getPath().getName().startswith("ingest_batch=")]
+    if not sources:
+        raise ValueError(f"semantic index at {index_path} has no "
+                         "ingested batches to requantize from")
+    gen_ids = [int(p.getName().split("=", 1)[1]) for p in sources]
+    new_gen = min([generation] + [g - 1 for g in gen_ids if g < 0])
+    snapshots = {p.toString(): _dir_snapshot(fs, p) for p in sources}
+    src_paths = [p.toString() for p in sources]
+
+    corpus = (spark.read.option("basePath", index_path)
+              .parquet(*src_paths)
+              .select("id", "v").distinct())
+    c, resolved = train_semantic_centroids(
+        corpus, n_clusters, lloyd_rounds=lloyd_rounds, vec_col="v",
+        id_col="id", train_fraction=train_fraction, seed=seed,
+        two_level=two_level, coarse_clusters=coarse_clusters,
+        seed_strategy=seed_strategy)
+    a = assign_to_centroids(corpus, c, vec_col="v", id_col="id",
+                            two_level=resolved["two_level"],
+                            coarse_clusters=resolved["coarse_clusters"])
+    refiled = (corpus.join(a.withColumnRenamed("vec_id", "id"), "id")
+               .select("id", "v", F.col("cluster").alias("cell")))
+    (refiled.repartition(F.col("cell"))
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(f"{index_path}/ingest_batch={new_gen}"))
+
+    if _pre_swap_hook is not None:  # test seam: writer racing the op
+        _pre_swap_hook()
+    new_gen_path = jvm.org.apache.hadoop.fs.Path(
+        f"{index_path}/ingest_batch={new_gen}")
+    # dir names are unique under one index root — comparing names
+    # sidesteps scheme-qualification differences (file:/ vs bare path)
+    now_names = {st.getPath().getName() for st in fs.listStatus(jpath)
+                 if st.getPath().getName().startswith("ingest_batch=")}
+    raced = (now_names - {f"ingest_batch={new_gen}"}
+             != {p.getName() for p in sources}
+             or any(_dir_snapshot(fs, p) != snapshots[p.toString()]
+                    for p in sources if fs.exists(p))
+             or any(not fs.exists(p) for p in sources))
+    if raced:
+        fs.delete(new_gen_path, True)
+        raise RuntimeError(
+            "a writer raced requantize_semantic_index: an ingest_batch "
+            "directory changed or appeared after the fold's listing; "
+            "the quantizer swap was aborted (old index still active "
+            "and sound) — quiesce ingest and re-run")
+
+    _write_quantizer(spark, c, resolved, index_path, n_clusters)
+    deleted = 0
+    for p in sources:
+        if (fs.exists(p)
+                and _dir_snapshot(fs, p) == snapshots[p.toString()]):
+            fs.delete(p, True)
+            deleted += 1
+    return deleted
 
 
 def stream_semantic_ingest(stream_df: DataFrame, index_path: str,

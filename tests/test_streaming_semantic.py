@@ -16,6 +16,7 @@ from radio_data_pipeline_spark.streaming.semantic import (
     compact_semantic_index,
     init_semantic_index,
     read_semantic_quantizer,
+    requantize_semantic_index,
     semantic_dedup_batch_against_index,
     stream_semantic_ingest,
 )
@@ -203,6 +204,141 @@ def test_stream_semantic_ingest_end_to_end(spark, tmp_path):
     assert got == expected
     assert (spark.read.parquet(index)
             .select("ingest_batch").distinct().count() == 2)
+
+
+def _ingest_all(df, index, n_chunks=3, n=90, eps=_EPS):
+    for bid, chunk in enumerate(_chunks(df, n_chunks, n)):
+        _, rows = semantic_dedup_batch_against_index(chunk, index, bid,
+                                                     eps=eps)
+        append_semantic_batch(rows, index, bid)
+        rows.unpersist()
+
+
+def test_requantize_grows_cells_and_preserves_history(spark, tmp_path):
+    """Requantizing to a larger k re-files every accumulated row:
+    the corpus is intact (same distinct ids/vectors), the quantizer
+    now has the new cell count, old generations are gone, and a twin
+    of an already-ingested doc is still dropped by a post-requantize
+    probe."""
+    df = _emb_corpus(spark)
+    index = str(tmp_path / "idx")
+    init_semantic_index(df, index, n_clusters=2, lloyd_rounds=2)
+    _ingest_all(df, index)
+
+    deleted = requantize_semantic_index(spark, index, n_clusters=_K,
+                                        lloyd_rounds=2)
+    assert deleted == 3
+    cents, meta = read_semantic_quantizer(spark, index)
+    assert cents.select("cluster").distinct().count() == _K
+    assert meta["two_level"] is False
+    idx = spark.read.parquet(index)
+    assert idx.select("id").distinct().count() == 90
+    assert (idx.select("ingest_batch").distinct().count() == 1)
+    assert idx.select("cell").distinct().count() == _K
+
+    # a twin of doc 0 (id above all ingested) must still be dropped
+    twin = (df.filter(F.col("vec_id") == 0)
+            .withColumn("vec_id", F.lit(5000)))
+    s, rows = semantic_dedup_batch_against_index(twin, index, 50,
+                                                 eps=_EPS)
+    assert s.count() == 0
+    rows.unpersist()
+
+
+def test_requantize_verdicts_match_fresh_index_at_new_k(spark,
+                                                        tmp_path):
+    """After requantize at k, a probe batch gets the SAME verdicts as
+    against an index initialized at k and fed the identical corpus:
+    the re-file is equivalent to having ingested under the new
+    quantizer all along (same training data — the full corpus — and
+    same seeds)."""
+    df = _emb_corpus(spark)
+    probe = _emb_corpus(spark, n=20, seed=11).withColumn(
+        "vec_id", F.col("vec_id") + 1000)
+
+    a = str(tmp_path / "a")
+    init_semantic_index(df, a, n_clusters=2, lloyd_rounds=2)
+    _ingest_all(df, a)
+    requantize_semantic_index(spark, a, n_clusters=_K, lloyd_rounds=2)
+
+    b = str(tmp_path / "b")
+    init_semantic_index(df, b, n_clusters=_K, lloyd_rounds=2)
+    _, rows_b = semantic_dedup_batch_against_index(df, b, 0, eps=_EPS)
+    append_semantic_batch(rows_b, b, 0)
+    rows_b.unpersist()
+
+    got = []
+    for index in (a, b):
+        s, rows = semantic_dedup_batch_against_index(probe, index, 99,
+                                                     eps=_EPS)
+        got.append(sorted(r["vec_id"] for r in s.collect()))
+        rows.unpersist()
+    assert got[0] == got[1]
+
+
+def test_requantize_aborts_on_racing_writer(spark, tmp_path):
+    """A batch appended between the fold's listing and the quantizer
+    swap aborts the commit: RuntimeError, the OLD quantizer stays
+    active, the new generation is removed, and both the original
+    corpus and the racing batch's rows survive. A quiesced re-run
+    then succeeds and folds everything, racing batch included."""
+    df = _emb_corpus(spark)
+    racer = _emb_corpus(spark, n=10, seed=5).withColumn(
+        "vec_id", F.col("vec_id") + 2000)
+    index = str(tmp_path / "idx")
+    init_semantic_index(df, index, n_clusters=2, lloyd_rounds=2)
+    _ingest_all(df, index)
+
+    def race():
+        _, rows = semantic_dedup_batch_against_index(racer, index, 7,
+                                                     eps=_EPS)
+        append_semantic_batch(rows, index, 7)
+        rows.unpersist()
+
+    with pytest.raises(RuntimeError, match="raced"):
+        requantize_semantic_index(spark, index, n_clusters=_K,
+                                  _pre_swap_hook=race)
+    cents, _ = read_semantic_quantizer(spark, index)
+    assert cents.select("cluster").distinct().count() == 2  # old k
+    idx = spark.read.parquet(index)
+    assert idx.select("id").distinct().count() == 100
+    assert idx.filter(F.col("ingest_batch") < 0).count() == 0
+
+    deleted = requantize_semantic_index(spark, index, n_clusters=_K)
+    assert deleted == 4
+    idx = spark.read.parquet(index)
+    assert idx.select("id").distinct().count() == 100
+    cents, _ = read_semantic_quantizer(spark, index)
+    assert cents.select("cluster").distinct().count() == _K
+
+
+def test_requantize_generations_strictly_decrease(spark, tmp_path):
+    """A requantize over a previously requantized/compacted index
+    writes gen min(existing)-1, never overwriting a generation it is
+    reading (the compactor's discipline)."""
+    df = _emb_corpus(spark, n=30)
+    index = str(tmp_path / "idx")
+    init_semantic_index(df, index, n_clusters=2, lloyd_rounds=2)
+    _ingest_all(df, index, n_chunks=2, n=30)
+    requantize_semantic_index(spark, index, n_clusters=2)
+    gens0 = sorted(
+        r["ingest_batch"] for r in spark.read.parquet(index)
+        .select("ingest_batch").distinct().collect())
+    assert gens0 == [-1]
+    # new live batch, then requantize again
+    extra = _emb_corpus(spark, n=6, seed=9).withColumn(
+        "vec_id", F.col("vec_id") + 3000)
+    _, rows = semantic_dedup_batch_against_index(extra, index, 5,
+                                                 eps=_EPS)
+    append_semantic_batch(rows, index, 5)
+    rows.unpersist()
+    requantize_semantic_index(spark, index, n_clusters=2)
+    gens1 = sorted(
+        r["ingest_batch"] for r in spark.read.parquet(index)
+        .select("ingest_batch").distinct().collect())
+    assert gens1 == [-2]
+    assert (spark.read.parquet(index).select("id").distinct().count()
+            == 36)
 
 
 def test_compaction_preserves_verdicts_and_quantizer(spark, tmp_path):

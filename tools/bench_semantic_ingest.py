@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Incremental SEMANTIC dedup ingest cost vs accumulated corpus
+(BENCH_SCALING §19): does admitting a fixed-size micro-batch through
+streaming/semantic.py get more expensive as the indexed corpus grows,
+and what do the two maintenance ops (compaction, requantize) buy?
+
+Method — the §16 band-index study transposed to the semantic tier:
+bulk-seed the (id, v, cell) index from the 100x embeddings corpus
+(.bench_scale/sf10, 200k rows, d=64) in stages, each stage written as
+MANY ingest_batch dirs to mimic accumulated micro-batch appends;
+after each stage, time the full per-batch kernel (frozen-quantizer
+assignment + batch-local SemDeDup + cell-pruned index probe +
+survivors count) for the SAME fresh probe batch. The quantizer is
+trained ONCE up front at the auto-scale k for the full corpus
+(ceil(N/256)) — per-batch assignment cost is O(|batch|·k·d)
+regardless of how much corpus the index holds, so any growth the
+clock shows is the PROBE side: within-cell candidate rows grow as
+corpus/k (the SemDeDup serving trade documented in
+streaming/semantic.py) plus directory-listing overhead, which
+compaction bounds and requantize resets by raising k.
+
+Usage: python tools/bench_semantic_ingest.py [corpus_dir] [work_dir]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from radio_data_pipeline_spark.functions.similarity import (  # noqa: E402
+    assign_to_centroids,
+)
+from radio_data_pipeline_spark.session import get_spark  # noqa: E402
+from radio_data_pipeline_spark.streaming.semantic import (  # noqa: E402
+    compact_semantic_index,
+    init_semantic_index,
+    read_semantic_quantizer,
+    requantize_semantic_index,
+    semantic_dedup_batch_against_index,
+)
+
+CORPUS = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.bench_scale/sf10"
+WORK = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sem_ingest_bench"
+PROBE_ROWS = 2_000
+EPS = 0.8
+TARGET = 256  # auto-scale rows/cluster (library default)
+DIRS_PER_STAGE = 10  # micro-batch dirs per seeding stage
+
+
+def count_dirs(index: str) -> int:
+    return sum(1 for d in os.listdir(index)
+               if d.startswith("ingest_batch="))
+
+
+def probe(spark, index, batch, batch_id, label):
+    best = float("inf")
+    surv = None
+    for _ in range(2):
+        t0 = time.monotonic()
+        s, rows = semantic_dedup_batch_against_index(
+            batch, index, batch_id, eps=EPS)
+        n = s.count()
+        best = min(best, time.monotonic() - t0)
+        rows.unpersist()
+        surv = n
+    print(f"  probe[{label}]: {best:.2f}s best-of-2, "
+          f"survivors={surv}/{PROBE_ROWS}, dirs={count_dirs(index)}")
+    return best
+
+
+def main() -> None:
+    spark = get_spark("bench-semantic-ingest")
+    emb = spark.read.parquet(os.path.join(CORPUS, "embeddings.parquet"))
+    emb = emb.select("vec_id", "embedding")
+    n_total = emb.count()
+    k = max(1, math.ceil(n_total / TARGET))
+
+    if os.path.exists(WORK):
+        shutil.rmtree(WORK)
+    index = os.path.join(WORK, "sem_index")
+
+    t0 = time.monotonic()
+    resolved = init_semantic_index(
+        emb, index, n_clusters=k, lloyd_rounds=2, train_fraction=0.2)
+    t_train = time.monotonic() - t0
+    print(f"corpus={CORPUS} N={n_total} k={k} "
+          f"two_level={resolved['two_level']} "
+          f"coarse={resolved['coarse_clusters']} "
+          f"train(0.2 sample, 2 rounds)={t_train:.1f}s")
+
+    # fixed fresh probe batch: ids far above the corpus range
+    probe_batch = (emb.orderBy("vec_id").limit(PROBE_ROWS)
+                   .withColumn("vec_id",
+                               F.col("vec_id") + 100_000_000))
+    probe_batch.persist().count()
+
+    # bulk-seed: one corpus-wide assignment, sliced into stages by
+    # md5-uniform classes (id layout independent), each stage written
+    # as DIRS_PER_STAGE ingest_batch dirs to mimic real appends
+    cents, meta = read_semantic_quantizer(spark, index)
+    a = assign_to_centroids(emb, cents,
+                            two_level=meta["two_level"],
+                            coarse_clusters=meta["coarse_clusters"])
+    assigned = (emb.join(a, "vec_id")
+                .select(F.col("vec_id").alias("id"),
+                        F.col("embedding").cast("array<double>")
+                        .alias("v"),
+                        F.col("cluster").alias("cell")))
+    assigned.persist()
+    t0 = time.monotonic()
+    assigned.count()
+    print(f"bulk corpus assignment: {time.monotonic() - t0:.1f}s")
+    mod = (F.conv(F.substring(F.md5(F.col("id").cast("string")),
+                              1, 8), 16, 10)
+           % (3 * DIRS_PER_STAGE)).cast("int")
+    assigned = assigned.withColumn("_m", mod)
+
+    bounds = [3, 9, 30]  # cumulative 30ths: 10%, 30%, 100%
+    done = 0
+    bid = 0
+    for b in bounds:
+        for m in range(done, b):
+            (assigned.filter(F.col("_m") == m).drop("_m")
+             .repartition(F.col("cell"))
+             .write.mode("overwrite").partitionBy("cell")
+             .parquet(f"{index}/ingest_batch={bid}"))
+            bid += 1
+        done = b
+        frac = b / bounds[-1]
+        n_idx = int(n_total * frac)
+        probe(spark, index, probe_batch, 9_999,
+              f"{int(frac * 100)}% (~{n_idx} rows)")
+
+    t0 = time.monotonic()
+    folded = compact_semantic_index(spark, index)
+    t_c = time.monotonic() - t0
+    print(f"compaction: folded {folded} dirs in {t_c:.1f}s")
+    probe(spark, index, probe_batch, 9_999, "100%, compacted")
+
+    t0 = time.monotonic()
+    requantize_semantic_index(spark, index, n_clusters=k,
+                              lloyd_rounds=2, train_fraction=0.2)
+    t_r = time.monotonic() - t0
+    print(f"requantize (k={k}, full-corpus retrain+refile): {t_r:.1f}s")
+    probe(spark, index, probe_batch, 9_999, "100%, requantized")
+
+
+if __name__ == "__main__":
+    main()
