@@ -1134,6 +1134,10 @@ def semantic_dedup_survivors_incremental(spark: SparkSession,
     emb = _emb(spark, sf_dir)
     cents, resolved = train_semantic_centroids(
         emb, _SEMDEDUP_K, lloyd_rounds=2)
+    # k·d rows, reused by all three batch kernels (each triggers an
+    # eager cell collect) — persisting keeps the Lloyd training from
+    # re-executing per batch
+    cents = cents.persist()
     meta = {"two_level": resolved["two_level"],
             "coarse_clusters": resolved["coarse_clusters"]}
     n = emb.count()

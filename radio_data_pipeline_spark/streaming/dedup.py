@@ -82,19 +82,35 @@ def _prefixed_bands(batch_df: DataFrame, text_col: str, id_col: str,
                                              prefix_len))))
 
 
-def _index_has_batches(spark: SparkSession, index_path: str) -> bool:
-    """True iff at least one committed ``ingest_batch=*`` directory
-    exists — through Hadoop's FileSystem so any writer-accepted scheme
-    (file:/, hdfs://, s3a://) answers correctly."""
+def _ingest_dirs(spark: SparkSession, index_path: str):
+    """(fs, root, ``ingest_batch=*`` child Paths) through Hadoop's
+    FileSystem, so any writer-accepted scheme (file:/, hdfs://,
+    s3a://) answers correctly. The one listing primitive every
+    maintenance op (compaction here, requantize in
+    streaming/semantic.py) builds its source set from — a layout or
+    naming change lands in exactly one place."""
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(index_path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jpath):
-        return False
-    for st in fs.listStatus(jpath):
-        if st.getPath().getName().startswith("ingest_batch="):
-            return True
-    return False
+        return fs, jpath, []
+    return fs, jpath, [st.getPath() for st in fs.listStatus(jpath)
+                       if st.getPath().getName()
+                       .startswith("ingest_batch=")]
+
+
+def _next_generation(sources, generation: int) -> int:
+    """The strictly-decreasing generation rule shared by every fold:
+    ``min(requested, min(existing generations) - 1)`` — a fold never
+    overwrites a generation it is reading."""
+    gen_ids = [int(p.getName().split("=", 1)[1]) for p in sources]
+    return min([generation] + [g - 1 for g in gen_ids if g < 0])
+
+
+def _index_has_batches(spark: SparkSession, index_path: str) -> bool:
+    """True iff at least one committed ``ingest_batch=*`` directory
+    exists."""
+    return bool(_ingest_dirs(spark, index_path)[2])
 
 
 def dedup_batch_against_index(batch_df: DataFrame, index_path: str,
@@ -116,9 +132,18 @@ def dedup_batch_against_index(batch_df: DataFrame, index_path: str,
     (band_id, bh_prefix) — a boolean expression over partition
     columns only, so pruning happens at PLANNING time — and
     broadcasts the batch's bands into the pruned scan. The probe
-    filter also excludes this batch's own ``ingest_batch`` partition:
-    on crash-replay the failed attempt's index rows are invisible,
-    keeping the replayed verdicts identical."""
+    also excludes this batch's OWN prior rows: on crash-replay the
+    failed attempt's index rows are invisible, keeping the replayed
+    verdicts identical. The exclusion keys on the ``src_batch`` DATA
+    column (stamped at append time and carried verbatim through
+    compaction), not on the ``ingest_batch`` partition value — a
+    compaction run between the crash and the replay relabels the
+    failed attempt's rows into a negative generation, and a
+    partition-value exclusion would stop seeing them: every replayed
+    doc would match its own indexed copy and the whole batch would be
+    silently dropped. The own ``ingest_batch`` partition is still
+    filtered out too, as a planning-time prune of the common
+    (uncompacted) case."""
     from pyspark.sql import Window
 
     spark = batch_df.sparkSession
@@ -142,6 +167,7 @@ def dedup_batch_against_index(batch_df: DataFrame, index_path: str,
                            & F.col("bh_prefix").isin(prefixes))
         idx = (spark.read.parquet(index_path)
                .filter(F.col("ingest_batch") != batch_id)
+               .filter(F.col("src_batch") != batch_id)
                .filter(cond))
         matched = (idx.join(F.broadcast(bands.select(
                        F.col("id").alias("new_id"),
@@ -161,8 +187,12 @@ def append_batch_bands(bands: DataFrame, index_path: str,
     """Commit a batch's band rows into the persisted index under its
     own ``ingest_batch=<id>`` directory (mode overwrite — replay
     replaces, never duplicates). Repartitioning on the partition keys
-    keeps it to one file per (band_id, bh_prefix) directory."""
-    (bands.repartition(F.col("band_id"), F.col("bh_prefix"))
+    keeps it to one file per (band_id, bh_prefix) directory. Rows are
+    stamped with ``src_batch`` — the batch id as an immutable DATA
+    column — so the kernel's own-batch replay exclusion keeps working
+    after compaction moves the rows into a generation directory."""
+    (bands.withColumn("src_batch", F.lit(batch_id))
+     .repartition(F.col("band_id"), F.col("bh_prefix"))
      .write.mode("overwrite").partitionBy("band_id", "bh_prefix")
      .parquet(f"{index_path}/ingest_batch={batch_id}"))
 
@@ -218,7 +248,8 @@ def compact_band_index(spark: SparkSession, index_path: str,
     writer-free)."""
     return _compact_ingest_index(
         spark, index_path,
-        data_cols=("id", "band_id", "band_hash", "bh_prefix"),
+        data_cols=("id", "band_id", "band_hash", "bh_prefix",
+                   "src_batch"),
         partition_cols=("band_id", "bh_prefix"), generation=generation,
         _post_fold_hook=_post_fold_hook)
 
@@ -240,19 +271,12 @@ def _compact_ingest_index(spark: SparkSession, index_path: str,
     if generation >= 0:
         raise ValueError("compaction generation must be negative — "
                          "nonnegative ids are live foreachBatch ids")
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(index_path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(jpath):
-        return 0
-    dirs = [st.getPath() for st in fs.listStatus(jpath)
-            if st.getPath().getName().startswith("ingest_batch=")]
-    gen_ids = [int(p.getName().split("=", 1)[1]) for p in dirs]
+    fs, _, sources = _ingest_dirs(spark, index_path)
+    gen_ids = [int(p.getName().split("=", 1)[1]) for p in sources]
     n_gens = sum(1 for g in gen_ids if g < 0)
-    if len(dirs) - n_gens == 0 and n_gens <= 1:
+    if len(sources) - n_gens == 0 and n_gens <= 1:
         return 0  # nothing but (at most) one generation: compacted
-    new_gen = min([generation] + [g - 1 for g in gen_ids if g < 0])
-    sources = dirs
+    new_gen = _next_generation(sources, generation)
     snapshots = {p.toString(): _dir_snapshot(fs, p) for p in sources}
     src_paths = [p.toString() for p in sources]
     # distinct: crash-windows and generation-over-generation folds

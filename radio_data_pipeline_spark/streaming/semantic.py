@@ -16,10 +16,11 @@ Design — quantizer frozen once, partition layout is the index:
 - ``init_semantic_index`` trains the relational-Lloyd quantizer
   (functions/similarity.train_semantic_centroids — the exact code
   path the batch form and its pinned oracles prove) on a training
-  frame and persists it under ``index_path/_quantizer`` (+ a one-row
-  ``_quantizer_meta``). Leading-underscore names are invisible to
-  Spark's partition discovery, so the quantizer can live inside the
-  index root without polluting dataset reads.
+  frame and persists it under ``index_path/_quantizer``, with the
+  resolved assignment mode riding as constant columns of the same
+  dataset (one commit unit). Leading-underscore names are invisible
+  to Spark's partition discovery, so the quantizer can live inside
+  the index root without polluting dataset reads.
 - Every processed document's (id, v, cell) row lands under
   ``index_path/ingest_batch=N/cell=K`` — the same per-batch-overwrite
   exactly-once layout as the band index. ALL docs are indexed
@@ -74,44 +75,58 @@ def init_semantic_index(train_df: DataFrame, index_path: str,
                         coarse_clusters: int | None = None,
                         seed_strategy: str | None = None) -> dict:
     """Train the quantizer on ``train_df`` and persist it under the
-    index root. Must run ONCE before any ingest; the assignment mode
-    (two-level or flat) is resolved here and baked into
-    ``_quantizer_meta`` so every future probe assigns with the same
+    index root. Must run ONCE before any ingest — enforced: an index
+    that already holds ingested batches refuses re-initialization,
+    because overwriting the quantizer would orphan every accumulated
+    row's cell filing (probes would prune to NEW cells while the rows
+    sit under OLD ones — silent duplicate admission, forever); growing
+    k on a populated index is ``requantize_semantic_index``'s job. The
+    assignment mode (two-level or flat) is resolved here and persisted
+    with the centroids so every future probe assigns with the same
     shape training did. Returns the resolved meta dict."""
+    spark = train_df.sparkSession
+    if _index_has_batches(spark, index_path):
+        raise ValueError(
+            f"semantic index at {index_path} already holds ingested "
+            "batches; re-initializing would orphan their cell filing "
+            "— use requantize_semantic_index to retrain on a "
+            "populated index")
     c, resolved = train_semantic_centroids(
         train_df, n_clusters, lloyd_rounds=lloyd_rounds,
         vec_col=vec_col, id_col=id_col, train_fraction=train_fraction,
         seed=seed, two_level=two_level, coarse_clusters=coarse_clusters,
         seed_strategy=seed_strategy)
-    _write_quantizer(train_df.sparkSession, c, resolved, index_path,
-                     n_clusters)
+    _write_quantizer(c, resolved, index_path, n_clusters)
     return resolved
 
 
-def _write_quantizer(spark: SparkSession, c: DataFrame, resolved: dict,
+def _write_quantizer(c: DataFrame, resolved: dict,
                      index_path: str, n_clusters: int) -> None:
-    # k·d rows: a handful of files, scaled by k so the write is never
-    # one multi-GB single task at auto-scale cluster counts (flat-mode
-    # probes broadcast it whole; two-level probes equi-join it, so
-    # file count is free either way)
-    (c.coalesce(max(1, n_clusters // 4096)).write.mode("overwrite")
+    # The resolved assignment mode rides as constant columns of the
+    # quantizer table itself — ONE overwrite, so no crash window can
+    # pair new centroids with a stale mode (a mismatch would assign
+    # probes with a different shape than the index rows were filed
+    # with: silently missed matches). A crash mid-overwrite leaves
+    # the dataset unreadable — probes fail loudly, and requantize
+    # repairs it (it retrains from index rows, never from the old
+    # quantizer). File count scales with k so the write is never one
+    # multi-GB single task at auto-scale cluster counts.
+    (c.withColumn("two_level", F.lit(bool(resolved["two_level"])))
+     .withColumn("coarse_clusters",
+                 F.lit(int(resolved["coarse_clusters"])))
+     .coalesce(max(1, n_clusters // 4096)).write.mode("overwrite")
      .parquet(f"{index_path}/_quantizer"))
-    (spark.createDataFrame(
-        [(bool(resolved["two_level"]),
-          int(resolved["coarse_clusters"]))],
-        "two_level boolean, coarse_clusters int")
-     .coalesce(1).write.mode("overwrite")
-     .parquet(f"{index_path}/_quantizer_meta"))
 
 
 def read_semantic_quantizer(spark: SparkSession,
                             index_path: str) -> tuple[DataFrame, dict]:
-    """Load the persisted quantizer + its resolved assignment mode."""
-    c = spark.read.parquet(f"{index_path}/_quantizer")
-    row = (spark.read.parquet(f"{index_path}/_quantizer_meta")
-           .collect()[0])
-    return c, {"two_level": bool(row["two_level"]),
-               "coarse_clusters": int(row["coarse_clusters"])}
+    """Load the persisted quantizer + its resolved assignment mode
+    (constant columns of the same dataset — see _write_quantizer)."""
+    q = spark.read.parquet(f"{index_path}/_quantizer")
+    row = q.select("two_level", "coarse_clusters").first()
+    return (q.select("cluster", "pos", "cval"),
+            {"two_level": bool(row["two_level"]),
+             "coarse_clusters": int(row["coarse_clusters"])})
 
 
 def semantic_dedup_batch_against_index(
@@ -140,7 +155,14 @@ def semantic_dedup_batch_against_index(
         centroids, meta = read_semantic_quantizer(spark, index)
     if centroids is None:
         raise ValueError("centroids required when index is not a path")
-    meta = meta or {"two_level": False, "coarse_clusters": None}
+    if meta is None:
+        # no silent default: a two-level-trained quantizer served flat
+        # assigns probes with a different shape than the index rows
+        # were filed with — boundary twins land in different cells and
+        # duplicates pass silently (and the k·d table gets broadcast)
+        raise ValueError(
+            "meta required alongside caller-supplied centroids — pass "
+            "the resolved dict train_semantic_centroids returned")
 
     a = assign_to_centroids(batch_df, centroids, vec_col=vec_col,
                             id_col=id_col,
@@ -164,8 +186,17 @@ def semantic_dedup_batch_against_index(
     idx = None
     if path_mode:
         if _index_has_batches(spark, index):
+            # replay exclusion on the src_batch DATA column (stamped
+            # at append, carried through compaction/requantize) — a
+            # partition-value exclusion alone would stop seeing a
+            # crashed attempt's rows once a fold relabeled them into
+            # a generation, and the replayed batch would self-match
+            # and drop entirely. The own ingest_batch partition is
+            # also pruned, as planning-time shortcut for the common
+            # uncompacted case.
             idx = (spark.read.parquet(index)
-                   .filter(F.col("ingest_batch") != batch_id))
+                   .filter(F.col("ingest_batch") != batch_id)
+                   .filter(F.col("src_batch") != batch_id))
     elif index is not None:
         idx = index
     if idx is not None:
@@ -200,8 +231,12 @@ def append_semantic_batch(rows: DataFrame, index_path: str,
     """Commit a batch's (id, v, cell) rows under its own
     ``ingest_batch=<id>`` directory (mode overwrite — replay
     replaces, never duplicates). Repartitioning on the cell keeps it
-    to one file per cell directory."""
-    (rows.repartition(F.col("cell"))
+    to one file per cell directory. Rows are stamped with
+    ``src_batch`` — the batch id as an immutable DATA column — so the
+    kernel's own-batch replay exclusion keeps working after a fold
+    moves the rows into a generation directory."""
+    (rows.withColumn("src_batch", F.lit(batch_id))
+     .repartition(F.col("cell"))
      .write.mode("overwrite").partitionBy("cell")
      .parquet(f"{index_path}/ingest_batch={batch_id}"))
 
@@ -222,7 +257,7 @@ def compact_semantic_index(spark: SparkSession, index_path: str,
     from .dedup import _compact_ingest_index
 
     return _compact_ingest_index(
-        spark, index_path, data_cols=("id", "v", "cell"),
+        spark, index_path, data_cols=("id", "v", "cell", "src_batch"),
         partition_cols=("cell",), generation=generation,
         _post_fold_hook=_post_fold_hook)
 
@@ -263,9 +298,10 @@ def requantize_semantic_index(spark: SparkSession, index_path: str,
        quantizer would be mis-filed the moment the NEW one activates,
        which no later fold of cell values can repair — so the race
        refuses to commit rather than admit duplicates silently.
-    3. overwrite ``_quantizer`` + ``_quantizer_meta``. A crash MIDWAY
-       through this non-atomic overwrite leaves an unreadable
-       quantizer: probes fail LOUDLY (never silently wrong), and
+    3. overwrite ``_quantizer`` (centroids + mode columns, ONE
+       dataset — no window can pair new centroids with a stale
+       mode). A crash midway through the non-atomic overwrite leaves
+       it unreadable: probes fail LOUDLY (never silently wrong), and
        re-running this op repairs it — requantize retrains from the
        index rows, never from the old quantizer.
     4. delete the old source directories (snapshot-checked, as in
@@ -273,51 +309,52 @@ def requantize_semantic_index(spark: SparkSession, index_path: str,
        complete; leftover old-cell rows are extra candidates only.
 
     Returns the number of source directories folded and deleted."""
-    from .dedup import _dir_snapshot
+    from .dedup import _dir_snapshot, _ingest_dirs, _next_generation
 
     if generation >= 0:
         raise ValueError("requantize generation must be negative — "
                          "nonnegative ids are live foreachBatch ids")
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(index_path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(jpath):
-        raise ValueError(f"no semantic index at {index_path}")
-    sources = [st.getPath() for st in fs.listStatus(jpath)
-               if st.getPath().getName().startswith("ingest_batch=")]
+    fs, jpath, sources = _ingest_dirs(spark, index_path)
     if not sources:
         raise ValueError(f"semantic index at {index_path} has no "
                          "ingested batches to requantize from")
-    gen_ids = [int(p.getName().split("=", 1)[1]) for p in sources]
-    new_gen = min([generation] + [g - 1 for g in gen_ids if g < 0])
+    new_gen = _next_generation(sources, generation)
     snapshots = {p.toString(): _dir_snapshot(fs, p) for p in sources}
     src_paths = [p.toString() for p in sources]
 
+    # src_batch rides along: re-filed rows keep their origin batch id
+    # so a crashed-then-replayed batch still excludes its own rows
+    # (ids are unique per doc, so distinct is per-row, not per-copy)
     corpus = (spark.read.option("basePath", index_path)
               .parquet(*src_paths)
-              .select("id", "v").distinct())
+              .select("id", "v", "src_batch").distinct())
     c, resolved = train_semantic_centroids(
         corpus, n_clusters, lloyd_rounds=lloyd_rounds, vec_col="v",
         id_col="id", train_fraction=train_fraction, seed=seed,
         two_level=two_level, coarse_clusters=coarse_clusters,
         seed_strategy=seed_strategy)
+    # the refile write below and the quantizer write after the swap
+    # check both materialize c — persisting it keeps the Lloyd
+    # retrain (the dominant cost) from executing twice
+    c = c.persist()
     a = assign_to_centroids(corpus, c, vec_col="v", id_col="id",
                             two_level=resolved["two_level"],
                             coarse_clusters=resolved["coarse_clusters"])
     refiled = (corpus.join(a.withColumnRenamed("vec_id", "id"), "id")
-               .select("id", "v", F.col("cluster").alias("cell")))
+               .select("id", "v", F.col("cluster").alias("cell"),
+                       "src_batch"))
     (refiled.repartition(F.col("cell"))
      .write.mode("overwrite").partitionBy("cell")
      .parquet(f"{index_path}/ingest_batch={new_gen}"))
 
     if _pre_swap_hook is not None:  # test seam: writer racing the op
         _pre_swap_hook()
-    new_gen_path = jvm.org.apache.hadoop.fs.Path(
+    new_gen_path = spark._jvm.org.apache.hadoop.fs.Path(
         f"{index_path}/ingest_batch={new_gen}")
     # dir names are unique under one index root — comparing names
     # sidesteps scheme-qualification differences (file:/ vs bare path)
-    now_names = {st.getPath().getName() for st in fs.listStatus(jpath)
-                 if st.getPath().getName().startswith("ingest_batch=")}
+    now_names = {p.getName() for p in _ingest_dirs(spark,
+                                                   index_path)[2]}
     raced = (now_names - {f"ingest_batch={new_gen}"}
              != {p.getName() for p in sources}
              or any(_dir_snapshot(fs, p) != snapshots[p.toString()]
@@ -325,13 +362,15 @@ def requantize_semantic_index(spark: SparkSession, index_path: str,
              or any(not fs.exists(p) for p in sources))
     if raced:
         fs.delete(new_gen_path, True)
+        c.unpersist()
         raise RuntimeError(
             "a writer raced requantize_semantic_index: an ingest_batch "
             "directory changed or appeared after the fold's listing; "
             "the quantizer swap was aborted (old index still active "
             "and sound) — quiesce ingest and re-run")
 
-    _write_quantizer(spark, c, resolved, index_path, n_clusters)
+    _write_quantizer(c, resolved, index_path, n_clusters)
+    c.unpersist()
     deleted = 0
     for p in sources:
         if (fs.exists(p)

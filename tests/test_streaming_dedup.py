@@ -88,6 +88,27 @@ def test_kernel_drops_duplicate_of_already_dropped_doc(spark, tmp_path):
     bands1.unpersist()
 
 
+def test_replay_after_compaction_keeps_verdicts(spark, tmp_path):
+    """Crash after the index append but BEFORE the checkpoint commit,
+    then compaction while the stream is down, then replay of the same
+    batch id: the failed attempt's rows now live in a negative
+    generation, so a partition-value exclusion alone would stop
+    seeing them and every replayed doc would self-match and drop.
+    The src_batch data column keeps the exclusion working."""
+    df = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f")
+         for i in range(10)], "doc_id long, text string")
+    index = str(tmp_path / "idx")
+    s0, bands0 = dedup_batch_against_index(df, index, 0)
+    n_first = s0.count()
+    append_batch_bands(bands0, index, 0)  # crash before checkpoint
+    bands0.unpersist()
+    assert compact_band_index(spark, index) == 1  # maintenance run
+    s0b, bands0b = dedup_batch_against_index(df, index, 0)
+    assert s0b.count() == n_first == 10
+    bands0b.unpersist()
+
+
 def test_kernel_replay_excludes_own_batch(spark, tmp_path):
     """Crash-replay: a failed attempt left the batch's OWN bands in
     the index; re-running the same batch id must not match against
@@ -287,7 +308,7 @@ def test_compaction_preserves_verdicts_and_bounds_dirs(spark, tmp_path):
     # crash-window duplication: copy of gen written, sources not yet
     # deleted == bands present twice; verdicts must not change
     folded_df = spark.read.parquet(index) \
-        .select("id", "band_id", "band_hash", "bh_prefix")
+        .select("id", "band_id", "band_hash", "bh_prefix", "src_batch")
     (folded_df.write.mode("overwrite").partitionBy("band_id", "bh_prefix")
      .parquet(f"{index}/ingest_batch=-1"))
     assert verdict() == v_before

@@ -151,6 +151,59 @@ def test_kernel_replay_excludes_own_batch(spark, tmp_path):
     assert replay == first  # without the exclusion: everything drops
 
 
+def test_replay_after_compaction_keeps_verdicts(spark, tmp_path):
+    """Crash after the index append but BEFORE the checkpoint commit,
+    then compaction while the stream is down, then replay of the same
+    batch id: the failed attempt's rows now live in a negative
+    generation, so a partition-value exclusion alone would stop
+    seeing them and every replayed doc would self-match at cosine 1.0
+    and drop. The src_batch data column keeps the exclusion working."""
+    df = _emb_corpus(spark, n=30)
+    index = str(tmp_path / "idx")
+    init_semantic_index(df, index, n_clusters=_K, lloyd_rounds=2)
+    s0, rows0 = semantic_dedup_batch_against_index(df, index, 0,
+                                                   eps=_EPS)
+    first = sorted(r["vec_id"] for r in s0.collect())
+    append_semantic_batch(rows0, index, 0)  # crash before checkpoint
+    rows0.unpersist()
+    assert compact_semantic_index(spark, index) == 1
+    s1, rows1 = semantic_dedup_batch_against_index(df, index, 0,
+                                                   eps=_EPS)
+    replay = sorted(r["vec_id"] for r in s1.collect())
+    rows1.unpersist()
+    assert replay == first
+
+
+def test_init_refuses_populated_index(spark, tmp_path):
+    """Re-initializing over ingested batches would orphan every
+    accumulated row's cell filing — the guard fails loudly and
+    leaves the index untouched."""
+    df = _emb_corpus(spark, n=30)
+    index = str(tmp_path / "idx")
+    init_semantic_index(df, index, n_clusters=_K, lloyd_rounds=2)
+    _, rows = semantic_dedup_batch_against_index(df, index, 0,
+                                                 eps=_EPS)
+    append_semantic_batch(rows, index, 0)
+    rows.unpersist()
+    with pytest.raises(ValueError, match="requantize"):
+        init_semantic_index(df, index, n_clusters=2, lloyd_rounds=1)
+    cents, _ = read_semantic_quantizer(spark, index)
+    assert cents.select("cluster").distinct().count() == _K
+
+
+def test_kernel_requires_meta_with_centroids(spark):
+    """Caller-supplied centroids without the resolved mode raise —
+    a two-level-trained quantizer silently served flat would file
+    probes differently than the index rows and admit duplicates."""
+    df = _emb_corpus(spark, n=12)
+    from radio_data_pipeline_spark.functions.similarity import (
+        train_semantic_centroids)
+    cents, _ = train_semantic_centroids(df, 2, lloyd_rounds=1)
+    with pytest.raises(ValueError, match="meta"):
+        semantic_dedup_batch_against_index(df, None, 0,
+                                           centroids=cents, eps=_EPS)
+
+
 def test_quantizer_roundtrip_and_meta(spark, tmp_path):
     """init persists centroids + resolved mode; read returns both,
     and the quantizer files are invisible to index dataset reads."""
@@ -170,7 +223,7 @@ def test_quantizer_roundtrip_and_meta(spark, tmp_path):
     append_semantic_batch(rows, index, 0)
     rows.unpersist()
     assert set(spark.read.parquet(index).columns) == {
-        "id", "v", "cell", "ingest_batch"}
+        "id", "v", "cell", "src_batch", "ingest_batch"}
 
 
 def test_stream_semantic_ingest_end_to_end(spark, tmp_path):
