@@ -22,10 +22,12 @@ Design — quantizer frozen once, partition layout is the index:
   to Spark's partition discovery, so the quantizer can live inside
   the index root without polluting dataset reads.
 - Every processed document's (id, v, cell) row lands under
-  ``index_path/ingest_batch=N/cell=K`` — the same per-batch-overwrite
-  exactly-once layout as the band index. ALL docs are indexed
-  (survivors AND dropped): a removed doc's content is still corpus
-  history, and a later twin of it must still be dropped.
+  ``index_path/ingest_batch=N/cell_bucket=B`` (B = pmod(cell,
+  n_cell_buckets), the BOUNDED layout key — see
+  _DEFAULT_CELL_BUCKETS) — the same per-batch-overwrite exactly-once
+  layout as the band index. ALL docs are indexed (survivors AND
+  dropped): a removed doc's content is still corpus history, and a
+  later twin of it must still be dropped.
 - A micro-batch assigns against the FROZEN quantizer —
   O(|batch|·k·d), independent of the accumulated corpus — then
   probes only the ``cell IN (its own cells)`` partitions. The probe
@@ -66,6 +68,21 @@ from ..functions.similarity import (
 from .dedup import _index_has_batches
 
 
+# default partition-key width of the persisted layout: rows land
+# under cell_bucket = pmod(cell, n_cell_buckets), NOT under the raw
+# cell id. partitionBy(cell) would create up to min(|batch|, k) dirs
+# PER MICRO-BATCH — with the library's auto k = N/256, that is
+# millions of directories at 100 TB and measurably pathological well
+# before (§19 measured a 30-batch seed at k=782 leaving 23k one-file
+# dirs; compaction spent minutes on pure listing/footer I/O). A
+# bounded bucket count caps dirs per append at n_cell_buckets while
+# probes keep planning-time pruning on the bucket and row-group
+# min/max skipping on the cell. Like the band index's prefix_len,
+# the width is BAKED INTO the layout (persisted in the quantizer
+# meta): every append and probe must use the index's own value.
+_DEFAULT_CELL_BUCKETS = 128
+
+
 def init_semantic_index(train_df: DataFrame, index_path: str,
                         n_clusters: int, lloyd_rounds: int = 2,
                         vec_col: str = "embedding",
@@ -73,7 +90,9 @@ def init_semantic_index(train_df: DataFrame, index_path: str,
                         train_fraction: float = 1.0, seed: int = 7,
                         two_level: bool | None = None,
                         coarse_clusters: int | None = None,
-                        seed_strategy: str | None = None) -> dict:
+                        seed_strategy: str | None = None,
+                        n_cell_buckets: int = _DEFAULT_CELL_BUCKETS,
+                        ) -> dict:
     """Train the quantizer on ``train_df`` and persist it under the
     index root. Must run ONCE before any ingest — enforced: an index
     that already holds ingested batches refuses re-initialization,
@@ -81,9 +100,10 @@ def init_semantic_index(train_df: DataFrame, index_path: str,
     row's cell filing (probes would prune to NEW cells while the rows
     sit under OLD ones — silent duplicate admission, forever); growing
     k on a populated index is ``requantize_semantic_index``'s job. The
-    assignment mode (two-level or flat) is resolved here and persisted
-    with the centroids so every future probe assigns with the same
-    shape training did. Returns the resolved meta dict."""
+    assignment mode (two-level or flat) and the layout's cell-bucket
+    width are resolved here and persisted with the centroids so every
+    future probe assigns and prunes with the same shape. Returns the
+    resolved meta dict."""
     spark = train_df.sparkSession
     if _index_has_batches(spark, index_path):
         raise ValueError(
@@ -96,24 +116,28 @@ def init_semantic_index(train_df: DataFrame, index_path: str,
         vec_col=vec_col, id_col=id_col, train_fraction=train_fraction,
         seed=seed, two_level=two_level, coarse_clusters=coarse_clusters,
         seed_strategy=seed_strategy)
+    resolved["n_cell_buckets"] = int(n_cell_buckets)
     _write_quantizer(c, resolved, index_path, n_clusters)
     return resolved
 
 
 def _write_quantizer(c: DataFrame, resolved: dict,
                      index_path: str, n_clusters: int) -> None:
-    # The resolved assignment mode rides as constant columns of the
-    # quantizer table itself — ONE overwrite, so no crash window can
-    # pair new centroids with a stale mode (a mismatch would assign
-    # probes with a different shape than the index rows were filed
-    # with: silently missed matches). A crash mid-overwrite leaves
-    # the dataset unreadable — probes fail loudly, and requantize
-    # repairs it (it retrains from index rows, never from the old
-    # quantizer). File count scales with k so the write is never one
-    # multi-GB single task at auto-scale cluster counts.
+    # The resolved assignment mode + layout width ride as constant
+    # columns of the quantizer table itself — ONE overwrite, so no
+    # crash window can pair new centroids with a stale mode (a
+    # mismatch would assign probes with a different shape than the
+    # index rows were filed with: silently missed matches). A crash
+    # mid-overwrite leaves the dataset unreadable — probes fail
+    # loudly, and requantize repairs it (it retrains from index rows,
+    # never from the old quantizer). File count scales with k so the
+    # write is never one multi-GB single task at auto-scale cluster
+    # counts.
     (c.withColumn("two_level", F.lit(bool(resolved["two_level"])))
      .withColumn("coarse_clusters",
                  F.lit(int(resolved["coarse_clusters"])))
+     .withColumn("n_cell_buckets",
+                 F.lit(int(resolved["n_cell_buckets"])))
      .coalesce(max(1, n_clusters // 4096)).write.mode("overwrite")
      .parquet(f"{index_path}/_quantizer"))
 
@@ -121,12 +145,15 @@ def _write_quantizer(c: DataFrame, resolved: dict,
 def read_semantic_quantizer(spark: SparkSession,
                             index_path: str) -> tuple[DataFrame, dict]:
     """Load the persisted quantizer + its resolved assignment mode
-    (constant columns of the same dataset — see _write_quantizer)."""
+    and layout width (constant columns of the same dataset — see
+    _write_quantizer)."""
     q = spark.read.parquet(f"{index_path}/_quantizer")
-    row = q.select("two_level", "coarse_clusters").first()
+    row = q.select("two_level", "coarse_clusters",
+                   "n_cell_buckets").first()
     return (q.select("cluster", "pos", "cval"),
             {"two_level": bool(row["two_level"]),
-             "coarse_clusters": int(row["coarse_clusters"])})
+             "coarse_clusters": int(row["coarse_clusters"]),
+             "n_cell_buckets": int(row["n_cell_buckets"])})
 
 
 def semantic_dedup_batch_against_index(
@@ -174,9 +201,13 @@ def semantic_dedup_batch_against_index(
     # the contract below); assigned is a zero-cost rename of it, so
     # the local rule, the probe, and the cell collect all hit the
     # same cached assignment
+    n_buckets = int(meta.get("n_cell_buckets", _DEFAULT_CELL_BUCKETS))
     rows = (v.join(a, "vec_id")
             .select(F.col("vec_id").alias("id"), "v",
-                    F.col("cluster").alias("cell")))
+                    F.col("cluster").alias("cell"))
+            .withColumn("cell_bucket",
+                        F.pmod(F.col("cell"),
+                               F.lit(n_buckets)).cast("int")))
     rows.persist()
     assigned = rows.select(F.col("id").alias("vec_id"), "v",
                            F.col("cell").alias("cluster"))
@@ -200,11 +231,16 @@ def semantic_dedup_batch_against_index(
     elif index is not None:
         idx = index
     if idx is not None:
-        # bounded driver metadata: <= min(|batch|, k) cell ids — the
-        # planning-time partition prune in path mode, a plain filter
-        # in DataFrame mode
+        # bounded driver metadata: <= min(|batch|, k) cell ids. In
+        # path mode the derived bucket set is a planning-time
+        # PARTITION prune (dirs are cell_bucket=, bounded width) and
+        # the cell IN-list skips row groups via parquet min/max
+        # stats; in DataFrame mode both are plain filters.
         cells = [r["cluster"]
                  for r in assigned.select("cluster").distinct().collect()]
+        if path_mode:
+            buckets = sorted({int(c) % n_buckets for c in cells})
+            idx = idx.filter(F.col("cell_bucket").isin(buckets))
         matched = (
             idx.filter(F.col("cell").isin(cells))
             .join(F.broadcast(assigned.select(
@@ -228,16 +264,19 @@ def semantic_dedup_batch_against_index(
 
 def append_semantic_batch(rows: DataFrame, index_path: str,
                           batch_id: int) -> None:
-    """Commit a batch's (id, v, cell) rows under its own
-    ``ingest_batch=<id>`` directory (mode overwrite — replay
-    replaces, never duplicates). Repartitioning on the cell keeps it
-    to one file per cell directory. Rows are stamped with
-    ``src_batch`` — the batch id as an immutable DATA column — so the
-    kernel's own-batch replay exclusion keeps working after a fold
-    moves the rows into a generation directory."""
+    """Commit a batch's (id, v, cell, cell_bucket) rows under their
+    own ``ingest_batch=<id>`` directory (mode overwrite — replay
+    replaces, never duplicates), partitioned by the BOUNDED
+    cell_bucket (never the raw cell: see _DEFAULT_CELL_BUCKETS — at
+    auto-scale k a per-cell layout creates millions of directories).
+    Repartitioning on the bucket keeps it to one file per bucket
+    directory. Rows are stamped with ``src_batch`` — the batch id as
+    an immutable DATA column — so the kernel's own-batch replay
+    exclusion keeps working after a fold moves the rows into a
+    generation directory."""
     (rows.withColumn("src_batch", F.lit(batch_id))
-     .repartition(F.col("cell"))
-     .write.mode("overwrite").partitionBy("cell")
+     .repartition(F.col("cell_bucket"))
+     .write.mode("overwrite").partitionBy("cell_bucket")
      .parquet(f"{index_path}/ingest_batch={batch_id}"))
 
 
@@ -257,8 +296,9 @@ def compact_semantic_index(spark: SparkSession, index_path: str,
     from .dedup import _compact_ingest_index
 
     return _compact_ingest_index(
-        spark, index_path, data_cols=("id", "v", "cell", "src_batch"),
-        partition_cols=("cell",), generation=generation,
+        spark, index_path,
+        data_cols=("id", "v", "cell", "cell_bucket", "src_batch"),
+        partition_cols=("cell_bucket",), generation=generation,
         _post_fold_hook=_post_fold_hook)
 
 
@@ -268,6 +308,7 @@ def requantize_semantic_index(spark: SparkSession, index_path: str,
                               two_level: bool | None = None,
                               coarse_clusters: int | None = None,
                               seed_strategy: str | None = None,
+                              n_cell_buckets: int = _DEFAULT_CELL_BUCKETS,
                               generation: int = -1,
                               _pre_swap_hook=None) -> int:
     """Retrain the quantizer on the INDEXED corpus and re-file every
@@ -333,6 +374,7 @@ def requantize_semantic_index(spark: SparkSession, index_path: str,
         id_col="id", train_fraction=train_fraction, seed=seed,
         two_level=two_level, coarse_clusters=coarse_clusters,
         seed_strategy=seed_strategy)
+    resolved["n_cell_buckets"] = int(n_cell_buckets)
     # the refile write below and the quantizer write after the swap
     # check both materialize c — persisting it keeps the Lloyd
     # retrain (the dominant cost) from executing twice
@@ -342,9 +384,13 @@ def requantize_semantic_index(spark: SparkSession, index_path: str,
                             coarse_clusters=resolved["coarse_clusters"])
     refiled = (corpus.join(a.withColumnRenamed("vec_id", "id"), "id")
                .select("id", "v", F.col("cluster").alias("cell"),
-                       "src_batch"))
-    (refiled.repartition(F.col("cell"))
-     .write.mode("overwrite").partitionBy("cell")
+                       "src_batch")
+               .withColumn("cell_bucket",
+                           F.pmod(F.col("cell"),
+                                  F.lit(int(n_cell_buckets)))
+                           .cast("int")))
+    (refiled.repartition(F.col("cell_bucket"))
+     .write.mode("overwrite").partitionBy("cell_bucket")
      .parquet(f"{index_path}/ingest_batch={new_gen}"))
 
     if _pre_swap_hook is not None:  # test seam: writer racing the op

@@ -1,6 +1,7 @@
 """Incremental semantic dedup ingest (streaming/semantic.py): the
 quantizer is trained once and frozen, the persisted (id, v, cell)
-index accumulates, per-batch probes prune by cell, and the stream's
+index accumulates under the bounded cell_bucket partition key,
+per-batch probes prune by bucket + cell, and the stream's
 verdicts equal batch functions/similarity.semantic_dedup of the full
 corpus under id-ordered arrival with the same trained centroids."""
 
@@ -151,6 +152,42 @@ def test_kernel_replay_excludes_own_batch(spark, tmp_path):
     assert replay == first  # without the exclusion: everything drops
 
 
+def test_bucketed_layout_bounds_dirs_and_prunes(spark, tmp_path):
+    """The layout key is the BOUNDED cell_bucket, not the raw cell:
+    dirs per append <= n_cell_buckets however large k grows, the
+    width roundtrips through the quantizer meta, and a probe-shaped
+    read prunes on the bucket at planning time."""
+    import os
+
+    df = _emb_corpus(spark)
+    index = str(tmp_path / "idx")
+    resolved = init_semantic_index(df, index, n_clusters=_K,
+                                   lloyd_rounds=2, n_cell_buckets=2)
+    assert resolved["n_cell_buckets"] == 2
+    _, meta = read_semantic_quantizer(spark, index)
+    assert meta["n_cell_buckets"] == 2
+
+    _, rows = semantic_dedup_batch_against_index(df, index, 0,
+                                                 eps=_EPS)
+    append_semantic_batch(rows, index, 0)
+    rows.unpersist()
+    buckets = os.listdir(f"{index}/ingest_batch=0")
+    assert 0 < sum(1 for b in buckets
+                   if b.startswith("cell_bucket=")) <= 2
+
+    def _plan(df_):
+        jmode = (spark._jvm.org.apache.spark.sql.execution
+                 .ExplainMode.fromString("formatted"))
+        return df_._jdf.queryExecution().explainString(jmode)
+
+    probe_read = (spark.read.parquet(index)
+                  .filter(F.col("cell_bucket").isin([0])))
+    plan = _plan(probe_read)
+    assert "PartitionFilters" in plan
+    assert "cell_bucket" in plan.split("PartitionFilters", 1)[1].split(
+        "\n", 1)[0]
+
+
 def test_replay_after_compaction_keeps_verdicts(spark, tmp_path):
     """Crash after the index append but BEFORE the checkpoint commit,
     then compaction while the stream is down, then replay of the same
@@ -223,7 +260,7 @@ def test_quantizer_roundtrip_and_meta(spark, tmp_path):
     append_semantic_batch(rows, index, 0)
     rows.unpersist()
     assert set(spark.read.parquet(index).columns) == {
-        "id", "v", "cell", "src_batch", "ingest_batch"}
+        "id", "v", "cell", "cell_bucket", "src_batch", "ingest_batch"}
 
 
 def test_stream_semantic_ingest_end_to_end(spark, tmp_path):

@@ -130,7 +130,11 @@ def main() -> None:
                 .select(F.col("vec_id").alias("id"),
                         F.col("embedding").cast("array<double>")
                         .alias("v"),
-                        F.col("cluster").alias("cell")))
+                        F.col("cluster").alias("cell"))
+                .withColumn("cell_bucket",
+                            F.pmod(F.col("cell"),
+                                   F.lit(meta["n_cell_buckets"]))
+                            .cast("int")))
     assigned.persist()
     t0 = time.monotonic()
     assigned.count()
@@ -147,8 +151,8 @@ def main() -> None:
         for m in range(done, b):
             (assigned.filter(F.col("_m") == m).drop("_m")
              .withColumn("src_batch", F.lit(bid))
-             .repartition(F.col("cell"))
-             .write.mode("overwrite").partitionBy("cell")
+             .repartition(F.col("cell_bucket"))
+             .write.mode("overwrite").partitionBy("cell_bucket")
              .parquet(f"{index}/ingest_batch={bid}"))
             bid += 1
         done = b
