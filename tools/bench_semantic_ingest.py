@@ -42,6 +42,10 @@ PROBE_ROWS = 2_000
 EPS = 0.8
 TARGET = 256  # auto-scale rows/cluster (library default)
 DIRS_PER_STAGE = 10  # micro-batch dirs per seeding stage
+# Lloyd training sample (quantizer quality knob, not a correctness
+# one); drop it for the 1000x decade where training dominates setup
+TRAIN_FRACTION = float(os.environ.get("SEM_INGEST_TRAIN_FRACTION",
+                                      "0.2"))
 
 
 def probe_subprocess(corpus: str, index: str, label: str) -> None:
@@ -112,12 +116,12 @@ def main() -> None:
 
     t0 = time.monotonic()
     resolved = init_semantic_index(
-        emb, index, n_clusters=k, lloyd_rounds=2, train_fraction=0.2)
+        emb, index, n_clusters=k, lloyd_rounds=2, train_fraction=TRAIN_FRACTION)
     t_train = time.monotonic() - t0
     print(f"corpus={corpus} N={n_total} k={k} "
           f"two_level={resolved['two_level']} "
           f"coarse={resolved['coarse_clusters']} "
-          f"train(0.2 sample, 2 rounds)={t_train:.1f}s")
+          f"train({TRAIN_FRACTION} sample, 2 rounds)={t_train:.1f}s")
 
     # bulk-seed: one corpus-wide assignment, sliced into stages by
     # md5-uniform classes (id layout independent), each stage written
@@ -169,7 +173,7 @@ def main() -> None:
 
     t0 = time.monotonic()
     requantize_semantic_index(spark, index, n_clusters=k,
-                              lloyd_rounds=2, train_fraction=0.2)
+                              lloyd_rounds=2, train_fraction=TRAIN_FRACTION)
     t_r = time.monotonic() - t0
     print(f"requantize (k={k}, full-corpus retrain+refile): {t_r:.1f}s")
     probe_subprocess(corpus, index, "100%, requantized")

@@ -103,11 +103,55 @@ def check_band_index(spark) -> None:
     print("band index (prefix_len=3) + compaction: ok", flush=True)
 
 
+def check_semantic_index(spark) -> None:
+    from radio_data_pipeline_spark.streaming.semantic import (
+        append_semantic_batch,
+        compact_semantic_index,
+        init_semantic_index,
+        requantize_semantic_index,
+        semantic_dedup_batch_against_index,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((2, 8))
+    rows = [(i, [float(v) for v in base[i % 2] + 0.1
+                 * rng.standard_normal(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with tempfile.TemporaryDirectory() as d:
+        index = os.path.join(d, "idx")
+        init_semantic_index(df, index, n_clusters=2, lloyd_rounds=2,
+                            n_cell_buckets=2)
+        for bid, (lo, hi) in enumerate([(0, 30), (30, 60)]):
+            chunk = df.filter((F.col("vec_id") >= lo)
+                              & (F.col("vec_id") < hi))
+            _, rws = semantic_dedup_batch_against_index(chunk, index,
+                                                        bid, eps=0.95)
+            append_semantic_batch(rws, index, bid)
+            rws.unpersist()
+        # a twin of an ingested doc drops through the persisted layout
+        twin = (df.filter(F.col("vec_id") == 3)
+                .withColumn("vec_id", F.lit(900)))
+        s, rws = semantic_dedup_batch_against_index(twin, index, 7,
+                                                    eps=0.95)
+        assert s.count() == 0
+        rws.unpersist()
+        assert compact_semantic_index(spark, index) == 2
+        requantize_semantic_index(spark, index, n_clusters=4,
+                                  n_cell_buckets=2)
+        s, rws = semantic_dedup_batch_against_index(twin, index, 8,
+                                                    eps=0.95)
+        assert s.count() == 0  # still drops after compact + requantize
+        rws.unpersist()
+    print("semantic index ingest + compaction + requantize: ok",
+          flush=True)
+
+
 def main() -> None:
     spark = get_spark("cluster-library-check", master=MASTER)
     check_two_level(spark)
     check_salted_sessionize(spark)
     check_band_index(spark)
+    check_semantic_index(spark)
     print(f"CLUSTER LIBRARY CHECK: all ok on {MASTER}", flush=True)
     spark.stop()
 
