@@ -56,19 +56,24 @@ def _batch_kept(df):
                   sd.filter("is_kept").select("vec_id").collect())
 
 
+@pytest.mark.parametrize("seed,n_chunks", [(3, 3), (11, 2), (29, 5)])
 def test_incremental_kernel_matches_batch_semantic_dedup(spark,
-                                                         tmp_path):
+                                                         tmp_path,
+                                                         seed,
+                                                         n_chunks):
     """Chunking the corpus through the persisted-index kernel in id
     order reproduces batch semantic_dedup's kept set exactly (same
-    trained quantizer, arrival order == id order)."""
-    df = _emb_corpus(spark)
+    trained quantizer, arrival order == id order) — across corpus
+    draws AND chunk granularities (the equivalence must not depend
+    on where batch boundaries fall)."""
+    df = _emb_corpus(spark, seed=seed)
     expected = _batch_kept(df)
     assert 0 < len(expected) < 90  # nontrivial verdicts both ways
 
     index = str(tmp_path / "sem_index")
     init_semantic_index(df, index, n_clusters=_K, lloyd_rounds=2)
     got = []
-    for bid, chunk in enumerate(_chunks(df, 3, 90)):
+    for bid, chunk in enumerate(_chunks(df, n_chunks, 90)):
         survivors, rows = semantic_dedup_batch_against_index(
             chunk, index, bid, eps=_EPS)
         got.extend(r["vec_id"] for r in
