@@ -576,21 +576,33 @@ def assign_to_centroids(df: DataFrame, centroids: DataFrame,
 def _semantic_removed(assigned: DataFrame, eps: float,
                       dedup_identical: bool) -> DataFrame:
     """The SemDeDup verdict kernel over an assigned frame (vec_id,
-    cluster, v): returns the DISTINCT vec_ids that have a SMALLER-id
-    same-cluster witness at round(cosine, 6) >= eps. Witnesses are ALL
-    rows (kept and removed alike — removal does not launder a
-    document's content out of the corpus history), optionally
-    collapsed to per-identical-vector min-id representatives
-    (semantics-preserving, see semantic_dedup)."""
+    cluster, v, vn): returns the DISTINCT vec_ids that have a
+    SMALLER-id same-cluster witness at round(cosine, 6) >= eps.
+    Witnesses are ALL rows (kept and removed alike — removal does not
+    launder a document's content out of the corpus history),
+    optionally collapsed to per-identical-vector min-id
+    representatives (semantics-preserving, see semantic_dedup).
+
+    ``vn`` is the row's precomputed l2 norm: the pair filter is the
+    HOT expression (interpreted higher-order functions, O(pairs·d)),
+    and hoisting the two norms out of it leaves one array fold per
+    pair instead of three. Bit-identical to inline cosine — the norm
+    is the SAME sqrt(sum-of-squares) expression evaluated on the same
+    vector, and the divisor keeps the same (na·nb) product shape."""
     wit = assigned.select("cluster", F.col("vec_id").alias("w_id"),
-                          F.col("v").alias("wv"))
+                          F.col("v").alias("wv"),
+                          F.col("vn").alias("wvn"))
     if dedup_identical:
+        # wvn is a pure function of wv, so any aggregate of the
+        # (bit-identical) group values works; min is deterministic
         wit = (wit.groupBy("cluster", "wv")
-               .agg(F.min("w_id").alias("w_id")))
+               .agg(F.min("w_id").alias("w_id"),
+                    F.min("wvn").alias("wvn")))
     return (
         assigned.join(wit, "cluster")
         .filter(F.col("w_id") < F.col("vec_id"))
-        .filter(F.round(cosine_similarity(F.col("wv"), F.col("v")), 6)
+        .filter(F.round(dot_product(F.col("wv"), F.col("v"))
+                        / (F.col("wvn") * F.col("vn")), 6)
                 >= eps)
         .select("vec_id").distinct()
     )
@@ -691,7 +703,7 @@ def semantic_dedup(df: DataFrame, eps: float = 0.4,
                             coarse_clusters=resolved["coarse_clusters"])
     v = df.select(F.col(id_col).alias("vec_id"),
                   _as_double(F.col(vec_col)).alias("v"))
-    assigned = v.join(a, "vec_id")
+    assigned = v.join(a, "vec_id").withColumn("vn", l2_norm(F.col("v")))
     removed = (_semantic_removed(assigned, eps, dedup_identical)
                .withColumn("_rm", F.lit(True)))
     return (

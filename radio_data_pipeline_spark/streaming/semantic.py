@@ -62,7 +62,8 @@ from ..functions.similarity import (
     _as_double,
     _semantic_removed,
     assign_to_centroids,
-    cosine_similarity,
+    dot_product,
+    l2_norm,
     train_semantic_centroids,
 )
 from .dedup import _index_has_batches
@@ -202,14 +203,19 @@ def semantic_dedup_batch_against_index(
     # the local rule, the probe, and the cell collect all hit the
     # same cached assignment
     n_buckets = int(meta.get("n_cell_buckets", _DEFAULT_CELL_BUCKETS))
+    # vn = precomputed l2 norm, persisted with the row: the probe and
+    # within-batch pair filters are O(pairs·d) interpreted folds, and
+    # hoisting the norms leaves one fold per pair instead of three
+    # (bit-identical — see _semantic_removed)
     rows = (v.join(a, "vec_id")
             .select(F.col("vec_id").alias("id"), "v",
                     F.col("cluster").alias("cell"))
+            .withColumn("vn", l2_norm(F.col("v")))
             .withColumn("cell_bucket",
                         F.pmod(F.col("cell"),
                                F.lit(n_buckets)).cast("int")))
     rows.persist()
-    assigned = rows.select(F.col("id").alias("vec_id"), "v",
+    assigned = rows.select(F.col("id").alias("vec_id"), "v", "vn",
                            F.col("cell").alias("cluster"))
 
     dropped = _semantic_removed(assigned, eps, dedup_identical)
@@ -246,12 +252,15 @@ def semantic_dedup_batch_against_index(
             .join(F.broadcast(assigned.select(
                       F.col("vec_id").alias("new_id"),
                       F.col("cluster").alias("cell"),
-                      F.col("v").alias("nv"))),
+                      F.col("v").alias("nv"),
+                      F.col("vn").alias("nvn"))),
                   "cell")
             # arrival order wins: ANY index hit drops the new doc —
-            # no id comparison (prior batches hold the history)
-            .filter(F.round(cosine_similarity(F.col("v"),
-                                              F.col("nv")), 6)
+            # no id comparison (prior batches hold the history).
+            # dot/(vn·nvn) == cosine bit-for-bit with the norms
+            # hoisted out of the per-pair hot path
+            .filter(F.round(dot_product(F.col("v"), F.col("nv"))
+                            / (F.col("vn") * F.col("nvn")), 6)
                     >= eps)
             .select(F.col("new_id").alias("vec_id")))
         dropped = dropped.union(matched)
@@ -297,7 +306,7 @@ def compact_semantic_index(spark: SparkSession, index_path: str,
 
     return _compact_ingest_index(
         spark, index_path,
-        data_cols=("id", "v", "cell", "cell_bucket", "src_batch"),
+        data_cols=("id", "v", "vn", "cell", "cell_bucket", "src_batch"),
         partition_cols=("cell_bucket",), generation=generation,
         _post_fold_hook=_post_fold_hook)
 
@@ -365,10 +374,11 @@ def requantize_semantic_index(spark: SparkSession, index_path: str,
 
     # src_batch rides along: re-filed rows keep their origin batch id
     # so a crashed-then-replayed batch still excludes its own rows
-    # (ids are unique per doc, so distinct is per-row, not per-copy)
+    # (ids are unique per doc, so distinct is per-row, not per-copy);
+    # vn too — it is a pure function of v, no need to recompute
     corpus = (spark.read.option("basePath", index_path)
               .parquet(*src_paths)
-              .select("id", "v", "src_batch").distinct())
+              .select("id", "v", "vn", "src_batch").distinct())
     c, resolved = train_semantic_centroids(
         corpus, n_clusters, lloyd_rounds=lloyd_rounds, vec_col="v",
         id_col="id", train_fraction=train_fraction, seed=seed,
@@ -383,7 +393,7 @@ def requantize_semantic_index(spark: SparkSession, index_path: str,
                             two_level=resolved["two_level"],
                             coarse_clusters=resolved["coarse_clusters"])
     refiled = (corpus.join(a.withColumnRenamed("vec_id", "id"), "id")
-               .select("id", "v", F.col("cluster").alias("cell"),
+               .select("id", "v", "vn", F.col("cluster").alias("cell"),
                        "src_batch")
                .withColumn("cell_bucket",
                            F.pmod(F.col("cell"),

@@ -265,7 +265,8 @@ def test_quantizer_roundtrip_and_meta(spark, tmp_path):
     append_semantic_batch(rows, index, 0)
     rows.unpersist()
     assert set(spark.read.parquet(index).columns) == {
-        "id", "v", "cell", "cell_bucket", "src_batch", "ingest_batch"}
+        "id", "v", "vn", "cell", "cell_bucket", "src_batch",
+        "ingest_batch"}
 
 
 def test_stream_semantic_ingest_end_to_end(spark, tmp_path):

@@ -92,6 +92,7 @@ def main() -> None:
 
     from radio_data_pipeline_spark.functions.similarity import (
         assign_to_centroids,
+        l2_norm,
     )
     from radio_data_pipeline_spark.session import get_spark
     from radio_data_pipeline_spark.streaming.semantic import (
@@ -135,6 +136,7 @@ def main() -> None:
                         F.col("embedding").cast("array<double>")
                         .alias("v"),
                         F.col("cluster").alias("cell"))
+                .withColumn("vn", l2_norm(F.col("v")))
                 .withColumn("cell_bucket",
                             F.pmod(F.col("cell"),
                                    F.lit(meta["n_cell_buckets"]))
