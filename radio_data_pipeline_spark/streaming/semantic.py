@@ -171,12 +171,18 @@ def semantic_dedup_batch_against_index(
     chunk) — the relational form the registered driver query uses so
     it needs no filesystem. Returns ``(survivors, rows)``: survivors
     are the batch rows dropped neither within the batch nor against
-    the index; ``rows`` is the batch's (id, v, cell) frame, which the
-    CALLER must append (append_semantic_batch for the persisted form)
-    for the next batch to see, and unpersist when done (it is
-    returned persisted — it backs every verdict branch) — split so a
-    streaming wrapper can order the writes for its exactly-once
-    contract."""
+    the index; ``rows`` is the batch's (id, v, vn, cell, cell_bucket)
+    frame, which the CALLER must append (append_semantic_batch for
+    the persisted form) for the next batch to see, and unpersist when
+    done (it is returned persisted — it backs every verdict branch) —
+    split so a streaming wrapper can order the writes for its
+    exactly-once contract.
+
+    In path mode, ``centroids``/``meta`` default to a fresh
+    ``read_semantic_quantizer`` per call (correct, and required after
+    a requantize); a serving loop probing a quiescent index can pass
+    a cached pair (persist the centroids) to skip the ~1 s re-read —
+    but must drop the cache across any requantize."""
     spark = batch_df.sparkSession
     path_mode = isinstance(index, str)
     if path_mode and (centroids is None or meta is None):
