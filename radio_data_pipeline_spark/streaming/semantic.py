@@ -378,6 +378,38 @@ def requantize_semantic_index(spark: SparkSession, index_path: str,
     snapshots = {p.toString(): _dir_snapshot(fs, p) for p in sources}
     src_paths = [p.toString() for p in sources]
 
+    # Disable AUTO-broadcast for the whole op: every frame in this
+    # lineage is corpus-scaled, and post-distinct AQE stats see
+    # COMPRESSED shuffle bytes — embedding rows compress ~10:1, so a
+    # side that stats under the threshold serializes past
+    # spark.driver.maxResultSize while the broadcast is built
+    # (measured: the 2M x 64-d refile died at 1053 MiB of collected
+    # task results against the 1 GiB default). The library's
+    # EXPLICIT F.broadcast choices (the sqrt(k)-row coarse table,
+    # bounded seed tables) ignore the threshold and keep working.
+    # Conf save/restore is safe here: requantize is an offline op
+    # that must not run concurrently with other work on the session
+    # (same contract as compaction).
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        return _requantize_body(
+            spark, index_path, n_clusters, lloyd_rounds, train_fraction,
+            seed, two_level, coarse_clusters, seed_strategy,
+            n_cell_buckets, new_gen, fs, jpath, sources, snapshots,
+            src_paths, _pre_swap_hook)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       prev_thresh)
+
+
+def _requantize_body(spark, index_path, n_clusters, lloyd_rounds,
+                     train_fraction, seed, two_level, coarse_clusters,
+                     seed_strategy, n_cell_buckets, new_gen, fs, jpath,
+                     sources, snapshots, src_paths,
+                     _pre_swap_hook) -> int:
+    from .dedup import _dir_snapshot, _ingest_dirs
+
     # src_batch rides along: re-filed rows keep their origin batch id
     # so a crashed-then-replayed batch still excludes its own rows
     # (ids are unique per doc, so distinct is per-row, not per-copy);
@@ -398,7 +430,15 @@ def requantize_semantic_index(spark: SparkSession, index_path: str,
     a = assign_to_centroids(corpus, c, vec_col="v", id_col="id",
                             two_level=resolved["two_level"],
                             coarse_clusters=resolved["coarse_clusters"])
-    refiled = (corpus.join(a.withColumnRenamed("vec_id", "id"), "id")
+    # merge-hint: BOTH sides are corpus-sized, but the post-distinct
+    # AQE stats see COMPRESSED shuffle bytes, and vector rows compress
+    # ~10:1 — a corpus that stats under the broadcast threshold
+    # serializes past spark.driver.maxResultSize when the broadcast is
+    # built (measured: 2M x 64-d refile died at 1053 MiB of task
+    # results against the 1 GiB default). At index scale neither side
+    # of this join should ever broadcast.
+    refiled = (corpus.join(a.withColumnRenamed("vec_id", "id")
+                           .hint("merge"), "id")
                .select("id", "v", "vn", F.col("cluster").alias("cell"),
                        "src_batch")
                .withColumn("cell_bucket",
