@@ -428,14 +428,27 @@ def _nearest_label(pts: DataFrame, cents: DataFrame,
             .filter(F.col("rn") == 1).select("vec_id", label))
 
 
-def _assign_points(rr: DataFrame, cc: DataFrame, two_level: bool = False,
+def _assign_points(pv: DataFrame, cc: DataFrame, two_level: bool = False,
                    coarse_clusters: int | None = None) -> DataFrame:
-    """Assign exploded points ``rr`` (vec_id, pos, val) to centroids
+    """Assign COMPACT points ``pv`` (vec_id, v array) to centroids
     ``cc`` (cluster, pos, cval). Flat mode broadcasts the centroid
     table (bounded k only); two-level mode routes through a
     ~``coarse_clusters``-cell coarse quantizer so the k·d fine table
     is never broadcast (the §17 sub-quadratic assignment — see
-    semantic_dedup's docstring for the approximation trade-off)."""
+    semantic_dedup's docstring for the approximation trade-off).
+
+    The two-level fine stage joins the COMPACT frame to its cell and
+    explodes AFTER: the vec_id join moves N rows, not N·d. The
+    earlier exploded-first shape had two scale failures, both
+    measured at the 2M x 64-d requantize: (a) the exploded side's
+    size estimate does not scale through Generate, so the planner
+    auto-broadcast a 128M-row frame and died collecting it against
+    spark.driver.maxResultSize; (b) hinting that join to SMJ instead
+    sorted 64x more bytes than necessary and spilled >50 GB. The
+    vec_id join is merge-hinted — both sides scale with N, so no
+    broadcast is ever correct at index scale, and the compact sort
+    is d-times cheaper than the exploded one."""
+    rr = pv.select("vec_id", F.posexplode("v").alias("pos", "val"))
     if not two_level:
         return _nearest_label(rr, F.broadcast(cc), "cluster")
     if coarse_clusters is None:
@@ -457,12 +470,16 @@ def _assign_points(rr: DataFrame, cc: DataFrame, two_level: bool = False,
                   F.col("cval").alias("val")),
         F.broadcast(coarse), "cell").withColumnRenamed(
         "vec_id", "cluster")
-    # point -> nearest cell (N x sqrt(k) x d partials)
+    # point -> nearest cell (N x sqrt(k) x d partials; coarse table
+    # broadcast — it is sqrt(k)·d rows, bounded)
     p_cell = _nearest_label(rr, F.broadcast(coarse), "cell")
+    # attach the cell to the COMPACT vectors, then explode
+    rr2 = (pv.join(p_cell.hint("merge"), "vec_id")
+           .select("vec_id", "cell",
+                   F.posexplode("v").alias("pos", "val")))
     # fine assignment only within the probed cell: plain equi-join
     # on (pos, cell) — no broadcast of the k·d fine table
-    d = (rr.join(p_cell, "vec_id")
-         .join(cc.join(fine_cell, "cluster"), ["pos", "cell"])
+    d = (rr2.join(cc.join(fine_cell, "cluster"), ["pos", "cell"])
          .groupBy("vec_id", "cluster")
          .agg(F.sum((F.col("val") - F.col("cval"))
                     * (F.col("val") - F.col("cval"))).alias("d2")))
@@ -500,11 +517,10 @@ def train_semantic_centroids(df: DataFrame, n_clusters: int,
 
     v = df.select(F.col(id_col).alias("vec_id"),
                   _as_double(F.col(vec_col)).alias("v"))
-    r_train = (v.select("vec_id", F.posexplode("v").alias("pos", "val"))
-               if train_fraction >= 1.0
-               else v.sample(False, train_fraction, seed=seed)
-                     .select("vec_id",
-                             F.posexplode("v").alias("pos", "val")))
+    v_train = (v if train_fraction >= 1.0
+               else v.sample(False, train_fraction, seed=seed))
+    r_train = v_train.select("vec_id",
+                             F.posexplode("v").alias("pos", "val"))
 
     if seed_strategy is None:
         seed_strategy = "hash" if two_level else "smallest_id"
@@ -545,7 +561,7 @@ def train_semantic_centroids(df: DataFrame, n_clusters: int,
                      F.posexplode("v").alias("pos", "cval"))
 
     for _ in range(max(0, lloyd_rounds - 1)):
-        a_t = _assign_points(r_train, c, two_level, coarse_clusters)
+        a_t = _assign_points(v_train, c, two_level, coarse_clusters)
         c = (a_t.join(r_train, "vec_id")
              .groupBy("cluster", "pos")
              .agg(F.avg("val").alias("cval")))
@@ -569,8 +585,7 @@ def assign_to_centroids(df: DataFrame, centroids: DataFrame,
     the accumulated corpus."""
     v = df.select(F.col(id_col).alias("vec_id"),
                   _as_double(F.col(vec_col)).alias("v"))
-    r = v.select("vec_id", F.posexplode("v").alias("pos", "val"))
-    return _assign_points(r, centroids, two_level, coarse_clusters)
+    return _assign_points(v, centroids, two_level, coarse_clusters)
 
 
 def _semantic_removed(assigned: DataFrame, eps: float,
