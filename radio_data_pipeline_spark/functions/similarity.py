@@ -437,17 +437,20 @@ def _assign_points(pv: DataFrame, cc: DataFrame, two_level: bool = False,
     is never broadcast (the §17 sub-quadratic assignment — see
     semantic_dedup's docstring for the approximation trade-off).
 
-    The two-level fine stage joins the COMPACT frame to its cell and
-    explodes AFTER: the vec_id join moves N rows, not N·d. The
-    earlier exploded-first shape had two scale failures, both
-    measured at the 2M x 64-d requantize: (a) the exploded side's
-    size estimate does not scale through Generate, so the planner
-    auto-broadcast a 128M-row frame and died collecting it against
-    spark.driver.maxResultSize; (b) hinting that join to SMJ instead
-    sorted 64x more bytes than necessary and spilled >50 GB. The
-    vec_id join is merge-hinted — both sides scale with N, so no
-    broadcast is ever correct at index scale, and the compact sort
-    is d-times cheaper than the exploded one."""
+    The two-level fine stage runs entirely on COMPACT array frames
+    (exploding only for the coarse step, whose map-side broadcast
+    join preserves locality): the vec_id join moves N rows, not N·d,
+    and the within-cell distance join moves N + k·(d-array) rows
+    co-partitioned by cell. The earlier exploded-first shape had
+    three scale failures, all measured at the 2M x 64-d requantize:
+    the exploded side's size estimate does not scale through
+    Generate, so the planner auto-broadcast a 128M-row frame and died
+    against spark.driver.maxResultSize; forcing SMJ instead sorted
+    64x more bytes than necessary; and the (pos, cell)-partitioned
+    fine join scattered each pair's d positions across d partitions,
+    so the d2 aggregation shuffled ~11e9 uncombined partials and
+    filled the disk. The vec_id join is merge-hinted — both sides
+    scale with N, so no broadcast is ever correct at index scale."""
     rr = pv.select("vec_id", F.posexplode("v").alias("pos", "val"))
     if not two_level:
         return _nearest_label(rr, F.broadcast(cc), "cluster")
@@ -473,16 +476,42 @@ def _assign_points(pv: DataFrame, cc: DataFrame, two_level: bool = False,
     # point -> nearest cell (N x sqrt(k) x d partials; coarse table
     # broadcast — it is sqrt(k)·d rows, bounded)
     p_cell = _nearest_label(rr, F.broadcast(coarse), "cell")
-    # attach the cell to the COMPACT vectors, then explode
-    rr2 = (pv.join(p_cell.hint("merge"), "vec_id")
-           .select("vec_id", "cell",
-                   F.posexplode("v").alias("pos", "val")))
-    # fine assignment only within the probed cell: plain equi-join
-    # on (pos, cell) — no broadcast of the k·d fine table
-    d = (rr2.join(cc.join(fine_cell, "cluster"), ["pos", "cell"])
-         .groupBy("vec_id", "cluster")
-         .agg(F.sum((F.col("val") - F.col("cval"))
-                    * (F.col("val") - F.col("cval"))).alias("d2")))
+    # Fine assignment only within the probed cell — in COMPACT array
+    # form, end to end. The exploded alternatives all fail at scale,
+    # each measured at the 2M x 64-d requantize: joining the exploded
+    # table on (pos, cell) scatters a (vec_id, cluster) pair's d
+    # positions across d partitions, so the d2 partial agg cannot
+    # combine and the shuffle carries N·~sqrt(k)·d raw partials
+    # (~11e9 rows, >50 GB spill, disk-full); rescuing it with a
+    # fine-table broadcast re-introduces the linearly-growing
+    # broadcast the r5 verdict flagged; and pre-partitioning the
+    # EXPLODED side by cell shuffles N·d rows. Here both join sides
+    # stay compact — N (vec_id, v, cell) rows and k (cluster, cv,
+    # cell) rows — co-partitioned by cell, and each of the N·~sqrt(k)
+    # pair rows computes its squared distance with one array fold.
+    # Shuffled bytes are linear in N·d with no wide intermediate at
+    # all; nothing is broadcast.
+    #
+    # Float note: the fold sums (x-y)^2 in POSITION order, whereas
+    # the exploded groupBy summed in hash-agg arrival order — on
+    # exact centroid-distance ties the argmin can pick a different
+    # (equally nearest) cluster. Cluster boundaries are already
+    # approximate in two-level mode (see the docstring contract);
+    # flat mode — every pinned oracle — is untouched.
+    cc_arr = (cc.groupBy("cluster")
+              .agg(F.transform(
+                  F.array_sort(F.collect_list(
+                      F.struct("pos", "cval"))),
+                  lambda s: s["cval"]).alias("cv")))
+    ccf = cc_arr.join(fine_cell, "cluster")
+    pairs = (pv.join(p_cell.hint("merge"), "vec_id")
+             .repartition(F.col("cell"))
+             .join(ccf.repartition(F.col("cell")), "cell"))
+    d = pairs.select(
+        "vec_id", "cluster",
+        F.aggregate(F.zip_with("v", "cv",
+                               lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, x: acc + x).alias("d2"))
     w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
     return (d.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1).select("vec_id", "cluster"))

@@ -573,11 +573,12 @@ def test_semantic_dedup_two_level_plan_has_no_fine_broadcast(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
     # with size-based broadcasts disabled, only HINTED joins broadcast
-    # — the within-cell fine join on (pos, cell) must plan as a
-    # shuffle-side join (hint-free), while the coarse-table joins are
-    # still broadcast-hinted
-    assert re.search(r"SortMergeJoin \[pos#\d+, cell#\d+", plan), \
-        plan[:2000]
+    # — the within-cell fine join must plan as a shuffle-side join
+    # (hint-free) co-partitioned by cell (compact array frames on
+    # both sides — the shape that keeps the d2 computation local and
+    # the shuffle linear), while the coarse-table joins are still
+    # broadcast-hinted
+    assert re.search(r"SortMergeJoin \[cell#\d+", plan), plan[:2000]
     assert "BroadcastExchange" in plan  # the coarse hints held
 
 
