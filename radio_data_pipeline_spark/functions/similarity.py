@@ -159,13 +159,17 @@ def near_dup_pairs_lsh(df: DataFrame, threshold: float = 0.4,
         dim = len(head[0])
     planes = hyperplanes(dim, n_planes, seed)
     b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                  lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+                  lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+                  l2_norm(F.col(vec_col)).alias("n"))
     a, c = b.alias("a"), b.alias("b")
+    # norms hoisted to one per ROW — bit-identical to inline cosine
+    # (see knn_join); the within-bucket pair filter drops to one fold
     return (
         a.join(c, (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6)
+                F.round(dot_product(F.col("a.v"), F.col("b.v"))
+                        / (F.col("a.n") * F.col("b.n")), 6)
                 .alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
@@ -269,11 +273,15 @@ def hard_negative_mining(df: DataFrame, k: int = 3,
              .filter((F.col("_bn") <= bucket_cap)
                      | (u < F.lit(float(bucket_cap)) / F.col("_bn")))
              .drop("_bn"))
+    # norms hoisted to one per ROW — bit-identical to inline cosine
+    # (see knn_join); pair scoring drops to one fold per pair
     scored = (
-        a.join(c, "bucket")
+        a.withColumn("an", l2_norm(F.col("av")))
+        .join(c.withColumn("cn", l2_norm(F.col("cv"))), "bucket")
         .filter(F.col("vec_id") != F.col("neg_id"))
         .select("vec_id", "neg_id",
-                F.round(cosine_similarity(F.col("av"), F.col("cv")), 6)
+                F.round(dot_product(F.col("av"), F.col("cv"))
+                        / (F.col("an") * F.col("cn")), 6)
                 .alias("cosine"))
         .filter(F.col("cosine") < dup_ceiling)
     )
@@ -409,6 +417,11 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 # the wall-clock crossover sits near k~128
 _TWO_LEVEL_MIN_CLUSTERS = 128
 
+# fan-out of the salted within-cell pair join (see _assign_points):
+# bounds a hot cell's single-task compute at 1/salt of its pairs for
+# the cost of replicating the k-row compact centroid table salt ways
+_FINE_SALT = 32
+
 
 def _nearest_label(pts: DataFrame, cents: DataFrame,
                    label: str) -> DataFrame:
@@ -504,9 +517,25 @@ def _assign_points(pv: DataFrame, cc: DataFrame, two_level: bool = False,
                       F.struct("pos", "cval"))),
                   lambda s: s["cval"]).alias("cv")))
     ccf = cc_arr.join(fine_cell, "cluster")
-    pairs = (pv.join(p_cell.hint("merge"), "vec_id")
-             .repartition(F.col("cell"))
-             .join(ccf.repartition(F.col("cell")), "cell"))
+    # the pair join is salted: cell sizes follow the DATA (duplicated
+    # or clustered corpora concentrate in few cells), and a hot cell
+    # co-partitioned by cell alone is one task of n_i x k_i x d pure
+    # compute that AQE's byte-based skew split cannot see — measured
+    # as a 10+-minute straggler (24/25 tasks idle) at the 2M x 64-d
+    # requantize. Salting the point side and replicating the
+    # (compact, k-row) centroid side _FINE_SALT ways bounds any
+    # cell's task at 1/_FINE_SALT of its pairs; there is no
+    # aggregation across the join, so salting changes nothing else.
+    pts = (pv.join(p_cell.hint("merge"), "vec_id")
+           .withColumn("_salt",
+                       F.pmod(F.xxhash64("vec_id"),
+                              F.lit(_FINE_SALT)).cast("int")))
+    cents_rep = ccf.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0),
+                                      F.lit(_FINE_SALT - 1))))
+    pairs = (pts.repartition(F.col("cell"), F.col("_salt"))
+             .join(cents_rep.repartition(F.col("cell"), F.col("_salt")),
+                   ["cell", "_salt"]))
     d = pairs.select(
         "vec_id", "cluster",
         F.aggregate(F.zip_with("v", "cv",
@@ -1062,7 +1091,8 @@ def knn_join(queries_df: DataFrame, corpus_df: DataFrame, k: int = 3,
     v = _as_double(F.col(vec_col))
     c = corpus_df.select(F.col(id_col).alias("nn_id"), v.alias("cv"),
                          lsh_bucket(F.col(vec_col), planes)
-                         .alias("bucket"))
+                         .alias("bucket"),
+                         l2_norm(v).alias("cn"))
     if bucket_cap is not None:
         from radio_data_pipeline_spark.sources.layout import (
             md5_prefix_long)
@@ -1074,13 +1104,19 @@ def knn_join(queries_df: DataFrame, corpus_df: DataFrame, k: int = 3,
              .drop("_bn"))
     q = queries_df.select(
         F.col(id_col).alias("vec_id"), v.alias("qv"),
+        l2_norm(v).alias("qn"),
         F.explode(F.array(*_probe_schedule_cols(vec_col, planes,
                                                 n_probes)))
         .alias("bucket"))
+    # norms hoisted to one per ROW (same sqrt-of-sum-of-squares
+    # expression, bit-identical to inline cosine): the candidate pair
+    # score is the hot path, and this leaves one array fold per pair
+    # instead of three
     scored = (
         q.join(c, "bucket")
         .select("vec_id", "nn_id",
-                F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+                F.round(dot_product(F.col("qv"), F.col("cv"))
+                        / (F.col("qn") * F.col("cn")), 6)
                 .alias("cosine"))
     )
     if exclude_self:
@@ -1144,6 +1180,7 @@ def knn_join_indexed(spark, queries_df: DataFrame,
     v = _as_double(F.col(vec_col))
     q = queries_df.select(
         F.col(id_col).alias("vec_id"), v.alias("qv"),
+        l2_norm(v).alias("qn"),
         F.explode(F.array(*_probe_schedule_cols(vec_col, planes,
                                                 n_probes)))
         .alias("bucket"))
@@ -1152,7 +1189,8 @@ def knn_join_indexed(spark, queries_df: DataFrame,
     c = (_index_df(spark, path)
          .filter(F.col("lsh_bucket").isin(probe))
          .select(F.col(id_col).alias("nn_id"), v.alias("cv"),
-                 F.col("lsh_bucket").alias("bucket")))
+                 F.col("lsh_bucket").alias("bucket"),
+                 l2_norm(v).alias("cn")))
     if bucket_cap is not None:
         from radio_data_pipeline_spark.sources.layout import (
             md5_prefix_long)
@@ -1162,10 +1200,13 @@ def knn_join_indexed(spark, queries_df: DataFrame,
              .filter((F.col("_bn") <= bucket_cap)
                      | (u < F.lit(float(bucket_cap)) / F.col("_bn")))
              .drop("_bn"))
+    # norms hoisted to one per ROW — bit-identical to inline cosine
+    # (see knn_join); candidate scoring drops to one fold per pair
     scored = (
         c.join(F.broadcast(q), "bucket")
         .select("vec_id", "nn_id",
-                F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+                F.round(dot_product(F.col("qv"), F.col("cv"))
+                        / (F.col("qn") * F.col("cn")), 6)
                 .alias("cosine"))
     )
     if exclude_self:
