@@ -442,7 +442,8 @@ def _nearest_label(pts: DataFrame, cents: DataFrame,
 
 
 def _assign_points(pv: DataFrame, cc: DataFrame, two_level: bool = False,
-                   coarse_clusters: int | None = None) -> DataFrame:
+                   coarse_clusters: int | None = None,
+                   broadcast_points: bool = False) -> DataFrame:
     """Assign COMPACT points ``pv`` (vec_id, v array) to centroids
     ``cc`` (cluster, pos, cval). Flat mode broadcasts the centroid
     table (bounded k only); two-level mode routes through a
@@ -517,25 +518,38 @@ def _assign_points(pv: DataFrame, cc: DataFrame, two_level: bool = False,
                       F.struct("pos", "cval"))),
                   lambda s: s["cval"]).alias("cv")))
     ccf = cc_arr.join(fine_cell, "cluster")
-    # the pair join is salted: cell sizes follow the DATA (duplicated
-    # or clustered corpora concentrate in few cells), and a hot cell
-    # co-partitioned by cell alone is one task of n_i x k_i x d pure
-    # compute that AQE's byte-based skew split cannot see — measured
-    # as a 10+-minute straggler (24/25 tasks idle) at the 2M x 64-d
-    # requantize. Salting the point side and replicating the
-    # (compact, k-row) centroid side _FINE_SALT ways bounds any
-    # cell's task at 1/_FINE_SALT of its pairs; there is no
-    # aggregation across the join, so salting changes nothing else.
-    pts = (pv.join(p_cell.hint("merge"), "vec_id")
-           .withColumn("_salt",
-                       F.pmod(F.xxhash64("vec_id"),
-                              F.lit(_FINE_SALT)).cast("int")))
-    cents_rep = ccf.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0),
-                                      F.lit(_FINE_SALT - 1))))
-    pairs = (pts.repartition(F.col("cell"), F.col("_salt"))
-             .join(cents_rep.repartition(F.col("cell"), F.col("_salt")),
-                   ["cell", "_salt"]))
+    if broadcast_points:
+        # MICRO-BATCH regime (the serving kernel's explicit contract:
+        # points are batch-bounded): broadcast the batch and its cell
+        # assignment straight into the k-row centroid-array table —
+        # zero exchanges, no sort, no salt machinery. Never used for
+        # corpus-sized inputs (requantize / batch dedup), where the
+        # broadcast would be the deceptive-stats hazard all over.
+        pts = pv.join(F.broadcast(p_cell), "vec_id")
+        pairs = ccf.join(F.broadcast(pts), "cell")
+    else:
+        # CORPUS regime: the pair join is salted — cell sizes follow
+        # the DATA (duplicated or clustered corpora concentrate in
+        # few cells), and a hot cell co-partitioned by cell alone is
+        # one task of n_i x k_i x d pure compute that AQE's
+        # byte-based skew split cannot see — measured as a
+        # 10+-minute straggler (24/25 tasks idle) at the 2M x 64-d
+        # requantize. Salting the point side and replicating the
+        # (compact, k-row) centroid side _FINE_SALT ways bounds any
+        # cell's task at 1/_FINE_SALT of its pairs; there is no
+        # aggregation across the join, so salting changes nothing
+        # else.
+        pts = (pv.join(p_cell.hint("merge"), "vec_id")
+               .withColumn("_salt",
+                           F.pmod(F.xxhash64("vec_id"),
+                                  F.lit(_FINE_SALT)).cast("int")))
+        cents_rep = ccf.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0),
+                                          F.lit(_FINE_SALT - 1))))
+        pairs = (pts.repartition(F.col("cell"), F.col("_salt"))
+                 .join(cents_rep.repartition(F.col("cell"),
+                                             F.col("_salt")),
+                       ["cell", "_salt"]))
     d = pairs.select(
         "vec_id", "cluster",
         F.aggregate(F.zip_with("v", "cv",
@@ -633,17 +647,22 @@ def assign_to_centroids(df: DataFrame, centroids: DataFrame,
                         vec_col: str = "embedding",
                         id_col: str = "vec_id",
                         two_level: bool = False,
-                        coarse_clusters: int | None = None) -> DataFrame:
+                        coarse_clusters: int | None = None,
+                        points_are_small: bool = False) -> DataFrame:
     """Assign each row of ``df`` to its nearest centroid from an
     exploded (cluster, pos, cval) table (train_semantic_centroids
     output, or a persisted copy of one). Returns (vec_id, cluster).
     The serving half of the quantizer: incremental semantic dedup
     assigns every arriving micro-batch with this against FROZEN
     centroids, so per-batch cost is O(|batch|·k·d) — independent of
-    the accumulated corpus."""
+    the accumulated corpus. ``points_are_small`` is the micro-batch
+    contract (bounded input): the two-level fine stage broadcasts the
+    batch instead of paying the corpus-scale sort/salt machinery —
+    never set it for corpus-sized inputs."""
     v = df.select(F.col(id_col).alias("vec_id"),
                   _as_double(F.col(vec_col)).alias("v"))
-    return _assign_points(v, centroids, two_level, coarse_clusters)
+    return _assign_points(v, centroids, two_level, coarse_clusters,
+                          broadcast_points=points_are_small)
 
 
 def _semantic_removed(assigned: DataFrame, eps: float,

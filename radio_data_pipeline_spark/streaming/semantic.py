@@ -201,7 +201,8 @@ def semantic_dedup_batch_against_index(
     a = assign_to_centroids(batch_df, centroids, vec_col=vec_col,
                             id_col=id_col,
                             two_level=meta["two_level"],
-                            coarse_clusters=meta["coarse_clusters"])
+                            coarse_clusters=meta["coarse_clusters"],
+                            points_are_small=True)
     v = batch_df.select(F.col(id_col).alias("vec_id"),
                         _as_double(F.col(vec_col)).alias("v"))
     # rows is the PERSISTED frame (the caller's unpersist handle, per

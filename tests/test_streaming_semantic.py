@@ -193,6 +193,44 @@ def test_bucketed_layout_bounds_dirs_and_prunes(spark, tmp_path):
         "\n", 1)[0]
 
 
+def test_two_level_serving_matches_flat_on_separated_data(spark,
+                                                          tmp_path):
+    """The kernel against a TWO-LEVEL quantizer (forced; the
+    broadcast-points micro-batch regime) produces the same verdicts
+    as against a flat one on well-separated clusters — the §17
+    two-level==flat agreement property carried into the serving
+    path. Separation must be REAL for the property to hold (tight
+    0.05 noise; the shared 0.45-noise corpus has boundary points
+    whose cluster differs by design between the two modes)."""
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(_K, 8)) * 4.0
+    rows = []
+    for i in range(90):
+        v = base[i % _K] + 0.05 * rng.normal(size=8)
+        if i % 7 == 0 and i >= 7:
+            v = np.array(rows[i - 7][1])
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>")
+    expected = []
+    for mode, forced in (("flat", False), ("two", True)):
+        index = str(tmp_path / mode)
+        init_semantic_index(df, index, n_clusters=_K, lloyd_rounds=2,
+                            two_level=forced,
+                            coarse_clusters=2 if forced else None,
+                            seed_strategy="smallest_id")
+        got = []
+        for bid, chunk in enumerate(_chunks(df, 3, 90)):
+            s, rows = semantic_dedup_batch_against_index(
+                chunk, index, bid, eps=_EPS)
+            got.extend(r["vec_id"] for r in s.collect())
+            append_semantic_batch(rows, index, bid)
+            rows.unpersist()
+        expected.append(sorted(got))
+    assert expected[0] == expected[1]
+    assert 0 < len(expected[0]) < 90
+
+
 def test_replay_after_compaction_keeps_verdicts(spark, tmp_path):
     """Crash after the index append but BEFORE the checkpoint commit,
     then compaction while the stream is down, then replay of the same
