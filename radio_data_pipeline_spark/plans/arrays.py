@@ -1144,12 +1144,14 @@ def semantic_dedup_survivors_incremental(spark: SparkSession,
     cuts = [0, n // 3, 2 * n // 3, n + 1]
     acc = None
     outs = []
+    handles = []  # each kernel returns its rows frame PERSISTED
     for bid in range(3):
         chunk = emb.filter((F.col("vec_id") >= cuts[bid])
                            & (F.col("vec_id") < cuts[bid + 1]))
         survivors, rows = semantic_dedup_batch_against_index(
             chunk, acc, bid, centroids=cents, meta=meta,
             eps=_SEMDEDUP_EPS)
+        handles.append(rows)
         outs.append(rows.join(survivors.select("vec_id"),
                               rows["id"] == F.col("vec_id"), "semi")
                     .select(F.col("id").alias("vec_id"),
@@ -1158,7 +1160,17 @@ def semantic_dedup_survivors_incremental(spark: SparkSession,
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
-    return out.orderBy("vec_id")
+    # materialize once (cutting the lineage off the cached frames),
+    # then release every cache this query pinned — without this,
+    # cents and the three per-batch rows frames leak cached
+    # partitions into the shared session on every driver/bench run
+    # (ADVICE r6). localCheckpoint storage is context-cleaned once
+    # the returned frame is garbage-collected.
+    out = out.orderBy("vec_id").localCheckpoint(eager=True)
+    for h in handles:
+        h.unpersist()
+    cents.unpersist()
+    return out
 
 
 def _multiprobe_oracle(k: int = 10, n_planes: int = 6, n_probes: int = 4,

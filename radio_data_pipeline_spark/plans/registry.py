@@ -100,14 +100,17 @@ SAMPLE_WINDOW = (
     "vector_dft8", "label_centroid_dispersion",
     # span-level exact-substring dedup — round-6 family
     # (vector_boxcar_peak rotated out; vector_dft8 carries the
-    # array-DSP representative)
-    "exact_substring_spans",
+    # array-DSP representative). substring_dedup_stats rotated IN for
+    # r7 (the span-family stats form the driver gate never exercised).
+    "exact_substring_spans", "substring_dedup_stats",
     # contrastive training ops
     "negative_samples_per_anchor", "hard_negatives_per_anchor",
     # data-quality constraint engine
     "events_constraint_report", "events_column_profile",
-    # dedup family (+ round-5 incremental-ingest and composite tiers)
-    "dedup_exact", "minhash_lsh_pairs", "ngram_jaccard_pairs",
+    # dedup family (+ round-5 incremental-ingest and composite tiers;
+    # ngram_jaccard_pairs rotated out for r7 — minhash_lsh_pairs +
+    # dedup_clusters carry the shingle-LSH shape)
+    "dedup_exact", "minhash_lsh_pairs",
     "simhash_docs", "dedup_clusters", "near_dup_survivors_greedy",
     "corpus_refinery_report",
     # text analysis (doc_fingerprint rotated out, covered by family)
@@ -116,9 +119,12 @@ SAMPLE_WINDOW = (
     "multimodal_wav_rms",
     # TPC-H core (q3 rotated out — q1 + q5 carry agg + multi-join)
     "q1_pricing_summary", "q5_region_revenue",
-    # events / §2 carriers (A3, F3, F5, M11, windows, as-of)
+    # events / §2 carriers (A3, F3, F5, M11, windows, as-of).
+    # events_sessionize rotated out for r7: events_sessionize_salted
+    # covers the same sessionize semantics (its oracle IS the
+    # unsalted SQL) plus the round-6 skew rewrite.
     "distinct_event_users", "orders_rank_in_customer",
-    "events_sessionize", "events_asof_prior_view",
+    "events_sessionize_salted", "events_asof_prior_view",
     "events_time_filter", "events_physical_validation",
     # calibration / atmosphere carriers (M1-M6, M8)
     "linreg_value_vs_time", "buck_vapor_density", "gain_interpolation",

@@ -47,6 +47,8 @@ attempt.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -62,6 +64,87 @@ from ..functions.dedup import band_table
 # same prefix_len), or probes look in the wrong directories and
 # silently admit duplicates.
 _PREFIX_LEN = 2
+
+# On-disk format version of the band-index layout. Bumped when the
+# layout or row schema changes incompatibly ('p'-prefixed bh_prefix
+# dirs + the src_batch replay column ARE version 1 — an index written
+# before versioning predates both and must be rebuilt, not probed).
+_BAND_FORMAT_VERSION = 1
+
+# The layout parameters are immutable once the first row is filed
+# (prefix_len is baked into every directory name; the hash params
+# into every band_hash), so a per-process cache keyed by index path
+# can never go stale — and it keeps the per-batch serving path free
+# of repeated tiny metadata reads.
+_BAND_META_CACHE: dict[str, dict] = {}
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _read_small_text(spark: SparkSession, fs, jpath) -> str:
+    stream = fs.open(jpath)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _write_small_text(fs, jpath, text: str) -> None:
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def ensure_band_meta(spark: SparkSession, index_path: str,
+                     prefix_len: int, n_hashes: int, band_size: int,
+                     k: int) -> dict:
+    """Validate (or, on the very first use of an empty index, persist)
+    the band index's layout parameters as ``_meta.json`` under the
+    index root — leading-underscore names are invisible to partition
+    discovery, like the semantic index's ``_quantizer``.
+
+    prefix_len is baked into every partition directory name and the
+    hash params (n_hashes, band_size, k) into every stored band_hash:
+    a probe or append with ANY mismatched value looks in the wrong
+    directories / compares incomparable hashes and silently admits
+    duplicates. This makes the mismatch loud instead (ADVICE r6
+    medium). An index holding batches but no ``_meta.json`` predates
+    versioning ('p'-less numeric dirs, rows without src_batch) and is
+    refused outright — probing it would silently miss or crash on the
+    missing column. Returns the validated meta dict."""
+    meta = {"format_version": _BAND_FORMAT_VERSION,
+            "prefix_len": int(prefix_len), "n_hashes": int(n_hashes),
+            "band_size": int(band_size), "k": int(k)}
+    cached = _BAND_META_CACHE.get(index_path)
+    if cached is None:
+        fs, _ = _hadoop_fs(spark, index_path)
+        _, mpath = _hadoop_fs(spark, f"{index_path}/_meta.json")
+        if fs.exists(mpath):
+            cached = json.loads(_read_small_text(spark, fs, mpath))
+        elif _index_has_batches(spark, index_path):
+            raise ValueError(
+                f"band index at {index_path} holds ingested batches "
+                "but no _meta.json — it predates the versioned layout "
+                "(unprefixed bh_prefix directories, rows without "
+                "src_batch) and cannot be probed safely; rebuild it "
+                "with the current writer")
+        else:
+            _write_small_text(fs, mpath, json.dumps(meta))
+            cached = meta
+        _BAND_META_CACHE[index_path] = cached
+    if cached != meta:
+        raise ValueError(
+            f"band-index layout mismatch at {index_path}: the index "
+            f"was created with {cached} but this call passed {meta} — "
+            "prefix_len and the hash parameters are baked into the "
+            "on-disk layout and must match the index's own values")
+    return cached
 
 
 def _prefixed_bands(batch_df: DataFrame, text_col: str, id_col: str,
@@ -147,6 +230,8 @@ def dedup_batch_against_index(batch_df: DataFrame, index_path: str,
     from pyspark.sql import Window
 
     spark = batch_df.sparkSession
+    ensure_band_meta(spark, index_path, prefix_len, n_hashes,
+                     band_size, k)
     bands = _prefixed_bands(batch_df, text_col, id_col,
                             n_hashes, band_size, k, prefix_len)
     bands.persist()
@@ -165,9 +250,14 @@ def dedup_batch_against_index(batch_df: DataFrame, index_path: str,
         for b, prefixes in by_band.items():
             cond = cond | ((F.col("band_id") == b)
                            & F.col("bh_prefix").isin(prefixes))
+        # ~eqNullSafe, not !=: a NULL src_batch (which no versioned
+        # writer produces, but defense in depth per ADVICE r6) must
+        # stay VISIBLE to the probe — plain `NULL != id` evaluates to
+        # NULL and silently filters the row out, so legacy rows would
+        # stop witnessing duplicates instead of matching
         idx = (spark.read.parquet(index_path)
                .filter(F.col("ingest_batch") != batch_id)
-               .filter(F.col("src_batch") != batch_id)
+               .filter(~F.col("src_batch").eqNullSafe(F.lit(batch_id)))
                .filter(cond))
         matched = (idx.join(F.broadcast(bands.select(
                        F.col("id").alias("new_id"),
@@ -190,8 +280,38 @@ def append_batch_bands(bands: DataFrame, index_path: str,
     keeps it to one file per (band_id, bh_prefix) directory. Rows are
     stamped with ``src_batch`` — the batch id as an immutable DATA
     column — so the kernel's own-batch replay exclusion keeps working
-    after compaction moves the rows into a generation directory."""
+    after compaction moves the rows into a generation directory.
+
+    Layout guard: the index's ``_meta.json`` must already exist (the
+    kernel writes it on first use — bands handed here without a
+    kernel run are out of contract), and every row's ``bh_prefix``
+    width is asserted IN-PLAN against the persisted ``prefix_len``
+    during the write itself (``raise_error`` wrapped around the
+    column — zero extra jobs on the serving path), so a bands frame
+    built with a mismatched prefix_len fails the write loudly instead
+    of filing rows where no probe will ever look."""
+    spark = bands.sparkSession
+    cached = _BAND_META_CACHE.get(index_path)
+    if cached is None:
+        fs, _ = _hadoop_fs(spark, index_path)
+        _, mpath = _hadoop_fs(spark, f"{index_path}/_meta.json")
+        if not fs.exists(mpath):
+            raise ValueError(
+                f"band index at {index_path} has no _meta.json — "
+                "append_batch_bands only accepts bands produced by "
+                "dedup_batch_against_index, which persists the "
+                "layout meta on first use")
+        cached = json.loads(_read_small_text(spark, fs, mpath))
+        _BAND_META_CACHE[index_path] = cached
+    want_len = int(cached["prefix_len"]) + 1  # 'p' + hex prefix
+    guarded = F.when(
+        F.length("bh_prefix") == want_len, F.col("bh_prefix")
+    ).otherwise(F.raise_error(F.concat(
+        F.lit(f"band-index layout mismatch at {index_path}: bh_prefix "
+              f"width != persisted prefix_len {cached['prefix_len']} "
+              "(got '"), F.col("bh_prefix"), F.lit("')"))))
     (bands.withColumn("src_batch", F.lit(batch_id))
+     .withColumn("bh_prefix", guarded)
      .repartition(F.col("band_id"), F.col("bh_prefix"))
      .write.mode("overwrite").partitionBy("band_id", "bh_prefix")
      .parquet(f"{index_path}/ingest_batch={batch_id}"))

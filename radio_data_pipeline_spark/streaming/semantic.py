@@ -197,6 +197,18 @@ def semantic_dedup_batch_against_index(
         raise ValueError(
             "meta required alongside caller-supplied centroids — pass "
             "the resolved dict train_semantic_centroids returned")
+    if path_mode and "n_cell_buckets" not in meta:
+        # no silent width default in path mode: the bucket width is
+        # baked into the on-disk layout, and a cached meta from
+        # train_semantic_centroids (which lacks the key) would file
+        # and prune with _DEFAULT_CELL_BUCKETS while the index was
+        # laid out with another width — silent duplicate admission.
+        # Pass the dict read_semantic_quantizer returns (or the one
+        # init_semantic_index resolved).
+        raise ValueError(
+            "caller-supplied meta for a persisted index must carry "
+            "n_cell_buckets (the layout's bucket width) — use the "
+            "meta read_semantic_quantizer returns")
 
     a = assign_to_centroids(batch_df, centroids, vec_col=vec_col,
                             id_col=id_col,
@@ -238,9 +250,13 @@ def semantic_dedup_batch_against_index(
             # and drop entirely. The own ingest_batch partition is
             # also pruned, as planning-time shortcut for the common
             # uncompacted case.
+            # ~eqNullSafe: a NULL src_batch row (no versioned writer
+            # produces one; defense in depth) must stay visible —
+            # plain != would NULL out and hide it from the probe
             idx = (spark.read.parquet(index)
                    .filter(F.col("ingest_batch") != batch_id)
-                   .filter(F.col("src_batch") != batch_id))
+                   .filter(~F.col("src_batch")
+                           .eqNullSafe(F.lit(batch_id))))
     elif index is not None:
         idx = index
     if idx is not None:

@@ -52,7 +52,7 @@ def test_sample_window_pins_critical_families_in_first_50():
     # one representative per first-class family, by name
     for family in [
         {"dedup_exact"}, {"minhash_lsh_pairs"}, {"simhash_docs"},
-        {"ngram_jaccard_pairs"}, {"embedding_near_dup_lsh"},
+        {"embedding_near_dup_lsh"},
         {"cosine_topk"}, {"ivf_topk"}, {"pq_adc_topk"},
         {"negative_samples_per_anchor"}, {"hard_negatives_per_anchor"},
         {"events_constraint_report"}, {"events_column_profile"},
@@ -69,6 +69,9 @@ def test_sample_window_pins_critical_families_in_first_50():
         # incremental semantic dedup (streaming/semantic.py)
         {"exact_substring_spans"},
         {"semantic_dedup_survivors_incremental"},
+        # round-7 rotations (r6 VERDICT #5): the salted sessionize
+        # rewrite and the span-family stats query
+        {"events_sessionize_salted"}, {"substring_dedup_stats"},
     ]:
         assert family & window, f"family {family} outside sample window"
     # vector semantics family

@@ -327,3 +327,112 @@ def test_compaction_preserves_verdicts_and_bounds_dirs(spark, tmp_path):
     # nonnegative generation is a live batch id — refused
     with pytest.raises(ValueError):
         compact_band_index(spark, index, generation=3)
+
+
+def test_band_meta_persisted_and_validated(spark, tmp_path):
+    """The layout params are persisted as _meta.json at first kernel
+    use and every later probe/append is validated against them
+    (ADVICE r6 medium): a mismatched prefix_len or hash param raises
+    loudly instead of silently admitting duplicates."""
+    import json as _json
+
+    from radio_data_pipeline_spark.streaming.dedup import (
+        _BAND_META_CACHE, ensure_band_meta)
+
+    df = _corpus(spark, 30)
+    index = str(tmp_path / "meta_idx")
+    _, bands = dedup_batch_against_index(df, index, 0, prefix_len=3)
+    append_batch_bands(bands, index, 0)
+    bands.unpersist()
+    meta = _json.loads(open(f"{index}/_meta.json").read())
+    assert meta["prefix_len"] == 3 and meta["format_version"] == 1
+    assert meta["n_hashes"] == 8 and meta["band_size"] == 2
+
+    # probe with the default prefix_len (2) against the 3-wide layout
+    with pytest.raises(ValueError, match="layout mismatch"):
+        dedup_batch_against_index(df, index, 1)
+    # a mismatched hash parameter is just as fatal
+    with pytest.raises(ValueError, match="layout mismatch"):
+        dedup_batch_against_index(df, index, 1, prefix_len=3,
+                                  n_hashes=16)
+    # matching params keep working (cache hit path)
+    s, b = dedup_batch_against_index(df, index, 1, prefix_len=3)
+    assert s.count() == 0  # replayed corpus: all dropped
+    b.unpersist()
+
+    # validation also holds cold (fresh process would have no cache)
+    _BAND_META_CACHE.pop(index, None)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        ensure_band_meta(spark, index, 2, 8, 2, 3)
+
+
+def test_band_meta_refuses_legacy_index(spark, tmp_path):
+    """An index holding batches but no _meta.json predates the
+    versioned layout and is refused, not silently mis-probed."""
+    import os
+
+    df = _corpus(spark, 30)
+    index = str(tmp_path / "legacy_idx")
+    _, bands = dedup_batch_against_index(df, index, 0)
+    append_batch_bands(bands, index, 0)
+    bands.unpersist()
+    os.remove(f"{index}/_meta.json")
+    from radio_data_pipeline_spark.streaming.dedup import (
+        _BAND_META_CACHE)
+    _BAND_META_CACHE.pop(index, None)
+    with pytest.raises(ValueError, match="predates the versioned"):
+        dedup_batch_against_index(df, index, 1)
+    # append against a meta-less index is refused too
+    b2 = df.limit(5)
+    _, bands2 = dedup_batch_against_index(
+        b2, str(tmp_path / "other_idx"), 0)
+    with pytest.raises(ValueError, match="no _meta.json"):
+        append_batch_bands(bands2, index, 1)
+    bands2.unpersist()
+
+
+def test_band_append_rejects_mismatched_prefix_width(spark, tmp_path):
+    """append_batch_bands asserts bh_prefix width in-plan against the
+    persisted prefix_len — a bands frame built with another width
+    fails the write loudly (zero extra jobs on the matching path)."""
+    from pyspark.errors.exceptions.captured import (
+        SparkRuntimeException)
+
+    df = _corpus(spark, 30)
+    index = str(tmp_path / "width_idx")
+    _, bands = dedup_batch_against_index(df, index, 0)  # prefix_len=2
+    append_batch_bands(bands, index, 0)
+
+    from radio_data_pipeline_spark.streaming.dedup import (
+        _prefixed_bands)
+    wide = _prefixed_bands(df, "text", "doc_id", 8, 2, 3,
+                           prefix_len=3)
+    with pytest.raises(SparkRuntimeException, match="layout mismatch"):
+        append_batch_bands(wide, index, 1)
+    bands.unpersist()
+
+
+def test_null_src_batch_rows_still_witness(spark, tmp_path):
+    """Defense in depth (ADVICE r6 low): index rows with NULL
+    src_batch must stay visible to probes — plain != would NULL them
+    out and stop them witnessing duplicates."""
+    df = _corpus(spark, 30)
+    index = str(tmp_path / "null_idx")
+    _, bands = dedup_batch_against_index(df, index, 0)
+    append_batch_bands(bands, index, 0)
+    bands.unpersist()
+    # corrupt the index: null out src_batch in place
+    rows = (spark.read.parquet(index)
+            .withColumn("src_batch",
+                        F.lit(None).cast("int"))
+            .select("id", "band_id", "band_hash", "bh_prefix",
+                    "src_batch"))
+    rows.write.mode("overwrite").partitionBy("band_id", "bh_prefix") \
+        .parquet(f"{index}/ingest_batch=-1")
+    import shutil
+    shutil.rmtree(f"{index}/ingest_batch=0")
+    # replaying the same corpus as batch 1 must drop EVERY doc — the
+    # NULL-src rows are the only witnesses
+    s, b = dedup_batch_against_index(df, index, 1)
+    assert s.count() == 0
+    b.unpersist()

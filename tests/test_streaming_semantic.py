@@ -511,3 +511,69 @@ def test_compaction_preserves_verdicts_and_quantizer(spark, tmp_path):
     assert cents.count() > 0
     # idempotent: a second fold with only one generation is a no-op
     assert compact_semantic_index(spark, index) == 0
+
+
+def test_path_mode_requires_layout_width_in_meta(spark, tmp_path):
+    """Caller-supplied meta for a PERSISTED index must carry
+    n_cell_buckets (ADVICE r6 low): a cached meta straight from
+    train_semantic_centroids lacks the layout width, and silently
+    defaulting it would file/prune with a different width than the
+    index layout — duplicates admitted silently. Loud instead."""
+    from radio_data_pipeline_spark.functions.similarity import (
+        train_semantic_centroids)
+
+    df = _emb_corpus(spark, 30)
+    index = str(tmp_path / "sem_idx")
+    init_semantic_index(df, index, _K, lloyd_rounds=2)
+    _, rows = semantic_dedup_batch_against_index(df, index, 0, eps=_EPS)
+    append_semantic_batch(rows, index, 0)
+    rows.unpersist()
+
+    cents, resolved = train_semantic_centroids(df, _K, lloyd_rounds=2)
+    bad_meta = {"two_level": resolved["two_level"],
+                "coarse_clusters": resolved["coarse_clusters"]}
+    with pytest.raises(ValueError, match="n_cell_buckets"):
+        semantic_dedup_batch_against_index(
+            df, index, 1, centroids=cents, meta=bad_meta, eps=_EPS)
+    # the quantizer-read meta (which carries the width) keeps working
+    c2, m2 = read_semantic_quantizer(spark, index)
+    s, r2 = semantic_dedup_batch_against_index(
+        df, index, 1, centroids=c2, meta=m2, eps=_EPS)
+    assert s.count() == 0  # replayed corpus: all dropped
+    r2.unpersist()
+    # DataFrame mode (no persisted layout) still accepts width-less
+    # meta — there is no on-disk layout to diverge from
+    s3, r3 = semantic_dedup_batch_against_index(
+        df, None, 0, centroids=cents, meta=bad_meta, eps=_EPS)
+    assert s3.count() > 0
+    r3.unpersist()
+
+
+def test_incremental_registered_query_releases_caches(spark):
+    """The registered incremental query must not leak cached
+    partitions into the shared session (ADVICE r6 low): after the
+    result materializes, no persisted RDD it pinned may remain."""
+    import os
+
+    from radio_data_pipeline_spark.plans.arrays import (
+        semantic_dedup_survivors_incremental)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL",
+                            "/root/testdata/sf0.001")
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet()
+                 .toArray())
+    out = semantic_dedup_survivors_incremental(spark, sf_dir)
+    assert out.count() > 0
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet()
+                .toArray())
+    # localCheckpoint storage of the returned frame itself is context-
+    # cleaned on GC; persist()-pinned frames must already be gone
+    leaked = after - before
+    from pyspark.storagelevel import StorageLevel  # noqa: F401
+    sc = spark.sparkContext
+    jrdds = sc._jsc.getPersistentRDDs()
+    names = [str(jrdds.get(i).toString()) for i in leaked
+             if jrdds.containsKey(i)]
+    non_checkpoint = [n for n in names
+                      if "localcheckpoint" not in n.lower()]
+    assert not non_checkpoint, names
