@@ -517,7 +517,13 @@ def _assign_points(pv: DataFrame, cc: DataFrame, two_level: bool = False,
                   F.array_sort(F.collect_list(
                       F.struct("pos", "cval"))),
                   lambda s: s["cval"]).alias("cv")))
-    ccf = cc_arr.join(fine_cell, "cluster")
+    # corpus regime: merge-hint the k-row-vs-k-row cell filing join —
+    # at auto scale k grows with N (k = N/256), and the compressed
+    # stats the planner sees for either side are deceptively small
+    # (the measured requantize hazard); in the micro-batch regime the
+    # planner's choice over two bounded tables is fine either way
+    ccf = cc_arr.join(fine_cell if broadcast_points
+                      else fine_cell.hint("merge"), "cluster")
     if broadcast_points:
         # MICRO-BATCH regime (the serving kernel's explicit contract:
         # points are batch-bounded): broadcast the batch and its cell
@@ -546,9 +552,18 @@ def _assign_points(pv: DataFrame, cc: DataFrame, two_level: bool = False,
         cents_rep = ccf.withColumn(
             "_salt", F.explode(F.sequence(F.lit(0),
                                           F.lit(_FINE_SALT - 1))))
+        # merge hint: the explicit repartitions pin the co-partition,
+        # but AQE can still convert the join to broadcast-hash from
+        # RUNTIME compressed shuffle sizes — vector rows compress
+        # ~10:1, and a replicated centroid side that stats under the
+        # threshold serializes salt x k x d uncompressed through the
+        # driver (the measured maxResultSize failure mode). The hint
+        # removes the conversion; nothing in this join is ever
+        # broadcast-safe at index scale.
         pairs = (pts.repartition(F.col("cell"), F.col("_salt"))
                  .join(cents_rep.repartition(F.col("cell"),
-                                             F.col("_salt")),
+                                             F.col("_salt"))
+                       .hint("merge"),
                        ["cell", "_salt"]))
     d = pairs.select(
         "vec_id", "cluster",
@@ -634,7 +649,14 @@ def train_semantic_centroids(df: DataFrame, n_clusters: int,
 
     for _ in range(max(0, lloyd_rounds - 1)):
         a_t = _assign_points(v_train, c, two_level, coarse_clusters)
-        c = (a_t.join(r_train, "vec_id")
+        # two-level (= corpus-scale) regime: merge-hint the update
+        # join — BOTH sides scale with N (assignments and the
+        # exploded train set), and compressed stats can bait an
+        # auto-broadcast that dies at driver.maxResultSize (the
+        # measured requantize hazard). The flat small-k regime keeps
+        # the planner's choice — its plans back the pinned oracles.
+        upd = a_t.hint("merge") if two_level else a_t
+        c = (upd.join(r_train, "vec_id")
              .groupBy("cluster", "pos")
              .agg(F.avg("val").alias("cval")))
     resolved = {"two_level": two_level,

@@ -395,29 +395,24 @@ def requantize_semantic_index(spark: SparkSession, index_path: str,
     snapshots = {p.toString(): _dir_snapshot(fs, p) for p in sources}
     src_paths = [p.toString() for p in sources]
 
-    # Disable AUTO-broadcast for the whole op: every frame in this
-    # lineage is corpus-scaled, and post-distinct AQE stats see
-    # COMPRESSED shuffle bytes — embedding rows compress ~10:1, so a
-    # side that stats under the threshold serializes past
-    # spark.driver.maxResultSize while the broadcast is built
-    # (measured: the 2M x 64-d refile died at 1053 MiB of collected
-    # task results against the 1 GiB default). The library's
-    # EXPLICIT F.broadcast choices (the sqrt(k)-row coarse table,
-    # bounded seed tables) ignore the threshold and keep working.
-    # Conf save/restore is safe here: requantize is an offline op
-    # that must not run concurrently with other work on the session
-    # (same contract as compaction).
-    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        return _requantize_body(
-            spark, index_path, n_clusters, lloyd_rounds, train_fraction,
-            seed, two_level, coarse_clusters, seed_strategy,
-            n_cell_buckets, new_gen, fs, jpath, sources, snapshots,
-            src_paths, _pre_swap_hook)
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
-                       prev_thresh)
+    # Auto-broadcast hazard (measured: the 2M x 64-d refile died at
+    # 1053 MiB of collected task results against the 1 GiB
+    # driver.maxResultSize default — post-distinct AQE stats see
+    # COMPRESSED shuffle bytes, and embedding rows compress ~10:1) is
+    # handled with PER-JOIN merge hints on every corpus-scaled join
+    # in this lineage (the refile join below; the Lloyd update and
+    # two-level fine joins inside functions/similarity — hinted in
+    # their corpus regime), NOT by toggling
+    # spark.sql.autoBroadcastJoinThreshold session-wide: the session
+    # conf is left untouched, so concurrent queries on the same
+    # session keep their broadcast joins (r6 VERDICT #4). The
+    # library's EXPLICIT F.broadcast choices (the sqrt(k)-row coarse
+    # table, bounded seed tables) are unaffected either way.
+    return _requantize_body(
+        spark, index_path, n_clusters, lloyd_rounds, train_fraction,
+        seed, two_level, coarse_clusters, seed_strategy,
+        n_cell_buckets, new_gen, fs, jpath, sources, snapshots,
+        src_paths, _pre_swap_hook)
 
 
 def _requantize_body(spark, index_path, n_clusters, lloyd_rounds,

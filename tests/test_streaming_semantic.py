@@ -577,3 +577,32 @@ def test_incremental_registered_query_releases_caches(spark):
     non_checkpoint = [n for n in names
                       if "localcheckpoint" not in n.lower()]
     assert not non_checkpoint, names
+
+
+def test_requantize_leaves_session_conf_untouched(spark, tmp_path):
+    """r6 VERDICT #4: the auto-broadcast hazard is handled with
+    per-join merge hints, not a session-wide conf toggle — a
+    concurrent query on the same session must keep its broadcast
+    joins for the whole duration of the op. The _pre_swap_hook seam
+    observes the conf MID-operation (after the heavy fold, before
+    the quantizer swap)."""
+    df = _emb_corpus(spark, 60)
+    index = str(tmp_path / "conf_idx")
+    init_semantic_index(df, index, _K, lloyd_rounds=2)
+    for bid, chunk in enumerate(_chunks(df, 2, 60)):
+        _, rows = semantic_dedup_batch_against_index(
+            chunk, index, bid, eps=_EPS)
+        append_semantic_batch(rows, index, bid)
+        rows.unpersist()
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    before = spark.conf.get(key)
+    seen = {}
+
+    def hook():
+        seen["mid"] = spark.conf.get(key)
+
+    requantize_semantic_index(spark, index, _K * 2, lloyd_rounds=2,
+                              _pre_swap_hook=hook)
+    assert seen["mid"] == before, "conf was toggled during the op"
+    assert spark.conf.get(key) == before
