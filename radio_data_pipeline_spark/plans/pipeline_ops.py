@@ -1613,23 +1613,24 @@ def events_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cumulative share — 'the top 10% of customers carry X% of "
         "revenue', the concentration curve behind corpus source "
         "weighting and skew planning alike. The global ntile needs a "
-        "TOTAL ordering, but only over the per-customer AGGREGATE "
-        "(one row per customer, facts already reduced), so the "
-        "single-partition window sees dimension-scale data — the "
-        "same argument as every final ORDER BY; the decile re-agg "
-        "and share windows then run over exactly 10 rows. (If the "
-        "keyed aggregate itself ever reaches fact scale — billions "
-        "of customers — swap the rank/ntile for the two-pass "
-        "partition-offset builder in sources/layout.py dense_index, "
-        "which produces the same global positions with "
-        "bucket-parallel sorts.)",
+        "TOTAL ordering, delivered by the two-pass partition-offset "
+        "builder (sources/layout.global_ntile — deterministic range "
+        "buckets + per-bucket sorts + closed-form tile from the "
+        "global position): NO Exchange SinglePartition anywhere in "
+        "the plan, so the ranking stays bucket-parallel even if the "
+        "per-customer aggregate reaches fact scale. The decile "
+        "re-agg and share windows then run over exactly 10 rows "
+        "(bounded global window, adjudicated in PLANS.md).",
     tags=("window", "analytics", "distribution"),
 )
 def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.sources.layout import global_ntile
+
     orders = load_table(spark, sf_dir, "orders")
     c = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
-    d = c.withColumn("decile", F.ntile(10).over(
-        Window.orderBy(F.desc("rev"), "o_custkey")))
+    # rev DESC == -rev ASC (ties broken by custkey either way)
+    d = global_ntile(c, [-F.col("rev"), F.col("o_custkey")], 10,
+                     tile_col="decile")
     g = (d.groupBy("decile")
          .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
               F.sum("rev").alias("decile_rev")))
@@ -1775,16 +1776,23 @@ def lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "customer holds everything), via the rank formula "
         "G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending-ranked "
         "totals — the metric used to monitor corpus source balance "
-        "and revenue concentration alike. The global rank runs over "
-        "the per-customer aggregate (facts already reduced), then "
-        "one scalar aggregation.",
+        "and revenue concentration alike. The global rank is the "
+        "two-pass partition-offset builder "
+        "(sources/layout.global_row_number): identical positions, "
+        "no Exchange SinglePartition, bucket-parallel sorts — the "
+        "plan holds even when the keyed aggregate reaches fact "
+        "scale.",
     tags=("window", "analytics", "distribution"),
 )
 def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.sources.layout import (
+        global_row_number)
+
     orders = load_table(spark, sf_dir, "orders")
     c = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
-    r = c.select("rev", F.row_number().over(
-        Window.orderBy("rev", "o_custkey")).alias("i"))
+    r = global_row_number(
+        c, [F.col("rev"), F.col("o_custkey")], rank_col="i") \
+        .select("rev", "i")
     n, srev = F.count(F.lit(1)), F.sum("rev")
     return r.agg(
         n.cast("bigint").alias("n_customers"),
@@ -1828,13 +1836,18 @@ def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quintile-scored (deterministic custkey tie-breaks), then the "
         "standard champion/loyal/recent/at_risk/hibernating labels — "
         "the warehouse segmentation workload. Facts reduce to one row "
-        "per customer FIRST, so the three global ntile windows rank "
-        "only the dimension-sized aggregate (never raw orders), and "
-        "the corpus max date rides along as a one-row broadcast "
-        "aggregate, not a driver-side constant.",
+        "per customer FIRST; the three quintile scores come from the "
+        "two-pass partition-offset ntile builder "
+        "(sources/layout.global_ntile — bit-identical to the window "
+        "form, zero Exchange SinglePartition), so the plan holds at "
+        "any customer cardinality; the corpus max date rides along "
+        "as a one-row broadcast aggregate, not a driver-side "
+        "constant.",
     tags=("window", "analytics", "segmentation"),
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.sources.layout import global_ntile
+
     orders = load_table(spark, sf_dir, "orders")
     c = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -1844,12 +1857,14 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (c.crossJoin(F.broadcast(m))
          .withColumn("recency_days",
                      F.datediff("maxd", "last_order").cast("bigint")))
-    s = (s.withColumn("r_score", F.ntile(5).over(
-            Window.orderBy(F.desc("recency_days"), "o_custkey")))
-         .withColumn("f_score", F.ntile(5).over(
-            Window.orderBy("frequency", "o_custkey")))
-         .withColumn("m_score", F.ntile(5).over(
-            Window.orderBy("monetary", "o_custkey"))))
+    # DESC numeric orderings spelled as ASC negations; custkey breaks
+    # every tie, so the total order (and thus each score) is exact
+    s = global_ntile(s, [-F.col("recency_days"), F.col("o_custkey")],
+                     5, tile_col="r_score")
+    s = global_ntile(s, [F.col("frequency"), F.col("o_custkey")],
+                     5, tile_col="f_score")
+    s = global_ntile(s, [F.col("monetary"), F.col("o_custkey")],
+                     5, tile_col="m_score")
     segment = (
         F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4),
                "champion")

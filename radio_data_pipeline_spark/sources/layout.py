@@ -136,6 +136,137 @@ def dense_index(df: DataFrame, order_col: str, pos_col: str = "pos",
     )
 
 
+def global_row_number(df: DataFrame, order_cols: list,
+                      rank_col: str = "i",
+                      n_buckets: int | None = None,
+                      boundary_sample_rows: int = 200,
+                      boundary_sample_cap: int = 100_000,
+                      _n_rows: int | None = None) -> DataFrame:
+    """Append a 1-based global row_number ordered by the COMPOSITE
+    ascending key ``order_cols`` (list of Column expressions; wrap a
+    descending numeric column as its negation) WITHOUT an Exchange
+    SinglePartition — the multi-column generalization of
+    ``dense_index``, sharing its deterministic-boundary design: the
+    bucket is a pure expression over the row (boundaries are driver
+    constants sampled once), so re-evaluating the plan can never
+    re-shuffle rows across buckets the way ``repartitionByRange``'s
+    per-RDD-id sampling can between the offset-count job and the
+    final join.
+
+    The composite key rides as ONE struct column (Spark orders
+    structs lexicographically, exactly the multi-column ORDER BY),
+    so boundary comparison, bucketing, and the per-bucket window all
+    see the identical total order. The key must be unique and
+    non-null across ``order_cols`` (checked on the same count pass)
+    — the same contract as a deterministic global window, minus the
+    single task.
+
+    This is the scale-correct spelling of every "rank the keyed
+    aggregate globally" analytic (Gini, Pareto deciles, RFM scores):
+    the obvious ``row_number().over(Window.orderBy(...))`` funnels
+    the whole input through one task."""
+    spark = df.sparkSession
+    fields = [c.alias(f"_gk{j}") for j, c in enumerate(order_cols)]
+    keyed0 = df.withColumn("_gk", F.struct(*fields))
+    if _n_rows is None:
+        counts = keyed0.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.count(F.col(f"_gk._gk{j}")).alias(f"n{j}")
+              for j in range(len(order_cols))]).collect()[0]
+        n = counts["n"]
+        for j in range(len(order_cols)):
+            if counts[f"n{j}"] != n:
+                raise ValueError(
+                    f"global_row_number order column {j} has NULLs; "
+                    "a deterministic global rank requires non-null "
+                    "keys")
+    else:
+        n = _n_rows
+    if n == 0:
+        return (df.withColumn(rank_col, F.lit(None).cast("long"))
+                .limit(0))
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions",
+                                       "200"))
+    n_buckets = max(1, min(n_buckets, n))
+    target_sample = min(n_buckets * boundary_sample_rows,
+                        boundary_sample_cap)
+    fraction = min(1.0, target_sample / n)
+    sampled = sorted(
+        tuple(r[0]) for r in
+        keyed0.select("_gk").sample(False, fraction, seed=7).collect())
+    boundaries = []
+    for i in range(1, n_buckets):
+        if not sampled:
+            break
+        v = sampled[(i * len(sampled)) // n_buckets]
+        if not boundaries or v > boundaries[-1]:
+            boundaries.append(v)
+
+    def _lit_struct(vals):
+        return F.struct(*[F.lit(v).alias(f"_gk{j}")
+                          for j, v in enumerate(vals)])
+
+    terms = [(F.col("_gk") > _lit_struct(b)).cast("int")
+             for b in boundaries]
+    while len(terms) > 1:  # balanced tree — see dense_index
+        terms = [terms[i] + terms[i + 1]
+                 if i + 1 < len(terms) else terms[i]
+                 for i in range(0, len(terms), 2)]
+    bucket = terms[0] if terms else F.lit(0)
+    keyed = keyed0.withColumn("_db", bucket.cast("int"))
+    counts = dict(keyed.groupBy("_db").count().collect())
+    offsets, acc = [], 0
+    for b in range(len(boundaries) + 1):
+        offsets.append((b, acc))
+        acc += counts.get(b, 0)
+    off_df = spark.createDataFrame(offsets, "_db int, _off long")
+    from pyspark.sql import Window
+    w = Window.partitionBy("_db").orderBy("_gk")
+    return (
+        keyed.join(F.broadcast(off_df), "_db")
+        .withColumn(rank_col,
+                    (F.col("_off") + F.row_number().over(w))
+                    .cast("long"))
+        .drop("_db", "_off", "_gk")
+    )
+
+
+def global_ntile(df: DataFrame, order_cols: list, n_tiles: int,
+                 tile_col: str = "tile",
+                 n_buckets: int | None = None) -> DataFrame:
+    """SQL-exact ``ntile(n_tiles) OVER (ORDER BY order_cols)`` without
+    the single-partition window: the global row number comes from the
+    two-pass ``global_row_number`` builder, and the tile is the
+    closed-form ntile definition over (i, n) — with n = q*n_tiles + r,
+    the first r tiles hold q+1 rows and the rest q, so
+    ``tile = ceil(i/(q+1))`` while i <= r*(q+1), else
+    ``r + ceil((i - r*(q+1))/q)``. n is known driver-side from the
+    builder's count pass, so the tile is a pure scalar expression —
+    bit-identical to the window form on any unique total order."""
+    fields = [c.alias(f"_gk{j}") for j, c in enumerate(order_cols)]
+    counts = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.count(f) for f in fields]).collect()[0]
+    n = counts["n"]
+    if any(counts[j + 1] != n for j in range(len(order_cols))):
+        raise ValueError("global_ntile order columns must be non-null")
+    r = global_row_number(df, order_cols, rank_col="_gi",
+                          n_buckets=n_buckets, _n_rows=n)
+    if n == 0:
+        return r.withColumn(tile_col, F.lit(None).cast("int")) \
+                .drop("_gi")
+    q, rem = divmod(n, n_tiles)
+    i = F.col("_gi")
+    if q == 0:
+        tile = i  # n < n_tiles: first n tiles get one row each
+    else:
+        head = rem * (q + 1)
+        tile = F.when(i <= head, F.ceil(i / F.lit(q + 1))) \
+                .otherwise(rem + F.ceil((i - head) / F.lit(q)))
+    return r.withColumn(tile_col, tile.cast("int")).drop("_gi")
+
+
 def write_partitioned_dataset(df: DataFrame, path: str,
                               partition_cols: list[str],
                               coalesce_per_partition: bool = True,

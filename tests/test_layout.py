@@ -617,3 +617,76 @@ def test_knn_join_indexed_bucket_cap_equals_inline_cap(
                                n_probes=2, seed=7, bucket_cap=16)
     assert sorted(map(tuple, indexed.collect())) \
         == sorted(map(tuple, inline.collect()))
+
+
+# --- global_row_number / global_ntile: composite-key two-pass
+#     ranking (r6 VERDICT #3 — the global-window rewrite builders) ---
+
+
+def test_global_row_number_matches_window(spark):
+    """Two-pass composite-key rank == row_number().over(orderBy(...))
+    including a descending component spelled as a negation and ties
+    broken by the second column."""
+    from pyspark.sql import Window
+
+    from radio_data_pipeline_spark.sources.layout import (
+        global_row_number)
+
+    rows = [(i, float((i * 7) % 13), f"s{i%5}") for i in range(137)]
+    df = spark.createDataFrame(rows, "k long, v double, tag string")
+    expect = {r["k"]: r["i"] for r in df.withColumn(
+        "i", F.row_number().over(
+            Window.orderBy(F.desc("v"), "k"))).collect()}
+    got = {r["k"]: r["i"] for r in global_row_number(
+        df, [-F.col("v"), F.col("k")], rank_col="i",
+        n_buckets=8).collect()}
+    assert got == expect
+    # payload survives; helper columns dropped
+    out = global_row_number(df, [F.col("v"), F.col("k")])
+    assert set(out.columns) == {"k", "v", "tag", "i"}
+    # null key rejected loudly (silent row loss otherwise)
+    ndf = spark.createDataFrame([(1, 1.0), (2, None)],
+                                "k long, v double")
+    with pytest.raises(ValueError, match="NULL"):
+        global_row_number(ndf, [F.col("v"), F.col("k")])
+
+
+@pytest.mark.parametrize("n,k", [(137, 5), (10, 10), (3, 5), (40, 4)])
+def test_global_ntile_matches_window_ntile(spark, n, k):
+    """Closed-form tile from the two-pass global position ==
+    ntile(k) OVER (ORDER BY ...) exactly, across even splits, ragged
+    splits, and n < k."""
+    from pyspark.sql import Window
+
+    from radio_data_pipeline_spark.sources.layout import global_ntile
+
+    rows = [(i, float((i * 11) % 29)) for i in range(n)]
+    df = spark.createDataFrame(rows, "key long, v double")
+    expect = {r["key"]: r["t"] for r in df.withColumn(
+        "t", F.ntile(k).over(Window.orderBy("v", "key"))).collect()}
+    got = {r["key"]: r["tile"] for r in global_ntile(
+        df, [F.col("v"), F.col("key")], k, n_buckets=7).collect()}
+    assert got == expect
+
+
+def test_global_rank_builders_no_single_partition(spark, sf_dir):
+    """The point of the builders — and of the three round-7 query
+    rewrites: no Exchange SinglePartition anywhere; the unbounded
+    ranking work is partitioned by the deterministic range bucket."""
+    from radio_data_pipeline_spark.plans.registry import all_queries
+    from radio_data_pipeline_spark.sources.layout import (
+        global_row_number)
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    out = global_row_number(emb, [F.col("vec_id")], n_buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(_db" in plan
+
+    q = all_queries()
+    for name in ["orders_gini_coefficient", "customer_rfm_segments"]:
+        qplan = q[name](spark, sf_dir)._jdf.queryExecution() \
+            .executedPlan().toString()
+        for line in qplan.splitlines():
+            if "Window [" in line:
+                assert "_db" in line, (name, line)

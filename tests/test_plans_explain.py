@@ -428,3 +428,50 @@ def test_queries_md_count_matches_registry():
     assert len(headers) == len(_SPECS), (
         f"QUERIES.md has {len(headers)} entries but the registry has "
         f"{len(_SPECS)} queries — run: python tools/list_queries.py")
+
+
+# bounded-input global windows (r6 VERDICT #3): every query whose
+# plan contains a WindowExec with NO partition spec must appear here
+# with the justification for why its window input is BOUNDED — one
+# task sees the whole input, so "bounded" must hold at ANY corpus
+# size, not just the test scale. Adding a query here requires the
+# same adjudication the header of PLANS.md records.
+_BOUNDED_GLOBAL_WINDOWS = {
+    # cumulative-share windows over the 10-row decile re-aggregate
+    "orders_pareto_share",
+    # rolling frame over the per-calendar-day series (time-bounded)
+    "rolling_median_daily_revenue",
+}
+
+
+def test_global_windows_confined_to_bounded_allowlist():
+    """No registered query may rank an UNBOUNDED input through an
+    unpartitioned window (Exchange SinglePartition over the corpus).
+    Pinned via the committed PLANS.md gwin column (regenerated each
+    round, row-count drift-guarded above): the set of global-window
+    queries must be a subset of the bounded-input allowlist. The
+    three customer-ranking analytics were rewritten onto the
+    two-pass global_row_number/global_ntile builders in round 7 and
+    must never reappear here."""
+    import pathlib
+    import re
+
+    text = pathlib.Path(__file__).resolve().parent.parent \
+        .joinpath("PLANS.md").read_text()
+    gwin = set()
+    for ln in text.splitlines():
+        m = re.match(r"^\| ([a-z0-9_]+) \| \d+ \|", ln)
+        if not m:
+            continue
+        cells = [c.strip() for c in ln.split("|")]
+        # cells: '', name, shuffles, range, bcast, py, topk,
+        #        pushdown, gwin, red, ''
+        if len(cells) >= 10 and cells[8]:
+            gwin.add(m.group(1))
+    assert "gwin" in text, "PLANS.md predates the gwin column — " \
+        "run: python tools/audit_plans.py"
+    assert gwin <= _BOUNDED_GLOBAL_WINDOWS, (
+        f"unadjudicated global windows: "
+        f"{sorted(gwin - _BOUNDED_GLOBAL_WINDOWS)} — either rewrite "
+        "onto sources/layout.global_row_number/global_ntile or "
+        "justify boundedness here and in tools/audit_plans.py")
