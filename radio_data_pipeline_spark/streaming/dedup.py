@@ -48,6 +48,7 @@ attempt.
 from __future__ import annotations
 
 import json
+from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -317,6 +318,72 @@ def append_batch_bands(bands: DataFrame, index_path: str,
      .parquet(f"{index_path}/ingest_batch={batch_id}"))
 
 
+_LEASE_NAME = "_maintenance.lease"
+# a maintenance op (compaction, requantize) that died without
+# releasing its lease stops blocking successors after this long —
+# generous against the measured op durations (requantize at 1000x:
+# ~8 min) while keeping a crashed-op lockout bounded
+_LEASE_TTL_SECONDS = 3600.0
+
+
+@_contextmanager
+def maintenance_lease(spark: SparkSession, index_path: str, op: str,
+                      ttl_seconds: float = _LEASE_TTL_SECONDS):
+    """Single-maintainer exclusion for offline index maintenance: a
+    sentinel lease file under the index root, created
+    fail-if-exists, deleted on exit. Both compactors and requantize
+    acquire it, so two maintenance ops can no longer START
+    concurrently — before this, the snapshot guards only refused to
+    COMMIT over a racing writer, and the documented single-maintainer
+    contract was unenforced (r6 VERDICT #7). Staleness is judged by
+    the lease FILE's modification time (robust to a crash mid-write,
+    no content parsing on the hot path): a lease older than
+    ``ttl_seconds`` is presumed crashed, deleted, and re-acquired.
+    The JSON payload (op name, acquire time) is for operators
+    debugging a stuck lease, not for the protocol."""
+    import time
+
+    fs, _ = _hadoop_fs(spark, index_path)
+    _, lpath = _hadoop_fs(spark, f"{index_path}/{_LEASE_NAME}")
+
+    def _try_create() -> bool:
+        try:
+            out = fs.create(lpath, False)
+        except Exception:
+            return False
+        try:
+            out.write(bytearray(json.dumps(
+                {"op": op, "acquired_at": time.time()}).encode()))
+        finally:
+            out.close()
+        return True
+
+    if not _try_create():
+        age = None
+        if fs.exists(lpath):
+            age = (time.time()
+                   - fs.getFileStatus(lpath).getModificationTime()
+                   / 1000.0)
+        if age is not None and age <= ttl_seconds:
+            raise RuntimeError(
+                f"maintenance lease at {index_path}/{_LEASE_NAME} is "
+                f"held ({age:.0f}s old, ttl {ttl_seconds:.0f}s) — "
+                f"another maintenance op is running on this index; "
+                f"{op} refuses to start. If the holder crashed, wait "
+                "out the ttl or delete the lease file")
+        # stale (or vanished between create and stat): break it once
+        fs.delete(lpath, False)
+        if not _try_create():
+            raise RuntimeError(
+                f"maintenance lease at {index_path}/{_LEASE_NAME} "
+                f"was re-acquired by a racing op while breaking a "
+                f"stale lease; {op} refuses to start")
+    try:
+        yield
+    finally:
+        fs.delete(lpath, False)
+
+
 def _dir_snapshot(fs, path) -> list[tuple[str, int, int]]:
     """Sorted (path, length, mtime) of every file under ``path`` —
     metadata-only (no data read), the compactor's cheap change
@@ -391,6 +458,15 @@ def _compact_ingest_index(spark: SparkSession, index_path: str,
     if generation >= 0:
         raise ValueError("compaction generation must be negative — "
                          "nonnegative ids are live foreachBatch ids")
+    with maintenance_lease(spark, index_path, "compaction"):
+        return _compact_ingest_index_locked(
+            spark, index_path, data_cols, partition_cols, generation,
+            _post_fold_hook)
+
+
+def _compact_ingest_index_locked(spark, index_path, data_cols,
+                                 partition_cols, generation,
+                                 _post_fold_hook) -> int:
     fs, _, sources = _ingest_dirs(spark, index_path)
     gen_ids = [int(p.getName().split("=", 1)[1]) for p in sources]
     n_gens = sum(1 for g in gen_ids if g < 0)

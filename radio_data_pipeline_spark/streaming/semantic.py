@@ -382,37 +382,45 @@ def requantize_semantic_index(spark: SparkSession, index_path: str,
        complete; leftover old-cell rows are extra candidates only.
 
     Returns the number of source directories folded and deleted."""
-    from .dedup import _dir_snapshot, _ingest_dirs, _next_generation
+    from .dedup import (
+        _dir_snapshot,
+        _ingest_dirs,
+        _next_generation,
+        maintenance_lease,
+    )
 
     if generation >= 0:
         raise ValueError("requantize generation must be negative — "
                          "nonnegative ids are live foreachBatch ids")
-    fs, jpath, sources = _ingest_dirs(spark, index_path)
-    if not sources:
-        raise ValueError(f"semantic index at {index_path} has no "
-                         "ingested batches to requantize from")
-    new_gen = _next_generation(sources, generation)
-    snapshots = {p.toString(): _dir_snapshot(fs, p) for p in sources}
-    src_paths = [p.toString() for p in sources]
+    with maintenance_lease(spark, index_path, "requantize"):
+        fs, jpath, sources = _ingest_dirs(spark, index_path)
+        if not sources:
+            raise ValueError(f"semantic index at {index_path} has no "
+                             "ingested batches to requantize from")
+        new_gen = _next_generation(sources, generation)
+        snapshots = {p.toString(): _dir_snapshot(fs, p)
+                     for p in sources}
+        src_paths = [p.toString() for p in sources]
 
-    # Auto-broadcast hazard (measured: the 2M x 64-d refile died at
-    # 1053 MiB of collected task results against the 1 GiB
-    # driver.maxResultSize default — post-distinct AQE stats see
-    # COMPRESSED shuffle bytes, and embedding rows compress ~10:1) is
-    # handled with PER-JOIN merge hints on every corpus-scaled join
-    # in this lineage (the refile join below; the Lloyd update and
-    # two-level fine joins inside functions/similarity — hinted in
-    # their corpus regime), NOT by toggling
-    # spark.sql.autoBroadcastJoinThreshold session-wide: the session
-    # conf is left untouched, so concurrent queries on the same
-    # session keep their broadcast joins (r6 VERDICT #4). The
-    # library's EXPLICIT F.broadcast choices (the sqrt(k)-row coarse
-    # table, bounded seed tables) are unaffected either way.
-    return _requantize_body(
-        spark, index_path, n_clusters, lloyd_rounds, train_fraction,
-        seed, two_level, coarse_clusters, seed_strategy,
-        n_cell_buckets, new_gen, fs, jpath, sources, snapshots,
-        src_paths, _pre_swap_hook)
+        # Auto-broadcast hazard (measured: the 2M x 64-d refile died
+        # at 1053 MiB of collected task results against the 1 GiB
+        # driver.maxResultSize default — post-distinct AQE stats see
+        # COMPRESSED shuffle bytes, and embedding rows compress
+        # ~10:1) is handled with PER-JOIN merge hints on every
+        # corpus-scaled join in this lineage (the refile join below;
+        # the Lloyd update and two-level fine joins inside
+        # functions/similarity — hinted in their corpus regime), NOT
+        # by toggling spark.sql.autoBroadcastJoinThreshold
+        # session-wide: the session conf is left untouched, so
+        # concurrent queries on the same session keep their broadcast
+        # joins (r6 VERDICT #4). The library's EXPLICIT F.broadcast
+        # choices (the sqrt(k)-row coarse table, bounded seed tables)
+        # are unaffected either way.
+        return _requantize_body(
+            spark, index_path, n_clusters, lloyd_rounds,
+            train_fraction, seed, two_level, coarse_clusters,
+            seed_strategy, n_cell_buckets, new_gen, fs, jpath,
+            sources, snapshots, src_paths, _pre_swap_hook)
 
 
 def _requantize_body(spark, index_path, n_clusters, lloyd_rounds,

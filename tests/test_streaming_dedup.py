@@ -436,3 +436,51 @@ def test_null_src_batch_rows_still_witness(spark, tmp_path):
     s, b = dedup_batch_against_index(df, index, 1)
     assert s.count() == 0
     b.unpersist()
+
+
+def test_maintenance_lease_excludes_concurrent_ops(spark, tmp_path):
+    """r6 VERDICT #7: two maintenance ops can no longer START
+    concurrently — a second op fails fast while the first holds the
+    lease (observed MID-op via the _post_fold_hook seam), a crashed
+    op's stale lease is broken after the TTL, and a fresh foreign
+    lease blocks."""
+    import os
+    import time
+
+    df = _corpus(spark, 60)
+    index = str(tmp_path / "lease_idx")
+    for bid, chunk in enumerate(_chunks(df, 2, 60)):
+        _, bands = dedup_batch_against_index(chunk, index, bid)
+        append_batch_bands(bands, index, bid)
+        bands.unpersist()
+
+    # a second compaction STARTED while the first is mid-fold raises
+    hits = {}
+
+    def second_op():
+        try:
+            compact_band_index(spark, index)
+        except RuntimeError as e:
+            hits["err"] = str(e)
+
+    assert compact_band_index(spark, index,
+                              _post_fold_hook=second_op) == 2
+    assert "lease" in hits["err"]
+    # lease released after the op: a fresh compaction is a no-op run
+    assert not os.path.exists(f"{index}/_maintenance.lease")
+    assert compact_band_index(spark, index) == 0
+
+    # fresh foreign lease (simulated crash 10s ago): fail fast
+    lease = f"{index}/_maintenance.lease"
+    with open(lease, "w") as f:
+        f.write('{"op": "requantize"}')
+    with pytest.raises(RuntimeError, match="lease"):
+        compact_band_index(spark, index)
+    # stale lease (mtime beyond ttl): broken and the op proceeds
+    old = time.time() - 7200
+    os.utime(lease, (old, old))
+    _, bands = dedup_batch_against_index(df.limit(5), index, 7)
+    append_batch_bands(bands, index, 7)
+    bands.unpersist()
+    assert compact_band_index(spark, index) == 2
+    assert not os.path.exists(lease)

@@ -606,3 +606,37 @@ def test_requantize_leaves_session_conf_untouched(spark, tmp_path):
                               _pre_swap_hook=hook)
     assert seen["mid"] == before, "conf was toggled during the op"
     assert spark.conf.get(key) == before
+
+
+def test_requantize_and_compaction_mutually_exclude(spark, tmp_path):
+    """Requantize and compaction share the maintenance lease: a
+    compaction attempted while requantize is mid-op (the
+    _pre_swap_hook seam) fails fast, and the lease is released
+    afterwards."""
+    import os
+
+    df = _emb_corpus(spark, 60)
+    index = str(tmp_path / "lease_sem_idx")
+    init_semantic_index(df, index, _K, lloyd_rounds=2)
+    for bid, chunk in enumerate(_chunks(df, 2, 60)):
+        _, rows = semantic_dedup_batch_against_index(
+            chunk, index, bid, eps=_EPS)
+        append_semantic_batch(rows, index, bid)
+        rows.unpersist()
+
+    hits = {}
+
+    def racing_compaction():
+        try:
+            compact_semantic_index(spark, index)
+        except RuntimeError as e:
+            hits["err"] = str(e)
+
+    requantize_semantic_index(spark, index, _K * 2, lloyd_rounds=2,
+                              _pre_swap_hook=racing_compaction)
+    assert "lease" in hits["err"]
+    assert not os.path.exists(f"{index}/_maintenance.lease")
+    # probes keep working with leftover underscore files around
+    s, r = semantic_dedup_batch_against_index(df, index, 9, eps=_EPS)
+    assert s.count() == 0
+    r.unpersist()
