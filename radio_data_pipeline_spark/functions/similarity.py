@@ -29,6 +29,27 @@ def dot_product(a: Column, b: Column) -> Column:
                        F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _dot_double(a: Column, b: Column) -> Column:
+    """``dot_product`` for inputs ALREADY array<double> (a kernel
+    invariant wherever rows were built through ``_as_double``): the
+    public form's per-side cast transform is a value no-op there but
+    still allocates and copies an array per pair per side in the
+    interpreted HOF tier — measured ~15% of the serving probe's pair
+    filter. Same value bit-for-bit; callers own the dtype guarantee."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+# Measured negative result (round 7): expanding dot_product to a
+# flat a[1]*b[1]+...+a[d]*b[d] codegen expression (try_element_at
+# terms, left-associated adds — bit-identical to the fold) ran 3x
+# SLOWER than the interpreted fold on the serving probe's pair
+# filter at d=64 / 8.6M pairs: codegen splits the chain into d
+# non-inlinable methods of bounds-checked array accessors, while
+# zip_with/aggregate runs one specialized loop over the primitive
+# array. Don't re-try without new evidence.
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(_as_double(a), F.lit(0.0),
                               lambda acc, x: acc + x * x))
@@ -441,9 +462,145 @@ def _nearest_label(pts: DataFrame, cents: DataFrame,
             .filter(F.col("rn") == 1).select("vec_id", label))
 
 
+def _argmin_label(d: DataFrame, label: str) -> DataFrame:
+    """Per-vec_id argmin over (vec_id, label, d2) rows via
+    ``min(struct(d2, label))`` — the lexicographic struct min IS the
+    ``orderBy(d2, label) . first`` tiebreak, with two plan advantages
+    over the window form: the partial min combines map-side (a vec's
+    pair rows share a partition after every join above, so the
+    argmin shuffle carries N one-row partials instead of N·k pair
+    rows), and there is no per-partition sort."""
+    return (d.groupBy("vec_id")
+            .agg(F.min(F.struct(F.col("d2"), F.col(label)))
+                 .alias("_m"))
+            .select("vec_id", F.col(f"_m.{label}").alias(label)))
+
+
+def _centroid_array_form(cc: DataFrame, label: str) -> DataFrame:
+    """(label, pos, cval) exploded centroids -> (label, cv array)."""
+    return (cc.groupBy(label)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"]).alias("cv")))
+
+
+def _nearest_label_small(pv: DataFrame, cents_arr: DataFrame,
+                         label: str) -> DataFrame:
+    """Micro-batch nearest-centroid: batch (vec_id, v array) cross-
+    joined against the BROADCAST (label, cv array) table, one fold
+    per (point, centroid) pair, ``_argmin_label`` pick. Replaces the
+    exploded ``_nearest_label`` join for batch-bounded inputs only —
+    the exploded form moves |batch|·k·d joined rows through a
+    partial-agg shuffle per micro-batch (10M rows for a 2k batch at
+    k=79), where this form evaluates |batch|·k folds in place with
+    nothing shuffled but the one-row-per-point argmin partials.
+    The fold sums (x-y)^2 in position order; on exact centroid-
+    distance ties the argmin can differ from the exploded form's
+    hash-agg order (the documented two-level float note — exact FP
+    ties between DISTINCT centroids, not merely duplicated points).
+    Never use for corpus-sized inputs: the cross join replicates the
+    batch into every scan task, bounded only by the micro-batch
+    contract."""
+    pairs = pv.crossJoin(F.broadcast(cents_arr))
+    d = pairs.select(
+        "vec_id", label,
+        F.aggregate(F.zip_with("v", "cv",
+                               lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, x: acc + x).alias("d2"))
+    return _argmin_label(d, label)
+
+
+def prepare_assignment(cc: DataFrame, two_level: bool,
+                       coarse_clusters: int | None) -> dict:
+    """Precompute (and Spark-persist) every quantizer-DERIVED table
+    ``_assign_points`` needs — the exploded centroids, and in
+    two-level mode the coarse table, the fine-cell filing, and the
+    compact centroid-array join table — so a serving loop pays the
+    k-row prep ONCE instead of per micro-batch. Rebuilding these per
+    call was measured at ~0.5 s/batch of pure fixed cost in the
+    incremental-ingest serving path (r6 VERDICT #1): the tables
+    depend only on the FROZEN quantizer, never on the batch.
+
+    Returns an opaque dict for ``assign_to_centroids(...,
+    prepared=...)`` / ``_assign_points(..., prepared=...)``. The
+    caller owns the caches: call ``release_assignment`` when done,
+    and rebuild after any requantize (the tables embed the old
+    centroids)."""
+    cc = cc.persist()
+    prep = {"cc": cc, "two_level": bool(two_level),
+            "coarse_clusters": coarse_clusters, "_persisted": [cc]}
+    if two_level:
+        if coarse_clusters is None:
+            raise ValueError(
+                "two_level assignment requires coarse_clusters")
+        coarse, ccf = _quantizer_tables(cc, coarse_clusters)
+        coarse = coarse.persist()
+        ccf = ccf.persist()
+        coarse_arr = _centroid_array_form(coarse, "cell").persist()
+        # eager: a serving loop should pay the prep here, not inside
+        # its first micro-batch
+        coarse.count()
+        ccf.count()
+        coarse_arr.count()
+        prep["coarse"] = coarse
+        prep["ccf"] = ccf
+        prep["coarse_arr"] = coarse_arr
+        prep["_persisted"] += [coarse, ccf, coarse_arr]
+    else:
+        cc_arr = _centroid_array_form(cc, "cluster").persist()
+        cc.count()
+        cc_arr.count()
+        prep["cc_arr"] = cc_arr
+        prep["_persisted"].append(cc_arr)
+    return prep
+
+
+def release_assignment(prep: dict) -> None:
+    """Unpersist every frame ``prepare_assignment`` pinned."""
+    for df in prep.get("_persisted", []):
+        df.unpersist()
+
+
+def _quantizer_tables(cc: DataFrame, coarse_clusters: int,
+                      merge_hint: bool = False
+                      ) -> tuple[DataFrame, DataFrame]:
+    """The two quantizer-derived tables of the two-level assignment:
+    ``coarse`` (cell, pos, cval — the ~sqrt(k)-row coarse quantizer:
+    the coarse_clusters smallest fine-cluster ids stand in as cell
+    representatives, deterministic, and a cell always contains at
+    least its own representative) and ``ccf`` (cluster, cv array,
+    cell — every fine centroid in compact array form filed under its
+    nearest cell). ``merge_hint`` pins the k-row cell-filing join to
+    SMJ for the CORPUS regime — at auto scale k grows with N and the
+    planner's compressed-size stats are deceptively small (the
+    measured requantize hazard); the prepared/serving path persists
+    the bounded tables instead and keeps the planner's choice."""
+    cells = (cc.select("cluster").distinct()
+             .orderBy("cluster").limit(coarse_clusters)
+             .select(F.col("cluster").alias("cell")))
+    coarse = (cc.join(F.broadcast(cells),
+                      F.col("cluster") == F.col("cell"))
+              .select("cell", "pos", "cval"))
+    # file every fine centroid under its nearest cell (k rows)
+    fine_cell = _nearest_label(
+        cc.select(F.col("cluster").alias("vec_id"), "pos",
+                  F.col("cval").alias("val")),
+        F.broadcast(coarse), "cell").withColumnRenamed(
+        "vec_id", "cluster")
+    cc_arr = (cc.groupBy("cluster")
+              .agg(F.transform(
+                  F.array_sort(F.collect_list(
+                      F.struct("pos", "cval"))),
+                  lambda s: s["cval"]).alias("cv")))
+    ccf = cc_arr.join(fine_cell.hint("merge") if merge_hint
+                      else fine_cell, "cluster")
+    return coarse, ccf
+
+
 def _assign_points(pv: DataFrame, cc: DataFrame, two_level: bool = False,
                    coarse_clusters: int | None = None,
-                   broadcast_points: bool = False) -> DataFrame:
+                   broadcast_points: bool = False,
+                   prepared: dict | None = None) -> DataFrame:
     """Assign COMPACT points ``pv`` (vec_id, v array) to centroids
     ``cc`` (cluster, pos, cval). Flat mode broadcasts the centroid
     table (bounded k only); two-level mode routes through a
@@ -465,31 +622,40 @@ def _assign_points(pv: DataFrame, cc: DataFrame, two_level: bool = False,
     so the d2 aggregation shuffled ~11e9 uncombined partials and
     filled the disk. The vec_id join is merge-hinted — both sides
     scale with N, so no broadcast is ever correct at index scale."""
-    rr = pv.select("vec_id", F.posexplode("v").alias("pos", "val"))
+    if prepared is not None:
+        two_level = prepared["two_level"]
+        coarse_clusters = prepared["coarse_clusters"]
+        cc = prepared["cc"]
     if not two_level:
+        if broadcast_points:
+            # micro-batch flat: |batch|·k folds in place instead of
+            # the |batch|·k·d exploded join (see _nearest_label_small)
+            cc_arr = (prepared["cc_arr"] if prepared is not None
+                      else _centroid_array_form(cc, "cluster"))
+            return _nearest_label_small(pv, cc_arr, "cluster")
+        rr = pv.select("vec_id", F.posexplode("v").alias("pos", "val"))
         return _nearest_label(rr, F.broadcast(cc), "cluster")
     if coarse_clusters is None:
         raise ValueError("two_level assignment requires coarse_clusters")
-    from pyspark.sql import Window
 
-    # coarse quantizer: the coarse_clusters smallest fine-cluster
-    # ids stand in as cell representatives (deterministic, and a
-    # cell always contains at least its own representative)
-    cells = (cc.select("cluster").distinct()
-             .orderBy("cluster").limit(coarse_clusters)
-             .select(F.col("cluster").alias("cell")))
-    coarse = (cc.join(F.broadcast(cells),
-                      F.col("cluster") == F.col("cell"))
-              .select("cell", "pos", "cval"))
-    # file every fine centroid under its nearest cell (k rows)
-    fine_cell = _nearest_label(
-        cc.select(F.col("cluster").alias("vec_id"), "pos",
-                  F.col("cval").alias("val")),
-        F.broadcast(coarse), "cell").withColumnRenamed(
-        "vec_id", "cluster")
-    # point -> nearest cell (N x sqrt(k) x d partials; coarse table
-    # broadcast — it is sqrt(k)·d rows, bounded)
-    p_cell = _nearest_label(rr, F.broadcast(coarse), "cell")
+    if prepared is not None:
+        # serving path: the quantizer-derived tables were built and
+        # persisted ONCE by prepare_assignment — per-batch cost is
+        # just the batch-sized joins below
+        coarse, ccf = prepared["coarse"], prepared["ccf"]
+    else:
+        coarse, ccf = _quantizer_tables(cc, coarse_clusters,
+                                        merge_hint=not broadcast_points)
+    if broadcast_points:
+        # micro-batch coarse step in the same array form
+        coarse_arr = (prepared["coarse_arr"] if prepared is not None
+                      else _centroid_array_form(coarse, "cell"))
+        p_cell = _nearest_label_small(pv, coarse_arr, "cell")
+    else:
+        # point -> nearest cell (N x sqrt(k) x d partials; coarse
+        # table broadcast — it is sqrt(k)·d rows, bounded)
+        rr = pv.select("vec_id", F.posexplode("v").alias("pos", "val"))
+        p_cell = _nearest_label(rr, F.broadcast(coarse), "cell")
     # Fine assignment only within the probed cell — in COMPACT array
     # form, end to end. The exploded alternatives all fail at scale,
     # each measured at the 2M x 64-d requantize: joining the exploded
@@ -512,18 +678,6 @@ def _assign_points(pv: DataFrame, cc: DataFrame, two_level: bool = False,
     # (equally nearest) cluster. Cluster boundaries are already
     # approximate in two-level mode (see the docstring contract);
     # flat mode — every pinned oracle — is untouched.
-    cc_arr = (cc.groupBy("cluster")
-              .agg(F.transform(
-                  F.array_sort(F.collect_list(
-                      F.struct("pos", "cval"))),
-                  lambda s: s["cval"]).alias("cv")))
-    # corpus regime: merge-hint the k-row-vs-k-row cell filing join —
-    # at auto scale k grows with N (k = N/256), and the compressed
-    # stats the planner sees for either side are deceptively small
-    # (the measured requantize hazard); in the micro-batch regime the
-    # planner's choice over two bounded tables is fine either way
-    ccf = cc_arr.join(fine_cell if broadcast_points
-                      else fine_cell.hint("merge"), "cluster")
     if broadcast_points:
         # MICRO-BATCH regime (the serving kernel's explicit contract:
         # points are batch-bounded): broadcast the batch and its cell
@@ -570,9 +724,12 @@ def _assign_points(pv: DataFrame, cc: DataFrame, two_level: bool = False,
         F.aggregate(F.zip_with("v", "cv",
                                lambda x, y: (x - y) * (x - y)),
                     F.lit(0.0), lambda acc, x: acc + x).alias("d2"))
-    w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
-    return (d.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1).select("vec_id", "cluster"))
+    # min(struct) argmin (see _argmin_label): a vec's pair rows share
+    # a partition after either join above — the earlier window form
+    # shuffled and sorted all N·~sqrt(k) pair rows to pick one, this
+    # combines to one row per vec map-side. Same (d2, cluster)
+    # lexicographic tiebreak, d2 untouched.
+    return _argmin_label(d, "cluster")
 
 
 def train_semantic_centroids(df: DataFrame, n_clusters: int,
@@ -670,7 +827,8 @@ def assign_to_centroids(df: DataFrame, centroids: DataFrame,
                         id_col: str = "vec_id",
                         two_level: bool = False,
                         coarse_clusters: int | None = None,
-                        points_are_small: bool = False) -> DataFrame:
+                        points_are_small: bool = False,
+                        prepared: dict | None = None) -> DataFrame:
     """Assign each row of ``df`` to its nearest centroid from an
     exploded (cluster, pos, cval) table (train_semantic_centroids
     output, or a persisted copy of one). Returns (vec_id, cluster).
@@ -680,11 +838,14 @@ def assign_to_centroids(df: DataFrame, centroids: DataFrame,
     the accumulated corpus. ``points_are_small`` is the micro-batch
     contract (bounded input): the two-level fine stage broadcasts the
     batch instead of paying the corpus-scale sort/salt machinery —
-    never set it for corpus-sized inputs."""
+    never set it for corpus-sized inputs. ``prepared`` (from
+    prepare_assignment) supplies the persisted quantizer-derived
+    tables so a serving loop skips the per-call rebuild."""
     v = df.select(F.col(id_col).alias("vec_id"),
                   _as_double(F.col(vec_col)).alias("v"))
     return _assign_points(v, centroids, two_level, coarse_clusters,
-                          broadcast_points=points_are_small)
+                          broadcast_points=points_are_small,
+                          prepared=prepared)
 
 
 def _semantic_removed(assigned: DataFrame, eps: float,
@@ -715,7 +876,10 @@ def _semantic_removed(assigned: DataFrame, eps: float,
     return (
         assigned.join(wit, "cluster")
         .filter(F.col("w_id") < F.col("vec_id"))
-        .filter(F.round(dot_product(F.col("wv"), F.col("v"))
+        # _dot_double: assigned.v is array<double> by every caller's
+        # construction (_as_double), so the cast-free fold is value-
+        # identical and skips two array copies per pair
+        .filter(F.round(_dot_double(F.col("wv"), F.col("v"))
                         / (F.col("wvn") * F.col("vn")), 6)
                 >= eps)
         .select("vec_id").distinct()

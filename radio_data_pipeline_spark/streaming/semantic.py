@@ -60,10 +60,12 @@ from pyspark.sql import functions as F
 
 from ..functions.similarity import (
     _as_double,
+    _dot_double,
     _semantic_removed,
     assign_to_centroids,
-    dot_product,
     l2_norm,
+    prepare_assignment,
+    release_assignment,
     train_semantic_centroids,
 )
 from .dedup import _index_has_batches
@@ -157,6 +159,42 @@ def read_semantic_quantizer(spark: SparkSession,
              "n_cell_buckets": int(row["n_cell_buckets"])})
 
 
+class SemanticIndexHandle:
+    """An open serving handle on a persisted semantic index: the
+    quantizer read ONCE, its centroids Spark-persisted, and every
+    quantizer-derived assignment table precomputed and persisted
+    (functions/similarity.prepare_assignment). Passing the handle to
+    ``semantic_dedup_batch_against_index`` / ``stream_semantic_ingest``
+    removes the per-micro-batch fixed work the r6 throughput study
+    measured (~0.5 s/batch of quantizer re-read + compact-table
+    rebuild — the dominant cost at small batches; BENCH_SCALING §19
+    add. 3/5).
+
+    Contract: the handle caches the quantizer, so it must be closed
+    and reopened across ``requantize_semantic_index`` (which may not
+    run concurrently with ingest anyway — the offline + lease
+    contract); ``close()`` releases every cache it pinned."""
+
+    def __init__(self, spark: SparkSession, index_path: str):
+        self.spark = spark
+        self.path = index_path
+        self.centroids, self.meta = read_semantic_quantizer(
+            spark, index_path)
+        self.prepared = prepare_assignment(
+            self.centroids, self.meta["two_level"],
+            self.meta["coarse_clusters"])
+        self.centroids = self.prepared["cc"]  # the persisted frame
+
+    def close(self) -> None:
+        release_assignment(self.prepared)
+
+
+def open_semantic_index(spark: SparkSession,
+                        index_path: str) -> SemanticIndexHandle:
+    """Open a serving handle (see SemanticIndexHandle)."""
+    return SemanticIndexHandle(spark, index_path)
+
+
 def semantic_dedup_batch_against_index(
         batch_df: DataFrame, index, batch_id: int,
         centroids: DataFrame | None = None, meta: dict | None = None,
@@ -180,10 +218,20 @@ def semantic_dedup_batch_against_index(
 
     In path mode, ``centroids``/``meta`` default to a fresh
     ``read_semantic_quantizer`` per call (correct, and required after
-    a requantize); a serving loop probing a quiescent index can pass
-    a cached pair (persist the centroids) to skip the ~1 s re-read —
-    but must drop the cache across any requantize."""
+    a requantize); a serving loop should pass an open
+    ``SemanticIndexHandle`` as ``index`` instead — cached quantizer,
+    persisted assignment tables, no per-call fixed work — and drop
+    the handle across any requantize."""
     spark = batch_df.sparkSession
+    prepared = None
+    if isinstance(index, SemanticIndexHandle):
+        if centroids is not None or meta is not None:
+            raise ValueError(
+                "pass either a SemanticIndexHandle or explicit "
+                "centroids/meta, not both")
+        centroids, meta, prepared = (index.centroids, index.meta,
+                                     index.prepared)
+        index = index.path
     path_mode = isinstance(index, str)
     if path_mode and (centroids is None or meta is None):
         centroids, meta = read_semantic_quantizer(spark, index)
@@ -214,7 +262,8 @@ def semantic_dedup_batch_against_index(
                             id_col=id_col,
                             two_level=meta["two_level"],
                             coarse_clusters=meta["coarse_clusters"],
-                            points_are_small=True)
+                            points_are_small=True,
+                            prepared=prepared)
     v = batch_df.select(F.col(id_col).alias("vec_id"),
                         _as_double(F.col(vec_col)).alias("v"))
     # rows is the PERSISTED frame (the caller's unpersist handle, per
@@ -270,8 +319,21 @@ def semantic_dedup_batch_against_index(
         if path_mode:
             buckets = sorted({int(c) % n_buckets for c in cells})
             idx = idx.filter(F.col("cell_bucket").isin(buckets))
+        # round-robin the PRUNED scan before the pair join: the pair
+        # count per index row is |batch ∩ cell|, and cell sizes follow
+        # the data — a clustered corpus concentrates pairs in a few
+        # hot cells whose rows sit in one or two parquet splits, so
+        # the broadcast-hash join leaves 10%+ of all pair compute in
+        # a single task (measured at a 100k-doc index, 2k batch: 4.3M
+        # pairs, 519k in ONE cell; probe 13.7 s as scanned vs 2.6 s
+        # spread — AQE cannot split it, the hot partition is bytes-
+        # small). The shuffle moves only the pruned rows the join
+        # reads anyway; there is no aggregation across the join, so
+        # round-robin placement changes nothing downstream.
+        spread = idx.sparkSession.sparkContext.defaultParallelism * 2
         matched = (
             idx.filter(F.col("cell").isin(cells))
+            .repartition(spread)
             .join(F.broadcast(assigned.select(
                       F.col("vec_id").alias("new_id"),
                       F.col("cluster").alias("cell"),
@@ -281,8 +343,16 @@ def semantic_dedup_batch_against_index(
             # arrival order wins: ANY index hit drops the new doc —
             # no id comparison (prior batches hold the history).
             # dot/(vn·nvn) == cosine bit-for-bit with the norms
-            # hoisted out of the per-pair hot path
-            .filter(F.round(dot_product(F.col("v"), F.col("nv"))
+            # hoisted out of the per-pair hot path. The HOF fold
+            # stays, in the cast-free _dot_double form (v/nv are
+            # array<double> by this kernel's own construction): an
+            # expanded flat a[1]*b[1]+...+a[d]*b[d] codegen
+            # expression was MEASURED 3x SLOWER at d=64 / 8.6M pairs
+            # (codegen splits it into 64 chained methods of bounds-
+            # checked try_element_at calls; zip_with/aggregate runs a
+            # specialized primitive-array loop) — don't re-try
+            # without new evidence
+            .filter(F.round(_dot_double(F.col("v"), F.col("nv"))
                             / (F.col("vn") * F.col("nvn")), 6)
                     >= eps)
             .select(F.col("new_id").alias("vec_id")))
@@ -507,7 +577,8 @@ def stream_semantic_ingest(stream_df: DataFrame, index_path: str,
                            vec_col: str = "embedding",
                            id_col: str = "vec_id", eps: float = 0.4,
                            dedup_identical: bool = True,
-                           query_name: str = "semantic_ingest"):
+                           query_name: str = "semantic_ingest",
+                           handle: SemanticIndexHandle | None = None):
     """Streaming semantic-dup gate: survivors of each micro-batch
     land under ``out_path/batch=N``, every processed doc's (id, v,
     cell) row lands in the semantic index. Requires
@@ -516,18 +587,29 @@ def stream_semantic_ingest(stream_df: DataFrame, index_path: str,
     overwrite layout is only exactly-once under a checkpointed
     batch-id sequence). Write order (survivors first, index second)
     plus the kernel's own-batch probe exclusion makes any crash point
-    replay to the identical result. Returns the StreamingQuery."""
+    replay to the identical result. Returns the StreamingQuery.
+
+    ``handle``: an open SemanticIndexHandle on ``index_path`` — the
+    serving configuration (quantizer cached once, per-batch fixed
+    work gone; measured 4–7x docs/s at 2k-doc batches, §19 add. 5).
+    The caller owns its lifetime: keep it open for the query's
+    duration, close it after, reopen across a requantize. Without
+    it each micro-batch re-reads the quantizer (correct, slower)."""
     if checkpoint is None:
         raise ValueError(
             "stream_semantic_ingest requires a checkpoint location; "
             "the per-batch overwrite layout is only exactly-once "
             "under a checkpointed batch-id sequence")
+    if handle is not None and handle.path != index_path:
+        raise ValueError(
+            f"handle is open on {handle.path}, not {index_path}")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
         try:
             survivors, rows = semantic_dedup_batch_against_index(
-                batch_df, index_path, batch_id, eps=eps,
+                batch_df, handle if handle is not None else index_path,
+                batch_id, eps=eps,
                 vec_col=vec_col, id_col=id_col,
                 dedup_identical=dedup_identical)
             try:
