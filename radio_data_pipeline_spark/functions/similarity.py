@@ -438,10 +438,26 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 # the wall-clock crossover sits near k~128
 _TWO_LEVEL_MIN_CLUSTERS = 128
 
-# fan-out of the salted within-cell pair join (see _assign_points):
-# bounds a hot cell's single-task compute at 1/salt of its pairs for
-# the cost of replicating the k-row compact centroid table salt ways
+# floor/cap of the salted within-cell pair join's fan-out (see
+# _fine_salt): bounds a hot cell's single-task compute at 1/salt of
+# its pairs for the cost of replicating the k-row compact centroid
+# table salt ways
 _FINE_SALT = 32
+_FINE_SALT_CAP = 256
+
+
+def _fine_salt(spark) -> int:
+    """Adaptive fan-out of the salted fine-assignment join: the salt
+    only pays when it spreads a hot cell across otherwise-idle slots,
+    so it tracks the cluster's parallelism instead of staying pinned
+    at the local[32]-tuned constant (on a 1000-executor cluster a
+    32-way salt would still leave one hot cell on <1% of the slots).
+    Floor 32 (the §17-measured value — identical behavior on the
+    measurement rig), cap 256 (centroid replication is salt·k·d
+    rows; past the cap the replicated table's own shuffle outweighs
+    the straggler it prevents)."""
+    return max(_FINE_SALT,
+               min(_FINE_SALT_CAP, spark.sparkContext.defaultParallelism))
 
 
 def _nearest_label(pts: DataFrame, cents: DataFrame,
@@ -695,17 +711,19 @@ def _assign_points(pv: DataFrame, cc: DataFrame, two_level: bool = False,
         # byte-based skew split cannot see — measured as a
         # 10+-minute straggler (24/25 tasks idle) at the 2M x 64-d
         # requantize. Salting the point side and replicating the
-        # (compact, k-row) centroid side _FINE_SALT ways bounds any
-        # cell's task at 1/_FINE_SALT of its pairs; there is no
+        # (compact, k-row) centroid side salt ways bounds any
+        # cell's task at 1/salt of its pairs; there is no
         # aggregation across the join, so salting changes nothing
-        # else.
+        # else. The fan-out adapts to the session's parallelism
+        # (_fine_salt) — salt placement never changes results.
+        salt = _fine_salt(pv.sparkSession)
         pts = (pv.join(p_cell.hint("merge"), "vec_id")
                .withColumn("_salt",
                            F.pmod(F.xxhash64("vec_id"),
-                                  F.lit(_FINE_SALT)).cast("int")))
+                                  F.lit(salt)).cast("int")))
         cents_rep = ccf.withColumn(
             "_salt", F.explode(F.sequence(F.lit(0),
-                                          F.lit(_FINE_SALT - 1))))
+                                          F.lit(salt - 1))))
         # merge hint: the explicit repartitions pin the co-partition,
         # but AQE can still convert the join to broadcast-hash from
         # RUNTIME compressed shuffle sizes — vector rows compress

@@ -677,3 +677,18 @@ def test_semantic_dedup_empty_hash_seed_draw_falls_back(spark):
                          seed_strategy="hash").collect()
     assert len(out) == 20
     assert {r.vec_id for r in out} == set(range(20))
+
+
+def test_fine_salt_tracks_parallelism(spark):
+    """_fine_salt adapts the salted fine-join fan-out to the
+    session's parallelism within [floor, cap] — pinned so a cluster
+    deploy doesn't silently keep the local[32]-tuned constant (a
+    32-way salt on 1000+ slots leaves a hot cell on <1% of them),
+    and so the floor preserves the §17 measurement rig behavior."""
+    from radio_data_pipeline_spark.functions.similarity import (
+        _FINE_SALT, _FINE_SALT_CAP, _fine_salt)
+
+    got = _fine_salt(spark)
+    dp = spark.sparkContext.defaultParallelism
+    assert got == max(_FINE_SALT, min(_FINE_SALT_CAP, dp))
+    assert _FINE_SALT <= got <= _FINE_SALT_CAP

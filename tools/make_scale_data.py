@@ -22,8 +22,12 @@ Design (documented so the study is reproducible and honest):
   of the driver's small files is precisely the toy-scale artifact the
   study controls for.
 
-Usage: python tools/make_scale_data.py [N] [out_dir]
+Usage: python tools/make_scale_data.py [N] [out_dir] [--entropy]
 Defaults: N=10, out_dir=/root/repo/.bench_scale/sf1
+--entropy: high-entropy variant — per-copy noised embeddings and
+per-copy-tagged document text (see _noise_embeddings/_tag_documents):
+controls for the replicated corpus' ~9:1 parquet compression, which
+is itself a measurement artifact for split-packing-sensitive studies.
 """
 
 from __future__ import annotations
@@ -76,10 +80,52 @@ def strides() -> dict[str, int]:
     return out
 
 
+def _noise_embeddings(t: pa.Table, copy_i: int) -> pa.Table:
+    """Per-copy deterministic Gaussian noise on every embedding value
+    (sigma = 5% of the source values' std; copy 0 untouched). The
+    high-entropy corpus variant: replicated-unchanged vectors
+    compress ~9:1 in parquet, which packs whole bucket directories
+    into a handful of splits and once produced a measured
+    serial-probe artifact (BENCH_SCALING §19) — noised mantissas are
+    incompressible, so scan/split behavior matches real embedding
+    data. Cluster structure survives (noise << lobe separation), but
+    cross-copy EXACT duplicates do not — this corpus measures the
+    near-dup/semantic path, not the mass-exact-duplicate shape the
+    default corpus models."""
+    import numpy as np
+
+    if copy_i == 0:
+        return t
+    idx = t.schema.get_field_index("embedding")
+    arr = t.column(idx).combine_chunks()
+    vals = arr.values.to_numpy(zero_copy_only=False)
+    rng = np.random.default_rng(1000 + copy_i)
+    sigma = 0.05 * float(vals.std() or 1.0)
+    noisy = pa.array(vals + rng.normal(0.0, sigma, len(vals)),
+                     type=arr.values.type)
+    col = pa.ListArray.from_arrays(arr.offsets, noisy)
+    return t.set_column(idx, t.schema.field(idx), col)
+
+
+def _tag_documents(t: pa.Table, copy_i: int) -> pa.Table:
+    """Per-copy text prefix tag (copy 0 untouched): breaks cross-copy
+    EXACT text duplication (and its parquet dictionary compression)
+    while leaving every interior span duplicated — the high-entropy
+    worst case for the span-level dedup study (§18)."""
+    if copy_i == 0:
+        return t
+    idx = t.schema.get_field_index("text")
+    tag = pa.array([f"[c{copy_i:03d}] "] * t.num_rows,
+                   type=t.schema.field(idx).type)
+    col = pc.binary_join_element_wise(tag, t.column(idx), "")
+    return t.set_column(idx, t.schema.field(idx), col)
+
+
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else \
-        "/root/repo/.bench_scale/sf1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if args else 10
+    out_dir = args[1] if len(args) > 1 else "/root/repo/.bench_scale/sf1"
+    entropy = "--entropy" in sys.argv
     os.makedirs(out_dir, exist_ok=True)
     st = strides()
     print(f"strides: {st}")
@@ -116,6 +162,10 @@ def main() -> None:
                         pa.scalar(i * st[space],
                                   type=t.schema.field(col).type))
                     t = t.set_column(idx, t.schema.field(col), shifted)
+                if entropy and table == "embeddings":
+                    t = _noise_embeddings(t, i)
+                if entropy and table == "documents":
+                    t = _tag_documents(t, i)
                 writer.write_table(t, row_group_size=rg)
         f = pq.ParquetFile(f"{out_dir}/{table}.parquet")
         print(f"{table}: {total_rows} rows, "
