@@ -545,29 +545,38 @@ def prepare_assignment(cc: DataFrame, two_level: bool,
     cc = cc.persist()
     prep = {"cc": cc, "two_level": bool(two_level),
             "coarse_clusters": coarse_clusters, "_persisted": [cc]}
-    if two_level:
-        if coarse_clusters is None:
-            raise ValueError(
-                "two_level assignment requires coarse_clusters")
-        coarse, ccf = _quantizer_tables(cc, coarse_clusters)
-        coarse = coarse.persist()
-        ccf = ccf.persist()
-        coarse_arr = _centroid_array_form(coarse, "cell").persist()
-        # eager: a serving loop should pay the prep here, not inside
-        # its first micro-batch
-        coarse.count()
-        ccf.count()
-        coarse_arr.count()
-        prep["coarse"] = coarse
-        prep["ccf"] = ccf
-        prep["coarse_arr"] = coarse_arr
-        prep["_persisted"] += [coarse, ccf, coarse_arr]
-    else:
-        cc_arr = _centroid_array_form(cc, "cluster").persist()
-        cc.count()
-        cc_arr.count()
-        prep["cc_arr"] = cc_arr
-        prep["_persisted"].append(cc_arr)
+    try:
+        if two_level:
+            if coarse_clusters is None:
+                raise ValueError(
+                    "two_level assignment requires coarse_clusters")
+            coarse, ccf = _quantizer_tables(cc, coarse_clusters)
+            coarse = coarse.persist()
+            prep["_persisted"].append(coarse)
+            ccf = ccf.persist()
+            prep["_persisted"].append(ccf)
+            coarse_arr = _centroid_array_form(coarse, "cell").persist()
+            prep["_persisted"].append(coarse_arr)
+            # eager: a serving loop should pay the prep here, not
+            # inside its first micro-batch
+            coarse.count()
+            ccf.count()
+            coarse_arr.count()
+            prep["coarse"] = coarse
+            prep["ccf"] = ccf
+            prep["coarse_arr"] = coarse_arr
+        else:
+            cc_arr = _centroid_array_form(cc, "cluster").persist()
+            prep["_persisted"].append(cc_arr)
+            cc.count()
+            cc_arr.count()
+            prep["cc_arr"] = cc_arr
+    except BaseException:
+        # a failed open must not leak pinned partitions into the
+        # shared session (every frame is registered before its first
+        # materialization, so the release covers partial failures)
+        release_assignment(prep)
+        raise
     return prep
 
 
