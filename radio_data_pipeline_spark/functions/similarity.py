@@ -479,17 +479,23 @@ def _nearest_label(pts: DataFrame, cents: DataFrame,
 
 
 def _argmin_label(d: DataFrame, label: str) -> DataFrame:
-    """Per-vec_id argmin over (vec_id, label, d2) rows via
-    ``min(struct(d2, label))`` — the lexicographic struct min IS the
-    ``orderBy(d2, label) . first`` tiebreak, with two plan advantages
-    over the window form: the partial min combines map-side (a vec's
-    pair rows share a partition after every join above, so the
-    argmin shuffle carries N one-row partials instead of N·k pair
-    rows), and there is no per-partition sort."""
-    return (d.groupBy("vec_id")
-            .agg(F.min(F.struct(F.col("d2"), F.col(label)))
-                 .alias("_m"))
-            .select("vec_id", F.col(f"_m.{label}").alias(label)))
+    """Per-vec_id argmin over (vec_id, label, d2) rows:
+    ``row_number() over (partition by vec_id order by d2, label)``,
+    rn == 1 — deterministic lowest-label tiebreak.
+
+    Measured negative (round 7): the seemingly-cheaper
+    ``groupBy(vec_id).agg(min(struct(d2, label)))`` form is NOT a
+    hash aggregate — Min over a struct is unsupported by
+    HashAggregate's mutable buffer, so the plan silently falls back
+    to SortAggregate with a full extra Sort of the pair rows on BOTH
+    the partial and final sides; requantize at 200k x 64-d ran 77 s
+    vs 48 s in a same-session A/B. Don't re-try without checking
+    ``explain`` shows HashAggregate."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy("d2", label)
+    return (d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select("vec_id", label))
 
 
 def _centroid_array_form(cc: DataFrame, label: str) -> DataFrame:
@@ -751,11 +757,6 @@ def _assign_points(pv: DataFrame, cc: DataFrame, two_level: bool = False,
         F.aggregate(F.zip_with("v", "cv",
                                lambda x, y: (x - y) * (x - y)),
                     F.lit(0.0), lambda acc, x: acc + x).alias("d2"))
-    # min(struct) argmin (see _argmin_label): a vec's pair rows share
-    # a partition after either join above — the earlier window form
-    # shuffled and sorted all N·~sqrt(k) pair rows to pick one, this
-    # combines to one row per vec map-side. Same (d2, cluster)
-    # lexicographic tiebreak, d2 untouched.
     return _argmin_label(d, "cluster")
 
 
