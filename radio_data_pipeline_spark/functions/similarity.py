@@ -618,11 +618,7 @@ def _quantizer_tables(cc: DataFrame, coarse_clusters: int,
                   F.col("cval").alias("val")),
         F.broadcast(coarse), "cell").withColumnRenamed(
         "vec_id", "cluster")
-    cc_arr = (cc.groupBy("cluster")
-              .agg(F.transform(
-                  F.array_sort(F.collect_list(
-                      F.struct("pos", "cval"))),
-                  lambda s: s["cval"]).alias("cv")))
+    cc_arr = _centroid_array_form(cc, "cluster")
     ccf = cc_arr.join(fine_cell.hint("merge") if merge_hint
                       else fine_cell, "cluster")
     return coarse, ccf

@@ -1627,7 +1627,13 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     from radio_data_pipeline_spark.sources.layout import global_ntile
 
     orders = load_table(spark, sf_dir, "orders")
-    c = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    # persist the keyed aggregate: the ntile builder runs three
+    # driver-side jobs (count, boundary sample, bucket counts) before
+    # the final plan, and unpersisted each re-runs the fact scan +
+    # groupBy; released via the localCheckpoint discipline below
+    # (ADVICE r6 — no cached partitions leak out of the query)
+    c = (orders.groupBy("o_custkey")
+         .agg(F.sum("o_totalprice").alias("rev")).persist())
     # rev DESC == -rev ASC (ties broken by custkey either way)
     d = global_ntile(c, [-F.col("rev"), F.col("o_custkey")], 10,
                      tile_col="decile")
@@ -1638,14 +1644,16 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow)
     wt = Window.rowsBetween(Window.unboundedPreceding,
                             Window.unboundedFollowing)
-    return (
+    out = (
         g.select("decile", "n_customers",
                  F.round("decile_rev", 2).alias("decile_revenue"),
                  F.round(F.sum("decile_rev").over(wc)
                          / F.sum("decile_rev").over(wt), 6)
                   .alias("cum_share"))
         .orderBy("decile")
-    )
+        .localCheckpoint(eager=True))
+    c.unpersist()
+    return out
 
 
 @register(
@@ -1789,15 +1797,20 @@ def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         global_row_number)
 
     orders = load_table(spark, sf_dir, "orders")
-    c = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    # persist + localCheckpoint-release: see orders_pareto_share
+    c = (orders.groupBy("o_custkey")
+         .agg(F.sum("o_totalprice").alias("rev")).persist())
     r = global_row_number(
         c, [F.col("rev"), F.col("o_custkey")], rank_col="i") \
         .select("rev", "i")
     n, srev = F.count(F.lit(1)), F.sum("rev")
-    return r.agg(
+    out = r.agg(
         n.cast("bigint").alias("n_customers"),
         F.round(2.0 * F.sum(F.col("i") * F.col("rev")) / (n * srev)
-                - (n + 1.0) / n, 6).alias("gini"))
+                - (n + 1.0) / n, 6).alias("gini")) \
+        .localCheckpoint(eager=True)
+    c.unpersist()
+    return out
 
 
 @register(
@@ -1856,15 +1869,23 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = c.agg(F.max("last_order").alias("maxd"))
     s = (c.crossJoin(F.broadcast(m))
          .withColumn("recency_days",
-                     F.datediff("maxd", "last_order").cast("bigint")))
+                     F.datediff("maxd", "last_order").cast("bigint"))
+         .persist())
     # DESC numeric orderings spelled as ASC negations; custkey breaks
-    # every tie, so the total order (and thus each score) is exact
-    s = global_ntile(s, [-F.col("recency_days"), F.col("o_custkey")],
-                     5, tile_col="r_score")
-    s = global_ntile(s, [F.col("frequency"), F.col("o_custkey")],
-                     5, tile_col="f_score")
-    s = global_ntile(s, [F.col("monetary"), F.col("o_custkey")],
-                     5, tile_col="m_score")
+    # every tie, so the total order (and thus each score) is exact.
+    # The three scores rank the PERSISTED base independently and join
+    # back by key — chained on an unpersisted frame, each builder's
+    # three driver-side jobs re-executed the full upstream lineage
+    # including the previous ntile's offset join (~12 fact scans
+    # where one suffices); released via localCheckpoint below
+    # (ADVICE r6 — no cached partitions leak out of the query)
+    out = s
+    for cols, name in (
+            ([-F.col("recency_days"), F.col("o_custkey")], "r_score"),
+            ([F.col("frequency"), F.col("o_custkey")], "f_score"),
+            ([F.col("monetary"), F.col("o_custkey")], "m_score")):
+        out = out.join(global_ntile(s, cols, 5, tile_col=name)
+                       .select("o_custkey", name), "o_custkey")
     segment = (
         F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4),
                "champion")
@@ -1873,14 +1894,17 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3),
               "at_risk")
         .otherwise("hibernating"))
-    return (
-        s.select("o_custkey", "recency_days",
-                 F.col("frequency").cast("bigint").alias("frequency"),
-                 F.round("monetary", 2).alias("monetary"),
-                 "r_score", "f_score", "m_score",
-                 segment.alias("segment"))
+    result = (
+        out.select("o_custkey", "recency_days",
+                   F.col("frequency").cast("bigint").alias("frequency"),
+                   F.round("monetary", 2).alias("monetary"),
+                   "r_score", "f_score", "m_score",
+                   segment.alias("segment"))
         .orderBy("o_custkey")
+        .localCheckpoint(eager=True)
     )
+    s.unpersist()
+    return result
 
 
 _AFFINITY_MIN_CO = 5

@@ -76,64 +76,23 @@ def dense_index(df: DataFrame, order_col: str, pos_col: str = "pos",
     unpartitioned window the round-4 review flagged at
     plans/arrays.py (negative sampling) and sources/fits.py (obs-id
     assignment).
+
+    Implementation: the single-column 0-based case of
+    ``global_row_number`` (ONE copy of the subtle two-pass machinery
+    — boundary sampling, balanced-tree bucket expression, offset
+    join; a fix to any of it lands in both names by construction).
     """
-    spark = df.sparkSession
-    counts = df.agg(F.count(F.lit(1)).alias("n"),
-                    F.count(order_col).alias("nn")).collect()[0]
-    n, n_nonnull = counts["n"], counts["nn"]
-    if n_nonnull != n:
+    try:
+        out = global_row_number(
+            df, [F.col(order_col)], rank_col=pos_col,
+            n_buckets=n_buckets,
+            boundary_sample_rows=boundary_sample_rows,
+            boundary_sample_cap=boundary_sample_cap)
+    except ValueError as e:
         raise ValueError(
-            f"dense_index order column {order_col!r} has "
-            f"{n - n_nonnull} NULL value(s); positions require a "
-            f"unique non-null ordering key")
-    if n == 0:
-        return df.withColumn(pos_col, F.lit(None).cast("long")).limit(0)
-    if n_buckets is None:
-        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions",
-                                       "200"))
-    n_buckets = max(1, min(n_buckets, n))
-    target_sample = min(n_buckets * boundary_sample_rows,
-                        boundary_sample_cap)
-    fraction = min(1.0, target_sample / n)
-    sampled = sorted(
-        r[0] for r in
-        df.select(order_col).sample(False, fraction, seed=7).collect()
-        if r[0] is not None)
-    boundaries: list = []
-    for i in range(1, n_buckets):
-        if not sampled:
-            break
-        v = sampled[(i * len(sampled)) // n_buckets]
-        if not boundaries or v > boundaries[-1]:
-            boundaries.append(v)
-    # balanced-tree sum, NOT a left-deep chain: with cluster-scale
-    # n_buckets (10k+) a chained `+` builds an expression tree 10k
-    # deep and the JVM's recursive expression conversion overflows
-    # its stack (found by the boundary-cap test at 2048 buckets);
-    # pairwise reduction keeps depth at log2(B) for the same result
-    terms = [(F.col(order_col) > F.lit(b)).cast("int")
-             for b in boundaries]
-    while len(terms) > 1:
-        terms = [terms[i] + terms[i + 1]
-                 if i + 1 < len(terms) else terms[i]
-                 for i in range(0, len(terms), 2)]
-    bucket = terms[0] if terms else F.lit(0)
-    keyed = df.withColumn("_db", bucket.cast("int"))
-    counts = dict(keyed.groupBy("_db").count().collect())
-    offsets, acc = [], 0
-    for b in range(len(boundaries) + 1):
-        offsets.append((b, acc))
-        acc += counts.get(b, 0)
-    off_df = spark.createDataFrame(offsets, "_db int, _off long")
-    from pyspark.sql import Window
-    w = Window.partitionBy("_db").orderBy(order_col)
-    return (
-        keyed.join(F.broadcast(off_df), "_db")
-        .withColumn(pos_col,
-                    (F.col("_off") + F.row_number().over(w) - 1)
-                    .cast("long"))
-        .drop("_db", "_off")
-    )
+            f"dense_index order column {order_col!r}: {e}") from e
+    return out.withColumn(pos_col,
+                          (F.col(pos_col) - 1).cast("long"))
 
 
 def global_row_number(df: DataFrame, order_cols: list,
@@ -156,10 +115,13 @@ def global_row_number(df: DataFrame, order_cols: list,
     The composite key rides as ONE struct column (Spark orders
     structs lexicographically, exactly the multi-column ORDER BY),
     so boundary comparison, bucketing, and the per-bucket window all
-    see the identical total order. The key must be unique and
-    non-null across ``order_cols`` (checked on the same count pass)
-    — the same contract as a deterministic global window, minus the
-    single task.
+    see the identical total order. The key must be NON-NULL (checked
+    on the same count pass — a NULL would NULL the bucket expression
+    and the row would silently vanish through the inner offset join)
+    and SHOULD be unique: ties rank in an arbitrary order, exactly
+    the caveat of the ``row_number().over(orderBy(...))`` window this
+    replaces (uniqueness itself is NOT verified — an exact distinct
+    count would double the key pass).
 
     This is the scale-correct spelling of every "rank the keyed
     aggregate globally" analytic (Gini, Pareto deciles, RFM scores):
@@ -209,7 +171,12 @@ def global_row_number(df: DataFrame, order_cols: list,
 
     terms = [(F.col("_gk") > _lit_struct(b)).cast("int")
              for b in boundaries]
-    while len(terms) > 1:  # balanced tree — see dense_index
+    # balanced-tree sum, NOT a left-deep chain: with cluster-scale
+    # n_buckets (10k+) a chained `+` builds an expression tree 10k
+    # deep and the JVM's recursive expression conversion overflows
+    # its stack (found by the boundary-cap test at 2048 buckets);
+    # pairwise reduction keeps depth at log2(B) for the same result
+    while len(terms) > 1:
         terms = [terms[i] + terms[i + 1]
                  if i + 1 < len(terms) else terms[i]
                  for i in range(0, len(terms), 2)]

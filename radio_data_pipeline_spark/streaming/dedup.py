@@ -338,10 +338,21 @@ def maintenance_lease(spark: SparkSession, index_path: str, op: str,
     contract was unenforced (r6 VERDICT #7). Staleness is judged by
     the lease FILE's modification time (robust to a crash mid-write,
     no content parsing on the hot path): a lease older than
-    ``ttl_seconds`` is presumed crashed, deleted, and re-acquired.
+    ``ttl_seconds`` is presumed crashed and broken BY RENAME to a
+    unique tombstone — rename-of-a-missing-source fails, so of two
+    ops that both judged the same lease stale exactly one proceeds
+    (an unconditional delete here was a TOCTOU hole: the loser's
+    delete would remove the winner's FRESH lease and both would run).
     The JSON payload (op name, acquire time) is for operators
-    debugging a stuck lease, not for the protocol."""
+    debugging a stuck lease, not for the protocol.
+
+    Yields a ``refresh()`` callable: long ops should call it between
+    phases to touch the lease mtime, keeping a LIVE op from aging
+    past the TTL (requantize scales linearly with corpus size —
+    measured ~8 min at 2M rows, so a 100TB-scale run outlives any
+    fixed TTL that still usefully bounds a crashed-op lockout)."""
     import time
+    import uuid
 
     fs, _ = _hadoop_fs(spark, index_path)
     _, lpath = _hadoop_fs(spark, f"{index_path}/{_LEASE_NAME}")
@@ -371,15 +382,33 @@ def maintenance_lease(spark: SparkSession, index_path: str, op: str,
                 f"another maintenance op is running on this index; "
                 f"{op} refuses to start. If the holder crashed, wait "
                 "out the ttl or delete the lease file")
-        # stale (or vanished between create and stat): break it once
-        fs.delete(lpath, False)
+        # stale (or vanished between create and stat): break it by
+        # RENAME — atomic win/lose, never touches a successor's
+        # fresh lease
+        _, tomb = _hadoop_fs(
+            spark, f"{index_path}/{_LEASE_NAME}.broken.{uuid.uuid4().hex}")
+        broke = False
+        try:
+            broke = fs.rename(lpath, tomb)
+        except Exception:
+            broke = False
+        if broke:
+            fs.delete(tomb, False)
         if not _try_create():
             raise RuntimeError(
                 f"maintenance lease at {index_path}/{_LEASE_NAME} "
                 f"was re-acquired by a racing op while breaking a "
                 f"stale lease; {op} refuses to start")
+
+    def _refresh() -> None:
+        try:
+            fs.setTimes(lpath, int(time.time() * 1000), -1)
+        except Exception:
+            # refresh is best-effort liveness, never a failure path
+            pass
+
     try:
-        yield
+        yield _refresh
     finally:
         fs.delete(lpath, False)
 
@@ -458,15 +487,17 @@ def _compact_ingest_index(spark: SparkSession, index_path: str,
     if generation >= 0:
         raise ValueError("compaction generation must be negative — "
                          "nonnegative ids are live foreachBatch ids")
-    with maintenance_lease(spark, index_path, "compaction"):
+    with maintenance_lease(spark, index_path,
+                           "compaction") as lease_refresh:
         return _compact_ingest_index_locked(
             spark, index_path, data_cols, partition_cols, generation,
-            _post_fold_hook)
+            _post_fold_hook, lease_refresh)
 
 
 def _compact_ingest_index_locked(spark, index_path, data_cols,
                                  partition_cols, generation,
-                                 _post_fold_hook) -> int:
+                                 _post_fold_hook,
+                                 lease_refresh=lambda: None) -> int:
     fs, _, sources = _ingest_dirs(spark, index_path)
     gen_ids = [int(p.getName().split("=", 1)[1]) for p in sources]
     n_gens = sum(1 for g in gen_ids if g < 0)
@@ -486,6 +517,9 @@ def _compact_ingest_index_locked(spark, index_path, data_cols,
     (folded.repartition(*[F.col(c) for c in partition_cols])
      .write.mode("overwrite").partitionBy(*partition_cols)
      .parquet(f"{index_path}/ingest_batch={new_gen}"))
+    # the fold scales with index size: keep a LIVE compaction from
+    # aging past the crashed-op TTL before its delete pass
+    lease_refresh()
     if _post_fold_hook is not None:  # test seam: writer racing the fold
         _post_fold_hook()
     deleted = 0

@@ -462,7 +462,8 @@ def requantize_semantic_index(spark: SparkSession, index_path: str,
     if generation >= 0:
         raise ValueError("requantize generation must be negative — "
                          "nonnegative ids are live foreachBatch ids")
-    with maintenance_lease(spark, index_path, "requantize"):
+    with maintenance_lease(spark, index_path,
+                           "requantize") as lease_refresh:
         fs, jpath, sources = _ingest_dirs(spark, index_path)
         if not sources:
             raise ValueError(f"semantic index at {index_path} has no "
@@ -490,14 +491,15 @@ def requantize_semantic_index(spark: SparkSession, index_path: str,
             spark, index_path, n_clusters, lloyd_rounds,
             train_fraction, seed, two_level, coarse_clusters,
             seed_strategy, n_cell_buckets, new_gen, fs, jpath,
-            sources, snapshots, src_paths, _pre_swap_hook)
+            sources, snapshots, src_paths, _pre_swap_hook,
+            lease_refresh)
 
 
 def _requantize_body(spark, index_path, n_clusters, lloyd_rounds,
                      train_fraction, seed, two_level, coarse_clusters,
                      seed_strategy, n_cell_buckets, new_gen, fs, jpath,
                      sources, snapshots, src_paths,
-                     _pre_swap_hook) -> int:
+                     _pre_swap_hook, lease_refresh=lambda: None) -> int:
     from .dedup import _dir_snapshot, _ingest_dirs
 
     # src_batch rides along: re-filed rows keep their origin batch id
@@ -517,6 +519,10 @@ def _requantize_body(spark, index_path, n_clusters, lloyd_rounds,
     # check both materialize c — persisting it keeps the Lloyd
     # retrain (the dominant cost) from executing twice
     c = c.persist()
+    # the op scales linearly with corpus size (measured ~8 min at 2M
+    # rows): touch the lease between phases so a LIVE run never ages
+    # past the crashed-op TTL and loses its exclusion mid-op
+    lease_refresh()
     a = assign_to_centroids(corpus, c, vec_col="v", id_col="id",
                             two_level=resolved["two_level"],
                             coarse_clusters=resolved["coarse_clusters"])
@@ -539,6 +545,7 @@ def _requantize_body(spark, index_path, n_clusters, lloyd_rounds,
      .write.mode("overwrite").partitionBy("cell_bucket")
      .parquet(f"{index_path}/ingest_batch={new_gen}"))
 
+    lease_refresh()
     if _pre_swap_hook is not None:  # test seam: writer racing the op
         _pre_swap_hook()
     new_gen_path = spark._jvm.org.apache.hadoop.fs.Path(

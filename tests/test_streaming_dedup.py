@@ -484,3 +484,40 @@ def test_maintenance_lease_excludes_concurrent_ops(spark, tmp_path):
     bands.unpersist()
     assert compact_band_index(spark, index) == 2
     assert not os.path.exists(lease)
+
+
+def test_maintenance_lease_break_and_refresh(spark, tmp_path):
+    """Round-7 hardening of the lease protocol: (a) breaking a stale
+    lease is by RENAME, so a racer that also judged the same lease
+    stale cannot delete the winner's FRESH lease (the TOCTOU the
+    unconditional-delete break had) — observable contract: while the
+    winner holds its post-break lease, a second op fails fast; (b)
+    the yielded refresh() touches the lease mtime so a LIVE op longer
+    than the TTL keeps its exclusion."""
+    import os
+    import time
+
+    from radio_data_pipeline_spark.streaming.dedup import (
+        maintenance_lease)
+
+    index = str(tmp_path / "idx")
+    os.makedirs(index)
+    lease = f"{index}/_maintenance.lease"
+    with open(lease, "w") as f:
+        f.write('{"op": "crashed"}')
+    old = time.time() - 7200
+    os.utime(lease, (old, old))
+
+    with maintenance_lease(spark, index, "winner") as refresh:
+        # the stale lease was broken by rename: no tombstone remains
+        assert not [p for p in os.listdir(index) if "broken" in p]
+        # a racer that ALSO saw the stale lease must not evict the
+        # winner: the fresh lease blocks it
+        with pytest.raises(RuntimeError, match="held"):
+            with maintenance_lease(spark, index, "loser"):
+                pass
+        # refresh() advances the mtime -> a live op never goes stale
+        os.utime(lease, (old, old))  # simulate having aged past TTL
+        refresh()
+        assert time.time() - os.path.getmtime(lease) < 60
+    assert not os.path.exists(lease)

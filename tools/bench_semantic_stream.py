@@ -43,7 +43,24 @@ from radio_data_pipeline_spark.streaming.semantic import (  # noqa: E402
     stream_semantic_ingest,
 )
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
+def _positional(argv: list[str]) -> list[str]:
+    """Positional args with flag VALUES consumed too — a bare
+    `--batch-docs 500` must not turn '500' into the corpus dir."""
+    out, skip = [], False
+    for a in argv:
+        if skip:
+            skip = False
+            continue
+        if a in ("--batch-docs", "--n-batches"):
+            skip = True
+            continue
+        if a.startswith("--"):
+            continue
+        out.append(a)
+    return out
+
+
+args = _positional(sys.argv[1:])
 CORPUS = args[0] if len(args) > 0 else "/root/repo/.bench_scale/sf1"
 WORK = args[1] if len(args) > 1 else "/tmp/sem_stream_bench"
 USE_HANDLE = "--no-handle" not in sys.argv
@@ -109,9 +126,13 @@ def main() -> None:
     # so each measured micro-batch probes a corpus-sized index (the
     # r6 study's setup: 2k-doc batches vs a ~200k-doc index); the
     # seed runs through the same kernel in 32k chunks, then one
-    # compaction folds the seed batches into a negative generation —
-    # which also keeps the stream's checkpointed batch ids (0..) from
-    # colliding with the seed's
+    # compaction folds the seed batches into a negative generation.
+    # SEED BATCH IDS MUST NOT COLLIDE WITH THE STREAM'S: compaction
+    # relabels the ingest_batch PARTITION but deliberately preserves
+    # the src_batch DATA column (the replay-exclusion key), so a seed
+    # slab stamped src_batch=b would be silently invisible to stream
+    # batch b's probe — duplicates admitted and pair work
+    # undercounted, exactly in the measured batches. Offset by 1e6.
     t0 = time.monotonic()
     seed_h = handle if handle is not None \
         else open_semantic_index(spark, index)
@@ -122,8 +143,8 @@ def main() -> None:
                                                       seed_docs)))
                  .drop("_rnk"))
         _, rows = semantic_dedup_batch_against_index(
-            chunk, seed_h, sb, eps=EPS)
-        append_semantic_batch(rows, index, sb)
+            chunk, seed_h, 1_000_000 + sb, eps=EPS)
+        append_semantic_batch(rows, index, 1_000_000 + sb)
         rows.unpersist()
         sb += 1
     folded = compact_semantic_index(spark, index)
