@@ -108,6 +108,7 @@ def check_semantic_index(spark) -> None:
         append_semantic_batch,
         compact_semantic_index,
         init_semantic_index,
+        open_semantic_index,
         requantize_semantic_index,
         semantic_dedup_batch_against_index,
     )
@@ -135,6 +136,17 @@ def check_semantic_index(spark) -> None:
                                                     eps=0.95)
         assert s.count() == 0
         rws.unpersist()
+        # same verdict through the SERVING handle (r7): the prepared
+        # quantizer tables are broadcast/persisted frames — this is
+        # the path that must survive real executor-JVM serialization
+        h = open_semantic_index(spark, index)
+        try:
+            s, rws = semantic_dedup_batch_against_index(twin, h, 7,
+                                                        eps=0.95)
+            assert s.count() == 0
+            rws.unpersist()
+        finally:
+            h.close()
         assert compact_semantic_index(spark, index) == 2
         requantize_semantic_index(spark, index, n_clusters=4,
                                   n_cell_buckets=2)
