@@ -286,7 +286,11 @@ def semantic_dedup_batch_against_index(
     assigned = rows.select(F.col("id").alias("vec_id"), "v", "vn",
                            F.col("cell").alias("cluster"))
 
-    dropped = _semantic_removed(assigned, eps, dedup_identical)
+    # batch_bounded: the kernel's input is micro-batch-sized by
+    # contract — the broadcast+spread form keeps the within-batch
+    # pair compute off a single task (see _semantic_removed)
+    dropped = _semantic_removed(assigned, eps, dedup_identical,
+                                batch_bounded=True)
 
     idx = None
     if path_mode:
