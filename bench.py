@@ -197,6 +197,11 @@ def main() -> None:
         # first run pays JVM codegen compilation; recorded in `cold`
         cold[name] = round(build[name] + runs[0], 3)
         timings[name] = round(min(runs), 3)
+        # free deferred build-time caches (global-rank builders) so a
+        # custom SPARK_GRAFT_BENCH_QUERIES list can't accumulate them
+        from radio_data_pipeline_spark.plans.registry import (
+            release_deferred)
+        release_deferred()
 
     # Same-machine baseline: run each headline query's DuckDB oracle
     # on the same parquet files, per query, best-of-RUNS like Spark.

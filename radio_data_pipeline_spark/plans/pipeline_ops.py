@@ -20,7 +20,10 @@ from pyspark.sql import functions as F
 
 from radio_data_pipeline_spark.plans.quality import _word_rows, _WORDS_CTE
 from radio_data_pipeline_spark.functions.splits import SPLIT_SQL, split_col
-from radio_data_pipeline_spark.plans.registry import register
+from radio_data_pipeline_spark.plans.registry import (
+    defer_unpersist,
+    register,
+)
 from radio_data_pipeline_spark.sources.layout import zorder_key_sql
 from radio_data_pipeline_spark.sources.parquet import load_table
 
@@ -1630,10 +1633,13 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the keyed aggregate: the ntile builder runs three
     # driver-side jobs (count, boundary sample, bucket counts) before
     # the final plan, and unpersisted each re-runs the fact scan +
-    # groupBy; released via the localCheckpoint discipline below
-    # (ADVICE r6 — no cached partitions leak out of the query)
-    c = (orders.groupBy("o_custkey")
-         .agg(F.sum("o_totalprice").alias("rev")).persist())
+    # groupBy. Released harness-side via registry.release_deferred()
+    # — NOT an eager localCheckpoint on the result, which truncated
+    # the returned plan to Scan ExistingRDD and blinded the gwin
+    # audit (r7 ADVICE); the returned frame stays lazy.
+    c = defer_unpersist(
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev")).persist())
     # rev DESC == -rev ASC (ties broken by custkey either way)
     d = global_ntile(c, [-F.col("rev"), F.col("o_custkey")], 10,
                      tile_col="decile")
@@ -1644,16 +1650,13 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow)
     wt = Window.rowsBetween(Window.unboundedPreceding,
                             Window.unboundedFollowing)
-    out = (
+    return (
         g.select("decile", "n_customers",
                  F.round("decile_rev", 2).alias("decile_revenue"),
                  F.round(F.sum("decile_rev").over(wc)
                          / F.sum("decile_rev").over(wt), 6)
                   .alias("cum_share"))
-        .orderBy("decile")
-        .localCheckpoint(eager=True))
-    c.unpersist()
-    return out
+        .orderBy("decile"))
 
 
 @register(
@@ -1797,20 +1800,18 @@ def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         global_row_number)
 
     orders = load_table(spark, sf_dir, "orders")
-    # persist + localCheckpoint-release: see orders_pareto_share
-    c = (orders.groupBy("o_custkey")
-         .agg(F.sum("o_totalprice").alias("rev")).persist())
+    # persist + deferred harness-side release: see orders_pareto_share
+    c = defer_unpersist(
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev")).persist())
     r = global_row_number(
         c, [F.col("rev"), F.col("o_custkey")], rank_col="i") \
         .select("rev", "i")
     n, srev = F.count(F.lit(1)), F.sum("rev")
-    out = r.agg(
+    return r.agg(
         n.cast("bigint").alias("n_customers"),
         F.round(2.0 * F.sum(F.col("i") * F.col("rev")) / (n * srev)
-                - (n + 1.0) / n, 6).alias("gini")) \
-        .localCheckpoint(eager=True)
-    c.unpersist()
-    return out
+                - (n + 1.0) / n, 6).alias("gini"))
 
 
 @register(
@@ -1867,18 +1868,21 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum("o_totalprice").alias("monetary"))
     m = c.agg(F.max("last_order").alias("maxd"))
-    s = (c.crossJoin(F.broadcast(m))
-         .withColumn("recency_days",
-                     F.datediff("maxd", "last_order").cast("bigint"))
-         .persist())
+    s = defer_unpersist(
+        c.crossJoin(F.broadcast(m))
+        .withColumn("recency_days",
+                    F.datediff("maxd", "last_order").cast("bigint"))
+        .persist())
     # DESC numeric orderings spelled as ASC negations; custkey breaks
     # every tie, so the total order (and thus each score) is exact.
     # The three scores rank the PERSISTED base independently and join
     # back by key — chained on an unpersisted frame, each builder's
     # three driver-side jobs re-executed the full upstream lineage
     # including the previous ntile's offset join (~12 fact scans
-    # where one suffices); released via localCheckpoint below
-    # (ADVICE r6 — no cached partitions leak out of the query)
+    # where one suffices). The persisted base also backs the FOUR
+    # references to `s` in the returned lazy plan; released
+    # harness-side via registry.release_deferred() (r7 ADVICE — no
+    # eager localCheckpoint, the plan stays auditable)
     out = s
     for cols, name in (
             ([-F.col("recency_days"), F.col("o_custkey")], "r_score"),
@@ -1894,17 +1898,13 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3),
               "at_risk")
         .otherwise("hibernating"))
-    result = (
+    return (
         out.select("o_custkey", "recency_days",
                    F.col("frequency").cast("bigint").alias("frequency"),
                    F.round("monetary", 2).alias("monetary"),
                    "r_score", "f_score", "m_score",
                    segment.alias("segment"))
-        .orderBy("o_custkey")
-        .localCheckpoint(eager=True)
-    )
-    s.unpersist()
-    return result
+        .orderBy("o_custkey"))
 
 
 _AFFINITY_MIN_CO = 5

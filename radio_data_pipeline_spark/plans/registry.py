@@ -34,6 +34,44 @@ class QuerySpec:
     tags: tuple[str, ...] = field(default_factory=tuple)
 
 
+# --- deferred cache release -------------------------------------------
+# Queries whose BUILD phase needs a persisted intermediate (the
+# two-pass global-rank builders run count/sample/offset jobs against
+# it) register the persisted frame here instead of forcing an eager
+# localCheckpoint on the result: the returned frame stays LAZY (full
+# physical plan visible to tools/audit_plans.py and the explain
+# tests — the r7 eager checkpoint truncated it to Scan ExistingRDD
+# and blinded the gwin audit), and the harnesses that consume
+# queries in bulk (bench.py, the oracle parity sweep,
+# tools/audit_plans.py) call release_deferred() after each query.
+# A consumer that never calls it (the driver gate) leaks only the
+# tiny keyed aggregates these queries persist — bounded, and freed
+# with the session.
+_DEFERRED_RELEASE: list[DataFrame] = []
+
+
+def defer_unpersist(df: DataFrame) -> DataFrame:
+    """Mark a persisted build-time intermediate for harness-level
+    release via release_deferred(). Returns ``df`` unchanged."""
+    _DEFERRED_RELEASE.append(df)
+    return df
+
+
+def release_deferred() -> int:
+    """Unpersist every deferred intermediate; returns the count.
+    Safe to call any time — consuming the result frame AFTER release
+    merely recomputes the (still-correct) lineage."""
+    n = 0
+    while _DEFERRED_RELEASE:
+        df = _DEFERRED_RELEASE.pop()
+        try:
+            df.unpersist(blocking=False)
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 def register(name: str, oracle: str | None, doc: str = "",
              tags: tuple[str, ...] = ()) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
@@ -92,10 +130,13 @@ SAMPLE_WINDOW = (
     # semantic dedup (SemDeDup) — round-5 family + the round-6
     # incremental-ingest form (frozen quantizer, arrival-order wins)
     "semantic_dedup_stats", "semantic_dedup_survivors_incremental",
-    # ANN / similarity search (incl. the round-5 retrieval tier)
+    # ANN / similarity search (incl. the round-5 retrieval tier;
+    # quantized_rerank_topk rotated out for r8 —
+    # embedding_quantize_int8 + pq_adc_topk carry the
+    # quantize-then-rerank shape)
     "cosine_topk", "lsh_bucket_topk", "embedding_near_dup_lsh",
     "ivf_topk", "knn_join_topk", "embedding_quantize_int8",
-    "quantized_rerank_topk", "pq_adc_topk",
+    "pq_adc_topk",
     # embedding analytics
     "vector_dft8", "label_centroid_dispersion",
     # span-level exact-substring dedup — round-6 family
@@ -117,13 +158,25 @@ SAMPLE_WINDOW = (
     "text_stats", "language_id", "quality_score",
     # multimodal representative
     "multimodal_wav_rms",
-    # TPC-H core (q3 rotated out — q1 + q5 carry agg + multi-join)
-    "q1_pricing_summary", "q5_region_revenue",
+    # TPC-H core (q3 rotated out in r6, q5 rotated out for r8 — q1
+    # carries the agg shape; q5's multi-join shape is exercised by
+    # the bench suite every round and stays oracle-checked in the
+    # full sweep)
+    "q1_pricing_summary",
+    # round-8 rotations (r7 VERDICT #1): the two-pass global-rank
+    # builder rewrites (sources/layout.global_row_number/global_ntile)
+    # get driver-gate evidence — these three queries are the ONLY
+    # users of that machinery at fact scale
+    "orders_gini_coefficient", "orders_pareto_share",
+    "customer_rfm_segments",
     # events / §2 carriers (A3, F3, F5, M11, windows, as-of).
     # events_sessionize rotated out for r7: events_sessionize_salted
     # covers the same sessionize semantics (its oracle IS the
     # unsalted SQL) plus the round-6 skew rewrite.
-    "distinct_event_users", "orders_rank_in_customer",
+    # orders_rank_in_customer rotated out for r8: the per-key window
+    # rank shape is carried by events_sessionize_salted (same
+    # partitioned-window machinery) and the full-sweep oracle.
+    "distinct_event_users",
     "events_sessionize_salted", "events_asof_prior_view",
     "events_time_filter", "events_physical_validation",
     # calibration / atmosphere carriers (M1-M6, M8)

@@ -28,6 +28,45 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, FloatType
+
+
+def _check_rank_keys(keyed, n_cols: int, who: str) -> int:
+    """One count pass over the struct key that also validates it.
+
+    NULL keys would NULL the bucket expression and the row would
+    silently vanish through the inner offset join (N_out < N_in with
+    no error). NaN float keys are just as fatal but subtler: the
+    range boundaries are sampled to the DRIVER and sorted with
+    Python's ``sorted()``, where every NaN comparison is False — the
+    sort order and the ``v > boundaries[-1]`` dedup become
+    ill-defined — while Spark's bucket expression orders NaN GREATER
+    than everything, so a NaN-bearing key yields non-monotonic
+    boundaries and silently wrong global ranks/tiles (r7 ADVICE).
+    Both are rejected here, on the same single aggregation pass."""
+    fields = keyed.schema["_gk"].dataType.fields
+    float_js = [j for j in range(n_cols)
+                if isinstance(fields[j].dataType,
+                              (FloatType, DoubleType))]
+    row = keyed.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.count(F.col(f"_gk._gk{j}")).alias(f"n{j}")
+          for j in range(n_cols)],
+        *[F.count(F.when(F.isnan(F.col(f"_gk._gk{j}")), 1))
+          .alias(f"nan{j}") for j in float_js]).collect()[0]
+    n = row["n"]
+    for j in range(n_cols):
+        if row[f"n{j}"] != n:
+            raise ValueError(
+                f"{who} order column {j} has NULLs; a deterministic "
+                "global rank requires non-null keys")
+    for j in float_js:
+        if row[f"nan{j}"]:
+            raise ValueError(
+                f"{who} order column {j} has NaNs; NaN has no "
+                "consistent position in the driver-side boundary "
+                "sort — filter or impute NaN keys first")
+    return n
 
 
 def dense_index(df: DataFrame, order_col: str, pos_col: str = "pos",
@@ -115,9 +154,11 @@ def global_row_number(df: DataFrame, order_cols: list,
     The composite key rides as ONE struct column (Spark orders
     structs lexicographically, exactly the multi-column ORDER BY),
     so boundary comparison, bucketing, and the per-bucket window all
-    see the identical total order. The key must be NON-NULL (checked
-    on the same count pass — a NULL would NULL the bucket expression
-    and the row would silently vanish through the inner offset join)
+    see the identical total order. The key must be NON-NULL and, for
+    float/double columns, NaN-FREE (both checked on the same count
+    pass — a NULL would NULL the bucket expression and the row would
+    silently vanish through the inner offset join; a NaN breaks the
+    driver-side boundary sort, see ``_check_rank_keys``)
     and SHOULD be unique: ties rank in an arbitrary order, exactly
     the caveat of the ``row_number().over(orderBy(...))`` window this
     replaces (uniqueness itself is NOT verified — an exact distinct
@@ -131,17 +172,8 @@ def global_row_number(df: DataFrame, order_cols: list,
     fields = [c.alias(f"_gk{j}") for j, c in enumerate(order_cols)]
     keyed0 = df.withColumn("_gk", F.struct(*fields))
     if _n_rows is None:
-        counts = keyed0.agg(
-            F.count(F.lit(1)).alias("n"),
-            *[F.count(F.col(f"_gk._gk{j}")).alias(f"n{j}")
-              for j in range(len(order_cols))]).collect()[0]
-        n = counts["n"]
-        for j in range(len(order_cols)):
-            if counts[f"n{j}"] != n:
-                raise ValueError(
-                    f"global_row_number order column {j} has NULLs; "
-                    "a deterministic global rank requires non-null "
-                    "keys")
+        n = _check_rank_keys(keyed0, len(order_cols),
+                             "global_row_number")
     else:
         n = _n_rows
     if n == 0:
@@ -212,12 +244,8 @@ def global_ntile(df: DataFrame, order_cols: list, n_tiles: int,
     builder's count pass, so the tile is a pure scalar expression —
     bit-identical to the window form on any unique total order."""
     fields = [c.alias(f"_gk{j}") for j, c in enumerate(order_cols)]
-    counts = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.count(f) for f in fields]).collect()[0]
-    n = counts["n"]
-    if any(counts[j + 1] != n for j in range(len(order_cols))):
-        raise ValueError("global_ntile order columns must be non-null")
+    n = _check_rank_keys(df.withColumn("_gk", F.struct(*fields)),
+                         len(order_cols), "global_ntile")
     r = global_row_number(df, order_cols, rank_col="_gi",
                           n_buckets=n_buckets, _n_rows=n)
     if n == 0:

@@ -49,6 +49,12 @@ def normalize_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str,
             ) -> dict:
     spark_rows = [tuple(r) for r in spark_df.collect()]
+    # free any build-time persisted intermediates the query deferred
+    # (global-rank builders) — the harness-level release hook that
+    # lets registered queries stay LAZY (r7 ADVICE)
+    from radio_data_pipeline_spark.plans.registry import (
+        release_deferred)
+    release_deferred()
     spark_cols = spark_df.columns
     rel = con.execute(sql)
     duck_cols = [d[0] for d in rel.description]

@@ -72,6 +72,10 @@ def test_sample_window_pins_critical_families_in_first_50():
         # round-7 rotations (r6 VERDICT #5): the salted sessionize
         # rewrite and the span-family stats query
         {"events_sessionize_salted"}, {"substring_dedup_stats"},
+        # round-8 rotations (r7 VERDICT #1): the two-pass global-rank
+        # builder rewrites need driver-gate evidence
+        {"orders_gini_coefficient"}, {"orders_pareto_share"},
+        {"customer_rfm_segments"},
     ]:
         assert family & window, f"family {family} outside sample window"
     # vector semantics family

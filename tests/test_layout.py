@@ -649,6 +649,17 @@ def test_global_row_number_matches_window(spark):
                                 "k long, v double")
     with pytest.raises(ValueError, match="NULL"):
         global_row_number(ndf, [F.col("v"), F.col("k")])
+    # NaN float key rejected loudly too (r7 ADVICE): Python's
+    # boundary sort and Spark's bucket comparison order NaN
+    # DIFFERENTLY — non-monotonic boundaries, silently wrong ranks
+    nan_df = spark.createDataFrame([(1, 1.0), (2, float("nan"))],
+                                   "k long, v double")
+    with pytest.raises(ValueError, match="NaN"):
+        global_row_number(nan_df, [F.col("v"), F.col("k")])
+    # ...and on the ntile path, whose count pass is separate
+    from radio_data_pipeline_spark.sources.layout import global_ntile
+    with pytest.raises(ValueError, match="NaN"):
+        global_ntile(nan_df, [F.col("v"), F.col("k")], 2)
 
 
 @pytest.mark.parametrize("n,k", [(137, 5), (10, 10), (3, 5), (40, 4)])
@@ -683,10 +694,34 @@ def test_global_rank_builders_no_single_partition(spark, sf_dir):
     assert "SinglePartition" not in plan
     assert "hashpartitioning(_db" in plan
 
+    from radio_data_pipeline_spark.plans.registry import (
+        release_deferred)
+
     q = all_queries()
-    for name in ["orders_gini_coefficient", "customer_rfm_segments"]:
+    # gini: 1 builder window; rfm: 3 (one per ntile score). Every
+    # Window node must be the _db-partitioned per-bucket ranking —
+    # and at least the expected number MUST be present: the queries
+    # return LAZY frames (an eager localCheckpoint here once
+    # truncated the plan to Scan ExistingRDD, making this loop pass
+    # vacuously — r7 ADVICE).
+    for name, min_windows in [("orders_gini_coefficient", 1),
+                              ("customer_rfm_segments", 3)]:
         qplan = q[name](spark, sf_dir)._jdf.queryExecution() \
             .executedPlan().toString()
-        for line in qplan.splitlines():
-            if "Window [" in line:
-                assert "_db" in line, (name, line)
+        release_deferred()
+        win_lines = [ln for ln in qplan.splitlines() if "Window [" in ln]
+        assert len(win_lines) >= min_windows, (name, qplan)
+        for line in win_lines:
+            assert "_db" in line, (name, line)
+        # (a one-row Exchange SinglePartition remains for gini's final
+        # scalar combine — benign; the WINDOW inputs are what must
+        # never funnel through one task)
+
+    # pareto: builder window (_db) plus the two cumulative-share
+    # windows over the 10-row decile re-aggregate (bounded global
+    # windows, allowlisted in test_plans_explain)
+    pplan = q["orders_pareto_share"](spark, sf_dir)._jdf \
+        .queryExecution().executedPlan().toString()
+    release_deferred()
+    pwin = [ln for ln in pplan.splitlines() if "Window [" in ln]
+    assert any("_db" in ln for ln in pwin), pplan

@@ -32,8 +32,10 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
 
 @pytest.mark.parametrize("name", _NO_ORACLE)
 def test_query_without_oracle_runs(spark, sf_dir, name):
+    from radio_data_pipeline_spark.plans.registry import release_deferred
     df = _SPECS[name].fn(spark, sf_dir)
     assert df.count() >= 0
+    release_deferred()
 
 
 def test_approx_aggregates_within_tolerance(spark, sf_dir):
