@@ -123,6 +123,18 @@ def ensure_band_meta(spark: SparkSession, index_path: str,
             "prefix_len": int(prefix_len), "n_hashes": int(n_hashes),
             "band_size": int(band_size), "k": int(k)}
     cached = _BAND_META_CACHE.get(index_path)
+    if cached is not None:
+        # the cache must not outlive the index: after a
+        # delete-and-rebuild at the same path (the mismatch error's
+        # own remediation) a stale hit would stop _meta.json from
+        # ever being written for the fresh index — batches accumulate
+        # meta-less and a later process refuses them as 'legacy'
+        # (r7 ADVICE). One driver-side exists() per call re-validates.
+        fs, _ = _hadoop_fs(spark, index_path)
+        _, mpath = _hadoop_fs(spark, f"{index_path}/_meta.json")
+        if not fs.exists(mpath):
+            _BAND_META_CACHE.pop(index_path, None)
+            cached = None
     if cached is None:
         fs, _ = _hadoop_fs(spark, index_path)
         _, mpath = _hadoop_fs(spark, f"{index_path}/_meta.json")
@@ -356,6 +368,9 @@ def maintenance_lease(spark: SparkSession, index_path: str, op: str,
 
     fs, _ = _hadoop_fs(spark, index_path)
     _, lpath = _hadoop_fs(spark, f"{index_path}/{_LEASE_NAME}")
+    # per-acquisition identity: release deletes ONLY a lease that
+    # still carries this id (see the finally clause)
+    lease_id = uuid.uuid4().hex
 
     def _try_create() -> bool:
         try:
@@ -364,7 +379,8 @@ def maintenance_lease(spark: SparkSession, index_path: str, op: str,
             return False
         try:
             out.write(bytearray(json.dumps(
-                {"op": op, "acquired_at": time.time()}).encode()))
+                {"op": op, "acquired_at": time.time(),
+                 "lease_id": lease_id}).encode()))
         finally:
             out.close()
         return True
@@ -410,7 +426,29 @@ def maintenance_lease(spark: SparkSession, index_path: str, op: str,
     try:
         yield _refresh
     finally:
-        fs.delete(lpath, False)
+        # release ONLY our own lease: if this op aged past the TTL
+        # without refreshing, a successor may have legitimately
+        # broken the stale lease and created its own — an
+        # unconditional delete here would evict that FRESH lease and
+        # reopen the concurrent-maintenance window the rename-break
+        # closed (r7 ADVICE). Best-effort read-then-delete; the
+        # moment a mismatched id is seen, this op has been usurped
+        # and must leave the successor's lease alone. On any read
+        # error the lease is left in place — the TTL bounds the leak.
+        try:
+            payload = json.loads(_read_small_text(spark, fs, lpath))
+            if payload.get("lease_id") == lease_id:
+                fs.delete(lpath, False)
+            else:
+                import warnings
+                warnings.warn(
+                    f"maintenance lease at {index_path} was usurped "
+                    f"mid-op (held by {payload.get('op')!r} now) — "
+                    f"this {op!r} op outlived the TTL without "
+                    "refreshing; leaving the successor's lease "
+                    "in place", RuntimeWarning, stacklevel=2)
+        except Exception:
+            pass
 
 
 def _dir_snapshot(fs, path) -> list[tuple[str, int, int]]:

@@ -521,3 +521,75 @@ def test_maintenance_lease_break_and_refresh(spark, tmp_path):
         refresh()
         assert time.time() - os.path.getmtime(lease) < 60
     assert not os.path.exists(lease)
+
+
+def test_lease_release_spares_successors_fresh_lease(spark, tmp_path):
+    """r7 ADVICE: an op that ages past the TTL without refreshing can
+    be legitimately usurped — its exit must then leave the
+    successor's FRESH lease alone (the old unconditional delete
+    reopened the concurrent-maintenance window the rename-break
+    closed), and delete only a lease still carrying its own id."""
+    import json as _json
+    import os
+
+    from radio_data_pipeline_spark.streaming.dedup import (
+        maintenance_lease)
+
+    import time
+
+    index = str(tmp_path / "idx")
+    os.makedirs(index)
+    lease = f"{index}/_maintenance.lease"
+    # manual enter/exit: the zombie must EXIT while the successor's
+    # fresh lease is live, which nests the wrong way for `with`
+    zombie = maintenance_lease(spark, index, "zombie")
+    zombie.__enter__()
+    old = time.time() - 7200
+    os.utime(lease, (old, old))  # zombie ages past the TTL
+    successor = maintenance_lease(spark, index, "successor")
+    successor.__enter__()  # breaks the stale lease, acquires its own
+    try:
+        with pytest.warns(RuntimeWarning, match="usurped"):
+            zombie.__exit__(None, None, None)
+        assert os.path.exists(lease)  # fresh lease survived
+        got = _json.loads(open(lease).read())
+        assert got["op"] == "successor"
+    finally:
+        successor.__exit__(None, None, None)
+    assert not os.path.exists(lease)  # successor's own exit releases
+
+    # and the normal path still releases: same-id lease is deleted
+    index2 = str(tmp_path / "idx2")
+    os.makedirs(index2)
+    with maintenance_lease(spark, index2, "normal"):
+        pass
+    assert not os.path.exists(f"{index2}/_maintenance.lease")
+
+
+def test_band_meta_cache_invalidated_on_index_rebuild(spark, tmp_path):
+    """r7 ADVICE: delete-and-rebuild at the same path within one
+    driver process must write fresh _meta.json for the new index —
+    a stale _BAND_META_CACHE hit would leave the rebuild meta-less
+    (later refused as 'legacy') or spuriously reject new params
+    against the deleted index's meta."""
+    import json as _json
+    import os
+    import shutil
+
+    df = _corpus(spark, 20)
+    index = str(tmp_path / "rebuild_idx")
+    _, bands = dedup_batch_against_index(df, index, 0, prefix_len=3)
+    append_batch_bands(bands, index, 0)
+    bands.unpersist()
+    assert os.path.exists(f"{index}/_meta.json")
+
+    shutil.rmtree(index)  # the mismatch error's own remediation
+
+    # rebuild with DIFFERENT params: a stale cache entry would raise
+    # 'layout mismatch' against the DELETED index's meta; the fresh
+    # index must instead persist the new params
+    _, bands2 = dedup_batch_against_index(df, index, 0, prefix_len=2)
+    append_batch_bands(bands2, index, 0)
+    bands2.unpersist()
+    meta = _json.loads(open(f"{index}/_meta.json").read())
+    assert meta["prefix_len"] == 2
