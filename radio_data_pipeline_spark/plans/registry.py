@@ -44,16 +44,32 @@ class QuerySpec:
 # and blinded the gwin audit), and the harnesses that consume
 # queries in bulk (bench.py, the oracle parity sweep,
 # tools/audit_plans.py) call release_deferred() after each query.
-# A consumer that never calls it (the driver gate) leaks only the
-# tiny keyed aggregates these queries persist — bounded, and freed
-# with the session.
+# A consumer that never calls it (the driver gate) is still bounded:
+# the list is a FIFO capped at _DEFERRED_CAP — appending beyond the
+# cap unpersists the OLDEST entry (r8 ADVICE: without the cap, every
+# REBUILD of a deferring query in a long-lived session appended a
+# fresh persisted aggregate forever). Eviction can only cost
+# recompute time, never correctness: unpersisting a frame whose lazy
+# consumer runs later just re-executes the (still-correct) lineage.
+# The cap comfortably exceeds the deferred frames of any single
+# build pass (3 queries defer exactly one frame each), so a
+# build-then-collect consumer never recomputes.
 _DEFERRED_RELEASE: list[DataFrame] = []
+_DEFERRED_CAP = 8
 
 
 def defer_unpersist(df: DataFrame) -> DataFrame:
     """Mark a persisted build-time intermediate for harness-level
-    release via release_deferred(). Returns ``df`` unchanged."""
+    release via release_deferred(). Returns ``df`` unchanged. Keeps
+    at most _DEFERRED_CAP frames pending: the oldest is unpersisted
+    (lineage recompute, never wrong answers) when the cap is hit."""
     _DEFERRED_RELEASE.append(df)
+    while len(_DEFERRED_RELEASE) > _DEFERRED_CAP:
+        old = _DEFERRED_RELEASE.pop(0)
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass
     return df
 
 

