@@ -173,9 +173,24 @@ class SemanticIndexHandle:
     Contract: the handle caches the quantizer, so it must be closed
     and reopened across ``requantize_semantic_index`` (which may not
     run concurrently with ingest anyway — the offline + lease
-    contract); ``close()`` releases every cache it pinned."""
+    contract); ``close()`` releases every cache it pinned.
+
+    The contract is ENFORCED, not just documented (r8 VERDICT #1 —
+    two rounds of 'a stale handle misassigns silently'): at open the
+    handle snapshots the ``_quantizer`` directory's driver-side file
+    metadata (names, lengths, mtimes — the same `_dir_snapshot`
+    primitive the maintenance folds use), and every kernel call
+    through the handle re-lists and compares before any cached table
+    is used. A requantize commit overwrites the quantizer dataset
+    with fresh part files, so the snapshot can never silently match
+    across one — the next call raises StaleQuantizerError instead of
+    filing new rows under dead cells. Cost: one FileSystem
+    listStatus per kernel call — driver metadata only, no Spark job
+    (measured ~1 ms against ~seconds of kernel work; §19 add. 8)."""
 
     def __init__(self, spark: SparkSession, index_path: str):
+        from .dedup import _dir_snapshot, _hadoop_fs
+
         self.spark = spark
         self.path = index_path
         self.centroids, self.meta = read_semantic_quantizer(
@@ -184,9 +199,37 @@ class SemanticIndexHandle:
             self.centroids, self.meta["two_level"],
             self.meta["coarse_clusters"])
         self.centroids = self.prepared["cc"]  # the persisted frame
+        self._fs, self._qpath = _hadoop_fs(
+            spark, f"{index_path}/_quantizer")
+        self._qsnapshot = _dir_snapshot(self._fs, self._qpath)
+
+    def check_fresh(self) -> None:
+        """Raise StaleQuantizerError if the persisted quantizer moved
+        since this handle was opened (a requantize committed). Called
+        by the kernel on every handle-mode invocation; callers doing
+        their own assignment against ``handle.centroids`` should call
+        it too."""
+        from .dedup import _dir_snapshot
+
+        now = _dir_snapshot(self._fs, self._qpath)
+        if now != self._qsnapshot:
+            raise StaleQuantizerError(
+                f"semantic index handle on {self.path} is STALE: the "
+                "persisted _quantizer changed since open (a "
+                "requantize committed). Serving with the cached "
+                "quantizer would file new rows under cells the "
+                "active quantizer no longer maps — silent duplicate "
+                "admission. close() this handle and "
+                "open_semantic_index() a fresh one")
 
     def close(self) -> None:
         release_assignment(self.prepared)
+
+
+class StaleQuantizerError(RuntimeError):
+    """A SemanticIndexHandle outlived a requantize of its index: its
+    cached quantizer no longer matches the persisted one. Reopen the
+    handle."""
 
 
 def open_semantic_index(spark: SparkSession,
@@ -229,6 +272,11 @@ def semantic_dedup_batch_against_index(
             raise ValueError(
                 "pass either a SemanticIndexHandle or explicit "
                 "centroids/meta, not both")
+        # staleness gate BEFORE any cached table is used: a handle
+        # held across requantize_semantic_index must fail loudly, not
+        # assign with the dead quantizer (driver-side metadata
+        # compare, no job — see SemanticIndexHandle.check_fresh)
+        index.check_fresh()
         centroids, meta, prepared = (index.centroids, index.meta,
                                      index.prepared)
         index = index.path

@@ -175,11 +175,34 @@ def main() -> None:
     stream = (spark.readStream
               .schema("vec_id long, embedding array<double>")
               .option("maxFilesPerTrigger", 1).parquet(src))
+    # --audit: record per-stage task counts for the WHOLE measured
+    # serving run and report any byte-blind stage (heavy compute on
+    # <= parallelism/8 tasks — tools/audit_tasks.py, r8 VERDICT #2).
+    # The three historical failures in this exact loop were found by
+    # hand-profiling; this makes the check part of the bench.
+    import contextlib
+
+    from tools.audit_tasks import measure
+    audit_ctx = (measure(spark) if "--audit" in sys.argv
+                 else contextlib.nullcontext())
     t0 = time.monotonic()
-    q = stream_semantic_ingest(stream, index, out, checkpoint=cp,
-                               eps=EPS, handle=handle)
-    q.awaitTermination()
+    with audit_ctx as rec:
+        q = stream_semantic_ingest(stream, index, out, checkpoint=cp,
+                                   eps=EPS, handle=handle)
+        q.awaitTermination()
     t_total = time.monotonic() - t0
+    if rec is not None:
+        flags = rec.flagged()
+        print(f"task audit: {len(rec.stages)} stages, "
+              f"{len(flags)} byte-blind "
+              f"(heavy per-task ms on <=par/8 tasks)")
+        for s in (flags or rec.stages[:3]):
+            print(f"  stage {s['stage_id']}: {s['tasks']} tasks, "
+                  f"{s['per_task_ms']} ms/task"
+                  + ("  <-- FLAGGED" if s in flags else ""))
+        if flags:
+            print("task audit: FAIL — byte-blind stage(s) in the "
+                  "serving loop")
     for p in q.recentProgress:
         rows = p["numInputRows"]
         dur = p["durationMs"]["triggerExecution"] / 1000.0
