@@ -410,8 +410,14 @@ def semantic_dedup_batch_against_index(
             .select(F.col("new_id").alias("vec_id")))
         dropped = dropped.union(matched)
 
+    # dropped is bounded by |batch| ids (micro-batch contract), so
+    # the anti-join build side is broadcast STATICALLY: batch_df
+    # never shuffles for the anti join, and the plan skips the AQE
+    # detect-small-then-convert round a dynamic BHJ would cost on
+    # every batch
     survivors = batch_df.join(
-        dropped.distinct().withColumnRenamed("vec_id", id_col),
+        F.broadcast(dropped.distinct().withColumnRenamed("vec_id",
+                                                         id_col)),
         id_col, "left_anti")
     return survivors, rows
 
@@ -631,6 +637,124 @@ def _requantize_body(spark, index_path, n_clusters, lloyd_rounds,
     return deleted
 
 
+class MaintenancePolicy:
+    """Thresholds for ``maintain_semantic_index``. All signals are
+    CHEAP (driver-side listings + parquet-footer counts — the same
+    cost class as the compactor's own change detector):
+
+    - ``compact_after_batches``: fold when at least this many LIVE
+      (nonnegative-id) ``ingest_batch`` dirs have accumulated — §19
+      measured probe listing cost growing with dir count, and
+      compaction restoring it (930→310 dirs → probe 2.9→1.5 s).
+    - ``requantize_over_occupancy``: retrain when mean rows-per-cell
+      exceeds this multiple of ``target_cluster_rows`` — per-batch
+      probe work grows as corpus/k (the module docstring's honest
+      asymptote), and requantize resets k to ceil(rows/target).
+    - ``min_rows_for_requantize``: below this corpus size the probe
+      cost cannot matter; never requantize (guards a freshly seeded
+      index whose k was deliberately small).
+
+    Precedence: requantize (which folds every generation anyway)
+    beats compact beats no-op."""
+
+    def __init__(self, compact_after_batches: int = 8,
+                 requantize_over_occupancy: float = 4.0,
+                 target_cluster_rows: int = 256,
+                 min_rows_for_requantize: int = 10_000,
+                 lloyd_rounds: int = 2,
+                 train_fraction: float = 1.0):
+        self.compact_after_batches = int(compact_after_batches)
+        self.requantize_over_occupancy = float(
+            requantize_over_occupancy)
+        self.target_cluster_rows = int(target_cluster_rows)
+        self.min_rows_for_requantize = int(min_rows_for_requantize)
+        self.lloyd_rounds = int(lloyd_rounds)
+        self.train_fraction = float(train_fraction)
+
+
+def semantic_index_signals(spark: SparkSession,
+                           index_path: str) -> dict:
+    """The cheap observables a maintenance decision reads: live batch
+    dir count, generation count, file count, indexed row count
+    (parquet footer metadata — no data pages), quantizer size k, and
+    mean cell occupancy."""
+    from .dedup import _ingest_dirs
+
+    fs, _, dirs = _ingest_dirs(spark, index_path)
+    ids = [int(p.getName().split("=", 1)[1]) for p in dirs]
+    n_files = 0
+    for p in dirs:
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            it.next()
+            n_files += 1
+    n_rows = (spark.read.parquet(index_path).count() if dirs else 0)
+    k = (spark.read.parquet(f"{index_path}/_quantizer")
+         .select("cluster").distinct().count())
+    return {
+        "live_batches": sum(1 for i in ids if i >= 0),
+        "generations": sum(1 for i in ids if i < 0),
+        "files": n_files,
+        "rows": int(n_rows),
+        "k": int(k),
+        "occupancy": (n_rows / k) if k else 0.0,
+    }
+
+
+def decide_maintenance(signals: dict,
+                       policy: MaintenancePolicy) -> tuple[str, dict]:
+    """The pure decision function (test-pinned as a table): returns
+    ``(action, params)`` with action one of 'noop' | 'compact' |
+    'requantize'."""
+    if (signals["rows"] >= policy.min_rows_for_requantize
+            and signals["k"] > 0
+            and signals["occupancy"] >= (
+                policy.requantize_over_occupancy
+                * policy.target_cluster_rows)):
+        import math
+        new_k = max(1, math.ceil(signals["rows"]
+                                 / policy.target_cluster_rows))
+        return "requantize", {"n_clusters": new_k}
+    if signals["live_batches"] >= policy.compact_after_batches:
+        return "compact", {}
+    return "noop", {}
+
+
+def maintain_semantic_index(spark: SparkSession, index_path: str,
+                            policy: MaintenancePolicy | None = None,
+                            dry_run: bool = False) -> dict:
+    """Read the cheap signals, decide, and (unless ``dry_run``) run
+    the chosen maintenance op — the policy loop a serving deployment
+    calls between batches or on a timer (r8 VERDICT #5). Each heavy
+    op takes the maintenance lease itself, so concurrent maintainers
+    exclude each other exactly as direct callers do; this function
+    adds no second locking layer (the decide-then-act gap is closed
+    by the ops' own lease + snapshot guards — a raced fold refuses
+    to commit rather than act on stale listings).
+
+    Returns ``{"action", "params", "signals", "result"}`` where
+    result is the op's return value (dirs folded), or None for
+    noop/dry_run. The quantizer's layout width (n_cell_buckets) is
+    preserved across a policy-driven requantize."""
+    policy = policy or MaintenancePolicy()
+    signals = semantic_index_signals(spark, index_path)
+    action, params = decide_maintenance(signals, policy)
+    report = {"action": action, "params": params,
+              "signals": signals, "result": None}
+    if dry_run or action == "noop":
+        return report
+    if action == "compact":
+        report["result"] = compact_semantic_index(spark, index_path)
+        return report
+    _, meta = read_semantic_quantizer(spark, index_path)
+    report["result"] = requantize_semantic_index(
+        spark, index_path, n_clusters=params["n_clusters"],
+        lloyd_rounds=policy.lloyd_rounds,
+        train_fraction=policy.train_fraction,
+        n_cell_buckets=meta["n_cell_buckets"])
+    return report
+
+
 def stream_semantic_ingest(stream_df: DataFrame, index_path: str,
                            out_path: str, checkpoint: str,
                            vec_col: str = "embedding",
@@ -644,9 +768,11 @@ def stream_semantic_ingest(stream_df: DataFrame, index_path: str,
     ``init_semantic_index`` to have run first (the quantizer must be
     frozen before any verdict) and a checkpoint (the per-batch
     overwrite layout is only exactly-once under a checkpointed
-    batch-id sequence). Write order (survivors first, index second)
-    plus the kernel's own-batch probe exclusion makes any crash point
-    replay to the identical result. Returns the StreamingQuery.
+    batch-id sequence). The survivor write and the index append run
+    CONCURRENTLY — both are per-batch-dir overwrites, and the
+    kernel's own-batch probe exclusion makes every crash
+    interleaving (either write present, absent, or partial) replay
+    to the identical result. Returns the StreamingQuery.
 
     ``handle``: an open SemanticIndexHandle on ``index_path`` — the
     serving configuration (quantizer cached once, per-batch fixed
@@ -672,9 +798,32 @@ def stream_semantic_ingest(stream_df: DataFrame, index_path: str,
                 vec_col=vec_col, id_col=id_col,
                 dedup_identical=dedup_identical)
             try:
-                (survivors.write.mode("overwrite")
-                 .parquet(f"{out_path}/batch={batch_id}"))
-                append_semantic_batch(rows, index_path, batch_id)
+                # the two commits run CONCURRENTLY (r8 VERDICT #3 —
+                # the small-batch floor is a chain of sequential
+                # job-group floors): both read only the PERSISTED
+                # rows/batch_df caches, write to disjoint paths, and
+                # every crash interleaving replays to the identical
+                # result — each write is a per-batch-dir overwrite,
+                # and the kernel's own-batch exclusion (partition
+                # prune + src_batch data column) makes a replayed
+                # batch blind to its own crashed index append, so
+                # "index committed but survivors not" (the one
+                # ordering the old sequential form excluded) is as
+                # replay-sound as the reverse. Measured: -1.5 s of
+                # the ~7 s 2k-batch wall (§19 add. 8).
+                from concurrent.futures import ThreadPoolExecutor
+
+                def _surv() -> None:
+                    (survivors.write.mode("overwrite")
+                     .parquet(f"{out_path}/batch={batch_id}"))
+
+                def _idx() -> None:
+                    append_semantic_batch(rows, index_path, batch_id)
+
+                with ThreadPoolExecutor(max_workers=2) as ex:
+                    fut_s, fut_i = ex.submit(_surv), ex.submit(_idx)
+                    fut_s.result()
+                    fut_i.result()
             finally:
                 rows.unpersist()
         finally:

@@ -778,3 +778,91 @@ def test_handle_stale_across_requantize_raises(spark, tmp_path):
         rows2.unpersist()
     finally:
         h2.close()
+
+
+def test_maintenance_policy_decision_table():
+    """decide_maintenance is a pure function — pin the table
+    (r8 VERDICT #5): requantize beats compact beats noop; the
+    min-rows guard stops a freshly seeded index from churning; the
+    new k tracks rows/target."""
+    from radio_data_pipeline_spark.streaming.semantic import (
+        MaintenancePolicy, decide_maintenance)
+
+    p = MaintenancePolicy(compact_after_batches=4,
+                          requantize_over_occupancy=4.0,
+                          target_cluster_rows=256,
+                          min_rows_for_requantize=10_000)
+
+    def sig(live=0, gens=0, rows=0, k=1, files=0):
+        return {"live_batches": live, "generations": gens,
+                "rows": rows, "k": k, "files": files,
+                "occupancy": rows / k if k else 0.0}
+
+    # noop: few batches, healthy occupancy
+    assert decide_maintenance(sig(live=3, rows=5000, k=20), p)[0] \
+        == "noop"
+    # compact: live batches at threshold
+    assert decide_maintenance(sig(live=4, rows=5000, k=20), p)[0] \
+        == "compact"
+    # requantize: occupancy 4x target and enough rows — and it wins
+    # over a simultaneous compact trigger (it folds anyway)
+    act, params = decide_maintenance(
+        sig(live=9, rows=20_480, k=20), p)  # occ=1024 = 4*256
+    assert act == "requantize"
+    assert params["n_clusters"] == 80  # ceil(20480/256)
+    # min-rows guard: same occupancy ratio, tiny corpus -> compact
+    assert decide_maintenance(sig(live=9, rows=9_999, k=9), p)[0] \
+        == "compact"
+    # occupancy just below the bar -> compact path only
+    assert decide_maintenance(sig(live=4, rows=20_470, k=20), p)[0] \
+        == "compact"
+
+
+def test_maintain_semantic_index_serving_loop(spark, tmp_path):
+    """The policy loop against a real index: noop below the batch
+    threshold, compaction fires AT the threshold (folding the live
+    dirs into one generation), then noop again — and dry_run never
+    mutates. Verdicts stay identical through maintenance."""
+    from radio_data_pipeline_spark.streaming.semantic import (
+        MaintenancePolicy, maintain_semantic_index)
+
+    df = _emb_corpus(spark, 120)
+    index = str(tmp_path / "m_idx")
+    init_semantic_index(df, index, _K, lloyd_rounds=2)
+    pol = MaintenancePolicy(compact_after_batches=4,
+                            min_rows_for_requantize=1_000_000)
+
+    fired = []
+    chunks = list(_chunks(df, 6, 120))
+    for bid, chunk in enumerate(chunks):
+        _, rows = semantic_dedup_batch_against_index(
+            chunk, index, bid, eps=_EPS)
+        append_semantic_batch(rows, index, bid)
+        rows.unpersist()
+        rep = maintain_semantic_index(spark, index, pol)
+        fired.append((rep["action"], rep["signals"]["live_batches"]))
+    # cadence: noop at 1-3 live dirs, compact at 4, then counter
+    # resets (the fold leaves one negative generation)
+    actions = [a for a, _ in fired]
+    assert actions == ["noop", "noop", "noop", "compact", "noop",
+                       "noop"]
+    compact_rep = fired[3]
+    assert compact_rep[1] == 4  # fired at the measured cadence
+
+    # dry_run reports without acting
+    rep = maintain_semantic_index(spark, index, pol, dry_run=True)
+    assert rep["action"] == "noop" and rep["result"] is None
+
+    # requantize path through the policy: drop the rows bar so the
+    # tiny corpus trips the occupancy trigger, preserve layout width
+    pol2 = MaintenancePolicy(requantize_over_occupancy=0.001,
+                             target_cluster_rows=8,
+                             min_rows_for_requantize=1)
+    rep2 = maintain_semantic_index(spark, index, pol2)
+    assert rep2["action"] == "requantize"
+    assert rep2["result"] >= 1  # folded the generation
+    # and the index still answers: a replayed duplicate batch drops
+    s, r = semantic_dedup_batch_against_index(
+        chunks[0], index, 99, eps=_EPS)
+    assert s.count() == 0
+    r.unpersist()
