@@ -581,17 +581,49 @@ def prepare_assignment(cc: DataFrame, two_level: bool,
             # eager: a serving loop should pay the prep here, not
             # inside its first micro-batch
             coarse.count()
-            ccf.count()
+            n_fine = ccf.count()
             coarse_arr.count()
             prep["coarse"] = coarse
             prep["ccf"] = ccf
             prep["coarse_arr"] = coarse_arr
+            d = int(ccf.select(F.size("cv")).first()[0])
+            if n_fine * d <= _INLINE_PACK_MAX_ELEMS:
+                # single-row PACKS for the one-projection micro-batch
+                # assignment (see _assign_points_inline): the whole
+                # quantizer as one broadcastable row — an array of
+                # (cell, cv) coarse structs plus a cell -> candidate
+                # fine centroids map. collect_list order is
+                # irrelevant: the consumer is array_min (order-free).
+                cpack = (coarse_arr.agg(F.collect_list(
+                    F.struct(F.col("cell"), F.col("cv"))).alias("ca"))
+                    .persist())
+                fpack = (ccf.groupBy("cell")
+                         .agg(F.collect_list(
+                             F.struct(F.col("cluster"),
+                                      F.col("cv"))).alias("cands"))
+                         .agg(F.map_from_entries(F.collect_list(
+                             F.struct(F.col("cell"),
+                                      F.col("cands")))).alias("fm"))
+                         .persist())
+                prep["_persisted"] += [cpack, fpack]
+                cpack.count()
+                fpack.count()
+                prep["coarse_pack"] = cpack
+                prep["fine_pack"] = fpack
         else:
             cc_arr = _centroid_array_form(cc, "cluster").persist()
             prep["_persisted"].append(cc_arr)
             cc.count()
-            cc_arr.count()
+            n_fine = cc_arr.count()
             prep["cc_arr"] = cc_arr
+            d = int(cc_arr.select(F.size("cv")).first()[0])
+            if n_fine * d <= _INLINE_PACK_MAX_ELEMS:
+                cpack = (cc_arr.agg(F.collect_list(
+                    F.struct(F.col("cluster"), F.col("cv")))
+                    .alias("ca")).persist())
+                prep["_persisted"].append(cpack)
+                cpack.count()
+                prep["flat_pack"] = cpack
     except BaseException:
         # a failed open must not leak pinned partitions into the
         # shared session (every frame is registered before its first
@@ -605,6 +637,72 @@ def release_assignment(prep: dict) -> None:
     """Unpersist every frame ``prepare_assignment`` pinned."""
     for df in prep.get("_persisted", []):
         df.unpersist()
+
+
+# ceiling on k*d for the single-row quantizer PACKS the inline
+# micro-batch assignment broadcasts (~32 MB of doubles at 4M
+# elements): above it prepare_assignment simply skips the packs and
+# the serving path falls back to the join-shaped assignment — the
+# inline form is a small-quantizer fast path, never a contract
+_INLINE_PACK_MAX_ELEMS = 4_000_000
+
+
+def _argmin_over_pack(v_col, pack_col, label_field: str):
+    """In-row argmin: for one point vector ``v_col`` and an array of
+    (label, cv) candidate structs, return the label minimizing the
+    position-order (x-y)^2 fold. array_min over struct(d2, label) is
+    the lexicographic (d2, label) minimum — the EXACT tie-break
+    _argmin_label's row_number(order by d2, label) applies, with the
+    d2 expression bit-identical (same zip_with/aggregate fold) — and
+    is order-free, so the pack's collect_list order cannot matter."""
+    return F.array_min(F.transform(
+        pack_col,
+        lambda c: F.struct(
+            F.aggregate(F.zip_with(v_col, c["cv"],
+                                   lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x).alias("d2"),
+            c[label_field].alias("label"))))["label"]
+
+
+def _assign_points_inline(pv: DataFrame, prepared: dict,
+                          keep_v: bool = False) -> DataFrame:
+    """Micro-batch assignment as ONE spread projection (serving fast
+    path, r9): the prepared single-row quantizer packs are broadcast
+    and BOTH argmin levels run as in-row higher-order folds — no
+    aggregation shuffle, no join-back, so the per-batch AQE job
+    cascade (~5 shuffles / 8 jobs in the join-shaped path, each
+    paying a scheduling floor) collapses to one round-robin spread
+    of the byte-tiny batch plus one projection. Verdict-identical to
+    the join-shaped path: same fold, same (d2, label) tie-break
+    (see _argmin_over_pack), pinned by equivalence test.
+
+    Only reachable through prepare_assignment's size guard
+    (_INLINE_PACK_MAX_ELEMS): at auto-scale k the packs stop being
+    built and the join-shaped path serves. The RR spread stays — a
+    one-file micro-batch is one input split, and the |batch|·~2√k·d
+    fold compute would otherwise run single-task (the measured
+    byte-blindness class)."""
+    spread = pv.sparkSession.sparkContext.defaultParallelism
+    pv = pv.repartition(spread)
+    keep = ["vec_id"] + (["v"] if keep_v else [])
+    if prepared["two_level"]:
+        out = (pv.crossJoin(F.broadcast(prepared["coarse_pack"]))
+               .withColumn("cell",
+                           _argmin_over_pack(F.col("v"),
+                                             F.col("ca"), "cell"))
+               .crossJoin(F.broadcast(prepared["fine_pack"]))
+               .select(*keep,
+                       _argmin_over_pack(
+                           F.col("v"),
+                           F.element_at(F.col("fm"), F.col("cell")),
+                           "cluster").alias("cluster")))
+    else:
+        out = (pv.crossJoin(F.broadcast(prepared["flat_pack"]))
+               .select(*keep,
+                       _argmin_over_pack(F.col("v"), F.col("ca"),
+                                         "cluster").alias("cluster")))
+    return out
 
 
 def _quantizer_tables(cc: DataFrame, coarse_clusters: int,
@@ -668,6 +766,11 @@ def _assign_points(pv: DataFrame, cc: DataFrame, two_level: bool = False,
         two_level = prepared["two_level"]
         coarse_clusters = prepared["coarse_clusters"]
         cc = prepared["cc"]
+        if broadcast_points and (
+                "coarse_pack" in prepared or "flat_pack" in prepared):
+            # serving fast path: one spread projection over the
+            # prepared single-row packs (see _assign_points_inline)
+            return _assign_points_inline(pv, prepared)
     if not two_level:
         if broadcast_points:
             # micro-batch flat: |batch|·k folds in place instead of

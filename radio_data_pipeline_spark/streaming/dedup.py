@@ -338,9 +338,17 @@ def append_batch_bands(bands: DataFrame, index_path: str,
         F.lit(f"band-index layout mismatch at {index_path}: bh_prefix "
               f"width != persisted prefix_len {cached['prefix_len']} "
               "(got '"), F.col("bh_prefix"), F.lit("')"))))
+    # explicit partition count: a micro-batch's bands are byte-tiny
+    # however many (band_id, bh_prefix) dirs they touch, and an
+    # AQE-coalescible repartition(col) collapses the write to ONE
+    # task paying every parquet-writer open + dir commit in sequence
+    # (the fourth byte-blindness site, measured on the semantic
+    # append — §19 add. 8). Each key still hashes to exactly one
+    # reducer: layout unchanged, writer opens spread.
+    spread = bands.sparkSession.sparkContext.defaultParallelism
     (bands.withColumn("src_batch", F.lit(batch_id))
      .withColumn("bh_prefix", guarded)
-     .repartition(F.col("band_id"), F.col("bh_prefix"))
+     .repartition(spread, F.col("band_id"), F.col("bh_prefix"))
      .write.mode("overwrite").partitionBy("band_id", "bh_prefix")
      .parquet(f"{index_path}/ingest_batch={batch_id}"))
 

@@ -202,6 +202,131 @@ class SemanticIndexHandle:
         self._fs, self._qpath = _hadoop_fs(
             spark, f"{index_path}/_quantizer")
         self._qsnapshot = _dir_snapshot(self._fs, self._qpath)
+        self._gen_df = None
+        self._gen_names: set[str] = set()
+        self._refresh_generations()
+
+    def _list_ingest(self) -> tuple[list, list]:
+        """(generation dirs, live batch dirs) — one driver listing."""
+        from .dedup import _ingest_dirs
+
+        _, _, dirs = _ingest_dirs(self.spark, self.path)
+        gens = [p for p in dirs
+                if int(p.getName().split("=", 1)[1]) < 0]
+        lives = [p for p in dirs
+                 if int(p.getName().split("=", 1)[1]) >= 0]
+        return gens, lives
+
+    def _refresh_generations(self) -> None:
+        from pyspark import StorageLevel
+
+        gens, _ = self._list_ingest()
+        names = {p.getName() for p in gens}
+        if names == self._gen_names and (self._gen_df is not None
+                                         or not names):
+            return
+        if self._gen_df is not None:
+            try:
+                self._gen_df.unpersist(blocking=False)
+            except Exception:
+                pass
+            self._gen_df = None
+        self._gen_names = names
+        if names:
+            # WITNESS-DEDUPED: the probe's verdict is an EXISTS over
+            # round(cosine,6) >= eps, and bitwise-equal vectors give
+            # identical cosines, so a bounded set of representatives
+            # per (cell, v) carries every verdict the full
+            # generation carries — on a duplicate-dense corpus this
+            # collapses the per-batch pair fold by the duplication
+            # factor (measured: a tiled 200k index probed 5.5M pairs
+            # per 2k batch; deduped, ~the distinct count — §19
+            # add. 8).
+            #
+            # TWO representatives with DISTINCT src_batch (min_by +
+            # max_by), not one: a replayed batch excludes
+            # src_batch == its own id, and with two distinct values
+            # a single batch's exclusion can never hide both — the
+            # replayed doc keeps exactly the witnesses the uncached
+            # path shows it. One representative (e.g. min src_batch)
+            # is WRONG here because seed/backfill batch ids need not
+            # be smaller than live ids (the bench seeds at 1e6+ on
+            # purpose), so the minimum could BE the replayed batch
+            # while a discarded copy from another batch should have
+            # witnessed. When every copy shares one src_batch the
+            # two reps collapse to one, and its exclusion is exactly
+            # the semantics (all copies were the replayed batch's
+            # own rows). Replay equality is test-pinned. min_by/
+            # max_by stay HashAggregate-friendly (min(struct) would
+            # silently fall back to SortAggregate — the r7 measured
+            # negative). vn is a pure function of v, cell_bucket of
+            # cell, and the probe never reads the index id, so an
+            # arbitrary same-src_batch row is a faithful
+            # representative.
+            #
+            # Pre-spread BEFORE persist: the pair fold runs on the
+            # cached partitioning (broadcast join, narrow), so
+            # round-robin here replaces the old per-batch RR shuffle
+            # of the whole pruned scan — paid once per generation
+            # set.
+            spread = (self.spark.sparkContext.defaultParallelism * 2)
+            rep = F.struct("id", "vn", "cell_bucket", "src_batch",
+                           "ingest_batch")
+            packed = (self.spark.read
+                      .option("basePath", self.path)
+                      .parquet(*[p.toString() for p in gens])
+                      .groupBy("cell", "v")
+                      .agg(F.min_by(rep, F.col("src_batch"))
+                           .alias("lo"),
+                           F.max_by(rep, F.col("src_batch"))
+                           .alias("hi")))
+            self._gen_df = (
+                packed.select(
+                    "cell", "v",
+                    F.explode(F.when(
+                        F.col("lo.src_batch") == F.col("hi.src_batch"),
+                        F.array("lo")).otherwise(F.array("lo", "hi")))
+                    .alias("r"))
+                .select("cell", "v", "r.*")
+                .repartition(spread)
+                .persist(StorageLevel.MEMORY_AND_DISK))
+            # eager: the serving loop pays the one-time decode here,
+            # not inside its next micro-batch
+            self._gen_df.count()
+
+    def index_frame(self):
+        """The probe's view of the accumulated index: the IMMUTABLE
+        generations served from the handle's Spark cache (decoded
+        once — at 2k-doc batches the per-batch re-scan + vector
+        decode of the generation was the single largest serving
+        cost, ~60 s of CPU per batch at a 180k-row index; §19
+        add. 8), unioned with a FRESH read of the live
+        ``ingest_batch>=0`` dirs (mutated every batch, byte-small).
+        A maintenance fold changes the generation set — detected by
+        dir listing here and the cache refreshed in place, safe
+        because a fold's output is verdict-equivalent to its
+        sources. Returns None for an empty index."""
+        gens, lives = self._list_ingest()
+        if {p.getName() for p in gens} != self._gen_names:
+            self._refresh_generations()
+        parts = []
+        if self._gen_df is not None:
+            parts.append(self._gen_df)
+        if lives:
+            # live dirs are byte-tiny one-file-per-bucket appends —
+            # spread them here so their share of the pair fold never
+            # single-tasks (the cached part is pre-spread at persist)
+            spread = self.spark.sparkContext.defaultParallelism
+            parts.append(self.spark.read
+                         .option("basePath", self.path)
+                         .parquet(*[p.toString() for p in lives])
+                         .repartition(spread))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def check_fresh(self) -> None:
         """Raise StaleQuantizerError if the persisted quantizer moved
@@ -224,6 +349,13 @@ class SemanticIndexHandle:
 
     def close(self) -> None:
         release_assignment(self.prepared)
+        if self._gen_df is not None:
+            try:
+                self._gen_df.unpersist(blocking=False)
+            except Exception:
+                pass
+            self._gen_df = None
+            self._gen_names = set()
 
 
 class StaleQuantizerError(RuntimeError):
@@ -267,6 +399,7 @@ def semantic_dedup_batch_against_index(
     the handle across any requantize."""
     spark = batch_df.sparkSession
     prepared = None
+    handle = None
     if isinstance(index, SemanticIndexHandle):
         if centroids is not None or meta is not None:
             raise ValueError(
@@ -277,6 +410,7 @@ def semantic_dedup_batch_against_index(
         # assign with the dead quantizer (driver-side metadata
         # compare, no job — see SemanticIndexHandle.check_fresh)
         index.check_fresh()
+        handle = index
         centroids, meta, prepared = (index.centroids, index.meta,
                                      index.prepared)
         index = index.path
@@ -306,27 +440,42 @@ def semantic_dedup_batch_against_index(
             "n_cell_buckets (the layout's bucket width) — use the "
             "meta read_semantic_quantizer returns")
 
-    a = assign_to_centroids(batch_df, centroids, vec_col=vec_col,
-                            id_col=id_col,
-                            two_level=meta["two_level"],
-                            coarse_clusters=meta["coarse_clusters"],
-                            points_are_small=True,
-                            prepared=prepared)
-    v = batch_df.select(F.col(id_col).alias("vec_id"),
-                        _as_double(F.col(vec_col)).alias("v"))
-    # rows is the PERSISTED frame (the caller's unpersist handle, per
-    # the contract below); assigned is a zero-cost rename of it, so
-    # the local rule, the probe, and the cell collect all hit the
-    # same cached assignment
     n_buckets = int(meta.get("n_cell_buckets", _DEFAULT_CELL_BUCKETS))
     # vn = precomputed l2 norm, persisted with the row: the probe and
     # within-batch pair filters are O(pairs·d) interpreted folds, and
     # hoisting the norms leaves one fold per pair instead of three
     # (bit-identical — see _semantic_removed)
-    rows = (v.join(a, "vec_id")
-            .select(F.col("vec_id").alias("id"), "v",
-                    F.col("cluster").alias("cell"))
-            .withColumn("vn", l2_norm(F.col("v")))
+    if prepared is not None and ("coarse_pack" in prepared
+                                 or "flat_pack" in prepared):
+        # serving fast path (r9): the handle prepared single-row
+        # quantizer packs, so assignment AND the id->v join-back
+        # collapse into one spread projection — the whole rows build
+        # is one shuffle + one stage instead of the ~5-shuffle AQE
+        # cascade (verdict-identical: _assign_points_inline)
+        from ..functions.similarity import _assign_points_inline
+
+        pv = batch_df.select(F.col(id_col).alias("vec_id"),
+                             _as_double(F.col(vec_col)).alias("v"))
+        a_rows = _assign_points_inline(pv, prepared, keep_v=True)
+        rows = (a_rows.select(F.col("vec_id").alias("id"), "v",
+                              F.col("cluster").alias("cell")))
+    else:
+        a = assign_to_centroids(batch_df, centroids, vec_col=vec_col,
+                                id_col=id_col,
+                                two_level=meta["two_level"],
+                                coarse_clusters=meta["coarse_clusters"],
+                                points_are_small=True,
+                                prepared=prepared)
+        v = batch_df.select(F.col(id_col).alias("vec_id"),
+                            _as_double(F.col(vec_col)).alias("v"))
+        rows = (v.join(a, "vec_id")
+                .select(F.col("vec_id").alias("id"), "v",
+                        F.col("cluster").alias("cell")))
+    # rows is the PERSISTED frame (the caller's unpersist handle, per
+    # the contract below); assigned is a zero-cost rename of it, so
+    # the local rule, the probe, and the cell collect all hit the
+    # same cached assignment
+    rows = (rows.withColumn("vn", l2_norm(F.col("v")))
             .withColumn("cell_bucket",
                         F.pmod(F.col("cell"),
                                F.lit(n_buckets)).cast("int")))
@@ -342,7 +491,15 @@ def semantic_dedup_batch_against_index(
 
     idx = None
     if path_mode:
-        if _index_has_batches(spark, index):
+        # the handle serves the immutable generations from its Spark
+        # cache and reads only the live batch dirs fresh (see
+        # SemanticIndexHandle.index_frame — the per-batch generation
+        # re-decode was the 2k-batch floor); a plain path re-reads
+        # everything (correct, slower)
+        raw = (handle.index_frame() if handle is not None
+               else (spark.read.parquet(index)
+                     if _index_has_batches(spark, index) else None))
+        if raw is not None:
             # replay exclusion on the src_batch DATA column (stamped
             # at append, carried through compaction/requantize) — a
             # partition-value exclusion alone would stop seeing a
@@ -354,7 +511,7 @@ def semantic_dedup_batch_against_index(
             # ~eqNullSafe: a NULL src_batch row (no versioned writer
             # produces one; defense in depth) must stay visible —
             # plain != would NULL out and hide it from the probe
-            idx = (spark.read.parquet(index)
+            idx = (raw
                    .filter(F.col("ingest_batch") != batch_id)
                    .filter(~F.col("src_batch")
                            .eqNullSafe(F.lit(batch_id))))
@@ -381,11 +538,17 @@ def semantic_dedup_batch_against_index(
         # spread — AQE cannot split it, the hot partition is bytes-
         # small). The shuffle moves only the pruned rows the join
         # reads anyway; there is no aggregation across the join, so
-        # round-robin placement changes nothing downstream.
-        spread = idx.sparkSession.sparkContext.defaultParallelism * 2
+        # round-robin placement changes nothing downstream. In
+        # handle mode the frame arrives pre-spread (generation cache
+        # persisted round-robin, live dirs spread in index_frame) —
+        # no per-batch shuffle of index rows at all.
+        pruned = idx.filter(F.col("cell").isin(cells))
+        if handle is None:
+            spread = (idx.sparkSession.sparkContext
+                      .defaultParallelism * 2)
+            pruned = pruned.repartition(spread)
         matched = (
-            idx.filter(F.col("cell").isin(cells))
-            .repartition(spread)
+            pruned
             .join(F.broadcast(assigned.select(
                       F.col("vec_id").alias("new_id"),
                       F.col("cluster").alias("cell"),
@@ -433,9 +596,20 @@ def append_semantic_batch(rows: DataFrame, index_path: str,
     directory. Rows are stamped with ``src_batch`` — the batch id as
     an immutable DATA column — so the kernel's own-batch replay
     exclusion keeps working after a fold moves the rows into a
-    generation directory."""
+    generation directory.
+
+    The partition count is EXPLICIT (which opts the exchange out of
+    AQE coalescing) — the fourth measured byte-blindness site, found
+    by tools/audit_tasks.py on its first serving run: a micro-batch
+    is ~1 MB however many bucket dirs it touches, so AQE coalesced
+    the clustering shuffle to ONE partition and a single task paid
+    every parquet-writer open + commit for up to n_cell_buckets
+    directories sequentially — 2.4 s of the ~7 s 2k-batch wall,
+    ~0.3 s spread (§19 add. 8). Each bucket still hashes to exactly
+    one reducer, so the one-file-per-dir layout is unchanged."""
+    spread = rows.sparkSession.sparkContext.defaultParallelism
     (rows.withColumn("src_batch", F.lit(batch_id))
-     .repartition(F.col("cell_bucket"))
+     .repartition(spread, F.col("cell_bucket"))
      .write.mode("overwrite").partitionBy("cell_bucket")
      .parquet(f"{index_path}/ingest_batch={batch_id}"))
 

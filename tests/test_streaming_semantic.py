@@ -866,3 +866,205 @@ def test_maintain_semantic_index_serving_loop(spark, tmp_path):
         chunks[0], index, 99, eps=_EPS)
     assert s.count() == 0
     r.unpersist()
+
+
+def test_inline_pack_assignment_matches_join_path(spark):
+    """r9 serving fast path: when prepare_assignment built the
+    single-row quantizer packs, assignment runs as one spread
+    projection (_assign_points_inline). Pin verdict-identity against
+    the join-shaped path in BOTH modes, the keep_v passthrough, and
+    the size guard's pack decision."""
+    import pyspark.sql.functions as F
+
+    from radio_data_pipeline_spark.functions.similarity import (
+        _INLINE_PACK_MAX_ELEMS, _assign_points_inline, _as_double,
+        assign_to_centroids, prepare_assignment, release_assignment,
+        train_semantic_centroids)
+
+    def corpus(n, d=12):
+        return (spark.range(n)
+                .select(F.col("id").alias("vec_id"),
+                        F.transform(
+                            F.sequence(F.lit(1), F.lit(d)),
+                            lambda i: F.sin((F.col("id") % 97) * i)
+                            .cast("double")).alias("embedding")))
+
+    for n, k, two in ((300, 6, False), (1500, 150, True)):
+        df = corpus(n)
+        c, resolved = train_semantic_centroids(
+            df, k, lloyd_rounds=2, two_level=two)
+        c = c.persist()
+        c.count()
+        prep = prepare_assignment(c, resolved["two_level"],
+                                  resolved["coarse_clusters"])
+        try:
+            assert ("coarse_pack" in prep) or ("flat_pack" in prep)
+            batch = df.filter(F.col("vec_id") % 3 == 0)
+            a_old = assign_to_centroids(
+                batch, c, two_level=resolved["two_level"],
+                coarse_clusters=resolved["coarse_clusters"],
+                points_are_small=True)
+            a_new = assign_to_centroids(
+                batch, c, two_level=resolved["two_level"],
+                coarse_clusters=resolved["coarse_clusters"],
+                points_are_small=True, prepared=prep)
+            old = {r["vec_id"]: r["cluster"] for r in a_old.collect()}
+            new = {r["vec_id"]: r["cluster"] for r in a_new.collect()}
+            assert old == new
+            # keep_v rides the original vector through unchanged
+            pv = batch.select("vec_id",
+                              _as_double(F.col("embedding"))
+                              .alias("v"))
+            withv = _assign_points_inline(pv, prep, keep_v=True)
+            assert set(withv.columns) == {"vec_id", "v", "cluster"}
+            got = {r["vec_id"]: (r["cluster"], tuple(r["v"]))
+                   for r in withv.collect()}
+            ref = {r["vec_id"]: tuple(r["v"]) for r in pv.collect()}
+            assert all(got[i][0] == old[i] and got[i][1] == ref[i]
+                       for i in old)
+        finally:
+            release_assignment(prep)
+            c.unpersist()
+
+    # size guard: a quantizer over the element ceiling builds NO
+    # packs and the serving path falls back to the join shape
+    df = corpus(200, d=8)
+    c, resolved = train_semantic_centroids(df, 4, lloyd_rounds=1,
+                                           two_level=False)
+    c = c.persist()
+    c.count()
+    import radio_data_pipeline_spark.functions.similarity as sim
+    orig = sim._INLINE_PACK_MAX_ELEMS
+    sim._INLINE_PACK_MAX_ELEMS = 1
+    try:
+        prep = prepare_assignment(c, False, None)
+        try:
+            assert "flat_pack" not in prep
+            a = assign_to_centroids(df, c, two_level=False,
+                                    points_are_small=True,
+                                    prepared=prep)
+            assert a.count() == 200
+        finally:
+            release_assignment(prep)
+    finally:
+        sim._INLINE_PACK_MAX_ELEMS = orig
+        c.unpersist()
+
+
+def test_handle_gen_cache_refreshes_across_compaction(spark, tmp_path):
+    """r9 serving cache: the handle serves immutable generations from
+    a Spark cache and auto-refreshes when a maintenance fold changes
+    the generation set — verdicts through the SAME handle are
+    identical before and after compaction, and close() releases the
+    cache."""
+    from radio_data_pipeline_spark.streaming.semantic import (
+        compact_semantic_index, open_semantic_index)
+
+    df = _emb_corpus(spark, 90)
+    index = str(tmp_path / "gc_idx")
+    init_semantic_index(df, index, _K, lloyd_rounds=2)
+    chunks = list(_chunks(df, 3, 90))
+    h = open_semantic_index(spark, index)
+    try:
+        for bid in (0, 1):
+            s, rows = semantic_dedup_batch_against_index(
+                chunks[bid], h, bid, eps=_EPS)
+            s.count()
+            append_semantic_batch(rows, index, bid)
+            rows.unpersist()
+        gen_names_before = set(h._gen_names)
+        compact_semantic_index(spark, index)
+        # same handle serves on: the fold is detected and the cache
+        # swaps to the new generation
+        s, rows = semantic_dedup_batch_against_index(
+            chunks[2], h, 2, eps=_EPS)
+        got = sorted(r["vec_id"] for r in s.collect())
+        append_semantic_batch(rows, index, 2)
+        rows.unpersist()
+        assert h._gen_names != gen_names_before
+        assert h._gen_df is not None
+
+        # replayed duplicate of an already-folded batch still drops
+        # fully through the cached path
+        s2, rows2 = semantic_dedup_batch_against_index(
+            chunks[0], h, 99, eps=_EPS)
+        assert s2.count() == 0
+        rows2.unpersist()
+    finally:
+        h.close()
+    assert h._gen_df is None
+
+    # equivalence: a fresh PATH-mode run of chunk 2 on a twin index
+    # (no handle, no cache) produces the same survivors
+    index2 = str(tmp_path / "gc_idx2")
+    init_semantic_index(df, index2, _K, lloyd_rounds=2)
+    for bid in (0, 1):
+        _, rows = semantic_dedup_batch_against_index(
+            chunks[bid], index2, bid, eps=_EPS)
+        append_semantic_batch(rows, index2, bid)
+        rows.unpersist()
+    compact_semantic_index(spark, index2)
+    s3, rows3 = semantic_dedup_batch_against_index(
+        chunks[2], index2, 2, eps=_EPS)
+    assert sorted(r["vec_id"] for r in s3.collect()) == got
+    rows3.unpersist()
+
+
+def test_gen_cache_witness_dedup_replay_exact(spark, tmp_path):
+    """The witness-deduped generation cache must keep replay verdicts
+    bit-identical to the uncached path. The killer case for a naive
+    one-representative dedup: the SAME vector indexed by a HIGH-id
+    seed batch and by a low-id live batch that later crashed and
+    replays — after a fold, the replayed batch's own-src_batch
+    exclusion must still see the seed copy as witness (min-src_batch
+    alone would have discarded it when the replayed id is the
+    minimum)."""
+    import pyspark.sql.functions as F
+
+    from radio_data_pipeline_spark.streaming.semantic import (
+        compact_semantic_index, open_semantic_index)
+
+    def vecs(ids, pattern_of):
+        rows = [(i, [float(j % 5 + 1) * pattern_of(i) for j in
+                     range(8)]) for i in ids]
+        return spark.createDataFrame(rows, "vec_id long, "
+                                           "embedding array<double>")
+
+    index = str(tmp_path / "wd_idx")
+    # 30 distinct patterns; seed ids 1e6.. carry patterns 0..29,
+    # live batch 3 carries the SAME patterns under new ids
+    train = vecs(range(30), lambda i: float(i % 30 + 1))
+    init_semantic_index(train, index, 4, lloyd_rounds=2)
+
+    seed = vecs(range(1_000_000, 1_000_030),
+                lambda i: float(i % 30 + 1))
+    live = vecs(range(100, 130), lambda i: float(i % 30 + 1))
+
+    # path A: uncached (plain path mode)
+    for b, df in ((1_000_000, seed), (3, live)):
+        _, rows = semantic_dedup_batch_against_index(
+            df, index, b, eps=0.99)
+        append_semantic_batch(rows, index, b)
+        rows.unpersist()
+    compact_semantic_index(spark, index)
+    s_plain, r_plain = semantic_dedup_batch_against_index(
+        live, index, 3, eps=0.99)  # REPLAY of batch 3
+    plain = sorted(r["vec_id"] for r in s_plain.collect())
+    r_plain.unpersist()
+    # every replayed doc still drops: the seed copies witness
+    assert plain == []
+
+    # path B: same replay through the witness-deduped handle cache
+    h = open_semantic_index(spark, index)
+    try:
+        assert h._gen_df is not None
+        # the cache holds at most 2 reps per (cell, v)
+        n_reps = h._gen_df.groupBy("cell", "v").count()
+        assert n_reps.agg(F.max("count")).first()[0] <= 2
+        s_h, r_h = semantic_dedup_batch_against_index(
+            live, h, 3, eps=0.99)
+        got = sorted(r["vec_id"] for r in s_h.collect())
+        r_h.unpersist()
+        assert got == plain
+    finally:
+        h.close()

@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Band-index serving parity, measured first (r8 VERDICT #7): does
+``dedup_batch_against_index`` (streaming/dedup.py) pay enough
+per-batch FIXED cost — index re-listing at DataFrame creation, the
+probe-prefix collect, the two commits — to justify porting the
+semantic tier's open-handle pattern?
+
+Unlike the semantic kernel there is no quantizer to cache: the only
+handle-shaped candidates are (a) the per-call ``spark.read.parquet``
+partition discovery over the whole index tree (grows with dir
+count), and (b) the sequential survivor/band writes (the semantic
+tier's parallel-commit win). This bench measures each phase per
+batch while the index grows, then after compaction, and prints a
+verdict line.
+
+Usage: python tools/bench_band_serving.py [corpus_dir] [work_dir]
+       [--batch-docs N] [--n-batches B]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from radio_data_pipeline_spark.session import get_spark  # noqa: E402
+from radio_data_pipeline_spark.streaming.dedup import (  # noqa: E402
+    append_batch_bands,
+    compact_band_index,
+    dedup_batch_against_index,
+)
+
+
+def _flag(name: str, default: int) -> int:
+    if name in sys.argv:
+        return int(sys.argv[sys.argv.index(name) + 1])
+    return default
+
+
+def _positional(argv: list[str]) -> list[str]:
+    # flag VALUES consumed too — `--batch-docs 500` must not turn
+    # '500' into the corpus dir (same parsing as the semantic bench)
+    out, skip = [], False
+    for a in argv:
+        if skip:
+            skip = False
+            continue
+        if a in ("--batch-docs", "--n-batches"):
+            skip = True
+            continue
+        if a.startswith("--"):
+            continue
+        out.append(a)
+    return out
+
+
+args = _positional(sys.argv[1:])
+CORPUS = args[0] if args else "/root/repo/.bench_scale/sf1"
+WORK = args[1] if len(args) > 1 else "/tmp/band_serving_bench"
+BATCH_DOCS = _flag("--batch-docs", 2000)
+N_BATCHES = _flag("--n-batches", 30)
+
+
+def main() -> None:
+    spark = get_spark("bench-band-serving", cpus=32)
+    docs = (spark.read.parquet(os.path.join(CORPUS,
+                                            "documents.parquet"))
+            .select("doc_id", "text"))
+    ranked = docs.withColumn(
+        "_rnk", F.row_number().over(Window.orderBy("doc_id")) - 1)
+    ranked.persist()
+    n = ranked.count()
+    print(f"corpus={CORPUS} docs={n} batch={BATCH_DOCS} "
+          f"batches={N_BATCHES}")
+    if os.path.exists(WORK):
+        shutil.rmtree(WORK)
+    index = f"{WORK}/idx"
+
+    def run_batches(tag: str, ids) -> None:
+        # phase-instrumented copy of the stream wrapper's body: the
+        # kernel builds lazily, so the LIST phase is isolated by
+        # timing the same spark.read.parquet(index) discovery the
+        # kernel performs, and PROBE-COLLECT rides inside kernel
+        # build (its one eager action)
+        sums = {"list": 0.0, "kernel": 0.0, "surv": 0.0,
+                "bands": 0.0, "total": 0.0}
+        m = 0
+        for b in ids:
+            lo = b * BATCH_DOCS
+            chunk = (ranked.filter((F.col("_rnk") >= lo)
+                                   & (F.col("_rnk") < lo + BATCH_DOCS))
+                     .drop("_rnk"))
+            chunk.persist().count()
+            t0 = time.monotonic()
+            if os.path.exists(index):
+                spark.read.parquet(index)  # discovery-only probe
+            t1 = time.monotonic()
+            survivors, bands = dedup_batch_against_index(
+                chunk, index, b)
+            t2 = time.monotonic()
+            (survivors.write.mode("overwrite")
+             .parquet(f"{WORK}/out/batch={b}"))
+            t3 = time.monotonic()
+            append_batch_bands(bands, index, b)
+            t4 = time.monotonic()
+            bands.unpersist()
+            chunk.unpersist()
+            sums["list"] += t1 - t0
+            sums["kernel"] += t2 - t1
+            sums["surv"] += t3 - t2
+            sums["bands"] += t4 - t3
+            sums["total"] += t4 - t0
+            m += 1
+        per = {k: v / m for k, v in sums.items()}
+        rate = BATCH_DOCS / per["total"]
+        print(f"{tag}: per-batch total {per['total']:.2f}s "
+              f"({rate:.0f} docs/s) | list {per['list']*1000:.0f}ms "
+              f"kernel(build+collect) {per['kernel']*1000:.0f}ms "
+              f"surv-write {per['surv']*1000:.0f}ms "
+              f"bands-append {per['bands']*1000:.0f}ms")
+
+    third = N_BATCHES // 3
+    run_batches("fresh (0-10 dirs)", range(third))
+    run_batches("grown", range(third, 2 * third))
+    t0 = time.monotonic()
+    folded = compact_band_index(spark, index)
+    print(f"compaction folded {folded} dirs in "
+          f"{time.monotonic() - t0:.1f}s")
+    run_batches("post-compaction", range(2 * third, N_BATCHES))
+    ranked.unpersist()
+
+
+if __name__ == "__main__":
+    main()

@@ -196,9 +196,21 @@ def main() -> None:
         print(f"task audit: {len(rec.stages)} stages, "
               f"{len(flags)} byte-blind "
               f"(heavy per-task ms on <=par/8 tasks)")
+        jvm = spark._jvm
+        store = spark.sparkContext._jsc.sc().statusStore()
+        seq = store.jobsList(jvm.java.util.ArrayList())
+        jl = jvm.scala.jdk.javaapi.CollectionConverters.asJava(seq)
+        stage2job = {}
+        for i in range(jl.size()):
+            j = jl.get(i)
+            sids = jvm.scala.jdk.javaapi.CollectionConverters.asJava(
+                j.stageIds())
+            for si in range(sids.size()):
+                stage2job[int(str(sids.get(si)))] = str(j.name())[:90]
         for s in (flags or rec.stages[:3]):
             print(f"  stage {s['stage_id']}: {s['tasks']} tasks, "
-                  f"{s['per_task_ms']} ms/task"
+                  f"{s['per_task_ms']} ms/task | {s['name'][:60]} | "
+                  f"job: {stage2job.get(s['stage_id'])}"
                   + ("  <-- FLAGGED" if s in flags else ""))
         if flags:
             print("task audit: FAIL — byte-blind stage(s) in the "
