@@ -548,7 +548,31 @@ def maintenance_lease(spark: SparkSession, index_path: str, op: str,
 def _dir_snapshot(fs, path) -> list[tuple[str, int, int]]:
     """Sorted (path, length, mtime) of every file under ``path`` —
     metadata-only (no data read), the compactor's cheap change
-    detector."""
+    detector.
+
+    For local (file:/) paths the walk runs in PYTHON, not through
+    the Hadoop iterator: the py4j form costs ~6 gateway round trips
+    PER FILE, and a snapshot-pair over a 7-batch 882-file source set
+    was measured at ~15 s of pure driver time — the root cause of
+    the r7 requantize source-dir variance (§21; total task CPU was
+    flat across layouts). Remote schemes keep the Hadoop iterator
+    (there the listing RPC, not py4j, is the cost). Snapshots are
+    only ever compared to snapshots of the same path set taken the
+    same way, so the differing path-string spelling between the two
+    forms is irrelevant."""
+    import os
+
+    uri = path.toUri()
+    if uri.getScheme() in (None, "file"):
+        root = uri.getPath()
+        out = []
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                out.append((p, st.st_size,
+                            int(st.st_mtime * 1000)))
+        return sorted(out)
     out = []
     it = fs.listFiles(path, True)
     while it.hasNext():

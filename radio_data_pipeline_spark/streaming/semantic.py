@@ -734,13 +734,29 @@ def _requantize_body(spark, index_path, n_clusters, lloyd_rounds,
                      _pre_swap_hook, lease_refresh=lambda: None) -> int:
     from .dedup import _dir_snapshot, _ingest_dirs
 
+    from pyspark import StorageLevel
+
     # src_batch rides along: re-filed rows keep their origin batch id
     # so a crashed-then-replayed batch still excludes its own rows
     # (ids are unique per doc, so distinct is per-row, not per-copy);
-    # vn too — it is a pure function of v, no need to recompute
-    corpus = (spark.read.option("basePath", index_path)
+    # vn too — it is a pure function of v, no need to recompute.
+    # PERSISTED (one scan feeds the whole lineage — Lloyd rounds,
+    # assignment, both sides of the refile join; MEMORY_AND_DISK
+    # because the offline op may hold a corpus bigger than executor
+    # memory), and schema PROBED from one source dir: a multi-path
+    # parquet read otherwise fires one sequential driver-side
+    # schema-inference job PER PATH (~0.2 s each — measured as the
+    # leading edge of the r7 source-dir variance, §21; the trailing
+    # edge was _dir_snapshot's py4j walk, fixed in streaming/dedup).
+    # Every generation/batch is written by the same code path, so
+    # one dir's schema is the set's schema.
+    probe_schema = (spark.read.option("basePath", index_path)
+                    .parquet(src_paths[0]).schema)
+    corpus = (spark.read.schema(probe_schema)
+              .option("basePath", index_path)
               .parquet(*src_paths)
-              .select("id", "v", "vn", "src_batch").distinct())
+              .select("id", "v", "vn", "src_batch").distinct()
+              .persist(StorageLevel.MEMORY_AND_DISK))
     c, resolved = train_semantic_centroids(
         corpus, n_clusters, lloyd_rounds=lloyd_rounds, vec_col="v",
         id_col="id", train_fraction=train_fraction, seed=seed,
@@ -794,6 +810,7 @@ def _requantize_body(spark, index_path, n_clusters, lloyd_rounds,
     if raced:
         fs.delete(new_gen_path, True)
         c.unpersist()
+        corpus.unpersist()
         raise RuntimeError(
             "a writer raced requantize_semantic_index: an ingest_batch "
             "directory changed or appeared after the fold's listing; "
@@ -802,6 +819,7 @@ def _requantize_body(spark, index_path, n_clusters, lloyd_rounds,
 
     _write_quantizer(c, resolved, index_path, n_clusters)
     c.unpersist()
+    corpus.unpersist()
     deleted = 0
     for p in sources:
         if (fs.exists(p)
