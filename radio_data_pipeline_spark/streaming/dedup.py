@@ -224,6 +224,132 @@ def _index_has_batches(spark: SparkSession, index_path: str) -> bool:
     return bool(_ingest_dirs(spark, index_path)[2])
 
 
+class BandIndexHandle:
+    """An open serving handle on a persisted band index — the band
+    twin of streaming/semantic.SemanticIndexHandle, justified by
+    measurement (r8 VERDICT #7 said measure first; §22: per-batch
+    partition discovery alone grew 2.4 s -> 7.0 s over 20 live batch
+    dirs, ~60% of the batch wall, because every kernel call re-lists
+    the whole index tree).
+
+    - The IMMUTABLE generations (``ingest_batch<0``) are served from
+      a Spark cache, WITNESS-DEDUPED to at most two representatives
+      per (band_id, band_hash) with DISTINCT src_batch: the probe's
+      verdict is an EXISTS over equal band hashes, so representatives
+      carry every verdict, and two distinct src_batch values
+      guarantee a replayed batch's own-src exclusion can never hide
+      a witness another batch also holds (the same argument, and the
+      same min_by/max_by construction, as the semantic generation
+      cache — replay equality test-pinned there and here).
+    - Live ``ingest_batch>=0`` dirs are read fresh per call (they
+      change every batch and are byte-small).
+    - A maintenance fold changes the generation set — detected by
+      dir listing per call, cache refreshed in place (fold output is
+      verdict-equivalent to its sources).
+
+    The handle requires the index's ``_meta.json`` to exist (open it
+    after the first ingested batch); kernel calls through the handle
+    still validate their layout params against it."""
+
+    def __init__(self, spark: SparkSession, index_path: str):
+        fs, _ = _hadoop_fs(spark, index_path)
+        _, mpath = _hadoop_fs(spark, f"{index_path}/_meta.json")
+        if not fs.exists(mpath):
+            raise ValueError(
+                f"band index at {index_path} has no _meta.json yet — "
+                "open the handle after the first batch has been "
+                "ingested (the kernel persists the layout meta on "
+                "first use)")
+        self.spark = spark
+        self.path = index_path
+        self.meta = json.loads(_read_small_text(spark, fs, mpath))
+        self._gen_df = None
+        self._gen_names: set[str] = set()
+        self._refresh_generations()
+
+    def _list_ingest(self) -> tuple[list, list]:
+        _, _, dirs = _ingest_dirs(self.spark, self.path)
+        gens = [p for p in dirs
+                if int(p.getName().split("=", 1)[1]) < 0]
+        lives = [p for p in dirs
+                 if int(p.getName().split("=", 1)[1]) >= 0]
+        return gens, lives
+
+    def _refresh_generations(self) -> None:
+        from pyspark import StorageLevel
+
+        gens, _ = self._list_ingest()
+        names = {p.getName() for p in gens}
+        if names == self._gen_names and (self._gen_df is not None
+                                         or not names):
+            return
+        if self._gen_df is not None:
+            try:
+                self._gen_df.unpersist(blocking=False)
+            except Exception:
+                pass
+            self._gen_df = None
+        self._gen_names = names
+        if names:
+            rep = F.struct("id", "bh_prefix", "src_batch",
+                           "ingest_batch")
+            packed = (self.spark.read
+                      .option("basePath", self.path)
+                      .parquet(*[p.toString() for p in gens])
+                      .groupBy("band_id", "band_hash")
+                      .agg(F.min_by(rep, F.col("src_batch"))
+                           .alias("lo"),
+                           F.max_by(rep, F.col("src_batch"))
+                           .alias("hi")))
+            spread = self.spark.sparkContext.defaultParallelism
+            self._gen_df = (
+                packed.select(
+                    "band_id", "band_hash",
+                    F.explode(F.when(
+                        F.col("lo.src_batch") == F.col("hi.src_batch"),
+                        F.array("lo")).otherwise(F.array("lo", "hi")))
+                    .alias("r"))
+                .select("band_id", "band_hash", "r.*")
+                .repartition(spread)
+                .persist(StorageLevel.MEMORY_AND_DISK))
+            self._gen_df.count()
+
+    def index_frame(self):
+        """Cached deduped generations ∪ fresh live dirs, or None for
+        an empty index."""
+        gens, lives = self._list_ingest()
+        if {p.getName() for p in gens} != self._gen_names:
+            self._refresh_generations()
+        parts = []
+        if self._gen_df is not None:
+            parts.append(self._gen_df)
+        if lives:
+            parts.append(self.spark.read
+                         .option("basePath", self.path)
+                         .parquet(*[p.toString() for p in lives]))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def close(self) -> None:
+        if self._gen_df is not None:
+            try:
+                self._gen_df.unpersist(blocking=False)
+            except Exception:
+                pass
+            self._gen_df = None
+            self._gen_names = set()
+
+
+def open_band_index(spark: SparkSession,
+                    index_path: str) -> BandIndexHandle:
+    """Open a serving handle (see BandIndexHandle)."""
+    return BandIndexHandle(spark, index_path)
+
+
 def dedup_batch_against_index(batch_df: DataFrame, index_path: str,
                               batch_id: int, text_col: str = "text",
                               id_col: str = "doc_id", n_hashes: int = 8,
@@ -258,6 +384,14 @@ def dedup_batch_against_index(batch_df: DataFrame, index_path: str,
     from pyspark.sql import Window
 
     spark = batch_df.sparkSession
+    handle = None
+    if isinstance(index_path, BandIndexHandle):
+        # serving handle: cached deduped generations + fresh live
+        # dirs replace the per-call whole-tree partition discovery
+        # (§22: the discovery alone was ~60% of the 2k-batch wall at
+        # 20 live dirs)
+        handle = index_path
+        index_path = handle.path
     ensure_band_meta(spark, index_path, prefix_len, n_hashes,
                      band_size, k)
     bands = _prefixed_bands(batch_df, text_col, id_col,
@@ -269,7 +403,10 @@ def dedup_batch_against_index(batch_df: DataFrame, index_path: str,
                .filter(F.col("bmin") < F.col("id"))
                .select("id"))
 
-    if _index_has_batches(spark, index_path):
+    raw = (handle.index_frame() if handle is not None
+           else (spark.read.parquet(index_path)
+                 if _index_has_batches(spark, index_path) else None))
+    if raw is not None:
         probe = (bands.select("band_id", "bh_prefix").distinct().collect())
         by_band: dict[int, list[str]] = {}
         for r in probe:
@@ -283,7 +420,7 @@ def dedup_batch_against_index(batch_df: DataFrame, index_path: str,
         # stay VISIBLE to the probe — plain `NULL != id` evaluates to
         # NULL and silently filters the row out, so legacy rows would
         # stop witnessing duplicates instead of matching
-        idx = (spark.read.parquet(index_path)
+        idx = (raw
                .filter(F.col("ingest_batch") != batch_id)
                .filter(~F.col("src_batch").eqNullSafe(F.lit(batch_id)))
                .filter(cond))
@@ -295,7 +432,8 @@ def dedup_batch_against_index(batch_df: DataFrame, index_path: str,
         dropped = dropped.union(matched)
 
     survivors = batch_df.join(
-        dropped.distinct().withColumnRenamed("id", id_col),
+        F.broadcast(dropped.distinct()
+                    .withColumnRenamed("id", id_col)),
         id_col, "left_anti")
     return survivors, bands
 
@@ -692,32 +830,55 @@ def stream_dedup_ingest(stream_df: DataFrame, index_path: str,
                         text_col: str = "text", id_col: str = "doc_id",
                         n_hashes: int = 8, band_size: int = 2,
                         k: int = 3, prefix_len: int = _PREFIX_LEN,
-                        query_name: str = "dedup_ingest"):
+                        query_name: str = "dedup_ingest",
+                        handle: BandIndexHandle | None = None):
     """Streaming near-dup gate: survivors of each micro-batch land
     under ``out_path/batch=N``, every processed doc's bands land in
-    the band index. Write order (survivors first, index second) plus
-    the kernel's own-batch probe exclusion makes any crash point
-    replay to the identical result. Requires a checkpoint for the
-    same reason stream_to_training_shards does: the per-batch
-    overwrite layout is only exactly-once under a checkpointed
-    batch-id sequence. Returns the StreamingQuery (caller awaits)."""
+    the band index. The survivor write and the band append run
+    CONCURRENTLY — both are per-batch-dir overwrites, and the
+    kernel's own-batch probe exclusion makes every crash
+    interleaving replay to the identical result (the same argument
+    as stream_semantic_ingest's parallel commit). Requires a
+    checkpoint for the same reason stream_to_training_shards does:
+    the per-batch overwrite layout is only exactly-once under a
+    checkpointed batch-id sequence. Returns the StreamingQuery
+    (caller awaits).
+
+    ``handle``: an open BandIndexHandle on ``index_path`` — the
+    serving configuration (generation cache, no per-batch tree
+    discovery). The caller owns its lifetime: keep it open for the
+    query's duration, close it after."""
     if checkpoint is None:
         raise ValueError(
             "stream_dedup_ingest requires a checkpoint location; the "
             "per-batch overwrite layout is only exactly-once under a "
             "checkpointed batch-id sequence")
+    if handle is not None and handle.path != index_path:
+        raise ValueError(
+            f"handle is open on {handle.path}, not {index_path}")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         batch_df.persist()
         try:
             survivors, bands = dedup_batch_against_index(
-                batch_df, index_path, batch_id, text_col=text_col,
+                batch_df, handle if handle is not None else index_path,
+                batch_id, text_col=text_col,
                 id_col=id_col, n_hashes=n_hashes, band_size=band_size,
                 k=k, prefix_len=prefix_len)
             try:
-                (survivors.write.mode("overwrite")
-                 .parquet(f"{out_path}/batch={batch_id}"))
-                append_batch_bands(bands, index_path, batch_id)
+                def _surv() -> None:
+                    (survivors.write.mode("overwrite")
+                     .parquet(f"{out_path}/batch={batch_id}"))
+
+                def _idx() -> None:
+                    append_batch_bands(bands, index_path, batch_id)
+
+                with ThreadPoolExecutor(max_workers=2) as ex:
+                    fut_s, fut_i = ex.submit(_surv), ex.submit(_idx)
+                    fut_s.result()
+                    fut_i.result()
             finally:
                 bands.unpersist()
         finally:

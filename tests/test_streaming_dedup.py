@@ -727,3 +727,155 @@ def test_deferred_release_capped(spark):
     assert frames[0].count() == 5
     assert release_deferred() == _DEFERRED_CAP
     assert not _DEFERRED_RELEASE
+
+
+def test_band_handle_matches_plain_path(spark, tmp_path):
+    """r9 (VERDICT #7, measured first — §22): the BandIndexHandle
+    serving path (cached witness-deduped generations + fresh live
+    dirs) produces verdicts identical to the per-call plain path,
+    across batches, across a compaction (gen-cache auto-refresh),
+    and releases its cache on close."""
+    from radio_data_pipeline_spark.streaming.dedup import (
+        open_band_index)
+
+    df = _corpus(spark)
+    idx_a = str(tmp_path / "plain_idx")
+    idx_b = str(tmp_path / "handle_idx")
+    chunks = _chunks(df, 4, 120)
+
+    # first batch creates _meta.json (the handle needs it to open)
+    for idx in (idx_a, idx_b):
+        s, bands = dedup_batch_against_index(chunks[0], idx, 0)
+        s.count()
+        append_batch_bands(bands, idx, 0)
+        bands.unpersist()
+
+    h = open_band_index(spark, idx_b)
+    got_plain, got_handle = [], []
+    try:
+        for bid in (1, 2):
+            s, bands = dedup_batch_against_index(chunks[bid], idx_a,
+                                                 bid)
+            got_plain.extend(r["doc_id"] for r in s.collect())
+            append_batch_bands(bands, idx_a, bid)
+            bands.unpersist()
+            s2, bands2 = dedup_batch_against_index(chunks[bid], h,
+                                                   bid)
+            got_handle.extend(r["doc_id"] for r in s2.collect())
+            append_batch_bands(bands2, idx_b, bid)
+            bands2.unpersist()
+        assert sorted(got_handle) == sorted(got_plain)
+
+        # fold both; the handle must refresh its cache and agree on
+        # the next batch
+        compact_band_index(spark, idx_a)
+        compact_band_index(spark, idx_b)
+        names_before = set(h._gen_names)
+        s, bands = dedup_batch_against_index(chunks[3], idx_a, 3)
+        plain3 = sorted(r["doc_id"] for r in s.collect())
+        bands.unpersist()
+        s2, bands2 = dedup_batch_against_index(chunks[3], h, 3)
+        handle3 = sorted(r["doc_id"] for r in s2.collect())
+        bands2.unpersist()
+        assert handle3 == plain3
+        assert h._gen_names != names_before
+        # witness dedup: at most two reps per (band_id, band_hash)
+        mx = (h._gen_df.groupBy("band_id", "band_hash").count()
+              .agg(F.max("count")).first()[0])
+        assert mx <= 2
+    finally:
+        h.close()
+    assert h._gen_df is None
+
+
+def test_band_handle_witness_dedup_replay_exact(spark, tmp_path):
+    """The two-distinct-src_batch witness rule under replay: the
+    SAME text indexed by a HIGH-id seed batch and by a low-id batch
+    that replays after a fold — the replayed docs must still drop
+    (the seed copy witnesses), identically to the plain path."""
+    from radio_data_pipeline_spark.streaming.dedup import (
+        open_band_index)
+
+    def docs(ids):
+        return spark.createDataFrame(
+            [(i, "identical payload text for every doc here "
+              f"pattern {i % 10}") for i in ids],
+            "doc_id long, text string")
+
+    index = str(tmp_path / "wd_band")
+    seed = docs(range(1_000_000, 1_000_030))
+    live = docs(range(100, 130))
+    for b, d in ((1_000_000, seed), (3, live)):
+        _, bands = dedup_batch_against_index(d, index, b)
+        append_batch_bands(bands, index, b)
+        bands.unpersist()
+    compact_band_index(spark, index)
+
+    s_plain, b_plain = dedup_batch_against_index(live, index, 3)
+    plain = sorted(r["doc_id"] for r in s_plain.collect())
+    b_plain.unpersist()
+    assert plain == []  # seed copies witness every replayed doc
+
+    h = open_band_index(spark, index)
+    try:
+        s_h, b_h = dedup_batch_against_index(live, h, 3)
+        assert sorted(r["doc_id"] for r in s_h.collect()) == plain
+        b_h.unpersist()
+    finally:
+        h.close()
+
+
+def test_stream_dedup_ingest_with_handle(spark, tmp_path):
+    """stream_dedup_ingest(handle=...) — parallel commit + handle —
+    still produces the batch-greedy survivor set under id-ordered
+    arrival, and refuses a handle opened on another index."""
+    import pytest as _pytest
+
+    from radio_data_pipeline_spark.functions.dedup import (
+        greedy_band_survivors)
+    from radio_data_pipeline_spark.streaming.dedup import (
+        open_band_index)
+
+    df = _corpus(spark)
+    expected = sorted(
+        r["doc_id"]
+        for r in greedy_band_survivors(df).select("doc_id").collect())
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "survivors")
+    index = str(tmp_path / "idx")
+    cp = str(tmp_path / "cp")
+
+    # seed batch through the kernel to create _meta.json, then
+    # open. SEED IDS MUST NOT COLLIDE WITH STREAM BATCH IDS (the
+    # documented 1e6 offset rule): the stream's own batch 0 would
+    # otherwise overwrite the seed's survivor/index dirs.
+    chunk0 = df.filter(F.col("doc_id") < 40)
+    s, bands = dedup_batch_against_index(chunk0, index, 1_000_000)
+    (s.write.mode("overwrite").parquet(f"{out}/batch=1000000"))
+    append_batch_bands(bands, index, 1_000_000)
+    bands.unpersist()
+
+    h = open_band_index(spark, index)
+    try:
+        with _pytest.raises(ValueError, match="open on"):
+            stream_dedup_ingest(
+                spark.readStream.schema("doc_id long, text string")
+                .parquet(str(src / "*")),
+                str(tmp_path / "other"), out, checkpoint=cp, handle=h)
+        for phase, (lo, hi) in enumerate([(40, 80), (80, 120)]):
+            (df.filter((F.col("doc_id") >= lo)
+                       & (F.col("doc_id") < hi))
+             .coalesce(1).write.mode("overwrite")
+             .parquet(str(src / f"f{phase}")))
+            stream = (spark.readStream
+                      .schema("doc_id long, text string")
+                      .parquet(str(src / "*")))
+            q = stream_dedup_ingest(stream, index, out,
+                                    checkpoint=cp, handle=h)
+            q.awaitTermination()
+    finally:
+        h.close()
+    got = sorted(r["doc_id"] for r in
+                 spark.read.parquet(out).select("doc_id").collect())
+    assert got == expected

@@ -34,6 +34,7 @@ from radio_data_pipeline_spark.streaming.dedup import (  # noqa: E402
     append_batch_bands,
     compact_band_index,
     dedup_batch_against_index,
+    open_band_index,
 )
 
 
@@ -64,7 +65,7 @@ args = _positional(sys.argv[1:])
 CORPUS = args[0] if args else "/root/repo/.bench_scale/sf1"
 WORK = args[1] if len(args) > 1 else "/tmp/band_serving_bench"
 BATCH_DOCS = _flag("--batch-docs", 2000)
-N_BATCHES = _flag("--n-batches", 30)
+N_BATCHES = _flag("--n-batches", 24)
 
 
 def main() -> None:
@@ -82,7 +83,7 @@ def main() -> None:
         shutil.rmtree(WORK)
     index = f"{WORK}/idx"
 
-    def run_batches(tag: str, ids) -> None:
+    def run_batches(tag: str, ids, handle=None) -> None:
         # phase-instrumented copy of the stream wrapper's body: the
         # kernel builds lazily, so the LIST phase is isolated by
         # timing the same spark.read.parquet(index) discovery the
@@ -98,11 +99,11 @@ def main() -> None:
                      .drop("_rnk"))
             chunk.persist().count()
             t0 = time.monotonic()
-            if os.path.exists(index):
+            if handle is None and os.path.exists(index):
                 spark.read.parquet(index)  # discovery-only probe
             t1 = time.monotonic()
             survivors, bands = dedup_batch_against_index(
-                chunk, index, b)
+                chunk, handle if handle is not None else index, b)
             t2 = time.monotonic()
             (survivors.write.mode("overwrite")
              .parquet(f"{WORK}/out/batch={b}"))
@@ -125,14 +126,21 @@ def main() -> None:
               f"surv-write {per['surv']*1000:.0f}ms "
               f"bands-append {per['bands']*1000:.0f}ms")
 
-    third = N_BATCHES // 3
-    run_batches("fresh (0-10 dirs)", range(third))
-    run_batches("grown", range(third, 2 * third))
+    quarter = N_BATCHES // 4
+    run_batches("fresh (plain)", range(quarter))
+    run_batches("grown (plain)", range(quarter, 2 * quarter))
     t0 = time.monotonic()
     folded = compact_band_index(spark, index)
     print(f"compaction folded {folded} dirs in "
           f"{time.monotonic() - t0:.1f}s")
-    run_batches("post-compaction", range(2 * third, N_BATCHES))
+    run_batches("post-compaction (plain)",
+                range(2 * quarter, 3 * quarter))
+    h = open_band_index(spark, index)
+    try:
+        run_batches("grown-again (handle)",
+                    range(3 * quarter, N_BATCHES), handle=h)
+    finally:
+        h.close()
     ranked.unpersist()
 
 
