@@ -78,6 +78,10 @@ _BAND_FORMAT_VERSION = 1
 # can never go stale — and it keeps the per-batch serving path free
 # of repeated tiny metadata reads.
 _BAND_META_CACHE: dict[str, dict] = {}
+# (mtime_ms, length) of the _meta.json each cache entry was read
+# from — the per-call revalidation key (a replaced file invalidates
+# the entry on the accept path too; review r9)
+_BAND_META_STAMPS: dict[str, tuple[int, int]] = {}
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -126,14 +130,25 @@ def ensure_band_meta(spark: SparkSession, index_path: str,
     if cached is not None:
         # the cache must not outlive the index: after a
         # delete-and-rebuild at the same path (the mismatch error's
-        # own remediation) a stale hit would stop _meta.json from
-        # ever being written for the fresh index — batches accumulate
-        # meta-less and a later process refuses them as 'legacy'
-        # (r7 ADVICE). One driver-side exists() per call re-validates.
+        # own remediation) a stale entry would stop _meta.json from
+        # ever being written for the fresh index (r7 ADVICE) — or,
+        # WORSE, silently accept a caller still passing the deleted
+        # index's params (review r9: the r8 mismatch-path re-read
+        # only covered the about-to-raise side). One driver-side
+        # getFileStatus per call revalidates the cache against the
+        # file's (mtime, length) — same RPC cost class as the old
+        # exists() — so a replaced _meta.json invalidates on BOTH
+        # the accept and the reject path.
         fs, _ = _hadoop_fs(spark, index_path)
         _, mpath = _hadoop_fs(spark, f"{index_path}/_meta.json")
-        if not fs.exists(mpath):
+        try:
+            st = fs.getFileStatus(mpath)
+            stamp = (int(st.getModificationTime()), int(st.getLen()))
+        except Exception:
+            stamp = None  # missing (or unstat-able): drop the entry
+        if stamp is None or stamp != _BAND_META_STAMPS.get(index_path):
             _BAND_META_CACHE.pop(index_path, None)
+            _BAND_META_STAMPS.pop(index_path, None)
             cached = None
     if cached is None:
         fs, _ = _hadoop_fs(spark, index_path)
@@ -151,6 +166,12 @@ def ensure_band_meta(spark: SparkSession, index_path: str,
             _write_small_text(fs, mpath, json.dumps(meta))
             cached = meta
         _BAND_META_CACHE[index_path] = cached
+        try:
+            st = fs.getFileStatus(mpath)
+            _BAND_META_STAMPS[index_path] = (
+                int(st.getModificationTime()), int(st.getLen()))
+        except Exception:
+            _BAND_META_STAMPS.pop(index_path, None)
     if cached != meta:
         # before raising, re-read _meta.json from disk: a
         # delete-and-rebuild at the same path with DIFFERENT params
@@ -166,6 +187,13 @@ def ensure_band_meta(spark: SparkSession, index_path: str,
             if fresh != cached:
                 _BAND_META_CACHE[index_path] = fresh
                 cached = fresh
+                try:
+                    st = fs.getFileStatus(mpath)
+                    _BAND_META_STAMPS[index_path] = (
+                        int(st.getModificationTime()),
+                        int(st.getLen()))
+                except Exception:
+                    _BAND_META_STAMPS.pop(index_path, None)
     if cached != meta:
         raise ValueError(
             f"band-index layout mismatch at {index_path}: the index "
@@ -265,7 +293,11 @@ class BandIndexHandle:
         self.meta = json.loads(_read_small_text(spark, fs, mpath))
         self._gen_df = None
         self._gen_names: set[str] = set()
-        self._refresh_generations()
+        try:
+            self._refresh_generations()
+        except BaseException:
+            self.close()  # never leak a half-built cache (review r9)
+            raise
 
     def _list_ingest(self) -> tuple[list, list]:
         _, _, dirs = _ingest_dirs(self.spark, self.path)
@@ -289,7 +321,8 @@ class BandIndexHandle:
             except Exception:
                 pass
             self._gen_df = None
-        self._gen_names = names
+        # _gen_names recorded only after a SUCCESSFUL build — see
+        # the semantic handle's identical note (review r9)
         if names:
             rep = F.struct("id", "bh_prefix", "src_batch",
                            "ingest_batch")
@@ -312,13 +345,24 @@ class BandIndexHandle:
                 .select("band_id", "band_hash", "r.*")
                 .repartition(spread)
                 .persist(StorageLevel.MEMORY_AND_DISK))
-            self._gen_df.count()
+            try:
+                self._gen_df.count()
+            except BaseException:
+                df, self._gen_df = self._gen_df, None
+                try:
+                    df.unpersist(blocking=False)
+                except Exception:
+                    pass
+                raise
+        self._gen_names = names
 
     def index_frame(self):
         """Cached deduped generations ∪ fresh live dirs, or None for
         an empty index."""
         gens, lives = self._list_ingest()
-        if {p.getName() for p in gens} != self._gen_names:
+        names = {p.getName() for p in gens}
+        if names != self._gen_names or (names and
+                                        self._gen_df is None):
             self._refresh_generations()
         parts = []
         if self._gen_df is not None:
@@ -469,6 +513,12 @@ def append_batch_bands(bands: DataFrame, index_path: str,
                 "layout meta on first use")
         cached = json.loads(_read_small_text(spark, fs, mpath))
         _BAND_META_CACHE[index_path] = cached
+        try:
+            st = fs.getFileStatus(mpath)
+            _BAND_META_STAMPS[index_path] = (
+                int(st.getModificationTime()), int(st.getLen()))
+        except Exception:
+            _BAND_META_STAMPS.pop(index_path, None)
     want_len = int(cached["prefix_len"]) + 1  # 'p' + hex prefix
     guarded = F.when(
         F.length("bh_prefix") == want_len, F.col("bh_prefix")
@@ -627,18 +677,25 @@ def maintenance_lease(spark: SparkSession, index_path: str, op: str,
                 payload = json.loads(
                     _read_small_text(spark, fs, rtomb))
             except Exception:
-                # unreadable payload (torn write): the file WAS at
-                # the lease path this op owned the whole run, and a
-                # usurper would have written a fresh readable JSON —
-                # treat as own residue and delete, but say so
-                # (r8 ADVICE: the silent path leaked the lock for a
-                # full TTL with no signal).
+                # unreadable payload: could be our own torn residue,
+                # but ALSO a successor caught MID-_try_create (file
+                # created, JSON write in flight) — deleting would
+                # evict a live op's lease and reopen concurrent
+                # maintenance (review r9). Restore the rename and
+                # leave it: worst case our own torn lease leaks for
+                # one TTL, loudly.
                 warnings.warn(
                     f"maintenance lease at {index_path} was "
-                    f"unreadable at release of {op!r}; deleting it "
-                    "as this op's own residue", RuntimeWarning,
+                    f"unreadable at release of {op!r}; restoring it "
+                    "untouched (a mid-write successor must not be "
+                    "evicted) — if it was this op's own residue it "
+                    "expires with the TTL", RuntimeWarning,
                     stacklevel=2)
-                payload = {"lease_id": lease_id}
+                try:
+                    fs.rename(rtomb, lpath)
+                except Exception:
+                    pass
+                raise FileNotFoundError(lpath.toString())
             own = payload.get("lease_id") == lease_id
             if not own and "lease_id" not in payload:
                 # legacy payload written by a pre-lease_id version
@@ -875,8 +932,16 @@ def stream_dedup_ingest(stream_df: DataFrame, index_path: str,
                 def _idx() -> None:
                     append_batch_bands(bands, index_path, batch_id)
 
+                # inheritable_thread_target propagates the
+                # streaming query's job group / local properties to
+                # the pool threads — without it query.stop()'s
+                # group-based cancellation cannot reach in-flight
+                # commit jobs and UI attribution is lost (review r9)
+                from pyspark import inheritable_thread_target
+
                 with ThreadPoolExecutor(max_workers=2) as ex:
-                    fut_s, fut_i = ex.submit(_surv), ex.submit(_idx)
+                    fut_s = ex.submit(inheritable_thread_target(_surv))
+                    fut_i = ex.submit(inheritable_thread_target(_idx))
                     fut_s.result()
                     fut_i.result()
             finally:

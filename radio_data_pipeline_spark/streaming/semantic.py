@@ -204,7 +204,14 @@ class SemanticIndexHandle:
         self._qsnapshot = _dir_snapshot(self._fs, self._qpath)
         self._gen_df = None
         self._gen_names: set[str] = set()
-        self._refresh_generations()
+        try:
+            self._refresh_generations()
+        except BaseException:
+            # a failed open must not leak the prepared-assignment
+            # caches into the shared session (same contract as
+            # prepare_assignment's own partial-failure release)
+            self.close()
+            raise
 
     def _list_ingest(self) -> tuple[list, list]:
         """(generation dirs, live batch dirs) — one driver listing."""
@@ -231,7 +238,10 @@ class SemanticIndexHandle:
             except Exception:
                 pass
             self._gen_df = None
-        self._gen_names = names
+        # _gen_names is recorded only after the build SUCCEEDS (end
+        # of this method): recording it first meant a transient
+        # build failure left names current with no cache, and the
+        # name-compare guards would never retry (review r9)
         if names:
             # WITNESS-DEDUPED: the probe's verdict is an EXISTS over
             # round(cosine,6) >= eps, and bitwise-equal vectors give
@@ -292,7 +302,16 @@ class SemanticIndexHandle:
                 .persist(StorageLevel.MEMORY_AND_DISK))
             # eager: the serving loop pays the one-time decode here,
             # not inside its next micro-batch
-            self._gen_df.count()
+            try:
+                self._gen_df.count()
+            except BaseException:
+                df, self._gen_df = self._gen_df, None
+                try:
+                    df.unpersist(blocking=False)
+                except Exception:
+                    pass
+                raise
+        self._gen_names = names
 
     def index_frame(self):
         """The probe's view of the accumulated index: the IMMUTABLE
@@ -307,7 +326,14 @@ class SemanticIndexHandle:
         because a fold's output is verdict-equivalent to its
         sources. Returns None for an empty index."""
         gens, lives = self._list_ingest()
-        if {p.getName() for p in gens} != self._gen_names:
+        names = {p.getName() for p in gens}
+        # the second clause matters: a FAILED prior refresh (build
+        # threw after _gen_names was recorded) leaves _gen_df None
+        # with names current — without it the cache would silently
+        # never rebuild and every verdict would run without
+        # generation witnesses (review r9)
+        if names != self._gen_names or (names and
+                                        self._gen_df is None):
             self._refresh_generations()
         parts = []
         if self._gen_df is not None:
@@ -757,76 +783,82 @@ def _requantize_body(spark, index_path, n_clusters, lloyd_rounds,
               .parquet(*src_paths)
               .select("id", "v", "vn", "src_batch").distinct()
               .persist(StorageLevel.MEMORY_AND_DISK))
-    c, resolved = train_semantic_centroids(
-        corpus, n_clusters, lloyd_rounds=lloyd_rounds, vec_col="v",
-        id_col="id", train_fraction=train_fraction, seed=seed,
-        two_level=two_level, coarse_clusters=coarse_clusters,
-        seed_strategy=seed_strategy)
-    resolved["n_cell_buckets"] = int(n_cell_buckets)
-    # the refile write below and the quantizer write after the swap
-    # check both materialize c — persisting it keeps the Lloyd
-    # retrain (the dominant cost) from executing twice
-    c = c.persist()
-    # the op scales linearly with corpus size (measured ~8 min at 2M
-    # rows): touch the lease between phases so a LIVE run never ages
-    # past the crashed-op TTL and loses its exclusion mid-op
-    lease_refresh()
-    a = assign_to_centroids(corpus, c, vec_col="v", id_col="id",
-                            two_level=resolved["two_level"],
-                            coarse_clusters=resolved["coarse_clusters"])
-    # merge-hint: BOTH sides are corpus-sized, but the post-distinct
-    # AQE stats see COMPRESSED shuffle bytes, and vector rows compress
-    # ~10:1 — a corpus that stats under the broadcast threshold
-    # serializes past spark.driver.maxResultSize when the broadcast is
-    # built (measured: 2M x 64-d refile died at 1053 MiB of task
-    # results against the 1 GiB default). At index scale neither side
-    # of this join should ever broadcast.
-    refiled = (corpus.join(a.withColumnRenamed("vec_id", "id")
-                           .hint("merge"), "id")
-               .select("id", "v", "vn", F.col("cluster").alias("cell"),
-                       "src_batch")
-               .withColumn("cell_bucket",
-                           F.pmod(F.col("cell"),
-                                  F.lit(int(n_cell_buckets)))
-                           .cast("int")))
-    (refiled.repartition(F.col("cell_bucket"))
-     .write.mode("overwrite").partitionBy("cell_bucket")
-     .parquet(f"{index_path}/ingest_batch={new_gen}"))
+    # corpus-sized caches must not outlive a FAILED op either (disk
+    # full, executor loss — realistic at ~8 min on 2M rows): release
+    # in a finally on EVERY exit, not just the success and raced
+    # paths (review r9)
+    c = None
+    try:
+        c, resolved = train_semantic_centroids(
+            corpus, n_clusters, lloyd_rounds=lloyd_rounds, vec_col="v",
+            id_col="id", train_fraction=train_fraction, seed=seed,
+            two_level=two_level, coarse_clusters=coarse_clusters,
+            seed_strategy=seed_strategy)
+        resolved["n_cell_buckets"] = int(n_cell_buckets)
+        # the refile write below and the quantizer write after the swap
+        # check both materialize c — persisting it keeps the Lloyd
+        # retrain (the dominant cost) from executing twice
+        c = c.persist()
+        # the op scales linearly with corpus size (measured ~8 min at 2M
+        # rows): touch the lease between phases so a LIVE run never ages
+        # past the crashed-op TTL and loses its exclusion mid-op
+        lease_refresh()
+        a = assign_to_centroids(corpus, c, vec_col="v", id_col="id",
+                                two_level=resolved["two_level"],
+                                coarse_clusters=resolved["coarse_clusters"])
+        # merge-hint: BOTH sides are corpus-sized, but the post-distinct
+        # AQE stats see COMPRESSED shuffle bytes, and vector rows compress
+        # ~10:1 — a corpus that stats under the broadcast threshold
+        # serializes past spark.driver.maxResultSize when the broadcast is
+        # built (measured: 2M x 64-d refile died at 1053 MiB of task
+        # results against the 1 GiB default). At index scale neither side
+        # of this join should ever broadcast.
+        refiled = (corpus.join(a.withColumnRenamed("vec_id", "id")
+                               .hint("merge"), "id")
+                   .select("id", "v", "vn", F.col("cluster").alias("cell"),
+                           "src_batch")
+                   .withColumn("cell_bucket",
+                               F.pmod(F.col("cell"),
+                                      F.lit(int(n_cell_buckets)))
+                               .cast("int")))
+        (refiled.repartition(F.col("cell_bucket"))
+         .write.mode("overwrite").partitionBy("cell_bucket")
+         .parquet(f"{index_path}/ingest_batch={new_gen}"))
 
-    lease_refresh()
-    if _pre_swap_hook is not None:  # test seam: writer racing the op
-        _pre_swap_hook()
-    new_gen_path = spark._jvm.org.apache.hadoop.fs.Path(
-        f"{index_path}/ingest_batch={new_gen}")
-    # dir names are unique under one index root — comparing names
-    # sidesteps scheme-qualification differences (file:/ vs bare path)
-    now_names = {p.getName() for p in _ingest_dirs(spark,
-                                                   index_path)[2]}
-    raced = (now_names - {f"ingest_batch={new_gen}"}
-             != {p.getName() for p in sources}
-             or any(_dir_snapshot(fs, p) != snapshots[p.toString()]
-                    for p in sources if fs.exists(p))
-             or any(not fs.exists(p) for p in sources))
-    if raced:
-        fs.delete(new_gen_path, True)
-        c.unpersist()
+        lease_refresh()
+        if _pre_swap_hook is not None:  # test seam: writer racing the op
+            _pre_swap_hook()
+        new_gen_path = spark._jvm.org.apache.hadoop.fs.Path(
+            f"{index_path}/ingest_batch={new_gen}")
+        # dir names are unique under one index root — comparing names
+        # sidesteps scheme-qualification differences (file:/ vs bare path)
+        now_names = {p.getName() for p in _ingest_dirs(spark,
+                                                       index_path)[2]}
+        raced = (now_names - {f"ingest_batch={new_gen}"}
+                 != {p.getName() for p in sources}
+                 or any(_dir_snapshot(fs, p) != snapshots[p.toString()]
+                        for p in sources if fs.exists(p))
+                 or any(not fs.exists(p) for p in sources))
+        if raced:
+            fs.delete(new_gen_path, True)
+            raise RuntimeError(
+                "a writer raced requantize_semantic_index: an ingest_batch "
+                "directory changed or appeared after the fold's listing; "
+                "the quantizer swap was aborted (old index still active "
+                "and sound) — quiesce ingest and re-run")
+
+        _write_quantizer(c, resolved, index_path, n_clusters)
+        deleted = 0
+        for p in sources:
+            if (fs.exists(p)
+                    and _dir_snapshot(fs, p) == snapshots[p.toString()]):
+                fs.delete(p, True)
+                deleted += 1
+        return deleted
+    finally:
+        if c is not None:
+            c.unpersist()
         corpus.unpersist()
-        raise RuntimeError(
-            "a writer raced requantize_semantic_index: an ingest_batch "
-            "directory changed or appeared after the fold's listing; "
-            "the quantizer swap was aborted (old index still active "
-            "and sound) — quiesce ingest and re-run")
-
-    _write_quantizer(c, resolved, index_path, n_clusters)
-    c.unpersist()
-    corpus.unpersist()
-    deleted = 0
-    for p in sources:
-        if (fs.exists(p)
-                and _dir_snapshot(fs, p) == snapshots[p.toString()]):
-            fs.delete(p, True)
-            deleted += 1
-    return deleted
 
 
 class MaintenancePolicy:
@@ -870,16 +902,14 @@ def semantic_index_signals(spark: SparkSession,
     dir count, generation count, file count, indexed row count
     (parquet footer metadata — no data pages), quantizer size k, and
     mean cell occupancy."""
-    from .dedup import _ingest_dirs
+    from .dedup import _dir_snapshot, _ingest_dirs
 
     fs, _, dirs = _ingest_dirs(spark, index_path)
     ids = [int(p.getName().split("=", 1)[1]) for p in dirs]
-    n_files = 0
-    for p in dirs:
-        it = fs.listFiles(p, True)
-        while it.hasNext():
-            it.next()
-            n_files += 1
+    # _dir_snapshot walks local paths in Python (the per-file py4j
+    # iterator costs ~6 round trips/file — the exact driver tax §21
+    # measured and removed from the folds; review r9)
+    n_files = sum(len(_dir_snapshot(fs, p)) for p in dirs)
     n_rows = (spark.read.parquet(index_path).count() if dirs else 0)
     k = (spark.read.parquet(f"{index_path}/_quantizer")
          .select("cluster").distinct().count())
@@ -1012,8 +1042,16 @@ def stream_semantic_ingest(stream_df: DataFrame, index_path: str,
                 def _idx() -> None:
                     append_semantic_batch(rows, index_path, batch_id)
 
+                # inheritable_thread_target propagates the
+                # streaming query's job group / local properties to
+                # the pool threads — without it query.stop()'s
+                # group-based cancellation cannot reach in-flight
+                # commit jobs and UI attribution is lost (review r9)
+                from pyspark import inheritable_thread_target
+
                 with ThreadPoolExecutor(max_workers=2) as ex:
-                    fut_s, fut_i = ex.submit(_surv), ex.submit(_idx)
+                    fut_s = ex.submit(inheritable_thread_target(_surv))
+                    fut_i = ex.submit(inheritable_thread_target(_idx))
                     fut_s.result()
                     fut_i.result()
             finally:

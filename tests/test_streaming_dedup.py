@@ -658,17 +658,39 @@ def test_lease_release_legacy_payload_is_deletable(spark, tmp_path):
     from radio_data_pipeline_spark.streaming.dedup import (
         maintenance_lease)
 
+    from radio_data_pipeline_spark.streaming.dedup import (
+        _hadoop_fs, _write_small_text)
+
     index = str(tmp_path / "idx")
     os.makedirs(index)
     lease = f"{index}/_maintenance.lease"
     op = maintenance_lease(spark, index, "modern")
     op.__enter__()
-    # a legacy writer's payload replaces ours mid-op
-    with open(lease, "w") as f:
-        f.write(_json.dumps({"op": "legacy", "acquired_at": 0}))
+    # a legacy writer's payload replaces ours mid-op — written
+    # through the Hadoop fs like a real old-version writer (a raw
+    # Python overwrite leaves a stale .crc sidecar, which the
+    # checksummed LocalFileSystem read rejects: that exercises the
+    # UNREADABLE path, covered below, not the legacy one)
+    fs, lpath = _hadoop_fs(spark, lease)
+    _write_small_text(fs, lpath,
+                      _json.dumps({"op": "legacy", "acquired_at": 0}))
     with pytest.warns(RuntimeWarning, match="legacy"):
         op.__exit__(None, None, None)
     assert not os.path.exists(lease)
+
+    # and the UNREADABLE case (torn write / checksum mismatch): the
+    # release must RESTORE the file, not delete it — a successor
+    # caught mid-write must never be evicted (review r9)
+    index2 = str(tmp_path / "idx2")
+    os.makedirs(index2)
+    lease2 = f"{index2}/_maintenance.lease"
+    op2 = maintenance_lease(spark, index2, "modern")
+    op2.__enter__()
+    with open(lease2, "w") as f:  # stale .crc -> unreadable via fs
+        f.write("{torn")
+    with pytest.warns(RuntimeWarning, match="unreadable"):
+        op2.__exit__(None, None, None)
+    assert os.path.exists(lease2)  # restored, leaks only to the TTL
 
 
 def test_band_meta_cache_rereads_replaced_meta(spark, tmp_path):

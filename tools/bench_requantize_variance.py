@@ -55,7 +55,7 @@ TARGET = 256
 
 
 def build_index(spark, emb, idx: str, k: int, n_batches: int,
-                compact: bool, mixed_live: int = 0) -> None:
+                compact: bool) -> None:
     """Assign the whole corpus once against a freshly trained
     quantizer, slice by id rank into n_batches appends."""
     from radio_data_pipeline_spark.functions.similarity import (
@@ -88,12 +88,6 @@ def build_index(spark, emb, idx: str, k: int, n_batches: int,
                  .drop("_rnk"))
         append_semantic_batch(chunk, idx, b)
     rows.unpersist()
-    if compact:
-        # mixed shape: fold all but the last `mixed_live` batches by
-        # deleting them after the fold is NOT possible (fold takes
-        # all) — instead fold first n_batches-mixed_live appends,
-        # then append the rest live on top of the generation
-        pass
     if compact:
         compact_semantic_index(spark, idx)
 
@@ -132,22 +126,34 @@ def main() -> None:
     idx_b = f"{WORK}/idx_live7"
     build_index(spark, emb, idx_b, k, n_batches=7, compact=False)
     scenarios["B_seven_live"] = idx_b
-    # C: mixed — build 7, compact, then append 3 more live slabs on
-    # top (replay-distinct ids: reuse the last 3 slabs with new ids)
+    # C: mixed — build 7, compact, then re-append 3 slabs of the SAME
+    # generation rows as live dirs (ids AND src_batch preserved so
+    # the distinct corpus stays exactly 200k — see the loop comment)
     idx_c = f"{WORK}/idx_mixed"
     build_index(spark, emb, idx_c, k, n_batches=7, compact=True)
     cents, meta = read_semantic_quantizer(spark, idx_c)
     gen = (spark.read.option("basePath", idx_c).parquet(idx_c)
            .filter(F.col("ingest_batch") < 0))
-    third = gen.count() // 4
+    n_gen = gen.count()
+    quarter = n_gen // 4
     live = (gen.withColumn(
         "_rnk", F.row_number().over(Window.orderBy("id")) - 1))
     live.persist().count()
     for b in range(3):
-        chunk = (live.filter((F.col("_rnk") >= b * third)
-                             & (F.col("_rnk") < (b + 1) * third))
-                 .select("id", "v", "vn", "cell", "cell_bucket"))
-        append_semantic_batch(chunk, idx_c, 10 + b)
+        # SAME ids as the generation rows, re-appended: the
+        # requantize distinct() is over (id, v, vn, src_batch), and
+        # src_batch must also match or the re-appended slabs would
+        # INFLATE C's distinct corpus by ~75% and confound the
+        # layout comparison with a corpus-size effect (review r9 —
+        # the first published run of scenario C had exactly this
+        # bug; A-vs-B carried the conclusion, C is now honest too).
+        chunk = (live.filter((F.col("_rnk") >= b * quarter)
+                             & (F.col("_rnk") < (b + 1) * quarter))
+                 .select("id", "v", "vn", "cell", "cell_bucket",
+                         "src_batch"))
+        (chunk.repartition(8, F.col("cell_bucket"))
+         .write.mode("overwrite").partitionBy("cell_bucket")
+         .parquet(f"{idx_c}/ingest_batch={10 + b}"))
     live.unpersist()
     scenarios["C_gen_plus_3_live"] = idx_c
 
