@@ -882,6 +882,104 @@ def _compact_ingest_index_locked(spark, index_path, data_cols,
     return deleted
 
 
+class BandMaintenancePolicy:
+    """Thresholds for ``maintain_band_index``. The band index has ONE
+    heavy op — compaction. Bands are a pure function of the layout
+    params (n_hashes/band_size/k/prefix_len pinned in ``_meta.json``),
+    so there is no retrain analogue to the semantic index's
+    requantize; maintenance is entirely about bounding the METADATA
+    cost that per-batch appends accumulate (§22 measured per-batch
+    tree discovery growing 1.3 s → 4.2 s over 12 live dirs — ~60% of
+    the serving batch wall). All signals are cheap: driver-side
+    listings plus a parquet-footer row count.
+
+    - ``compact_after_batches``: fold when at least this many LIVE
+      (nonnegative-id) ``ingest_batch`` dirs have accumulated — the
+      direct §22 cost driver (each live dir is re-listed and
+      re-planned per kernel call; generations are served from the
+      handle's cache).
+    - ``compact_over_files``: fold when the index's total FILE count
+      reaches this, provided there is anything foldable — appends
+      write one file per touched (band_id, bh_prefix) dir per batch,
+      so file count grows ~batches × touched-prefixes while the
+      post-fold floor is one file per occupied partition dir. This
+      catches the many-tiny-files shape even when a slow trickle of
+      batches never trips the dir-count bar. Set it above the
+      occupied-partition-dir count of a folded index, or a large
+      index re-folds on every call (the fold itself no-ops only when
+      NOTHING is foldable, not when it is merely unprofitable).
+    """
+
+    def __init__(self, compact_after_batches: int = 8,
+                 compact_over_files: int = 4096):
+        self.compact_after_batches = int(compact_after_batches)
+        self.compact_over_files = int(compact_over_files)
+
+
+def band_index_signals(spark: SparkSession, index_path: str) -> dict:
+    """The cheap observables a band-maintenance decision reads: live
+    batch dir count, generation count, total file count
+    (Python-walk snapshot for local paths — the §21 py4j per-file
+    tax applies here exactly as in the folds), and indexed band-row
+    count (parquet footer metadata — no data pages)."""
+    fs, _, dirs = _ingest_dirs(spark, index_path)
+    ids = [int(p.getName().split("=", 1)[1]) for p in dirs]
+    n_files = sum(len(_dir_snapshot(fs, p)) for p in dirs)
+    n_rows = (spark.read.parquet(index_path).count() if dirs else 0)
+    return {
+        "live_batches": sum(1 for i in ids if i >= 0),
+        "generations": sum(1 for i in ids if i < 0),
+        "files": n_files,
+        "rows": int(n_rows),
+    }
+
+
+def decide_band_maintenance(signals: dict,
+                            policy: BandMaintenancePolicy,
+                            ) -> tuple[str, dict]:
+    """The pure decision function (test-pinned as a table): returns
+    ``(action, params)`` with action one of 'noop' | 'compact'. The
+    file-count trigger only fires when a fold would actually change
+    the layout (at least one live dir, or more than one generation) —
+    a fully folded index whose one generation is simply LARGE must
+    not churn through a rewrite per call."""
+    foldable = (signals["live_batches"] >= 1
+                or signals["generations"] > 1)
+    if signals["live_batches"] >= policy.compact_after_batches:
+        return "compact", {}
+    if foldable and signals["files"] >= policy.compact_over_files:
+        return "compact", {}
+    return "noop", {}
+
+
+def maintain_band_index(spark: SparkSession, index_path: str,
+                        policy: BandMaintenancePolicy | None = None,
+                        dry_run: bool = False) -> dict:
+    """Read the cheap signals, decide, and (unless ``dry_run``) run
+    the chosen maintenance op — the band twin of
+    streaming/semantic.maintain_semantic_index, same contract: each
+    heavy op takes the maintenance lease itself, so concurrent
+    maintainers exclude each other exactly as direct callers do, and
+    the decide-then-act gap is closed by compaction's own
+    snapshot-and-recheck guard (a raced source is skipped, never
+    deleted stale). An open BandIndexHandle composes transparently:
+    the fold changes the generation set, which the handle detects by
+    dir listing on its next call and refreshes in place.
+
+    Returns ``{"action", "params", "signals", "result"}`` where
+    result is compaction's folded-dir count, or None for
+    noop/dry_run."""
+    policy = policy or BandMaintenancePolicy()
+    signals = band_index_signals(spark, index_path)
+    action, params = decide_band_maintenance(signals, policy)
+    report = {"action": action, "params": params,
+              "signals": signals, "result": None}
+    if dry_run or action == "noop":
+        return report
+    report["result"] = compact_band_index(spark, index_path)
+    return report
+
+
 def stream_dedup_ingest(stream_df: DataFrame, index_path: str,
                         out_path: str, checkpoint: str,
                         text_col: str = "text", id_col: str = "doc_id",

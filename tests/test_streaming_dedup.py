@@ -901,3 +901,107 @@ def test_stream_dedup_ingest_with_handle(spark, tmp_path):
     got = sorted(r["doc_id"] for r in
                  spark.read.parquet(out).select("doc_id").collect())
     assert got == expected
+
+
+def test_band_maintenance_decision_table():
+    """decide_band_maintenance is a pure function — pin the table:
+    live-dir count trips compaction at the threshold; the file-count
+    trigger fires only when something is actually foldable (a fully
+    folded one-generation index must not churn however large its
+    file count); otherwise noop."""
+    from radio_data_pipeline_spark.streaming.dedup import (
+        BandMaintenancePolicy, decide_band_maintenance)
+
+    p = BandMaintenancePolicy(compact_after_batches=4,
+                              compact_over_files=100)
+
+    def sig(live=0, gens=0, files=0, rows=0):
+        return {"live_batches": live, "generations": gens,
+                "files": files, "rows": rows}
+
+    # noop: few batches, few files
+    assert decide_band_maintenance(sig(live=3, gens=1, files=50),
+                                   p)[0] == "noop"
+    # compact: live batches at threshold
+    assert decide_band_maintenance(sig(live=4, files=10), p)[0] \
+        == "compact"
+    # compact: file count at threshold with foldable live dir
+    assert decide_band_maintenance(sig(live=1, gens=1, files=100),
+                                   p)[0] == "compact"
+    # compact: file count at threshold with >1 generation, no lives
+    # (crash leftovers from an interrupted fold)
+    assert decide_band_maintenance(sig(live=0, gens=2, files=100),
+                                   p)[0] == "compact"
+    # NOOP: file count over threshold but nothing foldable — one
+    # generation, zero lives (the no-churn guard)
+    assert decide_band_maintenance(sig(live=0, gens=1, files=9999),
+                                   p)[0] == "noop"
+    # empty index
+    assert decide_band_maintenance(sig(), p)[0] == "noop"
+
+
+def test_maintain_band_index_serving_loop(spark, tmp_path):
+    """The policy loop against a real band index: noop below the
+    batch threshold, compaction fires AT the threshold (folding live
+    dirs into one generation), then noop again; dry_run never
+    mutates; verdicts are identical through maintenance; and an open
+    serving handle picks up the fold transparently on its next call."""
+    import glob as _glob
+
+    from radio_data_pipeline_spark.streaming.dedup import (
+        BandMaintenancePolicy, maintain_band_index, open_band_index)
+
+    df = _corpus(spark)
+    expected = sorted(
+        r["doc_id"]
+        for r in greedy_band_survivors(df).select("doc_id").collect())
+    index = str(tmp_path / "m_idx")
+    pol = BandMaintenancePolicy(compact_after_batches=3,
+                                compact_over_files=10**9)
+
+    handle = None
+    got, fired = [], []
+    try:
+        for bid, chunk in enumerate(_chunks(df, 6, 120)):
+            survivors, bands = dedup_batch_against_index(
+                chunk, handle if handle is not None else index, bid)
+            got.extend(r["doc_id"] for r in
+                       survivors.select("doc_id").collect())
+            append_batch_bands(bands, index, bid)
+            bands.unpersist()
+            if handle is None:  # _meta.json exists after batch 0
+                handle = open_band_index(spark, index)
+            rep = maintain_band_index(spark, index, pol)
+            fired.append((rep["action"],
+                          rep["signals"]["live_batches"]))
+    finally:
+        if handle is not None:
+            handle.close()
+    # the full incremental run through handle + maintenance still
+    # equals the batch greedy survivor set
+    assert sorted(got) == expected
+    # cadence: noop at 1-2 live dirs, compact at 3, counter resets
+    # (each fold leaves one negative generation)
+    assert [a for a, _ in fired] == ["noop", "noop", "compact",
+                                     "noop", "noop", "compact"]
+    assert fired[2][1] == 3
+    gens = _glob.glob(f"{index}/ingest_batch=*")
+    assert len(gens) == 1 and gens[0].endswith("ingest_batch=-2")
+
+    # dry_run reports without acting even when the trigger is hot
+    hot = BandMaintenancePolicy(compact_after_batches=1,
+                                compact_over_files=1)
+    rep = maintain_band_index(spark, index, hot, dry_run=True)
+    assert rep["result"] is None
+    assert len(_glob.glob(f"{index}/ingest_batch=*")) == 1
+
+    # the no-churn guard end-to-end: one generation, zero lives,
+    # file threshold of 1 — still noop
+    rep = maintain_band_index(spark, index, hot)
+    assert rep["action"] == "noop" and rep["result"] is None
+
+    # verdicts survive maintenance: a replayed duplicate batch is
+    # fully dropped against the folded index
+    s, b = dedup_batch_against_index(_chunks(df, 6, 120)[0], index, 99)
+    assert s.count() == 0
+    b.unpersist()
