@@ -14,7 +14,15 @@ batch while the index grows, then after compaction, and prints a
 verdict line.
 
 Usage: python tools/bench_band_serving.py [corpus_dir] [work_dir]
-       [--batch-docs N] [--n-batches B]
+       [--batch-docs N] [--n-batches B] [--maintain M]
+
+``--maintain M``: instead of the phase study, run every batch through
+an open handle with ``maintain_band_index`` called between batches
+(BandMaintenancePolicy(compact_after_batches=M)) — the full serving
+loop a deployment runs. Reports per-batch wall in thirds (flat ==
+maintenance is holding the §22 growth down), each compaction's cost,
+and the signal trace, so the policy cadence is measured rather than
+assumed.
 """
 
 from __future__ import annotations
@@ -52,7 +60,7 @@ def _positional(argv: list[str]) -> list[str]:
         if skip:
             skip = False
             continue
-        if a in ("--batch-docs", "--n-batches"):
+        if a in ("--batch-docs", "--n-batches", "--maintain"):
             skip = True
             continue
         if a.startswith("--"):
@@ -66,6 +74,7 @@ CORPUS = args[0] if args else "/root/repo/.bench_scale/sf1"
 WORK = args[1] if len(args) > 1 else "/tmp/band_serving_bench"
 BATCH_DOCS = _flag("--batch-docs", 2000)
 N_BATCHES = _flag("--n-batches", 24)
+MAINTAIN = _flag("--maintain", 0)
 
 
 def main() -> None:
@@ -126,6 +135,11 @@ def main() -> None:
               f"surv-write {per['surv']*1000:.0f}ms "
               f"bands-append {per['bands']*1000:.0f}ms")
 
+    if MAINTAIN:
+        run_maintained(spark, ranked, index)
+        ranked.unpersist()
+        return
+
     quarter = N_BATCHES // 4
     run_batches("fresh (plain)", range(quarter))
     run_batches("grown (plain)", range(quarter, 2 * quarter))
@@ -142,6 +156,64 @@ def main() -> None:
     finally:
         h.close()
     ranked.unpersist()
+
+
+def run_maintained(spark, ranked, index: str) -> None:
+    """The full policy-maintained serving loop: handle-served kernel,
+    maintain_band_index between batches. Batch wall is reported
+    WITHOUT maintenance time (that's the steady-state serving cost a
+    deployment sees when maintenance runs off the hot path) and each
+    firing's cost and signals are printed separately."""
+    from radio_data_pipeline_spark.streaming.dedup import (
+        BandMaintenancePolicy, maintain_band_index)
+
+    pol = BandMaintenancePolicy(compact_after_batches=MAINTAIN)
+    walls, fires = [], []
+    handle = None
+    try:
+        for b in range(N_BATCHES):
+            lo = b * BATCH_DOCS
+            chunk = (ranked.filter((F.col("_rnk") >= lo)
+                                   & (F.col("_rnk") < lo + BATCH_DOCS))
+                     .drop("_rnk"))
+            chunk.persist().count()
+            t0 = time.monotonic()
+            survivors, bands = dedup_batch_against_index(
+                chunk, handle if handle is not None else index, b)
+            (survivors.write.mode("overwrite")
+             .parquet(f"{WORK}/out/batch={b}"))
+            append_batch_bands(bands, index, b)
+            walls.append(time.monotonic() - t0)
+            bands.unpersist()
+            chunk.unpersist()
+            if handle is None:  # _meta.json exists after batch 0
+                handle = open_band_index(spark, index)
+            t0 = time.monotonic()
+            rep = maintain_band_index(spark, index, pol)
+            dt = time.monotonic() - t0
+            if rep["action"] != "noop":
+                s = rep["signals"]
+                fires.append((b, dt))
+                print(f"  batch {b}: {rep['action']} folded "
+                      f"{rep['result']} dirs in {dt:.1f}s "
+                      f"(lives={s['live_batches']} "
+                      f"gens={s['generations']} files={s['files']})")
+    finally:
+        if handle is not None:
+            handle.close()
+    third = max(1, N_BATCHES // 3)
+    segs = [walls[i:i + third] for i in range(0, N_BATCHES, third)]
+    per = [sum(s) / len(s) for s in segs if s]
+    print(f"maintained serving (policy compact_after={MAINTAIN}): "
+          + " | ".join(
+              f"batches {i*third}-{i*third+len(s)-1}: "
+              f"{p:.2f}s/batch ({BATCH_DOCS/p:.0f} docs/s)"
+              for i, (s, p) in enumerate(zip(segs, per))))
+    if fires:
+        tot = sum(dt for _, dt in fires)
+        print(f"maintenance: {len(fires)} compactions, "
+              f"{tot:.1f}s total ({tot/N_BATCHES:.2f}s amortized "
+              f"per batch)")
 
 
 if __name__ == "__main__":
