@@ -199,17 +199,19 @@ class SemanticIndexHandle:
             self.centroids, self.meta["two_level"],
             self.meta["coarse_clusters"])
         self.centroids = self.prepared["cc"]  # the persisted frame
-        self._fs, self._qpath = _hadoop_fs(
-            spark, f"{index_path}/_quantizer")
-        self._qsnapshot = _dir_snapshot(self._fs, self._qpath)
         self._gen_df = None
         self._gen_names: set[str] = set()
         try:
+            # the staleness snapshot and the generation-cache build
+            # both sit inside the release guard: once `prepared` is
+            # pinned, ANY failed open (a transient fs error listing
+            # _quantizer just as much as a failed cache build) must
+            # not leak persisted frames into the shared session
+            self._fs, self._qpath = _hadoop_fs(
+                spark, f"{index_path}/_quantizer")
+            self._qsnapshot = _dir_snapshot(self._fs, self._qpath)
             self._refresh_generations()
         except BaseException:
-            # a failed open must not leak the prepared-assignment
-            # caches into the shared session (same contract as
-            # prepare_assignment's own partial-failure release)
             self.close()
             raise
 

@@ -1068,3 +1068,41 @@ def test_gen_cache_witness_dedup_replay_exact(spark, tmp_path):
         assert got == plain
     finally:
         h.close()
+
+
+def test_failed_handle_open_releases_prepared_caches(
+        spark, tmp_path, monkeypatch):
+    """A handle open that fails AFTER prepare_assignment pinned its
+    frames must release them before re-raising — including a failure
+    in the staleness-snapshot listing itself (a transient fs error on
+    a remote scheme), which sits between the prepare and the
+    generation-cache build (review r9: it originally ran outside the
+    release guard and leaked the prepared caches)."""
+    from radio_data_pipeline_spark.streaming import dedup as sdedup
+    from radio_data_pipeline_spark.streaming.semantic import (
+        open_semantic_index)
+
+    df = _emb_corpus(spark, 60)
+    index = str(tmp_path / "leak_idx")
+    init_semantic_index(df, index, _K, lloyd_rounds=2)
+
+    real = sdedup._dir_snapshot
+
+    def boom(fs, path):
+        if "_quantizer" in path.toString():
+            raise RuntimeError("transient listing failure")
+        return real(fs, path)
+
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet()
+                 .toArray())
+    monkeypatch.setattr(sdedup, "_dir_snapshot", boom)
+    with pytest.raises(RuntimeError, match="transient listing"):
+        open_semantic_index(spark, index)
+    monkeypatch.undo()
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet()
+                .toArray())
+    assert after <= before  # nothing the failed open pinned survives
+
+    # and a clean open still works afterwards
+    h = open_semantic_index(spark, index)
+    h.close()
