@@ -890,8 +890,8 @@ class BandMaintenancePolicy:
     requantize; maintenance is entirely about bounding the METADATA
     cost that per-batch appends accumulate (§22 measured per-batch
     tree discovery growing 1.3 s → 4.2 s over 12 live dirs — ~60% of
-    the serving batch wall). All signals are cheap: driver-side
-    listings plus a parquet-footer row count.
+    the serving batch wall). All signals are driver-side listings —
+    no Spark job (band_index_signals only counts rows when asked).
 
     - ``compact_after_batches``: fold when at least this many LIVE
       (nonnegative-id) ``ingest_batch`` dirs have accumulated — the
@@ -916,22 +916,32 @@ class BandMaintenancePolicy:
         self.compact_over_files = int(compact_over_files)
 
 
-def band_index_signals(spark: SparkSession, index_path: str) -> dict:
+def band_index_signals(spark: SparkSession, index_path: str,
+                       with_rows: bool = False) -> dict:
     """The cheap observables a band-maintenance decision reads: live
-    batch dir count, generation count, total file count
+    batch dir count, generation count, and total file count
     (Python-walk snapshot for local paths — the §21 py4j per-file
-    tax applies here exactly as in the folds), and indexed band-row
-    count (parquet footer metadata — no data pages)."""
+    tax applies here exactly as in the folds). All driver-side, no
+    Spark job.
+
+    ``with_rows``: also count indexed band rows (parquet footer
+    metadata). OFF by default — unlike the semantic policy's
+    occupancy trigger, no band decision reads the row count, and the
+    footer scan is a per-call Spark job whose cost grows with file
+    count (the very growth the maintenance loop exists to bound), so
+    a policy loop must not pay it every batch for a report field."""
     fs, _, dirs = _ingest_dirs(spark, index_path)
     ids = [int(p.getName().split("=", 1)[1]) for p in dirs]
     n_files = sum(len(_dir_snapshot(fs, p)) for p in dirs)
-    n_rows = (spark.read.parquet(index_path).count() if dirs else 0)
-    return {
+    out = {
         "live_batches": sum(1 for i in ids if i >= 0),
         "generations": sum(1 for i in ids if i < 0),
         "files": n_files,
-        "rows": int(n_rows),
     }
+    if with_rows:
+        out["rows"] = int(spark.read.parquet(index_path).count()
+                          if dirs else 0)
+    return out
 
 
 def decide_band_maintenance(signals: dict,
