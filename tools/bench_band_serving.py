@@ -168,7 +168,7 @@ def run_maintained(spark, ranked, index: str) -> None:
         BandMaintenancePolicy, maintain_band_index)
 
     pol = BandMaintenancePolicy(compact_after_batches=MAINTAIN)
-    walls, fires = [], []
+    walls, fires, noops = [], [], []
     handle = None
     try:
         for b in range(N_BATCHES):
@@ -198,6 +198,8 @@ def run_maintained(spark, ranked, index: str) -> None:
                       f"{rep['result']} dirs in {dt:.1f}s "
                       f"(lives={s['live_batches']} "
                       f"gens={s['generations']} files={s['files']})")
+            else:
+                noops.append(dt)
     finally:
         if handle is not None:
             handle.close()
@@ -214,6 +216,10 @@ def run_maintained(spark, ranked, index: str) -> None:
         print(f"maintenance: {len(fires)} compactions, "
               f"{tot:.1f}s total ({tot/N_BATCHES:.2f}s amortized "
               f"per batch)")
+    if noops:
+        print(f"noop maintenance overhead: "
+              f"{sum(noops)/len(noops)*1000:.0f}ms/call "
+              f"(signals are driver-side listings, no job)")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,205 @@
+#!/usr/bin/env python
+"""The full semantic serve+maintain deployment loop, measured: an
+open SemanticIndexHandle serves micro-batches through the kernel
+while ``maintain_semantic_index`` runs between batches — compaction
+fires at the policy cadence, and when accumulated growth trips the
+OCCUPANCY trigger the policy requantizes, at which point the held
+handle must fail loudly (StaleQuantizerError — the r8 VERDICT #1
+guard) and be reopened. This is the one bench that exercises every
+round-9 serving/maintenance piece in one run: handle generation
+cache, policy decision table, lease-guarded compaction, policy-driven
+requantize, staleness guard, reopen cost.
+
+Setup mirrors bench_semantic_stream: seed the index with part of the
+corpus (ids offset by 1e6 so seed src_batch can never collide with a
+serve batch id), then serve the remainder in fixed-size batches. The
+quantizer is deliberately initialized at the SEED's auto-scale k, so
+serving growth pushes mean occupancy past the policy bar mid-run —
+the honest trajectory a deployment sees between retrains.
+
+Usage: python tools/bench_semantic_maintained.py [corpus_dir]
+       [work_dir] [--batch-docs N] [--n-batches B] [--maintain M]
+       [--over-occupancy F]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from radio_data_pipeline_spark.session import get_spark  # noqa: E402
+from radio_data_pipeline_spark.streaming.semantic import (  # noqa: E402
+    MaintenancePolicy,
+    StaleQuantizerError,
+    append_semantic_batch,
+    compact_semantic_index,
+    init_semantic_index,
+    maintain_semantic_index,
+    open_semantic_index,
+    semantic_dedup_batch_against_index,
+)
+
+_FLAGS = ("--batch-docs", "--n-batches", "--maintain",
+          "--over-occupancy")
+
+
+def _flag(name: str, default, cast=int):
+    if name in sys.argv:
+        return cast(sys.argv[sys.argv.index(name) + 1])
+    return default
+
+
+def _positional(argv: list[str]) -> list[str]:
+    out, skip = [], False
+    for a in argv:
+        if skip:
+            skip = False
+            continue
+        if a in _FLAGS:
+            skip = True
+            continue
+        if a.startswith("--"):
+            continue
+        out.append(a)
+    return out
+
+
+args = _positional(sys.argv[1:])
+CORPUS = args[0] if args else "/root/repo/.bench_scale/sf10"
+WORK = args[1] if len(args) > 1 else "/tmp/sem_maintained_bench"
+BATCH_DOCS = _flag("--batch-docs", 2000)
+N_BATCHES = _flag("--n-batches", 50)
+MAINTAIN = _flag("--maintain", 8)
+OVER_OCC = _flag("--over-occupancy", 1.5, float)
+EPS = 0.8
+TARGET = 256
+
+
+def main() -> None:
+    spark = get_spark("bench-semantic-maintained")
+    emb = (spark.read.parquet(os.path.join(CORPUS,
+                                           "embeddings.parquet"))
+           .select("vec_id", "embedding"))
+    n = emb.count()
+    serve_docs = min(n // 2, BATCH_DOCS * N_BATCHES)
+    seed_docs = n - serve_docs
+    k = max(1, math.ceil(seed_docs / TARGET))
+
+    if os.path.exists(WORK):
+        shutil.rmtree(WORK)
+    index = os.path.join(WORK, "idx")
+
+    ranked = emb.withColumn(
+        "_rnk", F.row_number().over(Window.orderBy("vec_id")) - 1)
+    ranked.persist().count()
+
+    t0 = time.monotonic()
+    init_semantic_index(ranked.filter(F.col("_rnk") < seed_docs)
+                        .drop("_rnk"),
+                        index, n_clusters=k, lloyd_rounds=2,
+                        train_fraction=0.2)
+    print(f"corpus={CORPUS} N={n} seed={seed_docs} k={k} "
+          f"serve={serve_docs} batch={BATCH_DOCS} "
+          f"init={time.monotonic() - t0:.1f}s")
+
+    # seed through the kernel (ids offset 1e6 — the src_batch
+    # collision rule), one fold at the end
+    t0 = time.monotonic()
+    h = open_semantic_index(spark, index)
+    sb = 0
+    for lo in range(0, seed_docs, 32768):
+        chunk = (ranked.filter((F.col("_rnk") >= lo)
+                               & (F.col("_rnk") < min(lo + 32768,
+                                                      seed_docs)))
+                 .drop("_rnk"))
+        _, rows = semantic_dedup_batch_against_index(
+            chunk, h, 1_000_000 + sb, eps=EPS)
+        append_semantic_batch(rows, index, 1_000_000 + sb)
+        rows.unpersist()
+        sb += 1
+    folded = compact_semantic_index(spark, index)
+    print(f"seeded {seed_docs} docs in {sb} batches + fold "
+          f"({folded} dirs) in {time.monotonic() - t0:.1f}s")
+
+    pol = MaintenancePolicy(compact_after_batches=MAINTAIN,
+                            requantize_over_occupancy=OVER_OCC,
+                            target_cluster_rows=TARGET,
+                            min_rows_for_requantize=10_000,
+                            lloyd_rounds=2, train_fraction=0.2)
+
+    walls, maints, reopens = [], [], []
+    n_b = min(N_BATCHES, serve_docs // BATCH_DOCS)
+    try:
+        for b in range(n_b):
+            lo = seed_docs + b * BATCH_DOCS
+            chunk = (ranked.filter((F.col("_rnk") >= lo)
+                                   & (F.col("_rnk") < lo + BATCH_DOCS))
+                     .drop("_rnk"))
+            chunk.persist().count()
+            t0 = time.monotonic()
+            survivors, rows = semantic_dedup_batch_against_index(
+                chunk, h, b, eps=EPS)
+            (survivors.write.mode("overwrite")
+             .parquet(f"{WORK}/out/batch={b}"))
+            append_semantic_batch(rows, index, b)
+            walls.append(time.monotonic() - t0)
+            rows.unpersist()
+            chunk.unpersist()
+
+            t0 = time.monotonic()
+            rep = maintain_semantic_index(spark, index, pol)
+            dt = time.monotonic() - t0
+            if rep["action"] != "noop":
+                s = rep["signals"]
+                maints.append((b, rep["action"], dt))
+                print(f"  batch {b}: {rep['action']} in {dt:.1f}s "
+                      f"(lives={s['live_batches']} rows={s['rows']} "
+                      f"k={s['k']} occ={s['occupancy']:.0f})")
+            if rep["action"] == "requantize":
+                # the held handle MUST now refuse to serve — the
+                # staleness guard is the whole point of the exercise
+                try:
+                    h.check_fresh()
+                    raise AssertionError(
+                        "stale handle not detected after requantize")
+                except StaleQuantizerError:
+                    pass
+                h.close()
+                t0 = time.monotonic()
+                h = open_semantic_index(spark, index)
+                reopen_s = time.monotonic() - t0
+                reopens.append(reopen_s)
+                print(f"  batch {b}: StaleQuantizerError raised as "
+                      f"required; reopened handle in {reopen_s:.1f}s")
+    finally:
+        h.close()
+    ranked.unpersist()
+
+    third = max(1, n_b // 3)
+    segs = [walls[i:i + third] for i in range(0, n_b, third)]
+    print("maintained semantic serving: " + " | ".join(
+        f"batches {i*third}-{i*third+len(s)-1}: "
+        f"{sum(s)/len(s):.2f}s/batch "
+        f"({BATCH_DOCS/(sum(s)/len(s)):.0f} docs/s)"
+        for i, s in enumerate(segs) if s))
+    if maints:
+        tot = sum(dt for _, _, dt in maints)
+        acts = {}
+        for _, a, _ in maints:
+            acts[a] = acts.get(a, 0) + 1
+        print(f"maintenance: {acts}, {tot:.1f}s total "
+              f"({tot/n_b:.2f}s amortized per batch); "
+              f"handle reopens: {len(reopens)} "
+              f"({sum(reopens):.1f}s total)")
+
+
+if __name__ == "__main__":
+    main()
