@@ -135,7 +135,7 @@ def main() -> None:
                             min_rows_for_requantize=10_000,
                             lloyd_rounds=2, train_fraction=0.2)
 
-    walls, maints, reopens = [], [], []
+    walls, maints, reopens, noops = [], [], [], []
     n_b = min(N_BATCHES, serve_docs // BATCH_DOCS)
     try:
         for b in range(n_b):
@@ -157,6 +157,11 @@ def main() -> None:
             t0 = time.monotonic()
             rep = maintain_semantic_index(spark, index, pol)
             dt = time.monotonic() - t0
+            if rep["action"] == "noop":
+                # unlike the band loop, the semantic signals NEED a
+                # rows count per call (the occupancy trigger) — this
+                # records what that costs the serving cadence
+                noops.append(dt)
             if rep["action"] != "noop":
                 s = rep["signals"]
                 maints.append((b, rep["action"], dt))
@@ -199,6 +204,10 @@ def main() -> None:
               f"({tot/n_b:.2f}s amortized per batch); "
               f"handle reopens: {len(reopens)} "
               f"({sum(reopens):.1f}s total)")
+    if noops:
+        print(f"noop maintenance overhead: "
+              f"{sum(noops)/len(noops)*1000:.0f}ms/call "
+              f"(signals include the occupancy rows count)")
 
 
 if __name__ == "__main__":
