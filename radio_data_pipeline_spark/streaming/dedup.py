@@ -864,8 +864,17 @@ def _compact_ingest_index_locked(spark, index_path, data_cols,
               .parquet(*src_paths)
               .select(*data_cols)
               .distinct())
-    # one file per partition directory in the generation
-    (folded.repartition(*[F.col(c) for c in partition_cols])
+    # one file per partition directory in the generation. EXPLICIT
+    # partition count: a column-only repartition is AQE-coalescible,
+    # and a byte-small fold collapses to ONE write task paying every
+    # parquet-writer open + dir commit in sequence (~2k dirs = 3.4 s
+    # single-task, measured by the task audit in the maintained
+    # serving loop — the fifth byte-blindness site, same class and
+    # same fix as the micro-batch appends, §19 add. 8). Each key
+    # still hashes to exactly one reducer: layout unchanged, writer
+    # opens spread.
+    spread = spark.sparkContext.defaultParallelism
+    (folded.repartition(spread, *[F.col(c) for c in partition_cols])
      .write.mode("overwrite").partitionBy(*partition_cols)
      .parquet(f"{index_path}/ingest_batch={new_gen}"))
     # the fold scales with index size: keep a LIVE compaction from

@@ -823,7 +823,15 @@ def _requantize_body(spark, index_path, n_clusters, lloyd_rounds,
                                F.pmod(F.col("cell"),
                                       F.lit(int(n_cell_buckets)))
                                .cast("int")))
-        (refiled.repartition(F.col("cell_bucket"))
+        # explicit partition count (fifth byte-blindness site, found
+        # by the task audit in the compaction fold — same class, same
+        # fix): a column-only repartition is AQE-coalescible on
+        # COMPRESSED shuffle bytes, and vector rows compress ~10:1,
+        # so a small-corpus refile collapses its writer opens + dir
+        # commits into a handful of tasks. Keys still hash to one
+        # reducer each: layout unchanged.
+        spread = spark.sparkContext.defaultParallelism
+        (refiled.repartition(spread, F.col("cell_bucket"))
          .write.mode("overwrite").partitionBy("cell_bucket")
          .parquet(f"{index_path}/ingest_batch={new_gen}"))
 

@@ -207,10 +207,33 @@ def _canary_within_batch(spark, tmp: str, fixed: bool):
     return _force(j.select(_fold(F.col("av"), F.col("bv")).alias("s")))
 
 
+def _canary_fold_write(spark, tmp: str, fixed: bool):
+    """Shape 4/5: a partitioned-layout write fed by a COLUMN-ONLY
+    repartition. The shuffle is byte-small however many partition
+    directories the write touches, so AQE coalesces it to ~1 task
+    paying every parquet-writer open + directory commit in sequence
+    (first measured on the micro-batch appends — §19 add. 8 — then
+    found AGAIN by this audit in the compaction fold and the
+    requantize refile). Fix: explicit partition count — keys still
+    hash to one reducer each, layout unchanged, opens spread."""
+    from pyspark.sql import functions as F
+    df = (_tiny_source(spark, tmp, "fold_rows", 4000, 7)
+          .select((F.col("vec_id") % 2000).alias("part_key"),
+                  F.col("vec_id").alias("id")))
+    out = f"{tmp}/fold_out_{'fixed' if fixed else 'prefix'}"
+    rep = (df.repartition(
+               spark.sparkContext.defaultParallelism,
+               F.col("part_key"))
+           if fixed else df.repartition(F.col("part_key")))
+    (rep.write.mode("overwrite").partitionBy("part_key").parquet(out))
+    return 0
+
+
 _CANARIES = {
     "probe_join": _canary_probe_join,
     "assignment": _canary_assignment,
     "within_batch": _canary_within_batch,
+    "fold_write": _canary_fold_write,
 }
 
 

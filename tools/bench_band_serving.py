@@ -163,46 +163,57 @@ def run_maintained(spark, ranked, index: str) -> None:
     maintain_band_index between batches. Batch wall is reported
     WITHOUT maintenance time (that's the steady-state serving cost a
     deployment sees when maintenance runs off the hot path) and each
-    firing's cost and signals are printed separately."""
+    firing's cost and signals are printed separately.
+
+    ``--audit``: record per-stage task counts for the whole loop —
+    serving kernel, cache rebuilds after each fold, the folds
+    themselves — and report any byte-blind stage (heavy compute on
+    <= parallelism/8 tasks; tools/audit_tasks.py)."""
+    import contextlib
+
     from radio_data_pipeline_spark.streaming.dedup import (
         BandMaintenancePolicy, maintain_band_index)
+    from tools.audit_tasks import measure
 
     pol = BandMaintenancePolicy(compact_after_batches=MAINTAIN)
     walls, fires, noops = [], [], []
     handle = None
-    try:
-        for b in range(N_BATCHES):
-            lo = b * BATCH_DOCS
-            chunk = (ranked.filter((F.col("_rnk") >= lo)
-                                   & (F.col("_rnk") < lo + BATCH_DOCS))
-                     .drop("_rnk"))
-            chunk.persist().count()
-            t0 = time.monotonic()
-            survivors, bands = dedup_batch_against_index(
-                chunk, handle if handle is not None else index, b)
-            (survivors.write.mode("overwrite")
-             .parquet(f"{WORK}/out/batch={b}"))
-            append_batch_bands(bands, index, b)
-            walls.append(time.monotonic() - t0)
-            bands.unpersist()
-            chunk.unpersist()
-            if handle is None:  # _meta.json exists after batch 0
-                handle = open_band_index(spark, index)
-            t0 = time.monotonic()
-            rep = maintain_band_index(spark, index, pol)
-            dt = time.monotonic() - t0
-            if rep["action"] != "noop":
-                s = rep["signals"]
-                fires.append((b, dt))
-                print(f"  batch {b}: {rep['action']} folded "
-                      f"{rep['result']} dirs in {dt:.1f}s "
-                      f"(lives={s['live_batches']} "
-                      f"gens={s['generations']} files={s['files']})")
-            else:
-                noops.append(dt)
-    finally:
-        if handle is not None:
-            handle.close()
+    audit_ctx = (measure(spark) if "--audit" in sys.argv
+                 else contextlib.nullcontext())
+    with audit_ctx as rec:
+        try:
+            for b in range(N_BATCHES):
+                lo = b * BATCH_DOCS
+                chunk = (ranked.filter((F.col("_rnk") >= lo)
+                                       & (F.col("_rnk") < lo + BATCH_DOCS))
+                         .drop("_rnk"))
+                chunk.persist().count()
+                t0 = time.monotonic()
+                survivors, bands = dedup_batch_against_index(
+                    chunk, handle if handle is not None else index, b)
+                (survivors.write.mode("overwrite")
+                 .parquet(f"{WORK}/out/batch={b}"))
+                append_batch_bands(bands, index, b)
+                walls.append(time.monotonic() - t0)
+                bands.unpersist()
+                chunk.unpersist()
+                if handle is None:  # _meta.json exists after batch 0
+                    handle = open_band_index(spark, index)
+                t0 = time.monotonic()
+                rep = maintain_band_index(spark, index, pol)
+                dt = time.monotonic() - t0
+                if rep["action"] != "noop":
+                    s = rep["signals"]
+                    fires.append((b, dt))
+                    print(f"  batch {b}: {rep['action']} folded "
+                          f"{rep['result']} dirs in {dt:.1f}s "
+                          f"(lives={s['live_batches']} "
+                          f"gens={s['generations']} files={s['files']})")
+                else:
+                    noops.append(dt)
+        finally:
+            if handle is not None:
+                handle.close()
     third = max(1, N_BATCHES // 3)
     segs = [walls[i:i + third] for i in range(0, N_BATCHES, third)]
     per = [sum(s) / len(s) for s in segs if s]
@@ -220,6 +231,13 @@ def run_maintained(spark, ranked, index: str) -> None:
         print(f"noop maintenance overhead: "
               f"{sum(noops)/len(noops)*1000:.0f}ms/call "
               f"(signals are driver-side listings, no job)")
+    if rec is not None:
+        flags = rec.flagged()
+        print(f"task audit: {len(rec.stages)} stages, "
+              f"{len(flags)} byte-blind")
+        for s in flags[:10]:
+            print(f"  FLAGGED: stage {s['stage_id']} {s['name']} "
+                  f"tasks={s['tasks']} per_task_ms={s['per_task_ms']}")
 
 
 if __name__ == "__main__":

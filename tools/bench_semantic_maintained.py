@@ -137,55 +137,63 @@ def main() -> None:
 
     walls, maints, reopens, noops = [], [], [], []
     n_b = min(N_BATCHES, serve_docs // BATCH_DOCS)
-    try:
-        for b in range(n_b):
-            lo = seed_docs + b * BATCH_DOCS
-            chunk = (ranked.filter((F.col("_rnk") >= lo)
-                                   & (F.col("_rnk") < lo + BATCH_DOCS))
-                     .drop("_rnk"))
-            chunk.persist().count()
-            t0 = time.monotonic()
-            survivors, rows = semantic_dedup_batch_against_index(
-                chunk, h, b, eps=EPS)
-            (survivors.write.mode("overwrite")
-             .parquet(f"{WORK}/out/batch={b}"))
-            append_semantic_batch(rows, index, b)
-            walls.append(time.monotonic() - t0)
-            rows.unpersist()
-            chunk.unpersist()
+    # --audit: per-stage task counts for the whole serve+maintain
+    # loop (byte-blindness check, tools/audit_tasks.py)
+    import contextlib
 
-            t0 = time.monotonic()
-            rep = maintain_semantic_index(spark, index, pol)
-            dt = time.monotonic() - t0
-            if rep["action"] == "noop":
-                # unlike the band loop, the semantic signals NEED a
-                # rows count per call (the occupancy trigger) — this
-                # records what that costs the serving cadence
-                noops.append(dt)
-            if rep["action"] != "noop":
-                s = rep["signals"]
-                maints.append((b, rep["action"], dt))
-                print(f"  batch {b}: {rep['action']} in {dt:.1f}s "
-                      f"(lives={s['live_batches']} rows={s['rows']} "
-                      f"k={s['k']} occ={s['occupancy']:.0f})")
-            if rep["action"] == "requantize":
-                # the held handle MUST now refuse to serve — the
-                # staleness guard is the whole point of the exercise
-                try:
-                    h.check_fresh()
-                    raise AssertionError(
-                        "stale handle not detected after requantize")
-                except StaleQuantizerError:
-                    pass
-                h.close()
+    from tools.audit_tasks import measure
+    audit_ctx = (measure(spark) if "--audit" in sys.argv
+                 else contextlib.nullcontext())
+    with audit_ctx as rec:
+        try:
+            for b in range(n_b):
+                lo = seed_docs + b * BATCH_DOCS
+                chunk = (ranked.filter((F.col("_rnk") >= lo)
+                                       & (F.col("_rnk") < lo + BATCH_DOCS))
+                         .drop("_rnk"))
+                chunk.persist().count()
                 t0 = time.monotonic()
-                h = open_semantic_index(spark, index)
-                reopen_s = time.monotonic() - t0
-                reopens.append(reopen_s)
-                print(f"  batch {b}: StaleQuantizerError raised as "
-                      f"required; reopened handle in {reopen_s:.1f}s")
-    finally:
-        h.close()
+                survivors, rows = semantic_dedup_batch_against_index(
+                    chunk, h, b, eps=EPS)
+                (survivors.write.mode("overwrite")
+                 .parquet(f"{WORK}/out/batch={b}"))
+                append_semantic_batch(rows, index, b)
+                walls.append(time.monotonic() - t0)
+                rows.unpersist()
+                chunk.unpersist()
+
+                t0 = time.monotonic()
+                rep = maintain_semantic_index(spark, index, pol)
+                dt = time.monotonic() - t0
+                if rep["action"] == "noop":
+                    # unlike the band loop, the semantic signals NEED a
+                    # rows count per call (the occupancy trigger) — this
+                    # records what that costs the serving cadence
+                    noops.append(dt)
+                if rep["action"] != "noop":
+                    s = rep["signals"]
+                    maints.append((b, rep["action"], dt))
+                    print(f"  batch {b}: {rep['action']} in {dt:.1f}s "
+                          f"(lives={s['live_batches']} rows={s['rows']} "
+                          f"k={s['k']} occ={s['occupancy']:.0f})")
+                if rep["action"] == "requantize":
+                    # the held handle MUST now refuse to serve — the
+                    # staleness guard is the whole point of the exercise
+                    try:
+                        h.check_fresh()
+                        raise AssertionError(
+                            "stale handle not detected after requantize")
+                    except StaleQuantizerError:
+                        pass
+                    h.close()
+                    t0 = time.monotonic()
+                    h = open_semantic_index(spark, index)
+                    reopen_s = time.monotonic() - t0
+                    reopens.append(reopen_s)
+                    print(f"  batch {b}: StaleQuantizerError raised as "
+                          f"required; reopened handle in {reopen_s:.1f}s")
+        finally:
+            h.close()
     ranked.unpersist()
 
     third = max(1, n_b // 3)
@@ -208,6 +216,13 @@ def main() -> None:
         print(f"noop maintenance overhead: "
               f"{sum(noops)/len(noops)*1000:.0f}ms/call "
               f"(signals include the occupancy rows count)")
+    if rec is not None:
+        flags = rec.flagged()
+        print(f"task audit: {len(rec.stages)} stages, "
+              f"{len(flags)} byte-blind")
+        for s in flags[:10]:
+            print(f"  FLAGGED: stage {s['stage_id']} {s['name']} "
+                  f"tasks={s['tasks']} per_task_ms={s['per_task_ms']}")
 
 
 if __name__ == "__main__":
