@@ -1106,3 +1106,58 @@ def test_failed_handle_open_releases_prepared_caches(
     # and a clean open still works afterwards
     h = open_semantic_index(spark, index)
     h.close()
+
+
+def test_signals_footer_fast_path_matches_spark(spark, tmp_path):
+    """semantic_index_signals' driver-side pyarrow reads (rows via
+    footer sums, k via column uniques — no Spark job on local
+    indexes) must equal what the Spark fallback computes, including
+    with a crash-window duplicate generation present (both readers
+    see the same files)."""
+    from radio_data_pipeline_spark.streaming.semantic import (
+        semantic_index_signals)
+
+    df = _emb_corpus(spark, 90)
+    index = str(tmp_path / "sig_idx")
+    init_semantic_index(df, index, _K, lloyd_rounds=2)
+    for bid, chunk in enumerate(_chunks(df, 3, 90)):
+        _, rows = semantic_dedup_batch_against_index(
+            chunk, index, bid, eps=_EPS)
+        append_semantic_batch(rows, index, bid)
+        rows.unpersist()
+    # crash-window shape: a generation copy with sources not yet
+    # deleted — rows duplicated on disk, and BOTH counts must agree
+    (spark.read.parquet(index)
+     .select("id", "v", "vn", "cell", "cell_bucket", "src_batch")
+     .write.mode("overwrite").partitionBy("cell_bucket")
+     .parquet(f"{index}/ingest_batch=-1"))
+
+    sig = semantic_index_signals(spark, index)
+    spark_rows = spark.read.parquet(index).count()
+    spark_k = (spark.read.parquet(f"{index}/_quantizer")
+               .select("cluster").distinct().count())
+    assert sig["rows"] == spark_rows
+    assert sig["k"] == spark_k
+    assert sig["occupancy"] == spark_rows / spark_k
+
+
+def test_band_signals_rows_fast_path_matches_spark(spark, tmp_path):
+    """band_index_signals(with_rows=True) footer sum equals the Spark
+    count (and stays opt-in: the default dict has no rows key)."""
+    from radio_data_pipeline_spark.streaming.dedup import (
+        append_batch_bands, band_index_signals,
+        dedup_batch_against_index)
+
+    rows = [(i, f"alpha bravo charlie delta echo {i} foxtrot golf")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    index = str(tmp_path / "b_idx")
+    for bid in range(2):
+        chunk = df.filter((F.col("doc_id") >= bid * 20)
+                          & (F.col("doc_id") < (bid + 1) * 20))
+        _, bands = dedup_batch_against_index(chunk, index, bid)
+        append_batch_bands(bands, index, bid)
+        bands.unpersist()
+    assert "rows" not in band_index_signals(spark, index)
+    sig = band_index_signals(spark, index, with_rows=True)
+    assert sig["rows"] == spark.read.parquet(index).count()
