@@ -1038,7 +1038,8 @@ def stream_dedup_ingest(stream_df: DataFrame, index_path: str,
                         n_hashes: int = 8, band_size: int = 2,
                         k: int = 3, prefix_len: int = _PREFIX_LEN,
                         query_name: str = "dedup_ingest",
-                        handle: BandIndexHandle | None = None):
+                        handle: BandIndexHandle | None = None,
+                        maintenance_policy: "BandMaintenancePolicy | None" = None):
     """Streaming near-dup gate: survivors of each micro-batch land
     under ``out_path/batch=N``, every processed doc's bands land in
     the band index. The survivor write and the band append run
@@ -1054,7 +1055,18 @@ def stream_dedup_ingest(stream_df: DataFrame, index_path: str,
     ``handle``: an open BandIndexHandle on ``index_path`` — the
     serving configuration (generation cache, no per-batch tree
     discovery). The caller owns its lifetime: keep it open for the
-    query's duration, close it after."""
+    query's duration, close it after.
+
+    ``maintenance_policy``: run ``maintain_band_index`` inside
+    ``foreachBatch`` AFTER each batch's commits — the one-call
+    serve+maintain deployment loop. Safe by construction:
+    micro-batches are sequential, so in-stream maintenance never
+    runs concurrently with ingest; the lease still excludes any
+    EXTERNAL maintainer; an open handle picks a fold up by dir
+    listing on the next batch; and a crash between commit and
+    maintenance merely replays the (identical) batch and re-decides
+    — compaction is crash-safe by semantics and decisions are
+    stateless reads."""
     if checkpoint is None:
         raise ValueError(
             "stream_dedup_ingest requires a checkpoint location; the "
@@ -1098,6 +1110,9 @@ def stream_dedup_ingest(stream_df: DataFrame, index_path: str,
                 bands.unpersist()
         finally:
             batch_df.unpersist()
+        if maintenance_policy is not None:
+            maintain_band_index(batch_df.sparkSession, index_path,
+                                maintenance_policy)
 
     return (stream_df.writeStream.foreachBatch(write_batch)
             .queryName(query_name).trigger(availableNow=True)

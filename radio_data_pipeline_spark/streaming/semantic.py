@@ -1027,7 +1027,8 @@ def stream_semantic_ingest(stream_df: DataFrame, index_path: str,
                            id_col: str = "vec_id", eps: float = 0.4,
                            dedup_identical: bool = True,
                            query_name: str = "semantic_ingest",
-                           handle: SemanticIndexHandle | None = None):
+                           handle: SemanticIndexHandle | None = None,
+                           maintenance_policy: MaintenancePolicy | None = None):
     """Streaming semantic-dup gate: survivors of each micro-batch
     land under ``out_path/batch=N``, every processed doc's (id, v,
     cell) row lands in the semantic index. Requires
@@ -1045,7 +1046,22 @@ def stream_semantic_ingest(stream_df: DataFrame, index_path: str,
     work gone; measured 4–7x docs/s at 2k-doc batches, §19 add. 5).
     The caller owns its lifetime: keep it open for the query's
     duration, close it after, reopen across a requantize. Without
-    it each micro-batch re-reads the quantizer (correct, slower)."""
+    it each micro-batch re-reads the quantizer (correct, slower).
+
+    ``maintenance_policy``: run ``maintain_semantic_index`` inside
+    ``foreachBatch`` AFTER each batch's commits — serve+maintain in
+    one call. Micro-batches are sequential, so in-stream maintenance
+    never runs concurrently with ingest (the offline-requantize
+    contract holds batch-wise), and a crash between commit and
+    maintenance replays the identical batch then re-decides.
+    Composition with ``handle``: compactions compose transparently
+    (the handle refreshes its generation cache by dir listing), but
+    a policy REQUANTIZE would strand the caller-owned handle on the
+    dead quantizer — the wrapper FAILS THE QUERY loudly in that case
+    rather than serving stale or silently swapping a handle the
+    caller also holds. Pass ``handle=None`` (per-batch quantizer
+    re-read — always fresh, slower) for a policy that may
+    requantize, or cap the policy so it cannot."""
     if checkpoint is None:
         raise ValueError(
             "stream_semantic_ingest requires a checkpoint location; "
@@ -1102,6 +1118,22 @@ def stream_semantic_ingest(stream_df: DataFrame, index_path: str,
                 rows.unpersist()
         finally:
             batch_df.unpersist()
+        if maintenance_policy is not None:
+            spark = batch_df.sparkSession
+            rep = maintain_semantic_index(spark, index_path,
+                                          maintenance_policy)
+            if rep["action"] == "requantize" and handle is not None:
+                raise RuntimeError(
+                    "stream_semantic_ingest: the maintenance policy "
+                    "requantized mid-stream while a caller-owned "
+                    "handle is held — the handle's cached quantizer "
+                    "is now stale and the wrapper will not serve "
+                    "with it or swap it behind the caller's back. "
+                    "Restart the stream with a fresh handle, or run "
+                    "with handle=None / a non-requantizing policy. "
+                    "(The index itself is consistent: the requantize "
+                    "committed and this batch's writes landed "
+                    "before it.)")
 
     return (stream_df.writeStream.foreachBatch(write_batch)
             .queryName(query_name).trigger(availableNow=True)

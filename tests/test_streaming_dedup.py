@@ -1005,3 +1005,52 @@ def test_maintain_band_index_serving_loop(spark, tmp_path):
     s, b = dedup_batch_against_index(_chunks(df, 6, 120)[0], index, 99)
     assert s.count() == 0
     b.unpersist()
+
+
+def test_stream_dedup_ingest_with_in_stream_maintenance(
+        spark, tmp_path):
+    """stream_dedup_ingest(maintenance_policy=...) — the one-call
+    serve+maintain loop: maintenance runs inside foreachBatch after
+    each batch's commits, so the stream folds its own index.
+    Survivors still equal the batch greedy set, and the index ends
+    the run folded (one negative generation plus at most the
+    post-fold live batches)."""
+    import glob as _glob
+
+    from radio_data_pipeline_spark.streaming.dedup import (
+        BandMaintenancePolicy)
+
+    df = _corpus(spark)
+    expected = sorted(
+        r["doc_id"]
+        for r in greedy_band_survivors(df).select("doc_id").collect())
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "survivors")
+    index = str(tmp_path / "band_index")
+    cp = str(tmp_path / "cp")
+    schema = "doc_id long, text string"
+    pol = BandMaintenancePolicy(compact_after_batches=2,
+                                compact_over_files=10**9)
+
+    for phase, (lo, hi) in enumerate([(0, 30), (30, 60),
+                                      (60, 90), (90, 120)]):
+        (df.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(str(src / f"f{phase}")))
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = stream_dedup_ingest(stream, index, out, checkpoint=cp,
+                                maintenance_policy=pol)
+        q.awaitTermination()
+
+    got = sorted(r["doc_id"] for r in
+                 spark.read.parquet(out).select("doc_id").collect())
+    assert got == expected
+    # 4 batches with compact-every-2: folds fired inside the stream,
+    # leaving exactly one (strictly decreasing) generation and zero
+    # live dirs (the last batch tripped the bar too)
+    dirs = sorted(_glob.glob(f"{index}/ingest_batch=*"))
+    gens = [d for d in dirs if "=-" in d]
+    lives = [d for d in dirs if "=-" not in d]
+    assert len(gens) == 1 and len(lives) < 2, dirs

@@ -1161,3 +1161,95 @@ def test_band_signals_rows_fast_path_matches_spark(spark, tmp_path):
     assert "rows" not in band_index_signals(spark, index)
     sig = band_index_signals(spark, index, with_rows=True)
     assert sig["rows"] == spark.read.parquet(index).count()
+
+
+def test_stream_semantic_ingest_in_stream_maintenance_requantizes(
+        spark, tmp_path):
+    """stream_semantic_ingest(maintenance_policy=..., handle=None):
+    a policy requantize fires MID-STREAM (path mode re-reads the
+    quantizer per batch, so later batches serve the retrained index
+    with no reopen choreography), the quantizer ends the run at the
+    auto-scaled k, and exact duplicates are still dropped across the
+    retrain (identical vectors always share a cell, old or new)."""
+    from radio_data_pipeline_spark.streaming.semantic import (
+        MaintenancePolicy, read_semantic_quantizer)
+
+    df = _emb_corpus(spark, 120)
+    index = str(tmp_path / "m_idx")
+    init_semantic_index(df.limit(30), index, 2, lloyd_rounds=2)
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "survivors")
+    cp = str(tmp_path / "cp")
+    schema = "vec_id long, embedding array<double>"
+    # tiny target + low bar: the occupancy trigger fires mid-run
+    pol = MaintenancePolicy(compact_after_batches=10**9,
+                            requantize_over_occupancy=1.0,
+                            target_cluster_rows=16,
+                            min_rows_for_requantize=1,
+                            lloyd_rounds=2)
+
+    for phase, (lo, hi) in enumerate([(0, 40), (40, 80), (80, 120)]):
+        (df.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(str(src / f"f{phase}")))
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = stream_semantic_ingest(stream, index, out, checkpoint=cp,
+                                   eps=_EPS, maintenance_policy=pol)
+        q.awaitTermination()
+
+    _, meta = read_semantic_quantizer(spark, index)
+    from radio_data_pipeline_spark.streaming.semantic import (
+        semantic_index_signals)
+    sig = semantic_index_signals(spark, index)
+    assert sig["k"] > 2  # the policy retrain raised k from the seed 2
+    assert sig["rows"] == 120
+    # every processed id landed exactly once in survivors-or-index
+    surv = {r["vec_id"] for r in spark.read.parquet(out).collect()}
+    assert surv.issubset(set(range(120)))
+    # exact duplicates still drop across the retrain: replay the
+    # first chunk as a fresh batch through the kernel
+    s, rows = semantic_dedup_batch_against_index(
+        df.filter(F.col("vec_id") < 40), index, 999, eps=_EPS)
+    assert s.count() == 0
+    rows.unpersist()
+
+
+def test_stream_semantic_ingest_handle_plus_requantize_fails_loud(
+        spark, tmp_path):
+    """A caller-owned handle + a policy that requantizes mid-stream
+    must FAIL THE QUERY with the documented error — never serve the
+    dead quantizer, never swap the caller's handle silently."""
+    from pyspark.errors.exceptions.captured import (
+        StreamingQueryException)
+
+    from radio_data_pipeline_spark.streaming.semantic import (
+        MaintenancePolicy, open_semantic_index)
+
+    df = _emb_corpus(spark, 120)
+    index = str(tmp_path / "m_idx")
+    init_semantic_index(df.limit(30), index, 2, lloyd_rounds=2)
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "survivors")
+    cp = str(tmp_path / "cp")
+    schema = "vec_id long, embedding array<double>"
+    pol = MaintenancePolicy(compact_after_batches=10**9,
+                            requantize_over_occupancy=1.0,
+                            target_cluster_rows=16,
+                            min_rows_for_requantize=1,
+                            lloyd_rounds=2)
+
+    (df.filter(F.col("vec_id") < 60).coalesce(1)
+     .write.mode("overwrite").parquet(str(src / "f0")))
+    h = open_semantic_index(spark, index)
+    try:
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = stream_semantic_ingest(stream, index, out, checkpoint=cp,
+                                   eps=_EPS, handle=h,
+                                   maintenance_policy=pol)
+        with pytest.raises(StreamingQueryException,
+                           match="requantized mid-stream"):
+            q.awaitTermination()
+    finally:
+        h.close()
