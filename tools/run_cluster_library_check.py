@@ -158,12 +158,67 @@ def check_semantic_index(spark) -> None:
           flush=True)
 
 
+def check_maintenance(spark) -> None:
+    """The round-9 policy loops under real executor JVMs: signals
+    (driver-side pyarrow fast path), decisions, and a policy-driven
+    fold through the lease."""
+    from radio_data_pipeline_spark.streaming.dedup import (
+        BandMaintenancePolicy,
+        append_batch_bands,
+        dedup_batch_against_index,
+        maintain_band_index,
+    )
+    from radio_data_pipeline_spark.streaming.semantic import (
+        MaintenancePolicy,
+        append_semantic_batch,
+        init_semantic_index,
+        maintain_semantic_index,
+        semantic_dedup_batch_against_index,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        index = os.path.join(d, "bidx")
+        for bid in range(2):
+            b = spark.createDataFrame(
+                [(bid * 10 + j, f"w{j} x{j} y{j} z{j} a{j} b{j}")
+                 for j in range(4)], "doc_id long, text string")
+            _, bands = dedup_batch_against_index(b, index, bid)
+            append_batch_bands(bands, index, bid)
+            bands.unpersist()
+        rep = maintain_band_index(
+            spark, index, BandMaintenancePolicy(compact_after_batches=2))
+        assert rep["action"] == "compact" and rep["result"] == 2
+        assert maintain_band_index(
+            spark, index,
+            BandMaintenancePolicy(compact_after_batches=2)
+        )["action"] == "noop"
+
+        sidx = os.path.join(d, "sidx")
+        rng = np.random.default_rng(9)
+        df = spark.createDataFrame(
+            [(i, [float(v) for v in rng.standard_normal(8)])
+             for i in range(40)], "vec_id long, embedding array<double>")
+        init_semantic_index(df, sidx, n_clusters=2, lloyd_rounds=1)
+        _, rws = semantic_dedup_batch_against_index(df, sidx, 0, eps=0.99)
+        append_semantic_batch(rws, sidx, 0)
+        rws.unpersist()
+        rep = maintain_semantic_index(
+            spark, sidx, MaintenancePolicy(requantize_over_occupancy=0.1,
+                                           target_cluster_rows=8,
+                                           min_rows_for_requantize=1,
+                                           lloyd_rounds=1))
+        assert rep["action"] == "requantize"
+        assert rep["signals"]["rows"] == 40  # pyarrow footer fast path
+    print("maintenance policy loops (band + semantic): ok", flush=True)
+
+
 def main() -> None:
     spark = get_spark("cluster-library-check", master=MASTER)
     check_two_level(spark)
     check_salted_sessionize(spark)
     check_band_index(spark)
     check_semantic_index(spark)
+    check_maintenance(spark)
     print(f"CLUSTER LIBRARY CHECK: all ok on {MASTER}", flush=True)
     spark.stop()
 
