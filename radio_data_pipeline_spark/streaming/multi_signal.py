@@ -1,0 +1,222 @@
+"""Composed multi-signal streaming ingest gate: MinHash-LSH band
+dedup THEN embedding-cosine semantic dedup, per micro-batch, against
+both persistent indexes — the live form of the registered
+`dedup_multi_signal` batch query (plans/llm.py), and the shape a
+production training-data ingest actually deploys: every arriving
+shard passes the cheap textual gate first, and only its survivors pay
+the expensive semantic signal.
+
+Semantics (pinned by tests/test_streaming_multi_signal.py): the gate
+is the SEQUENTIAL COMPOSITION of the two single-signal gates —
+`stream_dedup_ingest`'s band verdict over the full arriving stream,
+then `stream_semantic_ingest`'s semantic verdict over the band gate's
+survivor stream. Equivalently: chunking a corpus through
+`multi_signal_batch_against_indexes` with increasing batch ids yields
+exactly the docs that survive both accumulated gates in arrival
+order.
+
+Index-content rule, per tier:
+
+- The BAND index receives every processed doc's bands — survivors
+  AND dropped — inheriting streaming/dedup.py's chain rule (a doc
+  duplicating an already-dropped doc must still be dropped).
+- The SEMANTIC index receives rows for exactly the docs the band
+  tier ADMITTED (including those the semantic tier then drops —
+  the same all-processed rule, applied to the semantic gate's own
+  input stream). Band-rejected docs never reach the semantic index:
+  they pay no assignment compute, and their textual near-twin's
+  embedding stands in for them at the semantic tier — the same
+  candidates-only approximation the batch `dedup_multi_signal`
+  query makes.
+
+Exactly-once: all three commits (survivors, band append, semantic
+append) are per-batch-dir overwrites keyed by the checkpointed batch
+id, and BOTH kernels exclude their own batch's prior index rows on
+the ``src_batch`` data column — so every crash interleaving of the
+three concurrent writes replays to the identical result: the band
+verdict replays identically (own-batch exclusion), hence the semantic
+kernel sees the identical survivor frame, hence its verdict replays
+identically too (its own exclusion covers the semantic append's
+crash window). Compaction between crash and replay is covered by
+``src_batch`` surviving the fold in both index formats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from .dedup import (
+    _PREFIX_LEN,
+    BandIndexHandle,
+    BandMaintenancePolicy,
+    append_batch_bands,
+    dedup_batch_against_index,
+    maintain_band_index,
+)
+from .semantic import (
+    MaintenancePolicy,
+    SemanticIndexHandle,
+    append_semantic_batch,
+    maintain_semantic_index,
+    semantic_dedup_batch_against_index,
+)
+
+
+def multi_signal_batch_against_indexes(
+        batch_df: DataFrame, band_index, semantic_index,
+        batch_id: int, text_col: str = "text",
+        id_col: str = "doc_id", vec_col: str = "embedding",
+        n_hashes: int = 8, band_size: int = 2, k: int = 3,
+        prefix_len: int = _PREFIX_LEN, eps: float = 0.4,
+        dedup_identical: bool = True,
+        ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The per-batch kernel, usable outside streaming (backfill jobs
+    chunk a corpus through it with increasing batch ids). ``band_index``
+    is a path or an open BandIndexHandle; ``semantic_index`` a path or
+    an open SemanticIndexHandle. Returns ``(survivors, bands, rows,
+    band_survivors)``: ``survivors`` passed BOTH gates; ``bands`` is
+    the FULL batch's band table (all processed docs — the caller
+    appends it via append_batch_bands); ``rows`` is the
+    band-survivors' semantic frame (the caller appends it via
+    append_semantic_batch); ``band_survivors`` is the intermediate
+    frame the semantic stage consumed. ``bands``, ``rows``, and
+    ``band_survivors`` are returned persisted (they back the
+    verdicts) — the caller unpersists all three after the commits.
+
+    The composition recomputes nothing expensive: the band stage's
+    survivor frame is persisted before the semantic kernel derives
+    its assignment rows from it, so the band index probe runs once
+    per batch however the three outputs are consumed (without the
+    persist, every broadcast subquery over the band-dropped set —
+    one per commit job — would re-run the pruned index scan)."""
+    band_survivors, bands = dedup_batch_against_index(
+        batch_df, band_index, batch_id, text_col=text_col,
+        id_col=id_col, n_hashes=n_hashes, band_size=band_size,
+        k=k, prefix_len=prefix_len)
+    # persisted: feeds the semantic kernel's rows AND the final
+    # survivor anti-join — without it the band probe would run twice
+    band_survivors.persist()
+    survivors, rows = semantic_dedup_batch_against_index(
+        band_survivors, semantic_index, batch_id, eps=eps,
+        vec_col=vec_col, id_col=id_col,
+        dedup_identical=dedup_identical)
+    return survivors, bands, rows, band_survivors
+
+
+def stream_multi_signal_ingest(
+        stream_df: DataFrame, band_index_path: str,
+        semantic_index_path: str, out_path: str, checkpoint: str,
+        text_col: str = "text", id_col: str = "doc_id",
+        vec_col: str = "embedding", n_hashes: int = 8,
+        band_size: int = 2, k: int = 3,
+        prefix_len: int = _PREFIX_LEN, eps: float = 0.4,
+        dedup_identical: bool = True,
+        band_handle: BandIndexHandle | None = None,
+        semantic_handle: SemanticIndexHandle | None = None,
+        band_policy: BandMaintenancePolicy | None = None,
+        semantic_policy: MaintenancePolicy | None = None,
+        query_name: str = "multi_signal_ingest"):
+    """Streaming multi-signal gate: per micro-batch, docs passing
+    both the band gate and the semantic gate land under
+    ``out_path/batch=N``; the full batch's bands land in the band
+    index; the band-survivors' vectors land in the semantic index.
+    All three commits run CONCURRENTLY (per-batch-dir overwrites +
+    own-batch exclusions — see module docstring). Requires the
+    stream frame to carry ``text_col``, ``id_col``, AND ``vec_col``
+    (one id namespace across both tiers). Returns the StreamingQuery.
+
+    ``band_handle`` / ``semantic_handle``: open serving handles on
+    the two indexes (generation caches, no per-batch tree
+    discovery/quantizer reads). Caller-owned, same contract as the
+    single-signal wrappers — and the same composition rule: a
+    ``semantic_policy`` that requantizes mid-stream FAILS the query
+    loudly when ``semantic_handle`` is held (pass
+    ``semantic_handle=None`` or a non-requantizing policy instead).
+    Band compactions compose transparently with both handles.
+
+    ``band_policy`` / ``semantic_policy``: run the respective
+    maintenance loop inside ``foreachBatch`` after the batch's
+    commits (band first), sequential with ingest — the one-call
+    serve+maintain deployment for both indexes."""
+    if checkpoint is None:
+        raise ValueError(
+            "stream_multi_signal_ingest requires a checkpoint "
+            "location; the per-batch overwrite layout is only "
+            "exactly-once under a checkpointed batch-id sequence")
+    if band_handle is not None and band_handle.path != band_index_path:
+        raise ValueError(
+            f"band_handle is open on {band_handle.path}, "
+            f"not {band_index_path}")
+    if (semantic_handle is not None
+            and semantic_handle.path != semantic_index_path):
+        raise ValueError(
+            f"semantic_handle is open on {semantic_handle.path}, "
+            f"not {semantic_index_path}")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        batch_df.persist()
+        try:
+            survivors, bands, rows, band_surv = \
+                multi_signal_batch_against_indexes(
+                batch_df,
+                band_handle if band_handle is not None
+                else band_index_path,
+                semantic_handle if semantic_handle is not None
+                else semantic_index_path,
+                batch_id, text_col=text_col, id_col=id_col,
+                vec_col=vec_col, n_hashes=n_hashes,
+                band_size=band_size, k=k, prefix_len=prefix_len,
+                eps=eps, dedup_identical=dedup_identical)
+            try:
+                def _surv() -> None:
+                    (survivors.write.mode("overwrite")
+                     .parquet(f"{out_path}/batch={batch_id}"))
+
+                def _band() -> None:
+                    append_batch_bands(bands, band_index_path,
+                                       batch_id)
+
+                def _sem() -> None:
+                    append_semantic_batch(rows, semantic_index_path,
+                                          batch_id)
+
+                with ThreadPoolExecutor(max_workers=3) as ex:
+                    futs = [ex.submit(inheritable_thread_target(f))
+                            for f in (_surv, _band, _sem)]
+                    for f in futs:
+                        f.result()
+            finally:
+                bands.unpersist()
+                rows.unpersist()
+                band_surv.unpersist()
+        finally:
+            batch_df.unpersist()
+        if band_policy is not None:
+            maintain_band_index(batch_df.sparkSession,
+                                band_index_path, band_policy)
+        if semantic_policy is not None:
+            rep = maintain_semantic_index(batch_df.sparkSession,
+                                          semantic_index_path,
+                                          semantic_policy)
+            if rep["action"] == "requantize" and semantic_handle is not None:
+                raise RuntimeError(
+                    "stream_multi_signal_ingest: the semantic "
+                    "maintenance policy requantized mid-stream while "
+                    "a caller-owned semantic_handle is held — the "
+                    "handle's cached quantizer is now stale and the "
+                    "wrapper will not serve with it or swap it "
+                    "behind the caller's back. Restart the stream "
+                    "with a fresh handle, or run with "
+                    "semantic_handle=None / a non-requantizing "
+                    "policy. (Both indexes are consistent: the "
+                    "requantize committed and this batch's writes "
+                    "landed before it.)")
+
+    return (stream_df.writeStream.foreachBatch(write_batch)
+            .queryName(query_name).trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint)
+            .start())
