@@ -924,6 +924,15 @@ def _quantizer_k_local(spark: SparkSession,
     uri = qpath.toUri()
     if uri.getScheme() not in (None, "file"):
         return None
+    if not _os.path.isdir(uri.getPath()):
+        # parity with the Spark fallback, which raises PATH_NOT_FOUND:
+        # a missing quantizer means "not a semantic index" (typo'd
+        # path, never-initialized dir) and must fail loudly — a
+        # silent k=0 here would make maintain_semantic_index report
+        # noop forever instead of surfacing the bad path
+        raise FileNotFoundError(
+            f"no _quantizer directory under {index_path} — not an "
+            "initialized semantic index (init_semantic_index first)")
     ks: set = set()
     for f in _glob.glob(_os.path.join(uri.getPath(), "*.parquet")):
         ks.update(_pc.unique(

@@ -1141,6 +1141,19 @@ def test_signals_footer_fast_path_matches_spark(spark, tmp_path):
     assert sig["occupancy"] == spark_rows / spark_k
 
 
+def test_signals_on_uninitialized_path_fail_loud(spark, tmp_path):
+    """A path with no _quantizer dir is NOT a semantic index: the
+    driver-side fast path must raise (parity with the Spark
+    fallback's PATH_NOT_FOUND), never return k=0 — a silent zero
+    would make maintain_semantic_index report noop forever on a
+    typo'd index path instead of surfacing it."""
+    from radio_data_pipeline_spark.streaming.semantic import (
+        semantic_index_signals)
+
+    with pytest.raises(FileNotFoundError, match="_quantizer"):
+        semantic_index_signals(spark, str(tmp_path / "not_an_index"))
+
+
 def test_band_signals_rows_fast_path_matches_spark(spark, tmp_path):
     """band_index_signals(with_rows=True) footer sum equals the Spark
     count (and stays opt-in: the default dict has no rows key)."""
