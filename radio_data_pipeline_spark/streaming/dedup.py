@@ -246,10 +246,48 @@ def _next_generation(sources, generation: int) -> int:
     return min([generation] + [g - 1 for g in gen_ids if g < 0])
 
 
+def _nonempty_dirs(fs, dirs) -> list:
+    """Subset of ``dirs`` that contain at least one parquet data
+    file. A zero-row append (a micro-batch whose every doc the gate
+    dropped, or an empty arriving file) commits a ``_SUCCESS``-only
+    directory — partitioned writes emit no part files for zero rows —
+    and a per-dir parquet read over such a directory fails schema
+    inference (UNABLE_TO_INFER_SCHEMA). Every reader that enumerates
+    ingest dirs explicitly (handles, compactor) filters through this;
+    the dirs stay visible to LISTINGS (signals still count them, so
+    maintenance folds eventually delete them). Local paths walk in
+    Python with early exit (the §21 py4j-per-file tax); remote
+    schemes take the first hit of the recursive listing RPC."""
+    import os
+
+    out = []
+    for p in dirs:
+        uri = p.toUri()
+        if uri.getScheme() in (None, "file"):
+            found = False
+            for _, _, files in os.walk(uri.getPath()):
+                if any(f.endswith(".parquet") for f in files):
+                    found = True
+                    break
+            if found:
+                out.append(p)
+        else:
+            it = fs.listFiles(p, True)
+            while it.hasNext():
+                if (it.next().getPath().getName()
+                        .endswith(".parquet")):
+                    out.append(p)
+                    break
+    return out
+
+
 def _index_has_batches(spark: SparkSession, index_path: str) -> bool:
     """True iff at least one committed ``ingest_batch=*`` directory
-    exists."""
-    return bool(_ingest_dirs(spark, index_path)[2])
+    holds DATA — a dir-exists check alone would send the kernels'
+    path-mode root read into schema inference with zero files when
+    the only committed batches were zero-row appends."""
+    fs, _, dirs = _ingest_dirs(spark, index_path)
+    return bool(_nonempty_dirs(fs, dirs))
 
 
 class BandIndexHandle:
@@ -300,7 +338,10 @@ class BandIndexHandle:
             raise
 
     def _list_ingest(self) -> tuple[list, list]:
-        _, _, dirs = _ingest_dirs(self.spark, self.path)
+        fs, _, dirs = _ingest_dirs(self.spark, self.path)
+        # data-less dirs (zero-row appends) would break the per-dir
+        # reads below; they stay visible to signals/compaction
+        dirs = _nonempty_dirs(fs, dirs)
         gens = [p for p in dirs
                 if int(p.getName().split("=", 1)[1]) < 0]
         lives = [p for p in dirs
@@ -887,27 +928,34 @@ def _compact_ingest_index_locked(spark, index_path, data_cols,
         return 0  # nothing but (at most) one generation: compacted
     new_gen = _next_generation(sources, generation)
     snapshots = {p.toString(): _dir_snapshot(fs, p) for p in sources}
-    src_paths = [p.toString() for p in sources]
-    # distinct: crash-windows and generation-over-generation folds
-    # leave duplicate rows, which matching ignores but storage pays
-    # for — the compactor is the one place to squeeze them out
-    folded = (spark.read.option("basePath", index_path)
-              .parquet(*src_paths)
-              .select(*data_cols)
-              .distinct())
-    # one file per partition directory in the generation. EXPLICIT
-    # partition count: a column-only repartition is AQE-coalescible,
-    # and a byte-small fold collapses to ONE write task paying every
-    # parquet-writer open + dir commit in sequence (~2k dirs = 3.4 s
-    # single-task, measured by the task audit in the maintained
-    # serving loop — the fifth byte-blindness site, same class and
-    # same fix as the micro-batch appends, §19 add. 8). Each key
-    # still hashes to exactly one reducer: layout unchanged, writer
-    # opens spread.
-    spread = spark.sparkContext.defaultParallelism
-    (folded.repartition(spread, *[F.col(c) for c in partition_cols])
-     .write.mode("overwrite").partitionBy(*partition_cols)
-     .parquet(f"{index_path}/ingest_batch={new_gen}"))
+    # read only dirs that hold data: a zero-row append commits a
+    # _SUCCESS-only dir that would fail schema inference; it is
+    # still a SOURCE (snapshot-matched and deleted below) — folding
+    # an empty dir IS deleting it
+    src_paths = [p.toString() for p in _nonempty_dirs(fs, sources)]
+    if src_paths:
+        # distinct: crash-windows and generation-over-generation
+        # folds leave duplicate rows, which matching ignores but
+        # storage pays for — the compactor is the one place to
+        # squeeze them out
+        folded = (spark.read.option("basePath", index_path)
+                  .parquet(*src_paths)
+                  .select(*data_cols)
+                  .distinct())
+        # one file per partition directory in the generation.
+        # EXPLICIT partition count: a column-only repartition is
+        # AQE-coalescible, and a byte-small fold collapses to ONE
+        # write task paying every parquet-writer open + dir commit
+        # in sequence (~2k dirs = 3.4 s single-task, measured by the
+        # task audit in the maintained serving loop — the fifth
+        # byte-blindness site, same class and same fix as the
+        # micro-batch appends, §19 add. 8). Each key still hashes to
+        # exactly one reducer: layout unchanged, writer opens spread.
+        spread = spark.sparkContext.defaultParallelism
+        (folded.repartition(spread,
+                            *[F.col(c) for c in partition_cols])
+         .write.mode("overwrite").partitionBy(*partition_cols)
+         .parquet(f"{index_path}/ingest_batch={new_gen}"))
     # the fold scales with index size: keep a LIVE compaction from
     # aging past the crashed-op TTL before its delete pass
     lease_refresh()

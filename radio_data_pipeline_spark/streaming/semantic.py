@@ -216,10 +216,15 @@ class SemanticIndexHandle:
             raise
 
     def _list_ingest(self) -> tuple[list, list]:
-        """(generation dirs, live batch dirs) — one driver listing."""
-        from .dedup import _ingest_dirs
+        """(generation dirs, live batch dirs) — one driver listing.
+        Data-less dirs (zero-row appends — e.g. a batch whose every
+        doc an upstream gate dropped) are filtered out: they would
+        break the per-dir parquet reads, and they stay visible to
+        signals/compaction for eventual cleanup."""
+        from .dedup import _ingest_dirs, _nonempty_dirs
 
-        _, _, dirs = _ingest_dirs(self.spark, self.path)
+        fs, _, dirs = _ingest_dirs(self.spark, self.path)
+        dirs = _nonempty_dirs(fs, dirs)
         gens = [p for p in dirs
                 if int(p.getName().split("=", 1)[1]) < 0]
         lives = [p for p in dirs

@@ -847,6 +847,62 @@ def test_band_handle_witness_dedup_replay_exact(spark, tmp_path):
         h.close()
 
 
+def test_zero_row_append_does_not_break_readers(spark, tmp_path):
+    """A zero-row append (e.g. an empty arriving file, or a
+    multi-signal batch whose every doc an upstream gate dropped)
+    commits a _SUCCESS-only ingest dir. Every reader must tolerate
+    it: the serving handle, the path-mode kernel probe, and the
+    compactor — which deletes it (folding an empty dir IS deleting
+    it)."""
+    from radio_data_pipeline_spark.streaming.dedup import (
+        _index_has_batches, band_index_signals, open_band_index)
+
+    df = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f")
+         for i in range(10)], "doc_id long, text string")
+    index = str(tmp_path / "idx")
+    s0, bands0 = dedup_batch_against_index(df, index, 0)
+    assert s0.count() == 10
+    append_batch_bands(bands0, index, 0)
+    # batch 1 contributed nothing: zero-row bands frame
+    append_batch_bands(bands0.filter(F.lit(False)), index, 1)
+    bands0.unpersist()
+    assert band_index_signals(spark, index)["live_batches"] == 2
+
+    # path-mode probe over the root read still works
+    twin = df.withColumn("doc_id", F.col("doc_id") + 100)
+    s2, bands2 = dedup_batch_against_index(twin, index, 2)
+    assert s2.count() == 0  # all 10 match their indexed originals
+    bands2.unpersist()
+
+    # the serving handle skips the data-less dir
+    h = open_band_index(spark, index)
+    try:
+        s3, bands3 = dedup_batch_against_index(twin, h, 3)
+        assert s3.count() == 0
+        bands3.unpersist()
+    finally:
+        h.close()
+
+    # compaction folds the real dir and deletes the empty one too
+    assert compact_band_index(spark, index) == 2
+    sig = band_index_signals(spark, index)
+    assert sig["live_batches"] == 0 and sig["generations"] == 1
+
+    # an index holding ONLY a zero-row dir: has-batches says no data,
+    # the kernel probes it as empty, and compaction just deletes
+    empty_idx = str(tmp_path / "empty_idx")
+    s4, bands4 = dedup_batch_against_index(df, empty_idx, 0)
+    append_batch_bands(bands4.filter(F.lit(False)), empty_idx, 0)
+    bands4.unpersist()
+    assert not _index_has_batches(spark, empty_idx)
+    s5, bands5 = dedup_batch_against_index(df, empty_idx, 1)
+    assert s5.count() == 10  # nothing indexed, nothing dropped
+    bands5.unpersist()
+    assert compact_band_index(spark, empty_idx) == 1
+    assert band_index_signals(spark, empty_idx)["live_batches"] == 0
+
+
 def test_stream_dedup_ingest_with_handle(spark, tmp_path):
     """stream_dedup_ingest(handle=...) — parallel commit + handle —
     still produces the batch-greedy survivor set under id-ordered

@@ -1141,6 +1141,46 @@ def test_signals_footer_fast_path_matches_spark(spark, tmp_path):
     assert sig["occupancy"] == spark_rows / spark_k
 
 
+def test_zero_row_append_does_not_break_readers(spark, tmp_path):
+    """A zero-row semantic append (a multi-signal batch whose every
+    doc the band gate dropped) commits a _SUCCESS-only ingest dir;
+    the serving handle, the path-mode kernel, and the compactor must
+    all tolerate it (the compactor deletes it)."""
+    from radio_data_pipeline_spark.streaming.semantic import (
+        open_semantic_index, semantic_index_signals)
+
+    df = _emb_corpus(spark, 30)
+    index = str(tmp_path / "idx")
+    init_semantic_index(df, index, _K, lloyd_rounds=2)
+    _, rows = semantic_dedup_batch_against_index(df, index, 0,
+                                                 eps=_EPS)
+    append_semantic_batch(rows, index, 0)
+    append_semantic_batch(rows.filter(F.lit(False)), index, 1)
+    rows.unpersist()
+    assert semantic_index_signals(spark, index)["live_batches"] == 2
+
+    twin = df.withColumn("vec_id", F.col("vec_id") + 100)
+    # path mode root read tolerates the data-less dir
+    s2, rows2 = semantic_dedup_batch_against_index(twin, index, 2,
+                                                   eps=_EPS)
+    assert s2.count() == 0  # every twin matches its indexed original
+    rows2.unpersist()
+
+    h = open_semantic_index(spark, index)
+    try:
+        s3, rows3 = semantic_dedup_batch_against_index(twin, h, 3,
+                                                       eps=_EPS)
+        assert s3.count() == 0
+        rows3.unpersist()
+    finally:
+        h.close()
+
+    assert compact_semantic_index(spark, index) == 2
+    sig = semantic_index_signals(spark, index)
+    assert sig["live_batches"] == 0 and sig["generations"] == 1
+    assert sig["rows"] == 30
+
+
 def test_signals_on_uninitialized_path_fail_loud(spark, tmp_path):
     """A path with no _quantizer dir is NOT a semantic index: the
     driver-side fast path must raise (parity with the Spark
