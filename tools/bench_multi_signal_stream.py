@@ -65,7 +65,7 @@ from radio_data_pipeline_spark.streaming.semantic import (  # noqa: E402
 )
 
 _FLAGS = ("--batch-docs", "--n-batches", "--maintain",
-          "--band-dup-pct", "--sem-dup-pct")
+          "--band-dup-pct", "--sem-dup-pct", "--band-over-files")
 
 
 def _flag(name: str, default, cast=int):
@@ -205,7 +205,18 @@ def main() -> None:
           f"({folded_b}/{folded_s} dirs) in "
           f"{time.monotonic() - t0:.1f}s")
 
-    band_pol = BandMaintenancePolicy(compact_after_batches=MAINTAIN)
+    # the 4096-file default re-folds every ~3 batches here (floor is
+    # ~2k occupied (band_id, bh_prefix) dirs + ~2k new files per
+    # batch) — and MEASURED, that eagerness WINS at this index size:
+    # 172 docs/s vs 140 at a 32768 bar (folds every 8 batches, but
+    # accumulated live files make every probe slower than the
+    # amortized 12-16 s fold). The flag exists because the balance
+    # flips once the whole-index fold outgrows the per-batch live
+    # listing tax (fold cost scales with index size; live tax with
+    # batches-since-fold).
+    band_pol = BandMaintenancePolicy(
+        compact_after_batches=MAINTAIN,
+        compact_over_files=_flag("--band-over-files", 4096))
     sem_pol = MaintenancePolicy(compact_after_batches=MAINTAIN,
                                 requantize_over_occupancy=10.0,
                                 target_cluster_rows=TARGET,
@@ -214,7 +225,7 @@ def main() -> None:
     bh = open_band_index(spark, band_index)
     sh = open_semantic_index(spark, sem_index)
 
-    walls, maints = [], []
+    walls, kernels, maints = [], [], []
     stats = {"in": 0, "band_kept": 0, "kept": 0}
     n_b = min(N_BATCHES, serve_docs // BATCH_DOCS)
     import contextlib
@@ -235,20 +246,32 @@ def main() -> None:
                 chunk.persist().count()
                 t0 = time.monotonic()
                 if SEMANTIC_ALL:
-                    # control: every doc pays both signals in full
+                    # control: the UN-tiered composition — both gates
+                    # run over the FULL batch (the semantic tier pays
+                    # assignment AND the probe pair fold for every
+                    # doc, dup or not) and the verdict is the AND of
+                    # the two survivor sets. The semantic survivors
+                    # MUST be consumed: an earlier control that only
+                    # appended `rows` never materialized the semantic
+                    # verdict at all (lazy plans — the pair fold
+                    # simply never ran) and read 20-45% faster than
+                    # tiered, which measured nothing
                     from radio_data_pipeline_spark.streaming.dedup import (
                         dedup_batch_against_index)
                     band_surv, bands = dedup_batch_against_index(
                         chunk, bh, b)
                     band_surv.persist()
-                    _, rows = semantic_dedup_batch_against_index(
+                    sem_surv, rows = semantic_dedup_batch_against_index(
                         chunk.select("doc_id", "embedding"), sh, b,
                         eps=EPS, id_col="doc_id")
-                    survivors = band_surv
+                    survivors = band_surv.join(
+                        F.broadcast(sem_surv.select("doc_id")),
+                        "doc_id", "semi")
                 else:
                     survivors, bands, rows, band_surv = \
                         multi_signal_batch_against_indexes(
                             chunk, bh, sh, b, eps=EPS)
+                kernels.append(time.monotonic() - t0)
 
                 def _surv() -> None:
                     (survivors.write.mode("overwrite")
@@ -297,6 +320,8 @@ def main() -> None:
     print(f"\nmode={'semantic-all' if SEMANTIC_ALL else 'tiered'} "
           f"batches={n_b} total={total:.1f}s "
           f"mean={total / n_b:.2f}s/batch "
+          f"(kernel {sum(kernels) / n_b:.2f}s + commit "
+          f"{(total - sum(kernels)) / n_b:.2f}s) "
           f"docs/s={BATCH_DOCS * n_b / total:.0f} "
           f"thirds={[f'{r:.0f}' for r in seg_rate]}")
     print(f"admission: in={stats['in']} band_kept={stats['band_kept']} "

@@ -212,6 +212,83 @@ def check_maintenance(spark) -> None:
     print("maintenance policy loops (band + semantic): ok", flush=True)
 
 
+def check_multi_signal(spark) -> None:
+    """The composed band->semantic kernel under real executor JVMs:
+    both tiers drop through their persisted indexes, the zero-row
+    semantic append an all-band-dropped batch produces is tolerated
+    by both reader paths, and the tiered index-content rule holds."""
+    from radio_data_pipeline_spark.streaming.dedup import (
+        append_batch_bands,
+        open_band_index,
+    )
+    from radio_data_pipeline_spark.streaming.multi_signal import (
+        multi_signal_batch_against_indexes,
+    )
+    from radio_data_pipeline_spark.streaming.semantic import (
+        append_semantic_batch,
+        init_semantic_index,
+        open_semantic_index,
+    )
+
+    rng = np.random.default_rng(17)
+    vecs = [[float(v) for v in rng.standard_normal(8)]
+            for _ in range(30)]
+    df = spark.createDataFrame(
+        [(i, f"m{i}a m{i}b m{i}c m{i}d m{i}e m{i}f", vecs[i])
+         for i in range(30)],
+        "doc_id long, text string, embedding array<double>")
+    with tempfile.TemporaryDirectory() as d:
+        bidx, sidx = os.path.join(d, "b"), os.path.join(d, "s")
+        init_semantic_index(df.select("doc_id", "embedding"), sidx,
+                            n_clusters=2, lloyd_rounds=1,
+                            id_col="doc_id", n_cell_buckets=2)
+
+        def run(frame, bid, band=None, sem=None):
+            surv, bands, rws, bs = multi_signal_batch_against_indexes(
+                frame, band or bidx, sem or sidx, bid, eps=0.95)
+            n = surv.count()
+            append_batch_bands(bands, bidx, bid)
+            append_semantic_batch(rws, sidx, bid)
+            bands.unpersist()
+            rws.unpersist()
+            bs.unpersist()
+            return n
+
+        assert run(df, 0) == 30
+        # batch 1: all docs are exact TEXT copies -> band tier drops
+        # everything, the semantic append is zero-row
+        text_twins = df.withColumn("doc_id", F.col("doc_id") + 100)
+        assert run(text_twins, 1) == 0
+        # batch 2: new text, eps-close vectors -> semantic tier drops
+        sem_twins = (df
+                     .withColumn("doc_id", F.col("doc_id") + 200)
+                     .withColumn("text", F.format_string(
+                         "n%da n%db n%dc n%dd n%de n%df",
+                         *([F.col("doc_id")] * 6))))
+        assert run(sem_twins, 2) == 0
+        # same verdicts through BOTH serving handles, past the
+        # zero-row dir batch 1 committed
+        sem_twins2 = (df
+                      .withColumn("doc_id", F.col("doc_id") + 300)
+                      .withColumn("text", F.format_string(
+                          "p%da p%db p%dc p%dd p%de p%df",
+                          *([F.col("doc_id")] * 6))))
+        bh, sh = open_band_index(spark, bidx), None
+        try:
+            sh = open_semantic_index(spark, sidx)
+            surv, bands, rws, bs = multi_signal_batch_against_indexes(
+                sem_twins2, bh, sh, 3, eps=0.95)
+            assert surv.count() == 0
+            for f in (bands, rws, bs):
+                f.unpersist()
+        finally:
+            bh.close()
+            if sh is not None:
+                sh.close()
+    print("multi-signal composed gate (band -> semantic): ok",
+          flush=True)
+
+
 def main() -> None:
     spark = get_spark("cluster-library-check", master=MASTER)
     check_two_level(spark)
@@ -219,6 +296,7 @@ def main() -> None:
     check_band_index(spark)
     check_semantic_index(spark)
     check_maintenance(spark)
+    check_multi_signal(spark)
     print(f"CLUSTER LIBRARY CHECK: all ok on {MASTER}", flush=True)
     spark.stop()
 
