@@ -847,6 +847,71 @@ def test_band_handle_witness_dedup_replay_exact(spark, tmp_path):
         h.close()
 
 
+def test_concurrent_external_maintenance_never_corrupts(spark,
+                                                        tmp_path):
+    """A genuinely PARALLEL external maintainer (tight
+    maintain_band_index loop on its own thread) racing a serving
+    loop. The contract this pins: concurrent folds may FAIL an
+    in-flight serve transiently (a listed dir deleted before its
+    read — availability, not correctness; the deployment shape runs
+    maintenance between batches precisely to avoid it), but a plain
+    RETRY of the same batch id replays to correct verdicts in every
+    interleaving: own-batch src_batch exclusion covers re-appends,
+    per-batch-dir overwrites cover partial writes, and a fold's
+    relabeling between attempts stays visible to the exclusion. The
+    final survivor set must equal the sequential reference exactly."""
+    import threading
+
+    df = _corpus(spark, 120)
+    expected = sorted(
+        r["doc_id"]
+        for r in greedy_band_survivors(df).select("doc_id").collect())
+
+    from radio_data_pipeline_spark.streaming.dedup import (
+        BandMaintenancePolicy, maintain_band_index)
+
+    index = str(tmp_path / "raced_idx")
+    stop = threading.Event()
+    actions = []
+
+    def maintainer():
+        pol = BandMaintenancePolicy(compact_after_batches=1)
+        while not stop.is_set():
+            try:
+                rep = maintain_band_index(spark, index, pol)
+                if rep["action"] != "noop":
+                    actions.append(rep["action"])
+            except Exception:
+                pass  # lease contention/transient: keep hammering
+
+    from pyspark import inheritable_thread_target
+    t = threading.Thread(
+        target=inheritable_thread_target(maintainer), daemon=True)
+    t.start()
+    got = []
+    try:
+        for bid, chunk in enumerate(_chunks(df, 6, 120)):
+            for attempt in range(8):
+                try:
+                    survivors, bands = dedup_batch_against_index(
+                        chunk, index, bid)
+                    ids = [r["doc_id"] for r in
+                           survivors.select("doc_id").collect()]
+                    append_batch_bands(bands, index, bid)
+                    bands.unpersist()
+                    break
+                except Exception:
+                    if attempt == 7:
+                        raise
+            got.extend(ids)
+    finally:
+        stop.set()
+        t.join(timeout=120)
+    assert sorted(got) == expected
+    # not vacuous: folds really ran while batches were in flight
+    assert "compact" in actions
+
+
 def test_zero_row_append_does_not_break_readers(spark, tmp_path):
     """A zero-row append (e.g. an empty arriving file, or a
     multi-signal batch whose every doc an upstream gate dropped)
