@@ -433,6 +433,7 @@ def semantic_dedup_batch_against_index(
     spark = batch_df.sparkSession
     prepared = None
     handle = None
+    qguard = None  # (index_path, fs, qpath, snapshot) — see below
     if isinstance(index, SemanticIndexHandle):
         if centroids is not None or meta is not None:
             raise ValueError(
@@ -447,7 +448,24 @@ def semantic_dedup_batch_against_index(
         centroids, meta, prepared = (index.centroids, index.meta,
                                      index.prepared)
         index = index.path
+        # append-time guard input: the snapshot check_fresh just
+        # validated (see _attach_quantizer_guard below)
+        qguard = (index, handle._fs, handle._qpath,
+                  handle._qsnapshot)
     path_mode = isinstance(index, str)
+    if path_mode and handle is None:
+        # snapshot the active quantizer NOW, whether or not the
+        # caller supplied cached centroids: append_semantic_batch
+        # re-checks it after the commit, so a requantize that swaps
+        # the quantizer mid-batch fails the batch loudly instead of
+        # leaving rows filed under dead cells (the path/append-time
+        # sibling of the handle's check_fresh — requantize is
+        # documented offline, this is defense in depth; see
+        # append_semantic_batch)
+        from .dedup import _dir_snapshot, _hadoop_fs
+
+        qfs, qpath = _hadoop_fs(spark, f"{index}/_quantizer")
+        qguard = (index, qfs, qpath, _dir_snapshot(qfs, qpath))
     if path_mode and (centroids is None or meta is None):
         centroids, meta = read_semantic_quantizer(spark, index)
     if centroids is None:
@@ -615,6 +633,15 @@ def semantic_dedup_batch_against_index(
         F.broadcast(dropped.distinct().withColumnRenamed("vec_id",
                                                          id_col)),
         id_col, "left_anti")
+    if qguard is not None:
+        # carried to append_semantic_batch, which re-snapshots the
+        # quantizer AFTER its commit and fails the batch loudly if a
+        # concurrent requantize swapped it — under the streaming
+        # replay contract the failed batch re-runs against the NEW
+        # quantizer and its overwrite replaces the mis-filed dir
+        # (self-healing), where silence would leave rows under dead
+        # cells forever
+        rows._rdps_quantizer_guard = qguard
     return survivors, rows
 
 
@@ -645,6 +672,35 @@ def append_semantic_batch(rows: DataFrame, index_path: str,
      .repartition(spread, F.col("cell_bucket"))
      .write.mode("overwrite").partitionBy("cell_bucket")
      .parquet(f"{index_path}/ingest_batch={batch_id}"))
+    # quantizer guard (attached by the kernel): re-snapshot AFTER the
+    # commit. A concurrent requantize_semantic_index that swapped the
+    # quantizer while this batch assigned/committed would leave these
+    # rows filed under DEAD cells — probes with the new quantizer
+    # would never find them, silent duplicate admission forever.
+    # Requantize is documented offline (its own writer-recheck aborts
+    # when an append lands before its commit point), so this should
+    # never fire in a correct deployment; when it does, failing the
+    # batch is SELF-HEALING: the streaming replay recomputes against
+    # the new quantizer and this same overwrite replaces the
+    # mis-filed dir. Checked post-write so the swap window during the
+    # write itself is covered; cost is one driver listing (~1 ms
+    # local). Only checked when the append targets the index the
+    # kernel probed.
+    guard = getattr(rows, "_rdps_quantizer_guard", None)
+    if guard is not None and guard[0] == index_path:
+        from .dedup import _dir_snapshot
+
+        _, qfs, qpath, snap = guard
+        if _dir_snapshot(qfs, qpath) != snap:
+            raise RuntimeError(
+                f"append_semantic_batch: the quantizer at "
+                f"{index_path} changed between this batch's "
+                "assignment and its index commit — a concurrent "
+                "requantize ran against a live ingest (the op is "
+                "documented offline). The batch's rows were filed "
+                "under the OLD cells and must not stand: replay the "
+                "batch (the per-batch overwrite replaces them, "
+                "re-assigned under the new quantizer).")
 
 
 def compact_semantic_index(spark: SparkSession, index_path: str,

@@ -1141,6 +1141,63 @@ def test_signals_footer_fast_path_matches_spark(spark, tmp_path):
     assert sig["occupancy"] == spark_rows / spark_k
 
 
+def test_append_guard_catches_mid_batch_requantize(spark, tmp_path):
+    """The append-time quantizer guard (path/append-time sibling of
+    the handle's check_fresh): a requantize that commits between a
+    batch's assignment and its index append must FAIL the append
+    loudly — the rows were filed under dead cells and a silent
+    commit would hide them from every future probe. Replay heals:
+    re-running the batch against the new quantizer commits cleanly
+    and its overwrite replaces the mis-filed dir, with correct
+    verdicts."""
+    df = _emb_corpus(spark, 60)
+    index = str(tmp_path / "idx")
+    init_semantic_index(df, index, 2, lloyd_rounds=2)
+    _, rows = semantic_dedup_batch_against_index(
+        df.filter(F.col("vec_id") < 30), index, 0, eps=_EPS)
+    append_semantic_batch(rows, index, 0)
+    rows.unpersist()
+
+    # batch 1 assigns with the CURRENT quantizer...
+    chunk = df.filter((F.col("vec_id") >= 30) & (F.col("vec_id") < 60))
+    s1, rows1 = semantic_dedup_batch_against_index(chunk, index, 1,
+                                                   eps=_EPS)
+    n1 = s1.count()
+    # ...then a requantize commits before the append lands
+    requantize_semantic_index(spark, index, n_clusters=_K,
+                              lloyd_rounds=2)
+    with pytest.raises(RuntimeError, match="quantizer.*changed"):
+        append_semantic_batch(rows1, index, 1)
+    rows1.unpersist()
+
+    # replay: recompute against the new quantizer, commit cleanly
+    s1b, rows1b = semantic_dedup_batch_against_index(chunk, index, 1,
+                                                     eps=_EPS)
+    assert s1b.count() == n1  # verdicts replay identically
+    append_semantic_batch(rows1b, index, 1)
+    rows1b.unpersist()
+    # the healed index drops a twin of a batch-1 doc
+    twin = (df.filter(F.col("vec_id") == 35)
+            .withColumn("vec_id", F.lit(7000)))
+    s, r = semantic_dedup_batch_against_index(twin, index, 9,
+                                              eps=_EPS)
+    assert s.count() == 0
+    r.unpersist()
+
+    # handle mode carries the guard too (open-time snapshot)
+    from radio_data_pipeline_spark.streaming.semantic import (
+        open_semantic_index)
+
+    h = open_semantic_index(spark, index)
+    try:
+        _, rh = semantic_dedup_batch_against_index(twin, h, 10,
+                                                   eps=_EPS)
+        assert getattr(rh, "_rdps_quantizer_guard", None) is not None
+        rh.unpersist()
+    finally:
+        h.close()
+
+
 def test_zero_row_append_does_not_break_readers(spark, tmp_path):
     """A zero-row semantic append (a multi-signal batch whose every
     doc the band gate dropped) commits a _SUCCESS-only ingest dir;
