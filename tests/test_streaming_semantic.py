@@ -1141,6 +1141,76 @@ def test_signals_footer_fast_path_matches_spark(spark, tmp_path):
     assert sig["occupancy"] == spark_rows / spark_k
 
 
+def test_concurrent_external_compaction_never_corrupts(spark,
+                                                       tmp_path):
+    """Semantic twin of the band-index race test: a PARALLEL
+    external maintainer (compact-only policy — requantize stays
+    offline and is covered by the append guard) folds continuously
+    while chunks serve through the path-mode kernel. Transient
+    failures retry the same batch id; the final survivor set must
+    equal the uncontended sequential reference, with at least one
+    fold mid-flight."""
+    import threading
+
+    from radio_data_pipeline_spark.streaming.semantic import (
+        MaintenancePolicy, maintain_semantic_index)
+
+    df = _emb_corpus(spark, 120)
+    index_ref = str(tmp_path / "ref_idx")
+    init_semantic_index(df, index_ref, _K, lloyd_rounds=2)
+    expected = []
+    for bid, chunk in enumerate(_chunks(df, 6, 120)):
+        s, rows = semantic_dedup_batch_against_index(chunk, index_ref,
+                                                     bid, eps=_EPS)
+        expected.extend(r["vec_id"] for r in
+                        s.select("vec_id").collect())
+        append_semantic_batch(rows, index_ref, bid)
+        rows.unpersist()
+    expected.sort()
+
+    index = str(tmp_path / "raced_idx")
+    init_semantic_index(df, index, _K, lloyd_rounds=2)
+    stop = threading.Event()
+    actions = []
+    pol = MaintenancePolicy(compact_after_batches=1,
+                            min_rows_for_requantize=10**9)
+
+    def maintainer():
+        while not stop.is_set():
+            try:
+                rep = maintain_semantic_index(spark, index, pol)
+                if rep["action"] != "noop":
+                    actions.append(rep["action"])
+            except Exception:
+                pass
+
+    from pyspark import inheritable_thread_target
+    t = threading.Thread(
+        target=inheritable_thread_target(maintainer), daemon=True)
+    t.start()
+    got = []
+    try:
+        for bid, chunk in enumerate(_chunks(df, 6, 120)):
+            for attempt in range(8):
+                try:
+                    s, rows = semantic_dedup_batch_against_index(
+                        chunk, index, bid, eps=_EPS)
+                    ids = [r["vec_id"] for r in
+                           s.select("vec_id").collect()]
+                    append_semantic_batch(rows, index, bid)
+                    rows.unpersist()
+                    break
+                except Exception:
+                    if attempt == 7:
+                        raise
+            got.extend(ids)
+    finally:
+        stop.set()
+        t.join(timeout=120)
+    assert sorted(got) == expected
+    assert actions and set(actions) == {"compact"}
+
+
 def test_append_guard_catches_mid_batch_requantize(spark, tmp_path):
     """The append-time quantizer guard (path/append-time sibling of
     the handle's check_fresh): a requantize that commits between a
