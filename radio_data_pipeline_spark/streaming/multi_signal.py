@@ -103,6 +103,136 @@ def multi_signal_batch_against_indexes(
     return survivors, bands, rows, band_survivors
 
 
+def backfill_multi_signal(corpus_df: DataFrame, band_index_path: str,
+                          semantic_index_path: str, out_path: str,
+                          chunk_rows: int = 100_000,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          vec_col: str = "embedding",
+                          n_hashes: int = 8, band_size: int = 2,
+                          k: int = 3, prefix_len: int = _PREFIX_LEN,
+                          eps: float = 0.4,
+                          dedup_identical: bool = True,
+                          batch_offset: int = 1_000_000,
+                          band_policy: BandMaintenancePolicy | None = None,
+                          semantic_policy: MaintenancePolicy | None = None,
+                          _post_chunk_hook=None) -> dict:
+    """Chunk a large corpus through the composed gate with CRASH
+    RESUME — the offline counterpart of stream_multi_signal_ingest
+    (a backfill that dies at chunk 37 of 400 must not redo 36 chunks
+    or, worse, re-admit their dups). Hand-rolls the streaming
+    checkpoint pattern for batch:
+
+    - The chunk PLAN (id-quantile boundaries + every semantic-
+      affecting parameter) is computed once and persisted to
+      ``out_path/_backfill/plan.json``; a resume READS the plan
+      instead of recomputing it, so boundaries cannot drift between
+      attempts (approxQuantile is not deterministic enough to
+      recompute) and changed parameters are rejected loudly.
+    - Each chunk runs the kernel at batch id ``batch_offset + i``
+      (offset so a later streaming deployment's checkpointed ids
+      can never collide with backfill ids — the bench's 1e6 rule),
+      commits its three per-batch-dir overwrites, then writes a
+      ``done_<i>`` marker. Crash anywhere before the marker replays
+      the WHOLE chunk on resume — identical results by the kernels'
+      own-batch exclusions, and the overwrites replace any partial
+      commit. Skewed ids that collapse quantile boundaries produce
+      empty chunks; their zero-row appends are tolerated by every
+      reader (see the _nonempty_dirs filters).
+    - ``band_policy`` / ``semantic_policy`` run between chunks,
+      sequential with ingest, exactly as the in-stream loops order
+      them. A policy requantize composes here (each chunk re-reads
+      the quantizer in path mode).
+
+    Requires an INITIALIZED semantic index (init_semantic_index —
+    auto-init would silently train the quantizer on chunk 0 alone).
+    Numeric ``id_col`` only (boundaries are JSON-persisted floats).
+    Returns {"chunks", "resumed_from", "ran"}."""
+    import json
+    import math
+
+    spark = corpus_df.sparkSession
+    from pyspark.sql import functions as F
+
+    from .dedup import _hadoop_fs, _read_small_text, _write_small_text
+
+    params = {"chunk_rows": int(chunk_rows), "text_col": text_col,
+              "id_col": id_col, "vec_col": vec_col,
+              "n_hashes": n_hashes, "band_size": band_size, "k": k,
+              "prefix_len": prefix_len, "eps": eps,
+              "dedup_identical": dedup_identical,
+              "batch_offset": batch_offset,
+              "band_index": band_index_path,
+              "semantic_index": semantic_index_path}
+    fs, _ = _hadoop_fs(spark, out_path)
+    _, plan_path = _hadoop_fs(spark, f"{out_path}/_backfill/plan.json")
+    if fs.exists(plan_path):
+        plan = json.loads(_read_small_text(spark, fs, plan_path))
+        if plan["params"] != params:
+            raise ValueError(
+                "backfill_multi_signal: resume with different "
+                "parameters than the persisted plan at "
+                f"{out_path}/_backfill/plan.json — a mid-backfill "
+                "parameter change would file the remaining chunks "
+                "under different semantics than the committed ones. "
+                "Finish with the original parameters or start a "
+                "fresh out_path. Plan params: "
+                f"{json.dumps(plan['params'], sort_keys=True)}")
+    else:
+        n = corpus_df.count()
+        n_chunks = max(1, math.ceil(n / chunk_rows))
+        probs = [i / n_chunks for i in range(1, n_chunks)]
+        bounds = (corpus_df.stat.approxQuantile(id_col, probs, 0.001)
+                  if probs else [])
+        plan = {"params": params, "n_chunks": n_chunks,
+                "bounds": [float(b) for b in bounds]}
+        _write_small_text(fs, plan_path,
+                          json.dumps(plan, sort_keys=True))
+
+    n_chunks, bounds = plan["n_chunks"], plan["bounds"]
+    resumed_from, ran = 0, 0
+    for i in range(n_chunks):
+        _, marker = _hadoop_fs(spark, f"{out_path}/_backfill/done_{i}")
+        if fs.exists(marker):
+            resumed_from = i + 1
+            continue
+        cond = None
+        if i > 0:
+            cond = F.col(id_col) > bounds[i - 1]
+        if i < n_chunks - 1:
+            c2 = F.col(id_col) <= bounds[i]
+            cond = c2 if cond is None else (cond & c2)
+        chunk = corpus_df.filter(cond) if cond is not None else corpus_df
+        bid = batch_offset + i
+        survivors, bands, rows, band_surv = \
+            multi_signal_batch_against_indexes(
+                chunk, band_index_path, semantic_index_path, bid,
+                text_col=text_col, id_col=id_col, vec_col=vec_col,
+                n_hashes=n_hashes, band_size=band_size, k=k,
+                prefix_len=prefix_len, eps=eps,
+                dedup_identical=dedup_identical)
+        try:
+            (survivors.write.mode("overwrite")
+             .parquet(f"{out_path}/batch={bid}"))
+            append_batch_bands(bands, band_index_path, bid)
+            append_semantic_batch(rows, semantic_index_path, bid)
+        finally:
+            bands.unpersist()
+            rows.unpersist()
+            band_surv.unpersist()
+        if _post_chunk_hook is not None:  # test seam: crash windows
+            _post_chunk_hook(i)
+        _write_small_text(fs, marker, "done")
+        ran += 1
+        if band_policy is not None:
+            maintain_band_index(spark, band_index_path, band_policy)
+        if semantic_policy is not None:
+            maintain_semantic_index(spark, semantic_index_path,
+                                    semantic_policy)
+    return {"chunks": n_chunks, "resumed_from": resumed_from,
+            "ran": ran}
+
+
 def stream_multi_signal_ingest(
         stream_df: DataFrame, band_index_path: str,
         semantic_index_path: str, out_path: str, checkpoint: str,

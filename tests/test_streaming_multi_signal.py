@@ -298,6 +298,77 @@ def test_semantic_requantize_with_held_handle_fails_loud(
         sh.close()
 
 
+def test_backfill_fresh_run_matches_reference(spark, tmp_path):
+    """backfill_multi_signal over the corpus in ~3 chunks equals the
+    sequential batch composition; markers + plan persisted; the
+    semantic index holds exactly the band-admitted ids."""
+    from radio_data_pipeline_spark.streaming.multi_signal import (
+        backfill_multi_signal)
+
+    df = _ms_corpus(spark)
+    band_ids, expected = _expected(df)
+    band_index, sem_index = _init_indexes(spark, df, tmp_path)
+    out = str(tmp_path / "out")
+
+    rep = backfill_multi_signal(df, band_index, sem_index, out,
+                                chunk_rows=30, eps=_EPS)
+    assert rep == {"chunks": 3, "resumed_from": 0, "ran": 3}
+    got = sorted(r["doc_id"] for r in
+                 spark.read.parquet(f"{out}/batch=*")
+                 .select("doc_id").collect())
+    assert got == expected
+    sem_ids = sorted(r["id"] for r in spark.read.parquet(sem_index)
+                     .select("id").distinct().collect())
+    assert sem_ids == band_ids
+
+
+def test_backfill_crash_resume_is_exact(spark, tmp_path):
+    """Crash after chunk 1's commits but BEFORE its done marker:
+    resume replays exactly chunk 1 and the rest, the survivor set
+    equals the uncrashed reference, and neither index holds
+    duplicate rows. A resume with changed parameters is rejected
+    against the persisted plan."""
+    from radio_data_pipeline_spark.streaming.multi_signal import (
+        backfill_multi_signal)
+
+    df = _ms_corpus(spark)
+    _, expected = _expected(df)
+    band_index, sem_index = _init_indexes(spark, df, tmp_path)
+    out = str(tmp_path / "out")
+
+    class Boom(RuntimeError):
+        pass
+
+    def crash_after_1(i):
+        if i == 1:
+            raise Boom()
+
+    with pytest.raises(Boom):
+        backfill_multi_signal(df, band_index, sem_index, out,
+                              chunk_rows=30, eps=_EPS,
+                              _post_chunk_hook=crash_after_1)
+
+    # changed params refused against the plan
+    with pytest.raises(ValueError, match="different "):
+        backfill_multi_signal(df, band_index, sem_index, out,
+                              chunk_rows=30, eps=0.5)
+
+    rep = backfill_multi_signal(df, band_index, sem_index, out,
+                                chunk_rows=30, eps=_EPS)
+    assert rep["chunks"] == 3 and rep["resumed_from"] == 1
+    assert rep["ran"] == 2  # chunk 1 replayed, chunk 2 fresh
+    got = sorted(r["doc_id"] for r in
+                 spark.read.parquet(f"{out}/batch=*")
+                 .select("doc_id").collect())
+    assert got == expected
+    assert (spark.read.parquet(sem_index).groupBy("id").count()
+            .filter("count > 1").count() == 0)
+    bands_per_doc = (spark.read.parquet(band_index)
+                     .groupBy("id", "band_id").count()
+                     .filter("count > 1").count())
+    assert bands_per_doc == 0
+
+
 def test_wrapper_validates_arguments(spark, tmp_path):
     """Checkpoint is mandatory; a handle open on a different path is
     rejected before the stream starts."""
