@@ -97,15 +97,18 @@ def _init_indexes(spark, df, tmp_path):
     return band_index, sem_index
 
 
-@pytest.mark.parametrize("n_chunks", [2, 3])
+@pytest.mark.parametrize("seed,n_chunks", [(3, 2), (3, 3), (11, 3),
+                                           (29, 2)])
 def test_kernel_composition_matches_sequential_batch_gates(
-        spark, tmp_path, n_chunks):
+        spark, tmp_path, seed, n_chunks):
     """Chunking the corpus through the composed kernel in id order
     reproduces exactly greedy_band_survivors -> semantic_dedup of the
-    full corpus, independent of where batch boundaries fall; each
-    index accumulates its tier's population (band: ALL processed
-    docs; semantic: band survivors only)."""
-    df = _ms_corpus(spark)
+    full corpus, across corpus draws AND chunk granularities (the
+    equivalence must not depend on where batch boundaries fall or
+    which pairs happen to sit near the eps boundary); each index
+    accumulates its tier's population (band: ALL processed docs;
+    semantic: band survivors only)."""
+    df = _ms_corpus(spark, seed=seed)
     band_ids, expected = _expected(df)
     # nontrivial verdicts at BOTH tiers
     assert 0 < len(band_ids) < _N
