@@ -138,7 +138,15 @@ def ensure_band_meta(spark: SparkSession, index_path: str,
         # getFileStatus per call revalidates the cache against the
         # file's (mtime, length) — same RPC cost class as the old
         # exists() — so a replaced _meta.json invalidates on BOTH
-        # the accept and the reject path.
+        # the accept and the reject path. Residual window, named
+        # honestly (review r9): a delete-and-rebuild that lands an
+        # EQUAL-LENGTH _meta.json within the same millisecond tick
+        # produces an identical stamp and keeps the stale entry —
+        # closing it needs a content read per call, which is the
+        # per-batch fixed cost this cache exists to avoid; the
+        # layout-params-are-immutable contract makes the combination
+        # (sub-ms rebuild + equal-length params + a caller still
+        # holding the dead index's params) an accepted non-goal.
         fs, _ = _hadoop_fs(spark, index_path)
         _, mpath = _hadoop_fs(spark, f"{index_path}/_meta.json")
         try:
@@ -590,6 +598,17 @@ _LEASE_NAME = "_maintenance.lease"
 _LEASE_TTL_SECONDS = 3600.0
 
 
+class MaintenanceLeaseHeld(RuntimeError):
+    """Another maintenance op holds the index's lease right now.
+
+    Raised (instead of acting on stale listings) when a maintenance
+    op refuses to start. Direct callers see it loudly; the in-stream
+    maintenance loops catch EXACTLY this type and skip the round —
+    contention with an external maintainer is a normal, transient
+    condition and must not kill a streaming ingest query whose
+    commits already landed (the next batch simply re-decides)."""
+
+
 @_contextmanager
 def maintenance_lease(spark: SparkSession, index_path: str, op: str,
                       ttl_seconds: float = _LEASE_TTL_SECONDS):
@@ -644,7 +663,7 @@ def maintenance_lease(spark: SparkSession, index_path: str, op: str,
                    - fs.getFileStatus(lpath).getModificationTime()
                    / 1000.0)
         if age is not None and age <= ttl_seconds:
-            raise RuntimeError(
+            raise MaintenanceLeaseHeld(
                 f"maintenance lease at {index_path}/{_LEASE_NAME} is "
                 f"held ({age:.0f}s old, ttl {ttl_seconds:.0f}s) — "
                 f"another maintenance op is running on this index; "
@@ -663,7 +682,7 @@ def maintenance_lease(spark: SparkSession, index_path: str, op: str,
         if broke:
             fs.delete(tomb, False)
         if not _try_create():
-            raise RuntimeError(
+            raise MaintenanceLeaseHeld(
                 f"maintenance lease at {index_path}/{_LEASE_NAME} "
                 f"was re-acquired by a racing op while breaking a "
                 f"stale lease; {op} refuses to start")
@@ -739,15 +758,21 @@ def maintenance_lease(spark: SparkSession, index_path: str, op: str,
                 raise FileNotFoundError(lpath.toString())
             own = payload.get("lease_id") == lease_id
             if not own and "lease_id" not in payload:
-                # legacy payload written by a pre-lease_id version
-                # (mixed-version rollout): this op held the path for
-                # its whole run, so treat it as deletable rather
-                # than leaking the lock for a TTL (r8 ADVICE).
+                # legacy payload without lease_id (mixed-version
+                # rollout): this VERSION always writes lease_id at
+                # acquisition, so a lease_id-less payload at release
+                # time cannot be ours — it is a pre-lease_id-version
+                # maintainer that broke our aged-out lease and
+                # acquired (r9 review, inverting the r8 reading:
+                # "this op held the path" would imply the payload
+                # carries our id). Deleting it would evict that LIVE
+                # op and reopen concurrent maintenance; restore it
+                # and let the usurpation warning below fire.
                 warnings.warn(
-                    f"maintenance lease at {index_path} carried a "
-                    "legacy payload without lease_id; releasing it "
-                    f"as {op!r}'s own", RuntimeWarning, stacklevel=2)
-                own = True
+                    f"maintenance lease at {index_path} carries a "
+                    "legacy payload without lease_id — treating it "
+                    "as a live legacy successor's lease, not "
+                    f"{op!r}'s own", RuntimeWarning, stacklevel=2)
             if own:
                 fs.delete(rtomb, False)
             else:
@@ -986,16 +1011,18 @@ class BandMaintenancePolicy:
       direct §22 cost driver (each live dir is re-listed and
       re-planned per kernel call; generations are served from the
       handle's cache).
-    - ``compact_over_files``: fold when the index's total FILE count
-      reaches this, provided there is anything foldable — appends
-      write one file per touched (band_id, bh_prefix) dir per batch,
-      so file count grows ~batches × touched-prefixes while the
-      post-fold floor is one file per occupied partition dir. This
-      catches the many-tiny-files shape even when a slow trickle of
-      batches never trips the dir-count bar. Set it above the
-      occupied-partition-dir count of a folded index, or a large
-      index re-folds on every call (the fold itself no-ops only when
-      NOTHING is foldable, not when it is merely unprofitable).
+    - ``compact_over_files``: fold when the index's FOLDABLE EXCESS
+      file count reaches this — live-dir files plus, when an
+      interrupted fold stranded more than one generation, the
+      generation files. Appends write one file per touched
+      (band_id, bh_prefix) dir per batch, so excess grows ~batches ×
+      touched-prefixes; this catches the many-tiny-files shape even
+      when a slow trickle of batches never trips the dir-count bar.
+      The folded index's own floor (one file per occupied partition
+      dir) is deliberately NOT counted: measured against total
+      files, a large folded layout (>16k dirs at prefix_len=3)
+      permanently exceeded the bar and re-folded the whole index
+      every call (review r9).
     """
 
     def __init__(self, compact_after_batches: int = 8,
@@ -1019,12 +1046,20 @@ def band_index_signals(spark: SparkSession, index_path: str,
     count (the very growth the maintenance loop exists to bound), so
     a policy loop must not pay it every batch for a report field."""
     fs, _, dirs = _ingest_dirs(spark, index_path)
-    ids = [int(p.getName().split("=", 1)[1]) for p in dirs]
-    n_files = sum(len(_dir_snapshot(fs, p)) for p in dirs)
+    counts = [(int(p.getName().split("=", 1)[1]),
+               len(_dir_snapshot(fs, p))) for p in dirs]
+    live_files = sum(n for i, n in counts if i >= 0)
+    gen_files = sum(n for i, n in counts if i < 0)
     out = {
-        "live_batches": sum(1 for i in ids if i >= 0),
-        "generations": sum(1 for i in ids if i < 0),
-        "files": n_files,
+        "live_batches": sum(1 for i, _ in counts if i >= 0),
+        "generations": sum(1 for i, _ in counts if i < 0),
+        "files": live_files + gen_files,
+        # split so the file-count trigger can measure FOLDABLE excess
+        # instead of total: a folded index's permanent floor (one
+        # file per occupied partition dir — >16k at prefix_len=3)
+        # must not re-trip a whole-index rewrite every batch
+        "live_files": live_files,
+        "gen_files": gen_files,
     }
     if with_rows:
         n_rows = _footer_rows_local(dirs) if dirs else 0
@@ -1039,15 +1074,26 @@ def decide_band_maintenance(signals: dict,
                             ) -> tuple[str, dict]:
     """The pure decision function (test-pinned as a table): returns
     ``(action, params)`` with action one of 'noop' | 'compact'. The
-    file-count trigger only fires when a fold would actually change
-    the layout (at least one live dir, or more than one generation) —
-    a fully folded index whose one generation is simply LARGE must
-    not churn through a rewrite per call."""
+    file-count trigger measures FOLDABLE EXCESS — live-dir files,
+    plus generation files only when more than one generation exists
+    (crash leftovers an interrupted fold strands) — never the folded
+    index's own floor: comparing against TOTAL files re-triggered a
+    whole-index rewrite on every serving batch once the folded
+    layout alone exceeded the bar (>16k partition dirs at
+    prefix_len=3 vs the 4096 default — review r9), the exact
+    O(index)-per-batch churn maintenance exists to bound. Signals
+    from builds predating the live/gen split fall back to the old
+    total-files semantics."""
     foldable = (signals["live_batches"] >= 1
                 or signals["generations"] > 1)
     if signals["live_batches"] >= policy.compact_after_batches:
         return "compact", {}
-    if foldable and signals["files"] >= policy.compact_over_files:
+    if "live_files" in signals:
+        excess = signals["live_files"] + (
+            signals["gen_files"] if signals["generations"] > 1 else 0)
+        if foldable and excess >= policy.compact_over_files:
+            return "compact", {}
+    elif foldable and signals["files"] >= policy.compact_over_files:
         return "compact", {}
     return "noop", {}
 
@@ -1159,8 +1205,18 @@ def stream_dedup_ingest(stream_df: DataFrame, index_path: str,
         finally:
             batch_df.unpersist()
         if maintenance_policy is not None:
-            maintain_band_index(batch_df.sparkSession, index_path,
-                                maintenance_policy)
+            import warnings as _warnings
+            try:
+                maintain_band_index(batch_df.sparkSession, index_path,
+                                    maintenance_policy)
+            except MaintenanceLeaseHeld as e:
+                # transient contention with an external maintainer:
+                # skipping the round is completely safe (the next
+                # batch re-decides) — killing the whole ingest query
+                # over it is not (review r9)
+                _warnings.warn(
+                    f"in-stream maintenance skipped this round: {e}",
+                    RuntimeWarning, stacklevel=2)
 
     return (stream_df.writeStream.foreachBatch(write_batch)
             .queryName(query_name).trigger(availableNow=True)

@@ -224,11 +224,22 @@ def backfill_multi_signal(corpus_df: DataFrame, band_index_path: str,
             _post_chunk_hook(i)
         _write_small_text(fs, marker, "done")
         ran += 1
-        if band_policy is not None:
-            maintain_band_index(spark, band_index_path, band_policy)
-        if semantic_policy is not None:
-            maintain_semantic_index(spark, semantic_index_path,
-                                    semantic_policy)
+        if band_policy is not None or semantic_policy is not None:
+            import warnings as _warnings
+
+            from .dedup import MaintenanceLeaseHeld
+            try:
+                if band_policy is not None:
+                    maintain_band_index(spark, band_index_path,
+                                        band_policy)
+                if semantic_policy is not None:
+                    maintain_semantic_index(spark, semantic_index_path,
+                                            semantic_policy)
+            except MaintenanceLeaseHeld as e:
+                # contention is transient; the next chunk re-decides
+                _warnings.warn(
+                    f"backfill maintenance skipped after chunk {i}: "
+                    f"{e}", RuntimeWarning, stacklevel=2)
     return {"chunks": n_chunks, "resumed_from": resumed_from,
             "ran": ran}
 
@@ -325,13 +336,31 @@ def stream_multi_signal_ingest(
                 band_surv.unpersist()
         finally:
             batch_df.unpersist()
+        import warnings as _warnings
+
+        from .dedup import MaintenanceLeaseHeld
+
         if band_policy is not None:
-            maintain_band_index(batch_df.sparkSession,
-                                band_index_path, band_policy)
+            try:
+                maintain_band_index(batch_df.sparkSession,
+                                    band_index_path, band_policy)
+            except MaintenanceLeaseHeld as e:
+                # transient contention with an external maintainer:
+                # skip the round, never kill the ingest query (the
+                # next batch re-decides — review r9)
+                _warnings.warn(
+                    f"in-stream band maintenance skipped: {e}",
+                    RuntimeWarning, stacklevel=2)
         if semantic_policy is not None:
-            rep = maintain_semantic_index(batch_df.sparkSession,
-                                          semantic_index_path,
-                                          semantic_policy)
+            try:
+                rep = maintain_semantic_index(batch_df.sparkSession,
+                                              semantic_index_path,
+                                              semantic_policy)
+            except MaintenanceLeaseHeld as e:
+                _warnings.warn(
+                    f"in-stream semantic maintenance skipped: {e}",
+                    RuntimeWarning, stacklevel=2)
+                rep = {"action": "noop"}
             if rep["action"] == "requantize" and semantic_handle is not None:
                 raise RuntimeError(
                     "stream_multi_signal_ingest: the semantic "

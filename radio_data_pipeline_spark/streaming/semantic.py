@@ -646,7 +646,8 @@ def semantic_dedup_batch_against_index(
 
 
 def append_semantic_batch(rows: DataFrame, index_path: str,
-                          batch_id: int) -> None:
+                          batch_id: int,
+                          quantizer_guard: tuple | None = None) -> None:
     """Commit a batch's (id, v, cell, cell_bucket) rows under their
     own ``ingest_batch=<id>`` directory (mode overwrite — replay
     replaces, never duplicates), partitioned by the BOUNDED
@@ -686,7 +687,16 @@ def append_semantic_batch(rows: DataFrame, index_path: str,
     # write itself is covered; cost is one driver listing (~1 ms
     # local). Only checked when the append targets the index the
     # kernel probed.
-    guard = getattr(rows, "_rdps_quantizer_guard", None)
+    # The attribute channel is CONVENTION-BOUND: it survives only
+    # when the caller appends the exact ``rows`` object the kernel
+    # returned (as every wrapper and the backfill do) — any
+    # DataFrame transformation returns a new Python object without
+    # it, silently shedding the check. A caller that filters or
+    # reselects rows before appending must pass the guard explicitly
+    # via ``quantizer_guard`` (the tuple from
+    # ``rows._rdps_quantizer_guard``) to keep the defense.
+    guard = quantizer_guard if quantizer_guard is not None else \
+        getattr(rows, "_rdps_quantizer_guard", None)
     if guard is not None and guard[0] == index_path:
         from .dedup import _dir_snapshot
 
@@ -786,13 +796,20 @@ def requantize_semantic_index(spark: SparkSession, index_path: str,
     with maintenance_lease(spark, index_path,
                            "requantize") as lease_refresh:
         fs, jpath, sources = _ingest_dirs(spark, index_path)
-        if not sources:
-            raise ValueError(f"semantic index at {index_path} has no "
-                             "ingested batches to requantize from")
         new_gen = _next_generation(sources, generation)
         snapshots = {p.toString(): _dir_snapshot(fs, p)
                      for p in sources}
-        src_paths = [p.toString() for p in sources]
+        # READ paths filter out data-less dirs (zero-row appends —
+        # a _SUCCESS-only dir listed FIRST would fail the schema
+        # probe below; same fix as the compactor). The dirs stay in
+        # `sources`/`snapshots`: the post-commit delete pass folds
+        # them away like the compactor does.
+        from .dedup import _nonempty_dirs
+
+        src_paths = [p.toString() for p in _nonempty_dirs(fs, sources)]
+        if not src_paths:
+            raise ValueError(f"semantic index at {index_path} has no "
+                             "ingested rows to requantize from")
 
         # Auto-broadcast hazard (measured: the 2M x 64-d refile died
         # at 1053 MiB of collected task results against the 1 GiB
@@ -1189,9 +1206,22 @@ def stream_semantic_ingest(stream_df: DataFrame, index_path: str,
         finally:
             batch_df.unpersist()
         if maintenance_policy is not None:
+            import warnings as _warnings
+
+            from .dedup import MaintenanceLeaseHeld
+
             spark = batch_df.sparkSession
-            rep = maintain_semantic_index(spark, index_path,
-                                          maintenance_policy)
+            try:
+                rep = maintain_semantic_index(spark, index_path,
+                                              maintenance_policy)
+            except MaintenanceLeaseHeld as e:
+                # transient contention with an external maintainer:
+                # skip the round, never kill the ingest query whose
+                # commits already landed (review r9)
+                _warnings.warn(
+                    f"in-stream maintenance skipped this round: {e}",
+                    RuntimeWarning, stacklevel=2)
+                rep = {"action": "noop"}
             if rep["action"] == "requantize" and handle is not None:
                 raise RuntimeError(
                     "stream_semantic_ingest: the maintenance policy "

@@ -648,10 +648,14 @@ def test_lease_release_rename_first_survives_break_window(spark, tmp_path):
     assert not os.path.exists(lease2)
 
 
-def test_lease_release_legacy_payload_is_deletable(spark, tmp_path):
-    """r8 ADVICE: a lease payload without lease_id (pre-versioning
-    writer, mixed-version rollout) is released WITH a warning instead
-    of silently leaking the lock for a TTL."""
+def test_lease_release_legacy_payload_is_foreign(spark, tmp_path):
+    """A lease payload without lease_id at release time cannot be
+    this op's own — the current version always writes lease_id at
+    acquisition, so it is a pre-lease_id-version maintainer that
+    usurped after this op aged out (r9 review, inverting the r8
+    'deletable' reading: deleting would evict that LIVE op and
+    reopen concurrent maintenance). Release must warn and RESTORE
+    it, exactly like any other foreign lease."""
     import json as _json
     import os
 
@@ -676,7 +680,9 @@ def test_lease_release_legacy_payload_is_deletable(spark, tmp_path):
                       _json.dumps({"op": "legacy", "acquired_at": 0}))
     with pytest.warns(RuntimeWarning, match="legacy"):
         op.__exit__(None, None, None)
-    assert not os.path.exists(lease)
+    # the legacy successor's lease survives the release
+    assert os.path.exists(lease)
+    assert "legacy" in open(lease).read()
 
     # and the UNREADABLE case (torn write / checksum mismatch): the
     # release must RESTORE the file, not delete it — a successor
@@ -845,6 +851,49 @@ def test_band_handle_witness_dedup_replay_exact(spark, tmp_path):
         b_h.unpersist()
     finally:
         h.close()
+
+
+def test_in_stream_maintenance_skips_on_held_lease(spark, tmp_path):
+    """A foreign FRESH lease (external maintainer mid-op) while the
+    in-stream policy fires: the maintenance round is SKIPPED with a
+    warning — the ingest query must complete with correct survivors,
+    not die over transient contention whose next batch re-decides
+    (review r9: the lease 'excludes external maintainers' must not
+    manifest as query death)."""
+    import json as _json
+    import os
+
+    from radio_data_pipeline_spark.streaming.dedup import (
+        BandMaintenancePolicy, band_index_signals)
+
+    df = _corpus(spark, 40)
+    expected = sorted(
+        r["doc_id"]
+        for r in greedy_band_survivors(df).select("doc_id").collect())
+    index = str(tmp_path / "idx")
+    os.makedirs(index)
+    with open(f"{index}/_maintenance.lease", "w") as f:
+        f.write(_json.dumps({"op": "external", "lease_id": "x",
+                             "acquired_at": 0}))
+    src = tmp_path / "src"
+    src.mkdir()
+    df.coalesce(1).write.mode("overwrite").parquet(str(src / "f0"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(str(src / "*")))
+    q = stream_dedup_ingest(
+        stream, index, str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "cp"),
+        maintenance_policy=BandMaintenancePolicy(
+            compact_after_batches=1))
+    q.awaitTermination()  # must NOT raise
+    got = sorted(r["doc_id"] for r in
+                 spark.read.parquet(str(tmp_path / "out"))
+                 .select("doc_id").collect())
+    assert got == expected
+    # the round was skipped: nothing folded, foreign lease untouched
+    assert band_index_signals(spark, index)["generations"] == 0
+    assert _json.loads(
+        open(f"{index}/_maintenance.lease").read())["op"] == "external"
 
 
 def test_concurrent_external_maintenance_never_corrupts(spark,
@@ -1036,27 +1085,42 @@ def test_band_maintenance_decision_table():
     p = BandMaintenancePolicy(compact_after_batches=4,
                               compact_over_files=100)
 
-    def sig(live=0, gens=0, files=0, rows=0):
+    def sig(live=0, gens=0, live_files=0, gen_files=0, rows=0):
         return {"live_batches": live, "generations": gens,
-                "files": files, "rows": rows}
+                "files": live_files + gen_files,
+                "live_files": live_files, "gen_files": gen_files,
+                "rows": rows}
 
     # noop: few batches, few files
-    assert decide_band_maintenance(sig(live=3, gens=1, files=50),
-                                   p)[0] == "noop"
+    assert decide_band_maintenance(
+        sig(live=3, gens=1, live_files=40, gen_files=10),
+        p)[0] == "noop"
     # compact: live batches at threshold
-    assert decide_band_maintenance(sig(live=4, files=10), p)[0] \
-        == "compact"
-    # compact: file count at threshold with foldable live dir
-    assert decide_band_maintenance(sig(live=1, gens=1, files=100),
+    assert decide_band_maintenance(sig(live=4, live_files=10),
                                    p)[0] == "compact"
-    # compact: file count at threshold with >1 generation, no lives
-    # (crash leftovers from an interrupted fold)
-    assert decide_band_maintenance(sig(live=0, gens=2, files=100),
-                                   p)[0] == "compact"
-    # NOOP: file count over threshold but nothing foldable — one
-    # generation, zero lives (the no-churn guard)
-    assert decide_band_maintenance(sig(live=0, gens=1, files=9999),
-                                   p)[0] == "noop"
+    # compact: live-file excess at threshold with foldable live dir
+    assert decide_band_maintenance(
+        sig(live=1, gens=1, live_files=100), p)[0] == "compact"
+    # compact: gen files count as excess with >1 generation, no
+    # lives (crash leftovers from an interrupted fold)
+    assert decide_band_maintenance(
+        sig(live=0, gens=2, gen_files=100), p)[0] == "compact"
+    # NOOP: huge files but nothing foldable — one generation, zero
+    # lives (the no-churn guard)
+    assert decide_band_maintenance(
+        sig(live=0, gens=1, gen_files=9999), p)[0] == "noop"
+    # NOOP: the folded FLOOR never counts toward the bar — one live
+    # dir with few files over a single huge generation must not
+    # re-fold the whole index every batch (review r9: the exact
+    # O(index)-per-batch churn a prefix_len=3 layout hit against
+    # the 4096 default)
+    assert decide_band_maintenance(
+        sig(live=1, gens=1, live_files=10, gen_files=50000),
+        p)[0] == "noop"
+    # legacy signals dict (no live/gen split): old total-files rule
+    assert decide_band_maintenance(
+        {"live_batches": 1, "generations": 1, "files": 100},
+        p)[0] == "compact"
     # empty index
     assert decide_band_maintenance(sig(), p)[0] == "noop"
 

@@ -1267,6 +1267,21 @@ def test_append_guard_catches_mid_batch_requantize(spark, tmp_path):
     finally:
         h.close()
 
+    # a TRANSFORMED rows frame sheds the attribute (new Python
+    # object) — the explicit quantizer_guard parameter restores the
+    # defense for such callers
+    s2, rows2 = semantic_dedup_batch_against_index(twin, index, 11,
+                                                   eps=_EPS)
+    g = rows2._rdps_quantizer_guard
+    transformed = rows2.filter(F.col("id") >= 0)  # attribute gone
+    assert getattr(transformed, "_rdps_quantizer_guard", None) is None
+    requantize_semantic_index(spark, index, n_clusters=2,
+                              lloyd_rounds=2)
+    with pytest.raises(RuntimeError, match="quantizer.*changed"):
+        append_semantic_batch(transformed, index, 11,
+                              quantizer_guard=g)
+    rows2.unpersist()
+
 
 def test_zero_row_append_does_not_break_readers(spark, tmp_path):
     """A zero-row semantic append (a multi-signal batch whose every
