@@ -298,57 +298,64 @@ def _index_has_batches(spark: SparkSession, index_path: str) -> bool:
     return bool(_nonempty_dirs(fs, dirs))
 
 
-class BandIndexHandle:
-    """An open serving handle on a persisted band index — the band
-    twin of streaming/semantic.SemanticIndexHandle, justified by
-    measurement (r8 VERDICT #7 said measure first; §22: per-batch
-    partition discovery alone grew 2.4 s -> 7.0 s over 20 live batch
-    dirs, ~60% of the batch wall, because every kernel call re-lists
-    the whole index tree).
+class GenerationCachedHandle:
+    """Shared serving-handle machinery for both persisted indexes —
+    one implementation of the generation cache (review r9: the band
+    and semantic handles had drifted-prone near-verbatim copies; the
+    cache-refresh edge cases below were each patched twice).
 
     - The IMMUTABLE generations (``ingest_batch<0``) are served from
       a Spark cache, WITNESS-DEDUPED to at most two representatives
-      per (band_id, band_hash) with DISTINCT src_batch: the probe's
-      verdict is an EXISTS over equal band hashes, so representatives
-      carry every verdict, and two distinct src_batch values
-      guarantee a replayed batch's own-src exclusion can never hide
-      a witness another batch also holds (the same argument, and the
-      same min_by/max_by construction, as the semantic generation
-      cache — replay equality test-pinned there and here).
+      per ``_GEN_KEYS`` group with DISTINCT src_batch: the probe's
+      verdict is an EXISTS over the keys (equal band hashes for the
+      band index; round(cosine,6) >= eps over bitwise-equal vectors
+      for the semantic one), so representatives carry every verdict.
+      TWO representatives (min_by + max_by over src_batch), not one:
+      a replayed batch excludes src_batch == its own id, and with
+      two distinct values a single batch's exclusion can never hide
+      a witness another batch also holds. One representative is
+      WRONG because seed/backfill batch ids need not be smaller than
+      live ids (the benches seed at 1e6+ on purpose), so the minimum
+      could BE the replayed batch while a discarded copy from
+      another batch should have witnessed. When every copy shares
+      one src_batch the two reps collapse to one, whose exclusion is
+      exactly the semantics. Replay equality is test-pinned for both
+      indexes. min_by/max_by stay HashAggregate-friendly
+      (min(struct) silently falls back to SortAggregate — the r7
+      measured negative).
     - Live ``ingest_batch>=0`` dirs are read fresh per call (they
-      change every batch and are byte-small).
+      change every batch and are byte-small);
+      ``_SPREAD_LIVE_READS`` subclasses spread them so their share
+      of a pair fold never single-tasks.
     - A maintenance fold changes the generation set — detected by
       dir listing per call, cache refreshed in place (fold output is
       verdict-equivalent to its sources).
+    - Pre-spread BEFORE persist (``_GEN_SPREAD_FACTOR`` ×
+      defaultParallelism): downstream folds run on the cached
+      partitioning, replacing any per-batch round-robin shuffle of
+      the whole pruned scan — paid once per generation set.
 
-    The handle requires the index's ``_meta.json`` to exist (open it
-    after the first ingested batch); kernel calls through the handle
-    still validate their layout params against it."""
+    Subclasses set ``_GEN_KEYS`` (the witness-dedup group),
+    ``_GEN_REP_COLS`` (the non-key columns a representative
+    carries), ``_GEN_SPREAD_FACTOR``, ``_SPREAD_LIVE_READS``, and
+    must call ``_init_generation_cache()`` before any refresh."""
 
-    def __init__(self, spark: SparkSession, index_path: str):
-        fs, _ = _hadoop_fs(spark, index_path)
-        _, mpath = _hadoop_fs(spark, f"{index_path}/_meta.json")
-        if not fs.exists(mpath):
-            raise ValueError(
-                f"band index at {index_path} has no _meta.json yet — "
-                "open the handle after the first batch has been "
-                "ingested (the kernel persists the layout meta on "
-                "first use)")
-        self.spark = spark
-        self.path = index_path
-        self.meta = json.loads(_read_small_text(spark, fs, mpath))
+    _GEN_KEYS: tuple = ()
+    _GEN_REP_COLS: tuple = ()
+    _GEN_SPREAD_FACTOR: int = 1
+    _SPREAD_LIVE_READS: bool = False
+
+    def _init_generation_cache(self) -> None:
         self._gen_df = None
         self._gen_names: set[str] = set()
-        try:
-            self._refresh_generations()
-        except BaseException:
-            self.close()  # never leak a half-built cache (review r9)
-            raise
 
     def _list_ingest(self) -> tuple[list, list]:
+        """(generation dirs, live batch dirs) — one driver listing.
+        Data-less dirs (zero-row appends — e.g. a batch whose every
+        doc an upstream gate dropped) are filtered out: they would
+        break the per-dir parquet reads, and they stay visible to
+        signals/compaction for eventual cleanup."""
         fs, _, dirs = _ingest_dirs(self.spark, self.path)
-        # data-less dirs (zero-row appends) would break the per-dir
-        # reads below; they stay visible to signals/compaction
         dirs = _nonempty_dirs(fs, dirs)
         gens = [p for p in dirs
                 if int(p.getName().split("=", 1)[1]) < 0]
@@ -370,30 +377,35 @@ class BandIndexHandle:
             except Exception:
                 pass
             self._gen_df = None
-        # _gen_names recorded only after a SUCCESSFUL build — see
-        # the semantic handle's identical note (review r9)
+        # _gen_names is recorded only after the build SUCCEEDS (end
+        # of this method): recording it first meant a transient
+        # build failure left names current with no cache, and the
+        # name-compare guards would never retry (review r9)
         if names:
-            rep = F.struct("id", "bh_prefix", "src_batch",
-                           "ingest_batch")
+            keys = list(self._GEN_KEYS)
+            rep = F.struct(*self._GEN_REP_COLS)
             packed = (self.spark.read
                       .option("basePath", self.path)
                       .parquet(*[p.toString() for p in gens])
-                      .groupBy("band_id", "band_hash")
+                      .groupBy(*keys)
                       .agg(F.min_by(rep, F.col("src_batch"))
                            .alias("lo"),
                            F.max_by(rep, F.col("src_batch"))
                            .alias("hi")))
-            spread = self.spark.sparkContext.defaultParallelism
+            spread = (self.spark.sparkContext.defaultParallelism
+                      * self._GEN_SPREAD_FACTOR)
             self._gen_df = (
                 packed.select(
-                    "band_id", "band_hash",
+                    *keys,
                     F.explode(F.when(
                         F.col("lo.src_batch") == F.col("hi.src_batch"),
                         F.array("lo")).otherwise(F.array("lo", "hi")))
                     .alias("r"))
-                .select("band_id", "band_hash", "r.*")
+                .select(*keys, "r.*")
                 .repartition(spread)
                 .persist(StorageLevel.MEMORY_AND_DISK))
+            # eager: the serving loop pays the one-time decode here,
+            # not inside its next micro-batch
             try:
                 self._gen_df.count()
             except BaseException:
@@ -407,7 +419,11 @@ class BandIndexHandle:
 
     def index_frame(self):
         """Cached deduped generations ∪ fresh live dirs, or None for
-        an empty index."""
+        an empty index. The second clause of the refresh trigger
+        matters: a FAILED prior refresh (build threw after _gen_names
+        was recorded) leaves _gen_df None with names current —
+        without it the cache would silently never rebuild and every
+        verdict would run without generation witnesses (review r9)."""
         gens, lives = self._list_ingest()
         names = {p.getName() for p in gens}
         if names != self._gen_names or (names and
@@ -417,9 +433,13 @@ class BandIndexHandle:
         if self._gen_df is not None:
             parts.append(self._gen_df)
         if lives:
-            parts.append(self.spark.read
-                         .option("basePath", self.path)
-                         .parquet(*[p.toString() for p in lives]))
+            live = (self.spark.read
+                    .option("basePath", self.path)
+                    .parquet(*[p.toString() for p in lives]))
+            if self._SPREAD_LIVE_READS:
+                live = live.repartition(
+                    self.spark.sparkContext.defaultParallelism)
+            parts.append(live)
         if not parts:
             return None
         out = parts[0]
@@ -427,7 +447,7 @@ class BandIndexHandle:
             out = out.unionByName(p)
         return out
 
-    def close(self) -> None:
+    def _release_generation_cache(self) -> None:
         if self._gen_df is not None:
             try:
                 self._gen_df.unpersist(blocking=False)
@@ -435,6 +455,46 @@ class BandIndexHandle:
                 pass
             self._gen_df = None
             self._gen_names = set()
+
+
+class BandIndexHandle(GenerationCachedHandle):
+    """An open serving handle on a persisted band index — the band
+    instance of GenerationCachedHandle, justified by measurement
+    (r8 VERDICT #7 said measure first; §22: per-batch partition
+    discovery alone grew 2.4 s -> 7.0 s over 20 live batch dirs,
+    ~60% of the batch wall, because every kernel call re-lists the
+    whole index tree).
+
+    The handle requires the index's ``_meta.json`` to exist (open it
+    after the first ingested batch); kernel calls through the handle
+    still validate their layout params against it."""
+
+    _GEN_KEYS = ("band_id", "band_hash")
+    _GEN_REP_COLS = ("id", "bh_prefix", "src_batch", "ingest_batch")
+    _GEN_SPREAD_FACTOR = 1
+    _SPREAD_LIVE_READS = False
+
+    def __init__(self, spark: SparkSession, index_path: str):
+        fs, _ = _hadoop_fs(spark, index_path)
+        _, mpath = _hadoop_fs(spark, f"{index_path}/_meta.json")
+        if not fs.exists(mpath):
+            raise ValueError(
+                f"band index at {index_path} has no _meta.json yet — "
+                "open the handle after the first batch has been "
+                "ingested (the kernel persists the layout meta on "
+                "first use)")
+        self.spark = spark
+        self.path = index_path
+        self.meta = json.loads(_read_small_text(spark, fs, mpath))
+        self._init_generation_cache()
+        try:
+            self._refresh_generations()
+        except BaseException:
+            self.close()  # never leak a half-built cache (review r9)
+            raise
+
+    def close(self) -> None:
+        self._release_generation_cache()
 
 
 def open_band_index(spark: SparkSession,

@@ -159,7 +159,10 @@ def read_semantic_quantizer(spark: SparkSession,
              "n_cell_buckets": int(row["n_cell_buckets"])})
 
 
-class SemanticIndexHandle:
+from .dedup import GenerationCachedHandle as _GenerationCachedHandle
+
+
+class SemanticIndexHandle(_GenerationCachedHandle):
     """An open serving handle on a persisted semantic index: the
     quantizer read ONCE, its centroids Spark-persisted, and every
     quantizer-derived assignment table precomputed and persisted
@@ -186,7 +189,26 @@ class SemanticIndexHandle:
     across one — the next call raises StaleQuantizerError instead of
     filing new rows under dead cells. Cost: one FileSystem
     listStatus per kernel call — driver metadata only, no Spark job
-    (measured ~1 ms against ~seconds of kernel work; §19 add. 8)."""
+    (measured ~1 ms against ~seconds of kernel work; §19 add. 8).
+
+    Generation-cache mechanics (witness dedup over (cell, v), two
+    src_batch-distinct representatives, spread-then-persist, fold
+    detection by dir listing) live in the shared
+    dedup.GenerationCachedHandle — the semantic instance groups on
+    (cell, v) because the probe's verdict is an EXISTS over
+    round(cosine,6) >= eps and bitwise-equal vectors give identical
+    cosines (on a duplicate-dense corpus this collapses the per-batch
+    pair fold by the duplication factor — measured: a tiled 200k
+    index probed 5.5M pairs per 2k batch; deduped, ~the distinct
+    count, §19 add. 8); vn is a pure function of v and cell_bucket
+    of cell, so an arbitrary same-src_batch row is a faithful
+    representative."""
+
+    _GEN_KEYS = ("cell", "v")
+    _GEN_REP_COLS = ("id", "vn", "cell_bucket", "src_batch",
+                     "ingest_batch")
+    _GEN_SPREAD_FACTOR = 2
+    _SPREAD_LIVE_READS = True
 
     def __init__(self, spark: SparkSession, index_path: str):
         from .dedup import _dir_snapshot, _hadoop_fs
@@ -199,8 +221,7 @@ class SemanticIndexHandle:
             self.centroids, self.meta["two_level"],
             self.meta["coarse_clusters"])
         self.centroids = self.prepared["cc"]  # the persisted frame
-        self._gen_df = None
-        self._gen_names: set[str] = set()
+        self._init_generation_cache()
         try:
             # the staleness snapshot and the generation-cache build
             # both sit inside the release guard: once `prepared` is
@@ -214,152 +235,6 @@ class SemanticIndexHandle:
         except BaseException:
             self.close()
             raise
-
-    def _list_ingest(self) -> tuple[list, list]:
-        """(generation dirs, live batch dirs) — one driver listing.
-        Data-less dirs (zero-row appends — e.g. a batch whose every
-        doc an upstream gate dropped) are filtered out: they would
-        break the per-dir parquet reads, and they stay visible to
-        signals/compaction for eventual cleanup."""
-        from .dedup import _ingest_dirs, _nonempty_dirs
-
-        fs, _, dirs = _ingest_dirs(self.spark, self.path)
-        dirs = _nonempty_dirs(fs, dirs)
-        gens = [p for p in dirs
-                if int(p.getName().split("=", 1)[1]) < 0]
-        lives = [p for p in dirs
-                 if int(p.getName().split("=", 1)[1]) >= 0]
-        return gens, lives
-
-    def _refresh_generations(self) -> None:
-        from pyspark import StorageLevel
-
-        gens, _ = self._list_ingest()
-        names = {p.getName() for p in gens}
-        if names == self._gen_names and (self._gen_df is not None
-                                         or not names):
-            return
-        if self._gen_df is not None:
-            try:
-                self._gen_df.unpersist(blocking=False)
-            except Exception:
-                pass
-            self._gen_df = None
-        # _gen_names is recorded only after the build SUCCEEDS (end
-        # of this method): recording it first meant a transient
-        # build failure left names current with no cache, and the
-        # name-compare guards would never retry (review r9)
-        if names:
-            # WITNESS-DEDUPED: the probe's verdict is an EXISTS over
-            # round(cosine,6) >= eps, and bitwise-equal vectors give
-            # identical cosines, so a bounded set of representatives
-            # per (cell, v) carries every verdict the full
-            # generation carries — on a duplicate-dense corpus this
-            # collapses the per-batch pair fold by the duplication
-            # factor (measured: a tiled 200k index probed 5.5M pairs
-            # per 2k batch; deduped, ~the distinct count — §19
-            # add. 8).
-            #
-            # TWO representatives with DISTINCT src_batch (min_by +
-            # max_by), not one: a replayed batch excludes
-            # src_batch == its own id, and with two distinct values
-            # a single batch's exclusion can never hide both — the
-            # replayed doc keeps exactly the witnesses the uncached
-            # path shows it. One representative (e.g. min src_batch)
-            # is WRONG here because seed/backfill batch ids need not
-            # be smaller than live ids (the bench seeds at 1e6+ on
-            # purpose), so the minimum could BE the replayed batch
-            # while a discarded copy from another batch should have
-            # witnessed. When every copy shares one src_batch the
-            # two reps collapse to one, and its exclusion is exactly
-            # the semantics (all copies were the replayed batch's
-            # own rows). Replay equality is test-pinned. min_by/
-            # max_by stay HashAggregate-friendly (min(struct) would
-            # silently fall back to SortAggregate — the r7 measured
-            # negative). vn is a pure function of v, cell_bucket of
-            # cell, and the probe never reads the index id, so an
-            # arbitrary same-src_batch row is a faithful
-            # representative.
-            #
-            # Pre-spread BEFORE persist: the pair fold runs on the
-            # cached partitioning (broadcast join, narrow), so
-            # round-robin here replaces the old per-batch RR shuffle
-            # of the whole pruned scan — paid once per generation
-            # set.
-            spread = (self.spark.sparkContext.defaultParallelism * 2)
-            rep = F.struct("id", "vn", "cell_bucket", "src_batch",
-                           "ingest_batch")
-            packed = (self.spark.read
-                      .option("basePath", self.path)
-                      .parquet(*[p.toString() for p in gens])
-                      .groupBy("cell", "v")
-                      .agg(F.min_by(rep, F.col("src_batch"))
-                           .alias("lo"),
-                           F.max_by(rep, F.col("src_batch"))
-                           .alias("hi")))
-            self._gen_df = (
-                packed.select(
-                    "cell", "v",
-                    F.explode(F.when(
-                        F.col("lo.src_batch") == F.col("hi.src_batch"),
-                        F.array("lo")).otherwise(F.array("lo", "hi")))
-                    .alias("r"))
-                .select("cell", "v", "r.*")
-                .repartition(spread)
-                .persist(StorageLevel.MEMORY_AND_DISK))
-            # eager: the serving loop pays the one-time decode here,
-            # not inside its next micro-batch
-            try:
-                self._gen_df.count()
-            except BaseException:
-                df, self._gen_df = self._gen_df, None
-                try:
-                    df.unpersist(blocking=False)
-                except Exception:
-                    pass
-                raise
-        self._gen_names = names
-
-    def index_frame(self):
-        """The probe's view of the accumulated index: the IMMUTABLE
-        generations served from the handle's Spark cache (decoded
-        once — at 2k-doc batches the per-batch re-scan + vector
-        decode of the generation was the single largest serving
-        cost, ~60 s of CPU per batch at a 180k-row index; §19
-        add. 8), unioned with a FRESH read of the live
-        ``ingest_batch>=0`` dirs (mutated every batch, byte-small).
-        A maintenance fold changes the generation set — detected by
-        dir listing here and the cache refreshed in place, safe
-        because a fold's output is verdict-equivalent to its
-        sources. Returns None for an empty index."""
-        gens, lives = self._list_ingest()
-        names = {p.getName() for p in gens}
-        # the second clause matters: a FAILED prior refresh (build
-        # threw after _gen_names was recorded) leaves _gen_df None
-        # with names current — without it the cache would silently
-        # never rebuild and every verdict would run without
-        # generation witnesses (review r9)
-        if names != self._gen_names or (names and
-                                        self._gen_df is None):
-            self._refresh_generations()
-        parts = []
-        if self._gen_df is not None:
-            parts.append(self._gen_df)
-        if lives:
-            # live dirs are byte-tiny one-file-per-bucket appends —
-            # spread them here so their share of the pair fold never
-            # single-tasks (the cached part is pre-spread at persist)
-            spread = self.spark.sparkContext.defaultParallelism
-            parts.append(self.spark.read
-                         .option("basePath", self.path)
-                         .parquet(*[p.toString() for p in lives])
-                         .repartition(spread))
-        if not parts:
-            return None
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
 
     def check_fresh(self) -> None:
         """Raise StaleQuantizerError if the persisted quantizer moved
@@ -382,13 +257,7 @@ class SemanticIndexHandle:
 
     def close(self) -> None:
         release_assignment(self.prepared)
-        if self._gen_df is not None:
-            try:
-                self._gen_df.unpersist(blocking=False)
-            except Exception:
-                pass
-            self._gen_df = None
-            self._gen_names = set()
+        self._release_generation_cache()
 
 
 class StaleQuantizerError(RuntimeError):
