@@ -189,6 +189,15 @@ def _table_dtype(cards: dict) -> tuple[np.dtype, list[tuple[str, str, int]]]:
     seen: set[str] = set()
     for i in range(1, tfields + 1):
         name = str(_req(cards, f"TTYPE{i}")).strip()
+        if not name:
+            # A corrupt card like `TTYPE2 = /TSYS'` decodes to an empty
+            # value ('/' starts a FITS comment). np.dtype silently
+            # auto-names the field ('f1'), so the later arr[""] lookup
+            # raises a raw ValueError past the quarantine contract.
+            raise FitsFormatError(f"empty column name in TTYPE{i}")
+        if not all(32 <= ord(c) < 127 for c in name):
+            raise FitsFormatError(
+                f"non-printable-ASCII column name in TTYPE{i}: {name!r}")
         if name in seen:
             # np.dtype would raise a raw ValueError ('field occurs
             # more than once') — keep the structured-rejection contract
