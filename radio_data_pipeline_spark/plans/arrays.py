@@ -1317,3 +1317,58 @@ def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (knn_join(anchors, emb, k=_KNN_K, n_planes=_KNN_PLANES,
                      n_probes=2, seed=7, bucket_cap=None)
             .orderBy("vec_id", "rank"))
+
+
+# one persisted LSH index per (process, sf_dir): the registered query
+# must be a pure function of its inputs, so the index content is fully
+# determined by (sf_dir, pinned planes/seed) and building it once per
+# process is a cache, not a semantic difference
+_LSH_IDX_CACHE: dict[str, str] = {}
+
+
+def _lsh_index_for(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from radio_data_pipeline_spark.functions.similarity import (
+        write_lsh_index,
+    )
+
+    path = _LSH_IDX_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        path = tempfile.mkdtemp(prefix="rdps_knn_lsh_idx_")
+        write_lsh_index(_emb_fanned(spark, sf_dir), path,
+                        n_planes=_KNN_PLANES, seed=7)
+        _LSH_IDX_CACHE[sf_dir] = path
+    return path
+
+
+@register(
+    "knn_join_indexed_topk",
+    oracle=_knn_join_oracle(),
+    doc="knn_join_topk reshaped for a PERSISTED corpus "
+        "(functions/similarity.py knn_join_indexed over a "
+        "write_lsh_index layout): identical results by construction "
+        "(shared _probe_schedule_cols probe schedule, parity-pinned "
+        "in tests/test_layout.py), so it shares knn_join_topk's "
+        "DuckDB oracle verbatim. What changes is the cost model — "
+        "the batch's distinct probe buckets become an IN partition "
+        "filter on the hive lsh_bucket=K/ layout (planning-time "
+        "pruning; probe I/O scales with the batch, not the corpus) "
+        "and the micro-batch query side is broadcast into the pruned "
+        "scan, so the full corpus is never shuffled. The serving-path "
+        "form of batch retrieval at 100 TB.",
+    tags=("similarity", "topk", "lsh", "join", "index"),
+)
+def knn_join_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.functions.similarity import (
+        knn_join_indexed,
+    )
+
+    emb = _emb_fanned(spark, sf_dir)
+    anchors = emb.filter(F.col("vec_id") % _KNN_ANCHOR_MOD == 0)
+    return (knn_join_indexed(spark, anchors,
+                             _lsh_index_for(spark, sf_dir),
+                             k=_KNN_K, n_planes=_KNN_PLANES,
+                             n_probes=2, seed=7, bucket_cap=None)
+            .orderBy("vec_id", "rank"))

@@ -140,19 +140,26 @@ SAMPLE_WINDOW = (
     "radio_hires_continuum",
     # array/vector semantics (A1-A2, F4-F7, M7; vector_slice_sum and
     # vector_onoff_diff rotated out — vector_mask_negative_sum
-    # carries F4/F7, radio_spectrum_distributed carries M7)
+    # carries F4/F7, radio_spectrum_distributed carries M7.
+    # vector_elementwise_sum rotated out for r10: the posexplode+
+    # groupBy(pos) A2 shape is carried in-window by
+    # radio_spectrum_distributed and radio_hires_spectrum_banded,
+    # and stays oracle-checked in the full sweep + bench suite)
     "vector_sum", "vector_mask_negative_sum",
-    "vector_elementwise_sum",
     # semantic dedup (SemDeDup) — round-5 family + the round-6
     # incremental-ingest form (frozen quantizer, arrival-order wins)
     "semantic_dedup_stats", "semantic_dedup_survivors_incremental",
     # ANN / similarity search (incl. the round-5 retrieval tier;
     # quantized_rerank_topk rotated out for r8 —
     # embedding_quantize_int8 + pq_adc_topk carry the
-    # quantize-then-rerank shape)
-    "cosine_topk", "lsh_bucket_topk", "embedding_near_dup_lsh",
-    "ivf_topk", "knn_join_topk", "embedding_quantize_int8",
-    "pq_adc_topk",
+    # quantize-then-rerank shape. lsh_bucket_topk rotated out for
+    # r10: the LSH-probe shape is carried in-window by knn_join_topk
+    # + embedding_near_dup_lsh + the new persisted-index form below.
+    # knn_join_indexed_topk rotated IN for r10 (r9 VERDICT #3-adj):
+    # the persisted-ANN-index serving path gets driver-gate evidence)
+    "cosine_topk", "embedding_near_dup_lsh",
+    "ivf_topk", "knn_join_topk", "knn_join_indexed_topk",
+    "embedding_quantize_int8", "pq_adc_topk",
     # embedding analytics
     "vector_dft8", "label_centroid_dispersion",
     # span-level exact-substring dedup — round-6 family
@@ -170,6 +177,10 @@ SAMPLE_WINDOW = (
     "dedup_exact", "minhash_lsh_pairs",
     "simhash_docs", "dedup_clusters", "near_dup_survivors_greedy",
     "corpus_refinery_report",
+    # round-10 rotation (r9 VERDICT #2): the composed multi-signal
+    # gate's batch form — round 9's capstone tier — gets driver-gate
+    # evidence (batch equivalence anchor for streaming/multi_signal)
+    "dedup_multi_signal",
     # text analysis (doc_fingerprint rotated out, covered by family)
     "text_stats", "language_id", "quality_score",
     # multimodal representative

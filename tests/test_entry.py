@@ -76,6 +76,10 @@ def test_sample_window_pins_critical_families_in_first_50():
         # builder rewrites need driver-gate evidence
         {"orders_gini_coefficient"}, {"orders_pareto_share"},
         {"customer_rfm_segments"},
+        # round-10 rotations (r9 VERDICT #2): the composed
+        # multi-signal gate's batch form and the persisted-ANN-index
+        # retrieval path
+        {"dedup_multi_signal"}, {"knn_join_indexed_topk"},
     ]:
         assert family & window, f"family {family} outside sample window"
     # vector semantics family
