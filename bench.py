@@ -182,7 +182,24 @@ def main() -> None:
             else:
                 _stream_file(entry.path)
 
+    # Ambient machine state (r9 VERDICT #3): round-over-round bench
+    # deltas on this shared VM have repeatedly been ambient noise
+    # (1.07x -> 1.25x with zero plan changes); stamp the load so the
+    # artifact itself can adjudicate quiet-vs-loaded runs.
+    load_start = tuple(round(v, 2) for v in os.getloadavg())
+    if load_start[0] > 0.5:
+        print(f"bench: NOTE ambient 1-min loadavg {load_start[0]} > 0.5 "
+              "at start — timings may be inflated by background load",
+              file=sys.stderr)
+
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
     timings: dict[str, float] = {}
+    timings_median: dict[str, float] = {}
+    timings_max: dict[str, float] = {}
     cold: dict[str, float] = {}
     build: dict[str, float] = {}
     for name in HEADLINE:
@@ -197,6 +214,8 @@ def main() -> None:
         # first run pays JVM codegen compilation; recorded in `cold`
         cold[name] = round(build[name] + runs[0], 3)
         timings[name] = round(min(runs), 3)
+        timings_median[name] = round(_median(runs), 3)
+        timings_max[name] = round(max(runs), 3)
         # free deferred build-time caches (global-rank builders) so a
         # custom SPARK_GRAFT_BENCH_QUERIES list can't accumulate them
         from radio_data_pipeline_spark.plans.registry import (
@@ -206,6 +225,7 @@ def main() -> None:
     # Same-machine baseline: run each headline query's DuckDB oracle
     # on the same parquet files, per query, best-of-RUNS like Spark.
     duckdb_timings: dict[str, float] = {}
+    duckdb_timings_median: dict[str, float] = {}
     oracle_errors: dict[str, str] = {}
     try:
         import duckdb
@@ -264,6 +284,7 @@ def main() -> None:
                                 # by rebuilding the connection
                                 con = _fresh_con()
                 duckdb_timings[name] = round(min(runs), 3)
+                duckdb_timings_median[name] = round(_median(runs), 3)
             except Exception as exc:  # visible, but never fail the bench
                 oracle_errors[name] = f"{type(exc).__name__}: {exc}"
                 print(f"bench: duckdb oracle failed for {name}: {exc}",
@@ -284,10 +305,19 @@ def main() -> None:
         "cold_total": round(sum(cold.values()), 3),
         "runs_per_query": RUNS,
         "materialization": "noop-write (all output columns computed)",
+        # per-query spread: `queries` stays best-of-N (the recorded
+        # metric since r1); median/max expose run-to-run variance so
+        # an ambient-load swing is visible inside ONE artifact
+        "queries_median": timings_median,
+        "queries_max": timings_max,
+        "median_total": round(sum(timings_median.values()), 3),
+        "loadavg_start": list(load_start),
+        "loadavg_end": [round(v, 2) for v in os.getloadavg()],
     }
     if duckdb_timings:
         out["duckdb_baseline_total"] = round(sum(duckdb_timings.values()), 3)
         out["duckdb_queries"] = duckdb_timings
+        out["duckdb_queries_median"] = duckdb_timings_median
         out["vs_duckdb_ratio"] = round(
             out["value"] / out["duckdb_baseline_total"], 2)
         out["vs_duckdb_per_query"] = {
