@@ -48,6 +48,9 @@ attempt.
 from __future__ import annotations
 
 import json
+import threading as _threading
+import time as _time
+from collections import deque as _deque
 from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -254,7 +257,8 @@ def _next_generation(sources, generation: int) -> int:
     return min([generation] + [g - 1 for g in gen_ids if g < 0])
 
 
-def _nonempty_dirs(fs, dirs) -> list:
+def _nonempty_dirs(fs, dirs, known_nonempty: "set[str] | None" = None,
+                   ) -> list:
     """Subset of ``dirs`` that contain at least one parquet data
     file. A zero-row append (a micro-batch whose every doc the gate
     dropped, or an empty arriving file) commits a ``_SUCCESS``-only
@@ -265,11 +269,25 @@ def _nonempty_dirs(fs, dirs) -> list:
     the dirs stay visible to LISTINGS (signals still count them, so
     maintenance folds eventually delete them). Local paths walk in
     Python with early exit (the §21 py4j-per-file tax); remote
-    schemes take the first hit of the recursive listing RPC."""
+    schemes take the first hit of the recursive listing RPC.
+
+    ``known_nonempty``: optional mutable cache of dir NAMES already
+    seen to hold data — a dir that has data never becomes empty
+    while it exists (replay overwrites keep the same name), so
+    serving handles pass a per-handle set and only not-yet-nonempty
+    dirs are re-walked each call. Without it every handle kernel
+    call re-pays one recursive walk (locally) or listFiles RPC
+    (remote) PER LIVE DIR — partially re-introducing the per-batch
+    listing cost the handle exists to amortize (r9 ADVICE). Only
+    positive results are cached; zero-row dirs stay re-checked."""
     import os
 
     out = []
     for p in dirs:
+        if known_nonempty is not None \
+                and p.getName() in known_nonempty:
+            out.append(p)
+            continue
         uri = p.toUri()
         if uri.getScheme() in (None, "file"):
             found = False
@@ -286,6 +304,8 @@ def _nonempty_dirs(fs, dirs) -> list:
                         .endswith(".parquet")):
                     out.append(p)
                     break
+    if known_nonempty is not None:
+        known_nonempty.update(p.getName() for p in out)
     return out
 
 
@@ -348,6 +368,10 @@ class GenerationCachedHandle:
     def _init_generation_cache(self) -> None:
         self._gen_df = None
         self._gen_names: set[str] = set()
+        # positive-only _nonempty_dirs cache: a dir seen with data
+        # never becomes empty while it exists (r9 ADVICE — without
+        # this every kernel call re-walks every live dir)
+        self._nonempty_names: set[str] = set()
 
     def _list_ingest(self) -> tuple[list, list]:
         """(generation dirs, live batch dirs) — one driver listing.
@@ -356,7 +380,7 @@ class GenerationCachedHandle:
         break the per-dir parquet reads, and they stay visible to
         signals/compaction for eventual cleanup."""
         fs, _, dirs = _ingest_dirs(self.spark, self.path)
-        dirs = _nonempty_dirs(fs, dirs)
+        dirs = _nonempty_dirs(fs, dirs, self._nonempty_names)
         gens = [p for p in dirs
                 if int(p.getName().split("=", 1)[1]) < 0]
         lives = [p for p in dirs
@@ -669,6 +693,58 @@ class MaintenanceLeaseHeld(RuntimeError):
     commits already landed (the next batch simply re-decides)."""
 
 
+# Dead-letter record of in-stream maintenance skips (r9 VERDICT #5):
+# the skip-with-warning paths were previously only a RuntimeWarning —
+# invisible to a production loop that needs to ALERT on persistent
+# lease contention (a maintainer that never gets a turn means the
+# index degrades exactly like the unmaintained control in
+# BENCH_SCALING §22). foreachBatch callbacks can't return values, so
+# the channel is a process-global counter: exact counts per index
+# path + site, with a bounded FIFO of recent reasons (the capped
+# _DEFERRED_RELEASE pattern — counters never lie, detail is bounded).
+_MAINT_SKIP_LOCK = _threading.Lock()
+_MAINT_SKIP_COUNTS: "dict[tuple[str, str], int]" = {}
+_MAINT_SKIP_RECENT: "deque[dict]" = _deque(maxlen=100)
+
+
+def record_maintenance_skip(index_path: str, site: str,
+                            reason: str) -> None:
+    """Count one skipped maintenance round (lease contention) at
+    `site` for `index_path`. Called by every in-stream skip path
+    alongside its RuntimeWarning; safe from foreachBatch threads."""
+    with _MAINT_SKIP_LOCK:
+        key = (index_path, site)
+        _MAINT_SKIP_COUNTS[key] = _MAINT_SKIP_COUNTS.get(key, 0) + 1
+        _MAINT_SKIP_RECENT.append(
+            {"index_path": index_path, "site": site,
+             "reason": reason, "time": _time.time()})
+
+
+def maintenance_skips(index_path: str | None = None) -> dict:
+    """Countable skip report for alerting: total + per-(path, site)
+    counts (optionally filtered to one index) and the bounded recent
+    detail. A loop that sees `total` grow every round has persistent
+    lease contention and should page, not warn."""
+    with _MAINT_SKIP_LOCK:
+        items = [(p, s, n) for (p, s), n in _MAINT_SKIP_COUNTS.items()
+                 if index_path is None or p == index_path]
+        recent = [r for r in _MAINT_SKIP_RECENT
+                  if index_path is None
+                  or r["index_path"] == index_path]
+    return {
+        "total": sum(n for _, _, n in items),
+        "by_site": {f"{p}::{s}": n for p, s, n in items},
+        "recent": recent,
+    }
+
+
+def reset_maintenance_skips() -> None:
+    """Test/ops seam: zero the counters (e.g. after an alert window)."""
+    with _MAINT_SKIP_LOCK:
+        _MAINT_SKIP_COUNTS.clear()
+        _MAINT_SKIP_RECENT.clear()
+
+
 @_contextmanager
 def maintenance_lease(spark: SparkSession, index_path: str, op: str,
                       ttl_seconds: float = _LEASE_TTL_SECONDS):
@@ -916,7 +992,11 @@ def _footer_rows_local(dirs) -> int | None:
 
     Counts exactly what a full ``spark.read.parquet(root).count()``
     counts, including crash-window duplicates across an unfinished
-    fold's sources and output — both readers see the same files."""
+    fold's sources and output — both readers see the same files.
+    Hidden dirs (``_temporary`` commit staging, ``.``-prefixed) are
+    pruned during the walk, matching Spark's hidden-path filter —
+    without this a CONCURRENT writer's in-flight staging files
+    transiently inflate the row/occupancy signals (r9 ADVICE)."""
     import os as _os
 
     import pyarrow.parquet as _pq
@@ -926,9 +1006,12 @@ def _footer_rows_local(dirs) -> int | None:
         uri = p.toUri()
         if uri.getScheme() not in (None, "file"):
             return None
-        for dirpath, _, files in _os.walk(uri.getPath()):
+        for dirpath, dirnames, files in _os.walk(uri.getPath()):
+            dirnames[:] = [d for d in dirnames
+                           if not d.startswith(("_", "."))]
             for f in files:
-                if f.endswith(".parquet"):
+                if f.endswith(".parquet") \
+                        and not f.startswith(("_", ".")):
                     total += _pq.ParquetFile(
                         _os.path.join(dirpath, f)).metadata.num_rows
     return total
@@ -1273,7 +1356,10 @@ def stream_dedup_ingest(stream_df: DataFrame, index_path: str,
                 # transient contention with an external maintainer:
                 # skipping the round is completely safe (the next
                 # batch re-decides) — killing the whole ingest query
-                # over it is not (review r9)
+                # over it is not (review r9). Countable for alerting
+                # via maintenance_skips() (r9 VERDICT #5).
+                record_maintenance_skip(index_path,
+                                        "band_ingest", str(e))
                 _warnings.warn(
                     f"in-stream maintenance skipped this round: {e}",
                     RuntimeWarning, stacklevel=2)

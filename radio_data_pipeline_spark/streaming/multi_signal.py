@@ -96,10 +96,19 @@ def multi_signal_batch_against_indexes(
     # persisted: feeds the semantic kernel's rows AND the final
     # survivor anti-join — without it the band probe would run twice
     band_survivors.persist()
-    survivors, rows = semantic_dedup_batch_against_index(
-        band_survivors, semantic_index, batch_id, eps=eps,
-        vec_col=vec_col, id_col=id_col,
-        dedup_identical=dedup_identical)
+    try:
+        survivors, rows = semantic_dedup_batch_against_index(
+            band_survivors, semantic_index, batch_id, eps=eps,
+            vec_col=vec_col, id_col=id_col,
+            dedup_identical=dedup_identical)
+    except BaseException:
+        # callers' unpersist-finally blocks wrap only the COMMITS; a
+        # semantic-stage raise (StaleQuantizerError, quantizer read
+        # failure) here would leak the two already-persisted frames
+        # into the shared session (r9 ADVICE)
+        bands.unpersist()
+        band_survivors.unpersist()
+        raise
     return survivors, bands, rows, band_survivors
 
 
@@ -190,7 +199,7 @@ def backfill_multi_signal(corpus_df: DataFrame, band_index_path: str,
                           json.dumps(plan, sort_keys=True))
 
     n_chunks, bounds = plan["n_chunks"], plan["bounds"]
-    resumed_from, ran = 0, 0
+    resumed_from, ran, skipped = 0, 0, 0
     for i in range(n_chunks):
         _, marker = _hadoop_fs(spark, f"{out_path}/_backfill/done_{i}")
         if fs.exists(marker):
@@ -227,7 +236,10 @@ def backfill_multi_signal(corpus_df: DataFrame, band_index_path: str,
         if band_policy is not None or semantic_policy is not None:
             import warnings as _warnings
 
-            from .dedup import MaintenanceLeaseHeld
+            from .dedup import (
+                MaintenanceLeaseHeld,
+                record_maintenance_skip,
+            )
             try:
                 if band_policy is not None:
                     maintain_band_index(spark, band_index_path,
@@ -236,12 +248,17 @@ def backfill_multi_signal(corpus_df: DataFrame, band_index_path: str,
                     maintain_semantic_index(spark, semantic_index_path,
                                             semantic_policy)
             except MaintenanceLeaseHeld as e:
-                # contention is transient; the next chunk re-decides
+                # contention is transient; the next chunk re-decides.
+                # Counted in the returned report AND the global
+                # dead-letter log (r9 VERDICT #5).
+                skipped += 1
+                record_maintenance_skip(band_index_path,
+                                        "backfill", str(e))
                 _warnings.warn(
                     f"backfill maintenance skipped after chunk {i}: "
                     f"{e}", RuntimeWarning, stacklevel=2)
     return {"chunks": n_chunks, "resumed_from": resumed_from,
-            "ran": ran}
+            "ran": ran, "maintenance_skips": skipped}
 
 
 def stream_multi_signal_ingest(
@@ -338,7 +355,7 @@ def stream_multi_signal_ingest(
             batch_df.unpersist()
         import warnings as _warnings
 
-        from .dedup import MaintenanceLeaseHeld
+        from .dedup import MaintenanceLeaseHeld, record_maintenance_skip
 
         if band_policy is not None:
             try:
@@ -347,7 +364,10 @@ def stream_multi_signal_ingest(
             except MaintenanceLeaseHeld as e:
                 # transient contention with an external maintainer:
                 # skip the round, never kill the ingest query (the
-                # next batch re-decides — review r9)
+                # next batch re-decides — review r9). Countable for
+                # alerting via maintenance_skips() (r9 VERDICT #5).
+                record_maintenance_skip(band_index_path,
+                                        "multi_signal_band", str(e))
                 _warnings.warn(
                     f"in-stream band maintenance skipped: {e}",
                     RuntimeWarning, stacklevel=2)
@@ -357,6 +377,9 @@ def stream_multi_signal_ingest(
                                               semantic_index_path,
                                               semantic_policy)
             except MaintenanceLeaseHeld as e:
+                record_maintenance_skip(semantic_index_path,
+                                        "multi_signal_semantic",
+                                        str(e))
                 _warnings.warn(
                     f"in-stream semantic maintenance skipped: {e}",
                     RuntimeWarning, stacklevel=2)

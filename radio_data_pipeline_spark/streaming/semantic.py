@@ -509,9 +509,26 @@ def semantic_dedup_batch_against_index(
         # replay contract the failed batch re-runs against the NEW
         # quantizer and its overwrite replaces the mis-filed dir
         # (self-healing), where silence would leave rows under dead
-        # cells forever
+        # cells forever. _GUARD_ISSUED_PATHS makes attribute
+        # shedding STRUCTURAL-loud at append time (r9 ADVICE): any
+        # transformation of `rows` returns a new object without the
+        # attribute, and append_semantic_batch refuses a guard-less
+        # append to a path recorded here.
         rows._rdps_quantizer_guard = qguard
+        _GUARD_ISSUED_PATHS.add(qguard[0])
     return survivors, rows
+
+
+# index paths for which a kernel in THIS process issued a quantizer
+# guard: append_semantic_batch refuses a guard-less append to one —
+# the attribute channel silently sheds across any DataFrame
+# transformation, so the degradation must be loud, not conventional
+# (r9 ADVICE). Paths are tiny strings; the set is process-lifetime.
+_GUARD_ISSUED_PATHS: "set[str]" = set()
+
+# explicit opt-out for appends genuinely unrelated to a kernel probe
+# (synthetic rows, offline refile tooling): pass as quantizer_guard
+SKIP_QUANTIZER_GUARD = ("skip-quantizer-guard",)
 
 
 def append_semantic_batch(rows: DataFrame, index_path: str,
@@ -556,16 +573,29 @@ def append_semantic_batch(rows: DataFrame, index_path: str,
     # write itself is covered; cost is one driver listing (~1 ms
     # local). Only checked when the append targets the index the
     # kernel probed.
-    # The attribute channel is CONVENTION-BOUND: it survives only
-    # when the caller appends the exact ``rows`` object the kernel
-    # returned (as every wrapper and the backfill do) — any
-    # DataFrame transformation returns a new Python object without
-    # it, silently shedding the check. A caller that filters or
-    # reselects rows before appending must pass the guard explicitly
-    # via ``quantizer_guard`` (the tuple from
-    # ``rows._rdps_quantizer_guard``) to keep the defense.
+    # The attribute channel survives only when the caller appends the
+    # exact ``rows`` object the kernel returned (as every wrapper and
+    # the backfill do) — any DataFrame transformation returns a new
+    # Python object without it. The shedding is made STRUCTURAL-loud
+    # below (r9 ADVICE): a guard-less append to an index path the
+    # kernel has probed in this process is refused with instructions,
+    # instead of silently running unguarded. Transform-then-append
+    # callers pass the tuple from ``rows._rdps_quantizer_guard``;
+    # genuinely kernel-free appends pass SKIP_QUANTIZER_GUARD.
     guard = quantizer_guard if quantizer_guard is not None else \
         getattr(rows, "_rdps_quantizer_guard", None)
+    if guard is SKIP_QUANTIZER_GUARD:
+        guard = None
+    elif guard is None and index_path in _GUARD_ISSUED_PATHS:
+        raise ValueError(
+            f"append_semantic_batch: no quantizer guard on rows "
+            f"destined for {index_path}, but a kernel probed this "
+            "index in this process — the rows object was transformed "
+            "after the kernel returned it, shedding the append-time "
+            "requantize defense. Pass quantizer_guard= (the tuple "
+            "from the kernel rows' _rdps_quantizer_guard) to keep "
+            "the check, or SKIP_QUANTIZER_GUARD for an append "
+            "genuinely unrelated to a kernel probe.")
     if guard is not None and guard[0] == index_path:
         from .dedup import _dir_snapshot
 
@@ -1086,7 +1116,11 @@ def stream_semantic_ingest(stream_df: DataFrame, index_path: str,
             except MaintenanceLeaseHeld as e:
                 # transient contention with an external maintainer:
                 # skip the round, never kill the ingest query whose
-                # commits already landed (review r9)
+                # commits already landed (review r9). Countable for
+                # alerting via maintenance_skips() (r9 VERDICT #5).
+                from .dedup import record_maintenance_skip
+                record_maintenance_skip(index_path,
+                                        "semantic_ingest", str(e))
                 _warnings.warn(
                     f"in-stream maintenance skipped this round: {e}",
                     RuntimeWarning, stacklevel=2)

@@ -864,8 +864,10 @@ def test_in_stream_maintenance_skips_on_held_lease(spark, tmp_path):
     import os
 
     from radio_data_pipeline_spark.streaming.dedup import (
-        BandMaintenancePolicy, band_index_signals)
+        BandMaintenancePolicy, band_index_signals,
+        maintenance_skips, reset_maintenance_skips)
 
+    reset_maintenance_skips()
     df = _corpus(spark, 40)
     expected = sorted(
         r["doc_id"]
@@ -894,6 +896,19 @@ def test_in_stream_maintenance_skips_on_held_lease(spark, tmp_path):
     assert band_index_signals(spark, index)["generations"] == 0
     assert _json.loads(
         open(f"{index}/_maintenance.lease").read())["op"] == "external"
+    # r9 VERDICT #5: the skip must be COUNTABLE, not just printed — a
+    # production loop alerts on persistent lease contention through
+    # maintenance_skips(), which foreachBatch warnings can't feed
+    skips = maintenance_skips(index)
+    assert skips["total"] >= 1
+    assert skips["by_site"] == {f"{index}::band_ingest": skips["total"]}
+    assert skips["recent"][-1]["site"] == "band_ingest"
+    assert "lease" in skips["recent"][-1]["reason"]
+    # filtered view excludes other indexes; global view includes this
+    assert maintenance_skips("/nonexistent")["total"] == 0
+    assert maintenance_skips()["total"] >= skips["total"]
+    reset_maintenance_skips()
+    assert maintenance_skips()["total"] == 0
 
 
 def test_concurrent_external_maintenance_never_corrupts(spark,

@@ -315,7 +315,8 @@ def test_backfill_fresh_run_matches_reference(spark, tmp_path):
 
     rep = backfill_multi_signal(df, band_index, sem_index, out,
                                 chunk_rows=30, eps=_EPS)
-    assert rep == {"chunks": 3, "resumed_from": 0, "ran": 3}
+    assert rep == {"chunks": 3, "resumed_from": 0, "ran": 3,
+                   "maintenance_skips": 0}
     got = sorted(r["doc_id"] for r in
                  spark.read.parquet(f"{out}/batch=*")
                  .select("doc_id").collect())
@@ -398,3 +399,26 @@ def test_wrapper_validates_arguments(spark, tmp_path):
                 semantic_handle=sh)
     finally:
         sh.close()
+
+
+def test_kernel_raise_unpersists_band_frames(spark, tmp_path,
+                                             monkeypatch):
+    """If the SEMANTIC stage raises mid-kernel (StaleQuantizerError,
+    quantizer read failure), the already-persisted `bands` and
+    `band_survivors` frames must not leak into the shared session —
+    the callers' unpersist-finally blocks wrap only the commits, not
+    the kernel call (r9 ADVICE)."""
+    import radio_data_pipeline_spark.streaming.multi_signal as ms
+
+    df = _ms_corpus(spark, n=30)
+    band_index, sem_index = _init_indexes(spark, df, tmp_path)
+
+    def boom(*a, **kw):
+        raise RuntimeError("synthetic semantic-stage failure")
+
+    monkeypatch.setattr(ms, "semantic_dedup_batch_against_index", boom)
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    with pytest.raises(RuntimeError, match="synthetic semantic"):
+        multi_signal_batch_against_indexes(df, band_index, sem_index, 0)
+    assert jsc.getPersistentRDDs().size() == before

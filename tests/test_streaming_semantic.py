@@ -1280,6 +1280,16 @@ def test_append_guard_catches_mid_batch_requantize(spark, tmp_path):
     with pytest.raises(RuntimeError, match="quantizer.*changed"):
         append_semantic_batch(transformed, index, 11,
                               quantizer_guard=g)
+    # STRUCTURAL channel (r9 ADVICE): a guard-LESS transformed append
+    # to a kernel-probed path is refused with instructions — the
+    # defense no longer degrades to convention silently
+    with pytest.raises(ValueError, match="shedding"):
+        append_semantic_batch(transformed, index, 11)
+    # explicit opt-out for genuinely kernel-free appends still works
+    from radio_data_pipeline_spark.streaming.semantic import (
+        SKIP_QUANTIZER_GUARD)
+    append_semantic_batch(transformed.limit(0), index, 12,
+                          quantizer_guard=SKIP_QUANTIZER_GUARD)
     rows2.unpersist()
 
 
@@ -1297,7 +1307,11 @@ def test_zero_row_append_does_not_break_readers(spark, tmp_path):
     _, rows = semantic_dedup_batch_against_index(df, index, 0,
                                                  eps=_EPS)
     append_semantic_batch(rows, index, 0)
-    append_semantic_batch(rows.filter(F.lit(False)), index, 1)
+    # the filter sheds the kernel's guard attribute; the explicit
+    # parameter keeps the appends' requantize defense (a guard-less
+    # transformed append is refused — see the structural-guard test)
+    append_semantic_batch(rows.filter(F.lit(False)), index, 1,
+                          quantizer_guard=rows._rdps_quantizer_guard)
     rows.unpersist()
     assert semantic_index_signals(spark, index)["live_batches"] == 2
 
