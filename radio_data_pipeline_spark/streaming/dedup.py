@@ -615,6 +615,30 @@ def dedup_batch_against_index(batch_df: DataFrame, index_path: str,
     return survivors, bands
 
 
+def spread_for_write(df: DataFrame, *key_cols,
+                     factor: int = 1) -> DataFrame:
+    """Explicit-count repartition that opts the exchange out of AQE
+    partition coalescing — the one legitimate form of the
+    byte-blindness fix (§19 add. 8, tools/audit_tasks.py): a
+    micro-batch or refile is byte-LIGHT however many partition dirs
+    it touches, so AQE's compressed-byte-based coalescing collapses
+    the shuffle to 1-2 tasks and a single task pays every
+    parquet-writer open + dir commit sequentially. Pinning the count
+    at ``defaultParallelism * factor`` spreads the writer opens while
+    each key still hashes to exactly one reducer (layout unchanged);
+    with no ``key_cols`` it is a plain round-robin spread (probe
+    reads). This helper exists so the NEXT call site can't be born
+    byte-blind with a hand-rolled variant (r9 VERDICT #8) — the five
+    previously-patched sites (band/semantic micro-batch appends, the
+    fold write, the requantize refile, the path-mode probe spread)
+    all route through it."""
+    n = df.sparkSession.sparkContext.defaultParallelism * factor
+    if key_cols:
+        return df.repartition(n, *[F.col(c) if isinstance(c, str)
+                                   else c for c in key_cols])
+    return df.repartition(n)
+
+
 def append_batch_bands(bands: DataFrame, index_path: str,
                        batch_id: int) -> None:
     """Commit a batch's band rows into the persisted index under its
@@ -666,10 +690,9 @@ def append_batch_bands(bands: DataFrame, index_path: str,
     # (the fourth byte-blindness site, measured on the semantic
     # append — §19 add. 8). Each key still hashes to exactly one
     # reducer: layout unchanged, writer opens spread.
-    spread = bands.sparkSession.sparkContext.defaultParallelism
-    (bands.withColumn("src_batch", F.lit(batch_id))
-     .withColumn("bh_prefix", guarded)
-     .repartition(spread, F.col("band_id"), F.col("bh_prefix"))
+    (spread_for_write(bands.withColumn("src_batch", F.lit(batch_id))
+                      .withColumn("bh_prefix", guarded),
+                      "band_id", "bh_prefix")
      .write.mode("overwrite").partitionBy("band_id", "bh_prefix")
      .parquet(f"{index_path}/ingest_batch={batch_id}"))
 
@@ -1119,9 +1142,7 @@ def _compact_ingest_index_locked(spark, index_path, data_cols,
         # byte-blindness site, same class and same fix as the
         # micro-batch appends, §19 add. 8). Each key still hashes to
         # exactly one reducer: layout unchanged, writer opens spread.
-        spread = spark.sparkContext.defaultParallelism
-        (folded.repartition(spread,
-                            *[F.col(c) for c in partition_cols])
+        (spread_for_write(folded, *partition_cols)
          .write.mode("overwrite").partitionBy(*partition_cols)
          .parquet(f"{index_path}/ingest_batch={new_gen}"))
     # the fold scales with index size: keep a LIVE compaction from

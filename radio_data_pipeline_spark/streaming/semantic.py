@@ -464,9 +464,9 @@ def semantic_dedup_batch_against_index(
         # no per-batch shuffle of index rows at all.
         pruned = idx.filter(F.col("cell").isin(cells))
         if handle is None:
-            spread = (idx.sparkSession.sparkContext
-                      .defaultParallelism * 2)
-            pruned = pruned.repartition(spread)
+            from .dedup import spread_for_write
+
+            pruned = spread_for_write(pruned, factor=2)
         matched = (
             pruned
             .join(F.broadcast(assigned.select(
@@ -554,9 +554,10 @@ def append_semantic_batch(rows: DataFrame, index_path: str,
     directories sequentially — 2.4 s of the ~7 s 2k-batch wall,
     ~0.3 s spread (§19 add. 8). Each bucket still hashes to exactly
     one reducer, so the one-file-per-dir layout is unchanged."""
-    spread = rows.sparkSession.sparkContext.defaultParallelism
-    (rows.withColumn("src_batch", F.lit(batch_id))
-     .repartition(spread, F.col("cell_bucket"))
+    from .dedup import spread_for_write
+
+    (spread_for_write(rows.withColumn("src_batch", F.lit(batch_id)),
+                      "cell_bucket")
      .write.mode("overwrite").partitionBy("cell_bucket")
      .parquet(f"{index_path}/ingest_batch={batch_id}"))
     # quantizer guard (attached by the kernel): re-snapshot AFTER the
@@ -807,8 +808,9 @@ def _requantize_body(spark, index_path, n_clusters, lloyd_rounds,
         # so a small-corpus refile collapses its writer opens + dir
         # commits into a handful of tasks. Keys still hash to one
         # reducer each: layout unchanged.
-        spread = spark.sparkContext.defaultParallelism
-        (refiled.repartition(spread, F.col("cell_bucket"))
+        from .dedup import spread_for_write
+
+        (spread_for_write(refiled, "cell_bucket")
          .write.mode("overwrite").partitionBy("cell_bucket")
          .parquet(f"{index_path}/ingest_batch={new_gen}"))
 
