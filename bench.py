@@ -320,6 +320,13 @@ def main() -> None:
         out["duckdb_queries_median"] = duckdb_timings_median
         out["vs_duckdb_ratio"] = round(
             out["value"] / out["duckdb_baseline_total"], 2)
+        # median-vs-median secondary ratio: under ambient load the
+        # best-of-N min can be lucky on one engine and not the other;
+        # a large min/median divergence IS the load signal
+        duck_med_total = sum(duckdb_timings_median.values())
+        if duck_med_total:
+            out["vs_duckdb_ratio_median"] = round(
+                out["median_total"] / duck_med_total, 2)
         out["vs_duckdb_per_query"] = {
             n: round(timings[n] / duckdb_timings[n], 2)
             for n in timings if duckdb_timings.get(n)

@@ -475,3 +475,19 @@ def test_global_windows_confined_to_bounded_allowlist():
         f"{sorted(gwin - _BOUNDED_GLOBAL_WINDOWS)} — either rewrite "
         "onto sources/layout.global_row_number/global_ntile or "
         "justify boundedness here and in tools/audit_plans.py")
+
+
+def test_knn_join_indexed_query_prunes_partitions(spark, sfq):
+    """The registered knn_join_indexed_topk (r10 rotation): the
+    batch's distinct probe buckets must reach the index scan as an
+    lsh_bucket IN partition filter — planning-time pruning is the
+    query's entire cost model (probe I/O scales with the batch, not
+    the corpus), and the query side must broadcast into the pruned
+    scan rather than shuffling the corpus."""
+    plan = _plan(spark, sfq("knn_join_indexed_topk"))
+    pf_line = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "lsh_bucket" in pf_line and " IN (" in pf_line
+    assert "BroadcastHashJoin" in plan
+    # no full-corpus shuffle for candidate generation: the only
+    # exchanges are the per-query top-k window's
+    assert "CartesianProduct" not in plan

@@ -48,7 +48,7 @@ from radio_data_pipeline_spark.streaming.semantic import (  # noqa: E402
 )
 
 _FLAGS = ("--batch-docs", "--n-batches", "--maintain",
-          "--over-occupancy")
+          "--over-occupancy", "--race-at")
 
 
 def _flag(name: str, default, cast=int):
@@ -79,8 +79,98 @@ BATCH_DOCS = _flag("--batch-docs", 2000)
 N_BATCHES = _flag("--n-batches", 50)
 MAINTAIN = _flag("--maintain", 8)
 OVER_OCC = _flag("--over-occupancy", 1.5, float)
+# --race-at B1,B2: at these serve batches, inject a REQUANTIZE between
+# the kernel's assignment and the batch's index append — the exact
+# race the append-time quantizer guard exists for. The soak asserts
+# the guard fires (RuntimeError), the batch REPLAYS cleanly against
+# the new quantizer through a fresh handle, the replay equals an
+# independent uncontended recompute exactly (id-set equality), and a
+# dead-cell integrity sweep passes (every indexed cell exists in the
+# new quantizer) — r9 VERDICT #6: guard + replay must compose
+# REPEATEDLY under load, interleaved with policy-driven maintenance.
+RACE_AT = ([int(x) for x in
+            _flag("--race-at", "", str).split(",") if x]
+           if "--race-at" in sys.argv else [])
 EPS = 0.8
 TARGET = 256
+
+
+def _race_batch(spark, index: str, chunk, b: int):
+    """Inject the assignment-vs-requantize race at serve batch ``b``
+    and prove the guard + replay composition (see RACE_AT). Returns
+    (replay_wall_seconds, fresh_handle) with the batch committed."""
+    from radio_data_pipeline_spark.streaming.semantic import (
+        read_semantic_quantizer,
+        requantize_semantic_index,
+    )
+
+    # 1. assign with the CURRENT quantizer (path mode so the kernel
+    #    snapshots the pre-race quantizer for the append-time guard)
+    _, rows = semantic_dedup_batch_against_index(chunk, index, b,
+                                                 eps=EPS)
+    rows.count()  # force assignment before the swap
+
+    # 2. a requantize lands between assignment and append
+    n_idx = spark.read.parquet(index).count()
+    k_new = max(2, n_idx // TARGET)
+    t0 = time.monotonic()
+    requantize_semantic_index(spark, index, n_clusters=k_new,
+                              lloyd_rounds=2, train_fraction=0.2)
+    print(f"  batch {b}: RACE requantize (k={k_new}) injected "
+          f"between assignment and append "
+          f"({time.monotonic() - t0:.1f}s)")
+
+    # 3. the append-time guard MUST fail the stale batch loudly
+    try:
+        append_semantic_batch(rows, index, b)
+        raise AssertionError(
+            f"batch {b}: append-time quantizer guard did NOT fire")
+    except RuntimeError as e:
+        if "quantizer" not in str(e):
+            raise
+        print(f"  batch {b}: append-time guard fired as required")
+    rows.unpersist()
+
+    # 4. replay against the NEW quantizer through a fresh handle —
+    #    the streaming contract's self-healing path
+    t0 = time.monotonic()
+    h = open_semantic_index(spark, index)
+    surv_r, rows_r = semantic_dedup_batch_against_index(chunk, h, b,
+                                                        eps=EPS)
+    replay_ids = sorted(r["vec_id"] for r in
+                        surv_r.select("vec_id").collect())
+    (surv_r.write.mode("overwrite")
+     .parquet(f"{WORK}/out/batch={b}"))
+    append_semantic_batch(rows_r, index, b)
+    wall = time.monotonic() - t0
+    rows_r.unpersist()
+
+    # 5. the replay equals an UNCONTENDED recompute exactly: a batch
+    #    that never saw the race produces the identical survivor set
+    surv_c, rows_c = semantic_dedup_batch_against_index(chunk, h, b,
+                                                        eps=EPS)
+    control_ids = sorted(r["vec_id"] for r in
+                         surv_c.select("vec_id").collect())
+    rows_c.unpersist()
+    assert replay_ids == control_ids, (
+        f"batch {b}: replayed survivors diverge from the uncontended "
+        f"recompute ({len(replay_ids)} vs {len(control_ids)})")
+
+    # 6. dead-cell integrity: every cell in the index must exist in
+    #    the new quantizer — a mis-filed row would be invisible to
+    #    every future probe
+    cents, _ = read_semantic_quantizer(spark, index)
+    live_cells = {r["cell"] for r in spark.read.parquet(index)
+                  .select("cell").distinct().collect()}
+    quant_cells = {r["cluster"] for r in
+                   cents.select("cluster").distinct().collect()}
+    dead = live_cells - quant_cells
+    assert not dead, (
+        f"batch {b}: {len(dead)} dead cells in index after replay")
+    print(f"  batch {b}: replay == uncontended recompute "
+          f"({len(replay_ids)} survivors); integrity sweep clean "
+          f"({len(live_cells)} live cells within k={len(quant_cells)})")
+    return wall, h
 
 
 def main() -> None:
@@ -152,15 +242,22 @@ def main() -> None:
                                        & (F.col("_rnk") < lo + BATCH_DOCS))
                          .drop("_rnk"))
                 chunk.persist().count()
-                t0 = time.monotonic()
-                survivors, rows = semantic_dedup_batch_against_index(
-                    chunk, h, b, eps=EPS)
-                (survivors.write.mode("overwrite")
-                 .parquet(f"{WORK}/out/batch={b}"))
-                append_semantic_batch(rows, index, b)
-                walls.append(time.monotonic() - t0)
-                rows.unpersist()
-                chunk.unpersist()
+                if b in RACE_AT:
+                    h.close()
+                    wall, h = _race_batch(spark, index, chunk, b)
+                    walls.append(wall)
+                    chunk.unpersist()
+                else:
+                    t0 = time.monotonic()
+                    survivors, rows = \
+                        semantic_dedup_batch_against_index(
+                            chunk, h, b, eps=EPS)
+                    (survivors.write.mode("overwrite")
+                     .parquet(f"{WORK}/out/batch={b}"))
+                    append_semantic_batch(rows, index, b)
+                    walls.append(time.monotonic() - t0)
+                    rows.unpersist()
+                    chunk.unpersist()
 
                 t0 = time.monotonic()
                 rep = maintain_semantic_index(spark, index, pol)
