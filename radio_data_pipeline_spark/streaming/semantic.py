@@ -438,35 +438,53 @@ def semantic_dedup_batch_against_index(
     elif index is not None:
         idx = index
     if idx is not None:
-        # bounded driver metadata: <= min(|batch|, k) cell ids. In
-        # path mode the derived bucket set is a planning-time
-        # PARTITION prune (dirs are cell_bucket=, bounded width) and
-        # the cell IN-list skips row groups via parquet min/max
-        # stats; in DataFrame mode both are plain filters.
-        cells = [r["cluster"]
-                 for r in assigned.select("cluster").distinct().collect()]
-        if path_mode:
-            buckets = sorted({int(c) % n_buckets for c in cells})
-            idx = idx.filter(F.col("cell_bucket").isin(buckets))
-        # round-robin the PRUNED scan before the pair join: the pair
-        # count per index row is |batch ∩ cell|, and cell sizes follow
-        # the data — a clustered corpus concentrates pairs in a few
-        # hot cells whose rows sit in one or two parquet splits, so
-        # the broadcast-hash join leaves 10%+ of all pair compute in
-        # a single task (measured at a 100k-doc index, 2k batch: 4.3M
-        # pairs, 519k in ONE cell; probe 13.7 s as scanned vs 2.6 s
-        # spread — AQE cannot split it, the hot partition is bytes-
-        # small). The shuffle moves only the pruned rows the join
-        # reads anyway; there is no aggregation across the join, so
-        # round-robin placement changes nothing downstream. In
-        # handle mode the frame arrives pre-spread (generation cache
-        # persisted round-robin, live dirs spread in index_frame) —
-        # no per-batch shuffle of index rows at all.
-        pruned = idx.filter(F.col("cell").isin(cells))
         if handle is None:
+            # bounded driver metadata: <= min(|batch|, k) cell ids.
+            # In path mode the derived bucket set is a planning-time
+            # PARTITION prune (dirs are cell_bucket=, bounded width)
+            # and the cell IN-list skips row groups via parquet
+            # min/max stats; in DataFrame mode both are plain
+            # filters.
+            cells = [r["cluster"] for r in
+                     assigned.select("cluster").distinct().collect()]
+            if path_mode:
+                buckets = sorted({int(c) % n_buckets for c in cells})
+                idx = idx.filter(F.col("cell_bucket").isin(buckets))
+            # round-robin the PRUNED scan before the pair join: the
+            # pair count per index row is |batch ∩ cell|, and cell
+            # sizes follow the data — a clustered corpus concentrates
+            # pairs in a few hot cells whose rows sit in one or two
+            # parquet splits, so the broadcast-hash join leaves 10%+
+            # of all pair compute in a single task (measured at a
+            # 100k-doc index, 2k batch: 4.3M pairs, 519k in ONE
+            # cell; probe 13.7 s as scanned vs 2.6 s spread — AQE
+            # cannot split it, the hot partition is bytes-small).
+            # The shuffle moves only the rows the join reads anyway;
+            # there is no aggregation across the join, so
+            # round-robin placement changes nothing downstream.
+            pruned = idx.filter(F.col("cell").isin(cells))
             from .dedup import spread_for_write
 
             pruned = spread_for_write(pruned, factor=2)
+        else:
+            # handle mode: the frame is the handle's PERSISTED
+            # generation cache (pre-spread, memory-speed scan) plus
+            # the live batch dirs, and the broadcast equi-join on
+            # `cell` below IS the cell restriction (inner join ⊆
+            # any IN-filter on the same column) — so the
+            # driver-literal prune bought only row-group skipping on
+            # the LIVE dirs, which are micro-batch-sized and bounded
+            # by the compaction cadence (≤ compact_after_batches ×
+            # |batch| rows). It cost one eager distinct+collect JOB
+            # per batch (~2.3 s CPU at k=3732 — it forces the
+            # assignment materialization as its own job) plus a
+            # min(|batch|, k)-value IN-list literal the planner
+            # re-optimizes every batch. Measured at the 1M-row index:
+            # dropping it took 2k-doc batches from ~12-17 s to
+            # ~7.4-8.0 s (§25c). Pairs produced, and therefore
+            # verdicts, are identical by construction; pinned by the
+            # handle-vs-path equivalence tests.
+            pruned = idx
         matched = (
             pruned
             .join(F.broadcast(assigned.select(
