@@ -192,10 +192,7 @@ def main() -> None:
               "at start — timings may be inflated by background load",
               file=sys.stderr)
 
-    def _median(xs: list[float]) -> float:
-        s = sorted(xs)
-        n = len(s)
-        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    from statistics import median as _median
 
     timings: dict[str, float] = {}
     timings_median: dict[str, float] = {}
@@ -322,11 +319,16 @@ def main() -> None:
             out["value"] / out["duckdb_baseline_total"], 2)
         # median-vs-median secondary ratio: under ambient load the
         # best-of-N min can be lucky on one engine and not the other;
-        # a large min/median divergence IS the load signal
+        # a large min/median divergence IS the load signal. Both
+        # sides sum the SAME query set — an oracle failure drops the
+        # query from numerator and denominator alike, not just one
         duck_med_total = sum(duckdb_timings_median.values())
+        spark_med_matched = sum(
+            v for n, v in timings_median.items()
+            if n in duckdb_timings_median)
         if duck_med_total:
             out["vs_duckdb_ratio_median"] = round(
-                out["median_total"] / duck_med_total, 2)
+                spark_med_matched / duck_med_total, 2)
         out["vs_duckdb_per_query"] = {
             n: round(timings[n] / duckdb_timings[n], 2)
             for n in timings if duckdb_timings.get(n)

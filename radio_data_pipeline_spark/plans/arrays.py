@@ -1336,7 +1336,14 @@ def _lsh_index_for(spark: SparkSession, sf_dir: str) -> str:
 
     path = _LSH_IDX_CACHE.get(sf_dir)
     if path is None or not os.path.isdir(path):
+        import atexit
+        import shutil
+
         path = tempfile.mkdtemp(prefix="rdps_knn_lsh_idx_")
+        # the dir outlives nothing: remove it at process exit so
+        # repeated gate/bench/test runs don't accumulate corpus
+        # copies under /tmp (round-10 review)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
         write_lsh_index(_emb_fanned(spark, sf_dir), path,
                         n_planes=_KNN_PLANES, seed=7)
         _LSH_IDX_CACHE[sf_dir] = path

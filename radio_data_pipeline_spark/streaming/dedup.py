@@ -279,7 +279,15 @@ def _nonempty_dirs(fs, dirs, known_nonempty: "set[str] | None" = None,
     call re-pays one recursive walk (locally) or listFiles RPC
     (remote) PER LIVE DIR — partially re-introducing the per-batch
     listing cost the handle exists to amortize (r9 ADVICE). Only
-    positive results are cached; zero-row dirs stay re-checked."""
+    positive results are cached; zero-row dirs stay re-checked.
+
+    Known limit: the cache assumes a dir NAME is never deleted and
+    then recreated DATA-LESS within one handle's lifetime. Reaching
+    that requires reusing a batch id against an index whose earlier
+    same-id batch a fold already relabeled — which the replay
+    contract forbids anyway (the src_batch exclusion would misbehave
+    first); fresh-checkpoint restarts must target a fresh index or
+    keep ids monotone (batch_offset), per the module docstring."""
     import os
 
     out = []

@@ -240,23 +240,31 @@ def backfill_multi_signal(corpus_df: DataFrame, band_index_path: str,
                 MaintenanceLeaseHeld,
                 record_maintenance_skip,
             )
-            try:
-                if band_policy is not None:
-                    maintain_band_index(spark, band_index_path,
-                                        band_policy)
-                if semantic_policy is not None:
-                    maintain_semantic_index(spark, semantic_index_path,
-                                            semantic_policy)
-            except MaintenanceLeaseHeld as e:
-                # contention is transient; the next chunk re-decides.
-                # Counted in the returned report AND the global
-                # dead-letter log (r9 VERDICT #5).
-                skipped += 1
-                record_maintenance_skip(band_index_path,
-                                        "backfill", str(e))
-                _warnings.warn(
-                    f"backfill maintenance skipped after chunk {i}: "
-                    f"{e}", RuntimeWarning, stacklevel=2)
+
+            # each index maintained under its OWN try: a band-lease
+            # skip must not also skip semantic maintenance, and each
+            # skip must be attributed to the index that was actually
+            # starved (round-10 review — an operator paging on
+            # maintenance_skips(semantic_index_path) must see
+            # semantic contention, not a healthy-band false flag)
+            for pol, path, maintain in (
+                    (band_policy, band_index_path,
+                     maintain_band_index),
+                    (semantic_policy, semantic_index_path,
+                     maintain_semantic_index)):
+                if pol is None:
+                    continue
+                try:
+                    maintain(spark, path, pol)
+                except MaintenanceLeaseHeld as e:
+                    # contention is transient; the next chunk
+                    # re-decides. Counted in the returned report AND
+                    # the global dead-letter log (r9 VERDICT #5).
+                    skipped += 1
+                    record_maintenance_skip(path, "backfill", str(e))
+                    _warnings.warn(
+                        f"backfill maintenance skipped after chunk "
+                        f"{i}: {e}", RuntimeWarning, stacklevel=2)
     return {"chunks": n_chunks, "resumed_from": resumed_from,
             "ran": ran, "maintenance_skips": skipped}
 

@@ -400,6 +400,26 @@ def semantic_dedup_batch_against_index(
                         F.pmod(F.col("cell"),
                                F.lit(n_buckets)).cast("int")))
     rows.persist()
+    try:
+        return _finish_semantic_batch(
+            rows, batch_df, batch_id, eps, dedup_identical, handle,
+            index, path_mode, n_buckets, id_col, qguard, spark)
+    except BaseException:
+        # the kernel owns `rows` until it returns it: a failure in
+        # the remaining build (e.g. the path-mode cells collect on a
+        # transient FS error) must not leak the just-persisted frame
+        # into the shared session (round-10 review — the one-frame-
+        # deeper sibling of the multi_signal kernel's leak guard)
+        rows.unpersist()
+        raise
+
+
+def _finish_semantic_batch(rows, batch_df, batch_id, eps,
+                           dedup_identical, handle, index, path_mode,
+                           n_buckets, id_col, qguard, spark):
+    """Probe + verdict construction over the persisted assignment
+    frame — split out so semantic_dedup_batch_against_index can
+    guarantee `rows` never leaks on a mid-build failure."""
     assigned = rows.select(F.col("id").alias("vec_id"), "v", "vn",
                            F.col("cell").alias("cluster"))
 
@@ -574,6 +594,25 @@ def append_semantic_batch(rows: DataFrame, index_path: str,
     one reducer, so the one-file-per-dir layout is unchanged."""
     from .dedup import spread_for_write
 
+    # resolve the guard BEFORE the write: the guard-less refusal
+    # below must keep unguarded rows OUT of the index — raising
+    # after the parquet commit would leave exactly the rows the
+    # refusal exists to block standing committed (round-10 review)
+    guard = quantizer_guard if quantizer_guard is not None else \
+        getattr(rows, "_rdps_quantizer_guard", None)
+    if guard is SKIP_QUANTIZER_GUARD:
+        guard = None
+    elif guard is None and index_path in _GUARD_ISSUED_PATHS:
+        raise ValueError(
+            f"append_semantic_batch: no quantizer guard on rows "
+            f"destined for {index_path}, but a kernel probed this "
+            "index in this process — the rows object was transformed "
+            "after the kernel returned it, shedding the append-time "
+            "requantize defense. Pass quantizer_guard= (the tuple "
+            "from the kernel rows' _rdps_quantizer_guard) to keep "
+            "the check, or SKIP_QUANTIZER_GUARD for an append "
+            "genuinely unrelated to a kernel probe.")
+
     (spread_for_write(rows.withColumn("src_batch", F.lit(batch_id)),
                       "cell_bucket")
      .write.mode("overwrite").partitionBy("cell_bucket")
@@ -596,25 +635,11 @@ def append_semantic_batch(rows: DataFrame, index_path: str,
     # exact ``rows`` object the kernel returned (as every wrapper and
     # the backfill do) — any DataFrame transformation returns a new
     # Python object without it. The shedding is made STRUCTURAL-loud
-    # below (r9 ADVICE): a guard-less append to an index path the
-    # kernel has probed in this process is refused with instructions,
-    # instead of silently running unguarded. Transform-then-append
-    # callers pass the tuple from ``rows._rdps_quantizer_guard``;
-    # genuinely kernel-free appends pass SKIP_QUANTIZER_GUARD.
-    guard = quantizer_guard if quantizer_guard is not None else \
-        getattr(rows, "_rdps_quantizer_guard", None)
-    if guard is SKIP_QUANTIZER_GUARD:
-        guard = None
-    elif guard is None and index_path in _GUARD_ISSUED_PATHS:
-        raise ValueError(
-            f"append_semantic_batch: no quantizer guard on rows "
-            f"destined for {index_path}, but a kernel probed this "
-            "index in this process — the rows object was transformed "
-            "after the kernel returned it, shedding the append-time "
-            "requantize defense. Pass quantizer_guard= (the tuple "
-            "from the kernel rows' _rdps_quantizer_guard) to keep "
-            "the check, or SKIP_QUANTIZER_GUARD for an append "
-            "genuinely unrelated to a kernel probe.")
+    # (r9 ADVICE) by the PRE-write refusal above: a guard-less append
+    # to an index path the kernel has probed in this process never
+    # reaches the write. Transform-then-append callers pass the tuple
+    # from ``rows._rdps_quantizer_guard``; genuinely kernel-free
+    # appends pass SKIP_QUANTIZER_GUARD.
     if guard is not None and guard[0] == index_path:
         from .dedup import _dir_snapshot
 

@@ -422,3 +422,47 @@ def test_kernel_raise_unpersists_band_frames(spark, tmp_path,
     with pytest.raises(RuntimeError, match="synthetic semantic"):
         multi_signal_batch_against_indexes(df, band_index, sem_index, 0)
     assert jsc.getPersistentRDDs().size() == before
+
+
+def test_backfill_attributes_skips_to_the_starved_index(
+        spark, tmp_path):
+    """A held SEMANTIC lease during backfill maintenance must be
+    counted against the semantic index (and band maintenance must
+    still run) — not misattributed to the band index (round-10
+    review: an operator paging on
+    maintenance_skips(semantic_index_path) must see the starvation)."""
+    import json as _json
+    import os
+
+    from radio_data_pipeline_spark.streaming.dedup import (
+        BandMaintenancePolicy, maintenance_skips,
+        reset_maintenance_skips)
+    from radio_data_pipeline_spark.streaming.multi_signal import (
+        backfill_multi_signal)
+    from radio_data_pipeline_spark.streaming.semantic import (
+        MaintenancePolicy)
+
+    reset_maintenance_skips()
+    df = _ms_corpus(spark, n=30)
+    band_index, sem_index = _init_indexes(spark, df, tmp_path)
+    os.makedirs(sem_index, exist_ok=True)
+    with open(f"{sem_index}/_maintenance.lease", "w") as f:
+        f.write(_json.dumps({"op": "external", "lease_id": "x",
+                             "acquired_at": 0}))
+
+    rep = backfill_multi_signal(
+        df, band_index, sem_index, str(tmp_path / "out"),
+        chunk_rows=15, eps=_EPS,
+        band_policy=BandMaintenancePolicy(compact_after_batches=1),
+        semantic_policy=MaintenancePolicy(compact_after_batches=1))
+    assert rep["maintenance_skips"] >= 1
+    # attributed to the SEMANTIC index; the band index ran its
+    # maintenance rounds unskipped
+    assert maintenance_skips(sem_index)["total"] == \
+        rep["maintenance_skips"]
+    assert maintenance_skips(band_index)["total"] == 0
+    # band maintenance actually ran: the band index has generations
+    from radio_data_pipeline_spark.streaming.dedup import (
+        band_index_signals)
+    assert band_index_signals(spark, band_index)["generations"] >= 1
+    reset_maintenance_skips()

@@ -1282,9 +1282,15 @@ def test_append_guard_catches_mid_batch_requantize(spark, tmp_path):
                               quantizer_guard=g)
     # STRUCTURAL channel (r9 ADVICE): a guard-LESS transformed append
     # to a kernel-probed path is refused with instructions — the
-    # defense no longer degrades to convention silently
+    # defense no longer degrades to convention silently. The refusal
+    # must fire BEFORE the write (round-10 review): a post-write
+    # refusal would leave exactly the unguarded rows it exists to
+    # block standing committed in the index.
+    import os as _os
     with pytest.raises(ValueError, match="shedding"):
-        append_semantic_batch(transformed, index, 11)
+        append_semantic_batch(transformed, index, 13)
+    assert not _os.path.exists(f"{index}/ingest_batch=13"), \
+        "refused append must not have committed"
     # explicit opt-out for genuinely kernel-free appends still works
     from radio_data_pipeline_spark.streaming.semantic import (
         SKIP_QUANTIZER_GUARD)

@@ -88,9 +88,8 @@ OVER_OCC = _flag("--over-occupancy", 1.5, float)
 # dead-cell integrity sweep passes (every indexed cell exists in the
 # new quantizer) — r9 VERDICT #6: guard + replay must compose
 # REPEATEDLY under load, interleaved with policy-driven maintenance.
-RACE_AT = ([int(x) for x in
-            _flag("--race-at", "", str).split(",") if x]
-           if "--race-at" in sys.argv else [])
+RACE_AT = [int(x) for x in
+           _flag("--race-at", "", str).split(",") if x]
 EPS = 0.8
 TARGET = 256
 
