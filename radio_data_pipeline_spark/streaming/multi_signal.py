@@ -109,6 +109,13 @@ def multi_signal_batch_against_indexes(
         bands.unpersist()
         band_survivors.unpersist()
         raise
+    # NOTE on the concurrent commits downstream: rows/band_survivors
+    # are returned persisted but LAZY — safe, because Spark's
+    # BlockManager serializes concurrent computation of the same
+    # cached partition (getOrElseUpdate block locks), so two commit
+    # threads cannot duplicate the assignment work. An eager
+    # rows.count() barrier here was tried and measured as pure
+    # overhead (one extra job per batch, commit walls unchanged).
     return survivors, bands, rows, band_survivors
 
 
