@@ -182,42 +182,80 @@ def main() -> None:
             else:
                 _stream_file(entry.path)
 
-    # Ambient machine state (r9 VERDICT #3): round-over-round bench
-    # deltas on this shared VM have repeatedly been ambient noise
-    # (1.07x -> 1.25x with zero plan changes); stamp the load so the
-    # artifact itself can adjudicate quiet-vs-loaded runs.
-    load_start = tuple(round(v, 2) for v in os.getloadavg())
-    if load_start[0] > 0.5:
-        print(f"bench: NOTE ambient 1-min loadavg {load_start[0]} > 0.5 "
-              "at start — timings may be inflated by background load",
-              file=sys.stderr)
+    def _measure_spark() -> dict:
+        """One full Spark measurement pass over HEADLINE (best-of-RUNS
+        per query), loadavg-stamped — extracted so the cool-down retry
+        below can run it twice."""
+        from statistics import median as _median
 
-    from statistics import median as _median
-
-    timings: dict[str, float] = {}
-    timings_median: dict[str, float] = {}
-    timings_max: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    build: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = queries[name](spark, SF_DIR)
-        build[name] = round(time.perf_counter() - t0, 3)
-        runs = []
-        for _ in range(RUNS):
+        load_start = tuple(round(v, 2) for v in os.getloadavg())
+        if load_start[0] > 0.5:
+            print(f"bench: NOTE ambient 1-min loadavg {load_start[0]} "
+                  "> 0.5 at start — timings may be inflated by "
+                  "background load", file=sys.stderr)
+        timings: dict[str, float] = {}
+        timings_median: dict[str, float] = {}
+        timings_max: dict[str, float] = {}
+        cold: dict[str, float] = {}
+        build: dict[str, float] = {}
+        for name in HEADLINE:
             t0 = time.perf_counter()
-            _materialize(df)
-            runs.append(time.perf_counter() - t0)
-        # first run pays JVM codegen compilation; recorded in `cold`
-        cold[name] = round(build[name] + runs[0], 3)
-        timings[name] = round(min(runs), 3)
-        timings_median[name] = round(_median(runs), 3)
-        timings_max[name] = round(max(runs), 3)
-        # free deferred build-time caches (global-rank builders) so a
-        # custom SPARK_GRAFT_BENCH_QUERIES list can't accumulate them
-        from radio_data_pipeline_spark.plans.registry import (
-            release_deferred)
-        release_deferred()
+            df = queries[name](spark, SF_DIR)
+            build[name] = round(time.perf_counter() - t0, 3)
+            runs = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                _materialize(df)
+                runs.append(time.perf_counter() - t0)
+            # first run pays JVM codegen compilation; in `cold`
+            cold[name] = round(build[name] + runs[0], 3)
+            timings[name] = round(min(runs), 3)
+            timings_median[name] = round(_median(runs), 3)
+            timings_max[name] = round(max(runs), 3)
+            # free deferred build-time caches (global-rank builders)
+            # so a custom SPARK_GRAFT_BENCH_QUERIES list can't
+            # accumulate them
+            from radio_data_pipeline_spark.plans.registry import (
+                release_deferred)
+            release_deferred()
+        return {"timings": timings, "timings_median": timings_median,
+                "timings_max": timings_max, "cold": cold,
+                "build": build, "load_start": load_start,
+                "total": round(sum(timings.values()), 3),
+                "median_total": round(sum(timings_median.values()), 3)}
+
+    # Cool-down retry (r10 VERDICT #8): a loaded start previously
+    # still became the artifact of record (r10: 1.34x recorded at
+    # loadavg 4.54 while the same tree measured 1.13x quiet). If the
+    # first attempt both STARTED loaded (1-min load > 0.5) and SHOWS
+    # the load signature (median_total / best-of-N total > 1.5), wait
+    # a bounded cool-down and re-measure ONCE; the attempt with the
+    # lower median_total (the robust statistic) is the reading of
+    # record and the artifact stamps both attempts' summaries.
+    # Disable with SPARK_GRAFT_BENCH_RETRY=0.
+    attempts = [_measure_spark()]
+    retry_on = os.environ.get("SPARK_GRAFT_BENCH_RETRY", "1") != "0"
+    a0 = attempts[0]
+    if (retry_on and a0["load_start"][0] > 0.5 and a0["total"] > 0
+            and a0["median_total"] / a0["total"] > 1.5):
+        cooldown = int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN_S",
+                                      "45"))
+        print(f"bench: loaded start (loadavg {a0['load_start'][0]}) "
+              f"with median/min spread "
+              f"{a0['median_total'] / a0['total']:.2f}x — cooling "
+              f"down {cooldown}s and re-measuring once",
+              file=sys.stderr)
+        time.sleep(cooldown)
+        attempts.append(_measure_spark())
+    rec = min(range(len(attempts)),
+              key=lambda i: attempts[i]["median_total"])
+    chosen = attempts[rec]
+    timings = chosen["timings"]
+    timings_median = chosen["timings_median"]
+    timings_max = chosen["timings_max"]
+    cold = chosen["cold"]
+    build = chosen["build"]
+    load_start = chosen["load_start"]
 
     # Same-machine baseline: run each headline query's DuckDB oracle
     # on the same parquet files, per query, best-of-RUNS like Spark.
@@ -311,6 +349,16 @@ def main() -> None:
         "loadavg_start": list(load_start),
         "loadavg_end": [round(v, 2) for v in os.getloadavg()],
     }
+    if len(attempts) > 1:
+        # both attempts' summaries + which one the artifact records
+        out["retry"] = {
+            "recorded_attempt": rec,
+            "attempt_totals": [a["total"] for a in attempts],
+            "attempt_median_totals": [a["median_total"]
+                                      for a in attempts],
+            "attempt_loadavg_start": [list(a["load_start"])
+                                      for a in attempts],
+        }
     if duckdb_timings:
         out["duckdb_baseline_total"] = round(sum(duckdb_timings.values()), 3)
         out["duckdb_queries"] = duckdb_timings
@@ -329,6 +377,19 @@ def main() -> None:
         if duck_med_total:
             out["vs_duckdb_ratio_median"] = round(
                 spark_med_matched / duck_med_total, 2)
+        # matched-set best-of-N ratio: vs_duckdb_ratio's numerator is
+        # the FULL suite total (the headline contract), so when any
+        # oracle fails it and the median ratio compare different query
+        # sets and their divergence stops being a load signal (r10
+        # ADVICE). This ratio restricts the min numerator to the same
+        # matched set the median ratio uses; matched_query_count makes
+        # a set mismatch visible at a glance (== len(queries) when all
+        # oracles ran).
+        spark_min_matched = sum(
+            v for n, v in timings.items() if n in duckdb_timings)
+        out["vs_duckdb_ratio_matched_min"] = round(
+            spark_min_matched / out["duckdb_baseline_total"], 2)
+        out["matched_query_count"] = len(duckdb_timings)
         out["vs_duckdb_per_query"] = {
             n: round(timings[n] / duckdb_timings[n], 2)
             for n in timings if duckdb_timings.get(n)

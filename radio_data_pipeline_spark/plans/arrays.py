@@ -12,6 +12,8 @@ defensive round(…, 6).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1322,8 +1324,15 @@ def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one persisted LSH index per (process, sf_dir): the registered query
 # must be a pure function of its inputs, so the index content is fully
 # determined by (sf_dir, pinned planes/seed) and building it once per
-# process is a cache, not a semantic difference
+# process is a cache, not a semantic difference. The lock serializes
+# concurrent builds (a gate harness running queries on threads would
+# otherwise race two write_lsh_index jobs into two dirs, last-wins —
+# r10 ADVICE); data regenerated IN-PLACE under the same sf_dir within
+# one process would serve a stale index, which the harnesses never do
+# (the driver and bench treat sf dirs as immutable inputs) — callers
+# that mutate a corpus dir must use a fresh path.
 _LSH_IDX_CACHE: dict[str, str] = {}
+_LSH_IDX_LOCK = threading.Lock()
 
 
 def _lsh_index_for(spark: SparkSession, sf_dir: str) -> str:
@@ -1334,20 +1343,21 @@ def _lsh_index_for(spark: SparkSession, sf_dir: str) -> str:
         write_lsh_index,
     )
 
-    path = _LSH_IDX_CACHE.get(sf_dir)
-    if path is None or not os.path.isdir(path):
-        import atexit
-        import shutil
+    with _LSH_IDX_LOCK:
+        path = _LSH_IDX_CACHE.get(sf_dir)
+        if path is None or not os.path.isdir(path):
+            import atexit
+            import shutil
 
-        path = tempfile.mkdtemp(prefix="rdps_knn_lsh_idx_")
-        # the dir outlives nothing: remove it at process exit so
-        # repeated gate/bench/test runs don't accumulate corpus
-        # copies under /tmp (round-10 review)
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
-        write_lsh_index(_emb_fanned(spark, sf_dir), path,
-                        n_planes=_KNN_PLANES, seed=7)
-        _LSH_IDX_CACHE[sf_dir] = path
-    return path
+            path = tempfile.mkdtemp(prefix="rdps_knn_lsh_idx_")
+            # the dir outlives nothing: remove it at process exit so
+            # repeated gate/bench/test runs don't accumulate corpus
+            # copies under /tmp (round-10 review)
+            atexit.register(shutil.rmtree, path, ignore_errors=True)
+            write_lsh_index(_emb_fanned(spark, sf_dir), path,
+                            n_planes=_KNN_PLANES, seed=7)
+            _LSH_IDX_CACHE[sf_dir] = path
+        return path
 
 
 @register(

@@ -465,13 +465,33 @@ class GenerationCachedHandle:
         if self._gen_df is not None:
             parts.append(self._gen_df)
         if lives:
-            live = (self.spark.read
-                    .option("basePath", self.path)
-                    .parquet(*[p.toString() for p in lives]))
-            if self._SPREAD_LIVE_READS:
-                live = live.repartition(
-                    self.spark.sparkContext.defaultParallelism)
-            parts.append(live)
+            try:
+                live = (self.spark.read
+                        .option("basePath", self.path)
+                        .parquet(*[p.toString() for p in lives]))
+            except Exception:
+                # the positive-name cache said these dirs hold data,
+                # but schema inference just failed — the one way a
+                # cached verdict can go stale is a live dir replay-
+                # overwritten with a ZERO-ROW commit under the same
+                # name (contract-unreachable, but a config change
+                # across a fresh-checkpoint restart against the same
+                # index could hit it — r10 ADVICE). Evict the cached
+                # names, re-walk, retry once; a second failure is a
+                # real read error and propagates.
+                self._nonempty_names -= {p.getName() for p in lives}
+                _, lives = self._list_ingest()
+                if not lives:
+                    live = None
+                else:
+                    live = (self.spark.read
+                            .option("basePath", self.path)
+                            .parquet(*[p.toString() for p in lives]))
+            if live is not None:
+                if self._SPREAD_LIVE_READS:
+                    live = live.repartition(
+                        self.spark.sparkContext.defaultParallelism)
+                parts.append(live)
         if not parts:
             return None
         out = parts[0]
@@ -566,8 +586,6 @@ def dedup_batch_against_index(batch_df: DataFrame, index_path: str,
     silently dropped. The own ``ingest_batch`` partition is still
     filtered out too, as a planning-time prune of the common
     (uncompacted) case."""
-    from pyspark.sql import Window
-
     spark = batch_df.sparkSession
     handle = None
     if isinstance(index_path, BandIndexHandle):
@@ -582,6 +600,25 @@ def dedup_batch_against_index(batch_df: DataFrame, index_path: str,
     bands = _prefixed_bands(batch_df, text_col, id_col,
                             n_hashes, band_size, k, prefix_len)
     bands.persist()
+    try:
+        return _finish_band_batch(spark, bands, batch_df, batch_id,
+                                  index_path, handle, id_col)
+    except BaseException:
+        # the kernel owns `bands` until it returns it: a transient
+        # failure in the remaining build (the probe-prefix collect is
+        # an eager driver job) must not leak the just-persisted frame
+        # into the shared session — the band sibling of the semantic
+        # kernel's _finish_semantic_batch guard (r10 ADVICE)
+        bands.unpersist()
+        raise
+
+
+def _finish_band_batch(spark, bands, batch_df, batch_id, index_path,
+                       handle, id_col):
+    """Probe + verdict construction over the persisted band frame —
+    split out so dedup_batch_against_index can guarantee ``bands``
+    never leaks on a mid-build failure."""
+    from pyspark.sql import Window
 
     w = Window.partitionBy("band_id", "band_hash")
     dropped = (bands.withColumn("bmin", F.min("id").over(w))
