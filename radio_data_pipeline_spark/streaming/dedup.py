@@ -365,17 +365,36 @@ class GenerationCachedHandle:
 
     Subclasses set ``_GEN_KEYS`` (the witness-dedup group),
     ``_GEN_REP_COLS`` (the non-key columns a representative
-    carries), ``_GEN_SPREAD_FACTOR``, ``_SPREAD_LIVE_READS``, and
-    must call ``_init_generation_cache()`` before any refresh."""
+    carries), ``_GEN_SPREAD_FACTOR``, ``_SPREAD_LIVE_READS``,
+    optionally ``_GEN_SORT_COL``, and must call
+    ``_init_generation_cache()`` before any refresh.
+
+    ``_GEN_SORT_COL``: when set, the cache is RANGE-partitioned and
+    sorted on that column instead of round-robin spread. Sorting
+    costs one sample pass at cache build (paid once per generation
+    set) and buys probe locality: the in-memory columnar batches
+    each span a narrow key range, so a probe-side key filter (the
+    kernel's conditional cell IN-list at large N, semantic.py)
+    rejects a row on the sorted key's column vector alone and the
+    row's heavy payload columns (the 64-dim ``v`` array) are never
+    deserialized — lazy per-column access in the columnar-to-row
+    path is the actual skip mechanism. Classic min/max batch-stat
+    pruning does NOT apply here: Spark's SimpleMetricsCachedBatch
+    stat filter handles ``In`` but not ``InSet``, the optimizer
+    rewrites any >10-literal IN to InSet, and forcing a ~2000-term
+    ``In`` overflows the driver stack at plan-serialization depth
+    (measured) — do not re-try that route without new evidence."""
 
     _GEN_KEYS: tuple = ()
     _GEN_REP_COLS: tuple = ()
     _GEN_SPREAD_FACTOR: int = 1
     _SPREAD_LIVE_READS: bool = False
+    _GEN_SORT_COL: "str | None" = None
 
     def _init_generation_cache(self) -> None:
         self._gen_df = None
         self._gen_names: set[str] = set()
+        self._gen_count: int = 0
         # positive-only _nonempty_dirs cache: a dir seen with data
         # never becomes empty while it exists (r9 ADVICE — without
         # this every kernel call re-walks every live dir)
@@ -426,20 +445,27 @@ class GenerationCachedHandle:
                            .alias("hi")))
             spread = (self.spark.sparkContext.defaultParallelism
                       * self._GEN_SPREAD_FACTOR)
-            self._gen_df = (
-                packed.select(
-                    *keys,
-                    F.explode(F.when(
-                        F.col("lo.src_batch") == F.col("hi.src_batch"),
-                        F.array("lo")).otherwise(F.array("lo", "hi")))
-                    .alias("r"))
-                .select(*keys, "r.*")
-                .repartition(spread)
-                .persist(StorageLevel.MEMORY_AND_DISK))
+            reps = (packed.select(
+                        *keys,
+                        F.explode(F.when(
+                            F.col("lo.src_batch")
+                            == F.col("hi.src_batch"),
+                            F.array("lo")).otherwise(
+                                F.array("lo", "hi")))
+                        .alias("r"))
+                    .select(*keys, "r.*"))
+            if self._GEN_SORT_COL is not None:
+                # probe-locality layout (see class docstring)
+                reps = (reps.repartitionByRange(
+                            spread, F.col(self._GEN_SORT_COL))
+                        .sortWithinPartitions(self._GEN_SORT_COL))
+            else:
+                reps = reps.repartition(spread)
+            self._gen_df = reps.persist(StorageLevel.MEMORY_AND_DISK)
             # eager: the serving loop pays the one-time decode here,
             # not inside its next micro-batch
             try:
-                self._gen_df.count()
+                self._gen_count = self._gen_df.count()
             except BaseException:
                 df, self._gen_df = self._gen_df, None
                 try:
@@ -447,6 +473,8 @@ class GenerationCachedHandle:
                 except Exception:
                     pass
                 raise
+        else:
+            self._gen_count = 0
         self._gen_names = names
 
     def index_frame(self):
@@ -507,6 +535,7 @@ class GenerationCachedHandle:
                 pass
             self._gen_df = None
             self._gen_names = set()
+            self._gen_count = 0
 
 
 class BandIndexHandle(GenerationCachedHandle):
@@ -773,37 +802,155 @@ class MaintenanceLeaseHeld(RuntimeError):
 _MAINT_SKIP_LOCK = _threading.Lock()
 _MAINT_SKIP_COUNTS: "dict[tuple[str, str], int]" = {}
 _MAINT_SKIP_RECENT: "deque[dict]" = _deque(maxlen=100)
+# persisted skip records live NEXT TO THE INDEX (underscore dir —
+# invisible to Spark's parquet readers, like _quantizer and the
+# lease): the in-memory counters above are process-global, so a
+# SECOND driver serving the same index would otherwise see an empty
+# skip history and never alert (r10 VERDICT #4). One append-only
+# jsonl per writer pid avoids cross-process append races; remote
+# schemes get one tiny file per skip (skips are rare by design —
+# persistent contention, the alert condition, is exactly when the
+# file count itself is the signal). NOTE the kernel-probe guard set
+# (_GUARD_ISSUED_PATHS, semantic.py) stays per-process BY DESIGN:
+# the guard tuple itself travels with the rows, so a second process
+# appending kernel rows carries its own guard — only the
+# shed-detection is per-process, and persisting it would turn a
+# structural-loudness aid into a cross-process coordination file.
+_MAINT_SKIP_DIRNAME = "_maintenance_skips"
+
+
+def _persist_skip(index_path: str, rec: dict) -> None:
+    """Best-effort append of one skip record under the index root —
+    a persistence failure must never fail the batch that skipped."""
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        u = urlparse(index_path)
+        if u.scheme in ("", "file"):
+            root = u.path if u.scheme == "file" else index_path
+            d = os.path.join(root, _MAINT_SKIP_DIRNAME)
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, f"skips-{os.getpid()}.jsonl"),
+                      "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        else:
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                return
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(
+                f"{index_path}/{_MAINT_SKIP_DIRNAME}/"
+                f"skip-{os.getpid()}-{rec['time']:.6f}.json")
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+            out = fs.create(p, True)
+            out.write(bytearray(json.dumps(rec).encode()))
+            out.close()
+    except Exception:
+        pass
+
+
+def _read_persisted_skips(index_path: str) -> list[dict]:
+    """All skip records ever persisted for this index, any process."""
+    import os
+    from urllib.parse import urlparse
+
+    recs: list[dict] = []
+    try:
+        u = urlparse(index_path)
+        if u.scheme in ("", "file"):
+            root = u.path if u.scheme == "file" else index_path
+            d = os.path.join(root, _MAINT_SKIP_DIRNAME)
+            if not os.path.isdir(d):
+                return []
+            for name in sorted(os.listdir(d)):
+                with open(os.path.join(d, name)) as f:
+                    if name.endswith(".jsonl"):
+                        recs.extend(json.loads(line)
+                                    for line in f if line.strip())
+                    else:
+                        recs.append(json.load(f))
+        else:
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                return []
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(
+                f"{index_path}/{_MAINT_SKIP_DIRNAME}")
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+            if not fs.exists(p):
+                return []
+            for st in fs.listStatus(p):
+                stream = fs.open(st.getPath())
+                try:
+                    data = bytes(
+                        jvm.org.apache.commons.io.IOUtils
+                        .toByteArray(stream))
+                finally:
+                    stream.close()
+                text = data.decode()
+                if st.getPath().getName().endswith(".jsonl"):
+                    recs.extend(json.loads(line)
+                                for line in text.splitlines()
+                                if line.strip())
+                else:
+                    recs.append(json.loads(text))
+    except Exception:
+        return recs
+    return recs
 
 
 def record_maintenance_skip(index_path: str, site: str,
                             reason: str) -> None:
     """Count one skipped maintenance round (lease contention) at
     `site` for `index_path`. Called by every in-stream skip path
-    alongside its RuntimeWarning; safe from foreachBatch threads."""
+    alongside its RuntimeWarning; safe from foreachBatch threads.
+    Also persisted under ``index_path/_maintenance_skips/`` so a
+    different driver process serving the same index can alert on the
+    full history (r10 VERDICT #4)."""
+    import os
+
+    rec = {"index_path": index_path, "site": site, "reason": reason,
+           "time": _time.time(), "pid": os.getpid()}
     with _MAINT_SKIP_LOCK:
         key = (index_path, site)
         _MAINT_SKIP_COUNTS[key] = _MAINT_SKIP_COUNTS.get(key, 0) + 1
-        _MAINT_SKIP_RECENT.append(
-            {"index_path": index_path, "site": site,
-             "reason": reason, "time": _time.time()})
+        _MAINT_SKIP_RECENT.append(rec)
+    _persist_skip(index_path, rec)
 
 
 def maintenance_skips(index_path: str | None = None) -> dict:
     """Countable skip report for alerting: total + per-(path, site)
     counts (optionally filtered to one index) and the bounded recent
     detail. A loop that sees `total` grow every round has persistent
-    lease contention and should page, not warn."""
+    lease contention and should page, not warn.
+
+    With ``index_path`` given, the report also carries a
+    ``persisted`` section — the cross-process history read back from
+    ``index_path/_maintenance_skips/`` (a SUPERSET that includes this
+    process's own records, kept separate from the in-memory section
+    so the two never double-count; in-memory counters survive
+    ``reset_maintenance_skips`` only as the persisted copies)."""
     with _MAINT_SKIP_LOCK:
         items = [(p, s, n) for (p, s), n in _MAINT_SKIP_COUNTS.items()
                  if index_path is None or p == index_path]
         recent = [r for r in _MAINT_SKIP_RECENT
                   if index_path is None
                   or r["index_path"] == index_path]
-    return {
+    out = {
         "total": sum(n for _, _, n in items),
         "by_site": {f"{p}::{s}": n for p, s, n in items},
         "recent": recent,
     }
+    if index_path is not None:
+        recs = _read_persisted_skips(index_path)
+        by_site: dict[str, int] = {}
+        for r in recs:
+            k = f"{r.get('index_path', index_path)}::{r.get('site')}"
+            by_site[k] = by_site.get(k, 0) + 1
+        out["persisted"] = {"total": len(recs), "by_site": by_site,
+                            "recent": recs[-100:]}
+    return out
 
 
 def reset_maintenance_skips() -> None:

@@ -55,6 +55,8 @@ not a per-batch cost.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -84,6 +86,17 @@ from .dedup import _index_has_batches
 # the width is BAKED INTO the layout (persisted in the quantizer
 # meta): every append and probe must use the index's own value.
 _DEFAULT_CELL_BUCKETS = 128
+
+# handle-mode probe-prune threshold (r10 VERDICT #1): below this many
+# CACHED generation rows the per-batch cells distinct+collect job
+# costs more than the IN-filter saves (the §25c finding that removed
+# the unconditional prune: 12-17 s -> 7.4-8.0 s per 2k batch at the
+# 1M-row index); above it the filter's lazy-column skip of non-probed
+# rows' v payloads dominates (§25d: the 10M-row point measured both
+# regimes — see _finish_semantic_batch's large-index branch for the
+# mechanism). Env-overridable for tests and unusual deployments.
+_HANDLE_PRUNE_MIN_ROWS = int(os.environ.get(
+    "RDPS_SEMANTIC_HANDLE_PRUNE_MIN_ROWS", "4000000"))
 
 
 def init_semantic_index(train_df: DataFrame, index_path: str,
@@ -209,6 +222,11 @@ class SemanticIndexHandle(_GenerationCachedHandle):
                      "ingest_batch")
     _GEN_SPREAD_FACTOR = 2
     _SPREAD_LIVE_READS = True
+    # range-partition + sort the cache on cell: each in-memory
+    # columnar batch spans a narrow cell range, so the large-N probe
+    # prune (_HANDLE_PRUNE_MIN_ROWS) rejects non-probed rows on the
+    # cell vector alone and never deserializes their 64-dim v arrays
+    _GEN_SORT_COL = "cell"
 
     def __init__(self, spark: SparkSession, index_path: str):
         from .dedup import _dir_snapshot, _hadoop_fs
@@ -486,25 +504,45 @@ def _finish_semantic_batch(rows, batch_df, batch_id, eps,
             from .dedup import spread_for_write
 
             pruned = spread_for_write(pruned, factor=2)
-        else:
-            # handle mode: the frame is the handle's PERSISTED
-            # generation cache (pre-spread, memory-speed scan) plus
-            # the live batch dirs, and the broadcast equi-join on
-            # `cell` below IS the cell restriction (inner join ⊆
-            # any IN-filter on the same column) — so the
-            # driver-literal prune bought only row-group skipping on
-            # the LIVE dirs, which are micro-batch-sized and bounded
-            # by the compaction cadence (≤ compact_after_batches ×
-            # |batch| rows). It cost one eager distinct+collect JOB
-            # per batch (~2.3 s CPU at k=3732 — it forces the
-            # assignment materialization as its own job) plus a
-            # min(|batch|, k)-value IN-list literal the planner
-            # re-optimizes every batch. Measured at the 1M-row index:
-            # dropping it took 2k-doc batches from ~12-17 s to
-            # ~7.4-8.0 s (§25c). Pairs produced, and therefore
-            # verdicts, are identical by construction; pinned by the
-            # handle-vs-path equivalence tests.
+        elif handle._gen_count < _HANDLE_PRUNE_MIN_ROWS:
+            # handle mode, SMALL index: the frame is the handle's
+            # PERSISTED generation cache (pre-spread, memory-speed
+            # scan) plus the live batch dirs, and the broadcast
+            # equi-join on `cell` below IS the cell restriction
+            # (inner join ⊆ any IN-filter on the same column) — so a
+            # driver-literal prune would buy only row-group skipping
+            # on the LIVE dirs, which are micro-batch-sized and
+            # bounded by the compaction cadence (≤
+            # compact_after_batches × |batch| rows), while costing
+            # one eager distinct+collect JOB per batch (~2.3 s CPU
+            # at k=3732 — it forces the assignment materialization
+            # as its own job) plus a min(|batch|, k)-value IN-list
+            # literal the planner re-optimizes every batch. Measured
+            # at the 1M-row index: dropping it took 2k-doc batches
+            # from ~12-17 s to ~7.4-8.0 s (§25c).
             pruned = idx
+        else:
+            # handle mode, LARGE index (r10 VERDICT #1): above
+            # _HANDLE_PRUNE_MIN_ROWS cached rows the collect job's
+            # fixed cost is repaid by what the IN-filter skips. The
+            # skip mechanism is NOT batch-stat pruning (InSet never
+            # reaches the cached-batch stat filter — see
+            # GenerationCachedHandle._GEN_SORT_COL) but lazy
+            # per-column access: the filter rejects a row on the
+            # cell column vector alone, so non-probed rows — the
+            # (1 - |batch cells|/k) majority, and at constant
+            # occupancy |batch cells|/k shrinks as the index grows —
+            # never deserialize their 64-dim v payloads, where the
+            # join probe would first materialize the row. Rows
+            # PASSING the filter are ≈ |batch cells| × occupancy,
+            # constant in N at constant occupancy: the per-batch
+            # scan term this leaves is the cheap cell-vector pass.
+            # Verdicts are identical by construction (inner join ⊆
+            # the IN-filter); pinned by the handle-vs-path
+            # equivalence tests and the forced-threshold test.
+            cells = [r["cluster"] for r in
+                     assigned.select("cluster").distinct().collect()]
+            pruned = idx.filter(F.col("cell").isin(cells))
         matched = (
             pruned
             .join(F.broadcast(assigned.select(

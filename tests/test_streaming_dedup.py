@@ -911,6 +911,52 @@ def test_in_stream_maintenance_skips_on_held_lease(spark, tmp_path):
     assert maintenance_skips()["total"] == 0
 
 
+def test_maintenance_skips_persist_across_processes(tmp_path):
+    """r10 VERDICT #4: skip records outlive the recording process.
+    Simulated process boundary: record skips, then wipe the module's
+    in-memory state (what a process exit does) — a 'second process'
+    calling maintenance_skips(index_path) still sees the full history
+    in the persisted section, including records written under a
+    DIFFERENT pid (a concurrent driver's jsonl)."""
+    import json as _json
+    import os
+
+    from radio_data_pipeline_spark.streaming.dedup import (
+        _MAINT_SKIP_DIRNAME, maintenance_skips,
+        record_maintenance_skip, reset_maintenance_skips)
+
+    reset_maintenance_skips()
+    index = str(tmp_path / "idx")
+    os.makedirs(index)
+    record_maintenance_skip(index, "band_ingest", "lease held (t1)")
+    record_maintenance_skip(index, "semantic_ingest",
+                            "lease held (t2)")
+    # a SECOND driver's file (different pid, cross-process append)
+    other = {"index_path": index, "site": "band_ingest",
+             "reason": "lease held (other driver)", "time": 1.0,
+             "pid": 99999}
+    with open(os.path.join(index, _MAINT_SKIP_DIRNAME,
+                           "skips-99999.jsonl"), "w") as f:
+        f.write(_json.dumps(other) + "\n")
+
+    # process 1 sees: 2 in-memory + 3 persisted
+    rep = maintenance_skips(index)
+    assert rep["total"] == 2
+    assert rep["persisted"]["total"] == 3
+    assert rep["persisted"]["by_site"][f"{index}::band_ingest"] == 2
+
+    # "process exit": in-memory state gone; the fresh process still
+    # reads the whole history from disk
+    reset_maintenance_skips()
+    rep2 = maintenance_skips(index)
+    assert rep2["total"] == 0
+    assert rep2["persisted"]["total"] == 3
+    assert {r["pid"] for r in rep2["persisted"]["recent"]} >= \
+        {os.getpid(), 99999}
+    # no index_path -> in-memory-only report, no persisted section
+    assert "persisted" not in maintenance_skips()
+
+
 def test_concurrent_external_maintenance_never_corrupts(spark,
                                                         tmp_path):
     """A genuinely PARALLEL external maintainer (tight

@@ -684,6 +684,52 @@ def test_handle_serving_matches_per_call_reads(spark, tmp_path):
     assert after <= before  # close released everything it pinned
 
 
+def test_handle_prune_threshold_preserves_verdicts(spark, tmp_path,
+                                                   monkeypatch):
+    """The large-index probe prune (r10 VERDICT #1: cells IN-filter
+    on the generation cache above _HANDLE_PRUNE_MIN_ROWS) is
+    verdict-invariant: forcing the threshold to 0 — every handle
+    batch takes the pruned branch, including over a compacted
+    generation — yields survivors identical to plain path mode."""
+    from radio_data_pipeline_spark.streaming import semantic as sem
+
+    monkeypatch.setattr(sem, "_HANDLE_PRUNE_MIN_ROWS", 0)
+
+    df = _emb_corpus(spark, 90)
+    index_a = str(tmp_path / "idx_plain")
+    index_b = str(tmp_path / "idx_pruned")
+    for index in (index_a, index_b):
+        init_semantic_index(df, index, _K, lloyd_rounds=2)
+
+    got_plain, got_pruned = [], []
+    h = None
+    for bid, chunk in enumerate(_chunks(df, 3, 90)):
+        s, rows = semantic_dedup_batch_against_index(
+            chunk, index_a, bid, eps=_EPS)
+        got_plain.extend(r["vec_id"] for r in s.collect())
+        append_semantic_batch(rows, index_a, bid)
+        rows.unpersist()
+
+        # reopen per batch so the generation fold below lands in the
+        # handle's cache (the prune must also hold over a cached
+        # generation, not just live dirs)
+        if h is not None:
+            h.close()
+        h = sem.open_semantic_index(spark, index_b)
+        assert h._gen_count >= 0  # prune branch taken at threshold 0
+        s2, rows2 = semantic_dedup_batch_against_index(
+            chunk, h, bid, eps=_EPS)
+        got_pruned.extend(r["vec_id"] for r in s2.collect())
+        append_semantic_batch(rows2, index_b, bid)
+        rows2.unpersist()
+        if bid == 0:
+            # fold batch 0 into a generation: batches 1-2 probe the
+            # pruned PERSISTED cache, not only live dirs
+            compact_semantic_index(spark, index_b)
+    h.close()
+    assert sorted(got_pruned) == sorted(got_plain)
+
+
 def test_stream_ingest_with_handle_matches_batch(spark, tmp_path):
     """stream_semantic_ingest(handle=...) — the serving
     configuration — still equals batch semantic_dedup under
