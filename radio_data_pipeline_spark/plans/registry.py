@@ -206,8 +206,20 @@ SAMPLE_WINDOW = (
     "distinct_event_users",
     "events_sessionize_salted", "events_asof_prior_view",
     "events_time_filter", "events_physical_validation",
-    # calibration / atmosphere carriers (M1-M6, M8)
-    "linreg_value_vs_time", "buck_vapor_density", "gain_interpolation",
+    # calibration / atmosphere carriers (M1-M6, M8).
+    # buck_vapor_density and gain_interpolation rotated out for r11:
+    # M8 is carried in-window by radio_atmosphere_correction (whose
+    # pipeline computes the Buck vapor density) and M6 by
+    # radio_continuum_distributed (whose calibration applies the gain
+    # interpolation); both stay oracle-checked in the full sweep.
+    "linreg_value_vs_time",
+    # round-11 rotations (r10 VERDICT #2): the graph family
+    # (plans/graph.py) had NEVER had a driver-gate row — the
+    # degree-ordered triangle counter is its strongest oracle-checked
+    # representative — and TPC-H was represented only by q1 + the
+    # analytics builders; q9 is the deep multi-join (5 tables,
+    # broadcast dims, derived-column agg) shape.
+    "triangle_count_copurchase", "q9_product_profit",
 )
 
 

@@ -80,6 +80,11 @@ def test_sample_window_pins_critical_families_in_first_50():
         # multi-signal gate's batch form and the persisted-ANN-index
         # retrieval path
         {"dedup_multi_signal"}, {"knn_join_indexed_topk"},
+        # round-11 rotations (r10 VERDICT #2): a graph-family
+        # representative and the deep TPC-H multi-join shape
+        {"triangle_count_copurchase", "pagerank_copurchase",
+         "kcore_copurchase"},
+        {"q9_product_profit", "q21_sole_returned_supplier"},
     ]:
         assert family & window, f"family {family} outside sample window"
     # vector semantics family
