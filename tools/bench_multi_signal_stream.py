@@ -65,7 +65,9 @@ from radio_data_pipeline_spark.streaming.semantic import (  # noqa: E402
 )
 
 _FLAGS = ("--batch-docs", "--n-batches", "--maintain",
-          "--band-dup-pct", "--sem-dup-pct", "--band-over-files")
+          "--band-dup-pct", "--sem-dup-pct", "--band-over-files",
+          "--over-occupancy", "--requantize-min-rows",
+          "--race-sem-at", "--race-band-at")
 
 
 def _flag(name: str, default, cast=int):
@@ -98,9 +100,182 @@ MAINTAIN = _flag("--maintain", 8)
 BAND_DUP_PCT = _flag("--band-dup-pct", 30)
 SEM_DUP_PCT = _flag("--sem-dup-pct", 20)
 SEMANTIC_ALL = "--semantic-all" in sys.argv
+# soak knobs (r10 VERDICT #3): --over-occupancy below the default 10
+# lets the policy requantize fire mid-run; --race-sem-at/--race-band-at
+# inject the two tier races (see _race_sem_batch/_race_band_batch)
+OVER_OCC = _flag("--over-occupancy", 10.0, float)
+REQ_MIN_ROWS = _flag("--requantize-min-rows", 10**9)
+RACE_SEM_AT = [int(x) for x in
+               _flag("--race-sem-at", "", str).split(",") if x]
+RACE_BAND_AT = [int(x) for x in
+                _flag("--race-band-at", "", str).split(",") if x]
 EPS = 0.8
 TARGET = 256
 DIM = 64
+
+
+def _surv_ids(df) -> list:
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+def _race_sem_batch(spark, chunk, b, band_index, sem_index, bh, sh):
+    """Inject a semantic REQUANTIZE between the composed kernel's
+    assignment and the batch's index appends — the §25a race, now
+    inside the TIERED gate. Asserts: the append-time quantizer guard
+    fires; the held semantic handle is stale; the whole-batch replay
+    through a fresh handle equals an independent uncontended
+    recompute id-for-id; the dead-cell sweep is clean. Returns
+    (replay_wall, fresh_semantic_handle) with the batch committed."""
+    from radio_data_pipeline_spark.streaming.semantic import (
+        StaleQuantizerError,
+        read_semantic_quantizer,
+        requantize_semantic_index,
+    )
+
+    _, bands, rows, band_surv = multi_signal_batch_against_indexes(
+        chunk, bh, sh, b, eps=EPS)
+    rows.count()  # force assignment before the swap
+
+    n_idx = spark.read.parquet(sem_index).count()
+    k_new = max(2, n_idx // TARGET)
+    t0 = time.monotonic()
+    requantize_semantic_index(spark, sem_index, n_clusters=k_new,
+                              lloyd_rounds=2, train_fraction=0.2)
+    print(f"  batch {b}: RACE sem requantize (k={k_new}) injected "
+          f"({time.monotonic() - t0:.1f}s)")
+
+    # band commit is unaffected by the semantic swap — it lands
+    append_batch_bands(bands, band_index, b)
+    # ...but the stale semantic append MUST fail loudly
+    try:
+        append_semantic_batch(rows, sem_index, b)
+        raise AssertionError(
+            f"batch {b}: append-time quantizer guard did NOT fire")
+    except RuntimeError as e:
+        if "quantizer" not in str(e):
+            raise
+        print(f"  batch {b}: append-time guard fired as required")
+    # ...and the HELD handle must refuse to serve another batch
+    try:
+        sh.check_fresh()
+        raise AssertionError(
+            f"batch {b}: held semantic handle not stale post-swap")
+    except StaleQuantizerError:
+        pass
+    bands.unpersist()
+    rows.unpersist()
+    band_surv.unpersist()
+
+    # whole-batch replay through a fresh handle (streaming contract:
+    # all three commits re-run; overwrites are idempotent)
+    sh.close()
+    t0 = time.monotonic()
+    sh = open_semantic_index(spark, sem_index)
+    surv_r, bands_r, rows_r, bsurv_r = \
+        multi_signal_batch_against_indexes(chunk, bh, sh, b, eps=EPS)
+    ids_r = _surv_ids(surv_r)
+    (surv_r.write.mode("overwrite").parquet(f"{WORK}/out/batch={b}"))
+    append_batch_bands(bands_r, band_index, b)
+    append_semantic_batch(rows_r, sem_index, b)
+    wall = time.monotonic() - t0
+    bands_r.unpersist()
+    rows_r.unpersist()
+    bsurv_r.unpersist()
+
+    # uncontended control: a batch that never saw the race
+    surv_c, bands_c, rows_c, bsurv_c = \
+        multi_signal_batch_against_indexes(chunk, bh, sh, b, eps=EPS)
+    ids_c = _surv_ids(surv_c)
+    for f in (bands_c, rows_c, bsurv_c):
+        f.unpersist()
+    assert ids_r == ids_c, (
+        f"batch {b}: replayed survivors diverge from uncontended "
+        f"recompute ({len(ids_r)} vs {len(ids_c)})")
+
+    # dead-cell integrity: every indexed cell exists in the new
+    # quantizer (a mis-filed row is invisible to every future probe)
+    cents, _ = read_semantic_quantizer(spark, sem_index)
+    live = {r["cell"] for r in spark.read.parquet(sem_index)
+            .select("cell").distinct().collect()}
+    quant = {r["cluster"] for r in
+             cents.select("cluster").distinct().collect()}
+    assert not (live - quant), (
+        f"batch {b}: {len(live - quant)} dead cells after replay")
+    print(f"  batch {b}: sem-race replay == uncontended recompute "
+          f"({len(ids_r)} survivors); dead-cell sweep clean")
+    return wall, sh
+
+
+def _race_band_batch(spark, chunk, b, band_index, sem_index, bh, sh):
+    """Inject a band-index FOLD between the composed kernel and the
+    batch's commits — the serving-vs-external-maintainer race whose
+    documented contract is TRANSIENT FAILURE + SAME-ID REPLAY
+    (tests/test_streaming_semantic.py
+    test_concurrent_external_compaction_never_corrupts): the fold
+    deletes the live dirs the in-flight lazy plans reference, so the
+    first attempt's actions may fail with a file-not-found class
+    (and partially-landed commits are fine — replay overwrites all
+    three). Asserts: the replay through the same handles (their gen
+    caches refresh by dir listing) commits cleanly; a SECOND fold
+    then relabels this batch's own rows into a generation and an
+    uncontended recompute still equals the replay id-for-id — the
+    own-batch src_batch exclusion survives the relabel in BOTH tiers
+    of the composition. Returns the batch wall."""
+    t0 = time.monotonic()
+    surv, bands, rows, band_surv = multi_signal_batch_against_indexes(
+        chunk, bh, sh, b, eps=EPS)
+    bands.count()  # force the band table before the fold
+    folded = compact_band_index(spark, band_index)
+    print(f"  batch {b}: RACE band fold ({folded} dirs) injected "
+          f"between kernel and commits")
+    ids_0 = None
+    try:
+        ids_0 = _surv_ids(surv)
+        (surv.write.mode("overwrite")
+         .parquet(f"{WORK}/out/batch={b}"))
+        append_batch_bands(bands, band_index, b)
+        append_semantic_batch(rows, sem_index, b)
+        print(f"  batch {b}: first attempt survived the fold "
+              f"(plans re-listed late enough)")
+    except Exception as e:
+        ids_0 = None
+        print(f"  batch {b}: first attempt failed transiently as the "
+              f"contract allows ({type(e).__name__}) — replaying")
+    finally:
+        bands.unpersist()
+        rows.unpersist()
+        band_surv.unpersist()
+
+    # same-id replay: fresh kernel = fresh dir listing; overwrite
+    # commits are idempotent over any partial first attempt
+    surv_r, bands_r, rows_r, bsurv_r = \
+        multi_signal_batch_against_indexes(chunk, bh, sh, b, eps=EPS)
+    ids_r = _surv_ids(surv_r)
+    (surv_r.write.mode("overwrite").parquet(f"{WORK}/out/batch={b}"))
+    append_batch_bands(bands_r, band_index, b)
+    append_semantic_batch(rows_r, sem_index, b)
+    wall = time.monotonic() - t0
+    for f in (bands_r, rows_r, bsurv_r):
+        f.unpersist()
+    if ids_0 is not None:
+        assert ids_r == ids_0, (
+            f"batch {b}: replay diverges from the surviving first "
+            f"attempt ({len(ids_r)} vs {len(ids_0)})")
+
+    # fold the batch's own rows into a generation, then recompute —
+    # the uncontended control over the fully-relabeled index
+    compact_band_index(spark, band_index)
+    surv_c, bands_c, rows_c, bsurv_c = \
+        multi_signal_batch_against_indexes(chunk, bh, sh, b, eps=EPS)
+    ids_c = _surv_ids(surv_c)
+    for f in (bands_c, rows_c, bsurv_c):
+        f.unpersist()
+    assert ids_r == ids_c, (
+        f"batch {b}: post-relabel recompute diverges "
+        f"({len(ids_r)} vs {len(ids_c)})")
+    print(f"  batch {b}: band-race replay == uncontended recompute "
+          f"across two folds ({len(ids_r)} survivors)")
+    return wall
 
 
 def _synth_corpus(spark, n: int):
@@ -218,9 +393,10 @@ def main() -> None:
         compact_after_batches=MAINTAIN,
         compact_over_files=_flag("--band-over-files", 4096))
     sem_pol = MaintenancePolicy(compact_after_batches=MAINTAIN,
-                                requantize_over_occupancy=10.0,
+                                requantize_over_occupancy=OVER_OCC,
                                 target_cluster_rows=TARGET,
-                                min_rows_for_requantize=10**9)
+                                min_rows_for_requantize=REQ_MIN_ROWS,
+                                lloyd_rounds=2, train_fraction=0.2)
 
     bh = open_band_index(spark, band_index)
     sh = open_semantic_index(spark, sem_index)
@@ -236,6 +412,7 @@ def main() -> None:
     from tools.audit_tasks import measure
     audit_ctx = (measure(spark) if "--audit" in sys.argv
                  else contextlib.nullcontext())
+    races = []
     with audit_ctx as rec:
         try:
             for b in range(n_b):
@@ -244,6 +421,33 @@ def main() -> None:
                                        & (F.col("_rnk") < lo + BATCH_DOCS))
                          .drop("_rnk"))
                 chunk.persist().count()
+                if b in RACE_SEM_AT:
+                    wall, sh = _race_sem_batch(
+                        spark, chunk, b, band_index, sem_index, bh, sh)
+                    walls.append(wall)
+                    kernels.append(wall)
+                    races.append((b, "sem"))
+                    stats["in"] += BATCH_DOCS
+                    # band_kept not tracked for race batches (the
+                    # intermediate frame is internal to the race fn);
+                    # the admission summary notes the exclusion
+                    stats["kept"] += (spark.read
+                                      .parquet(f"{WORK}/out/batch={b}")
+                                      .count())
+                    chunk.unpersist()
+                    continue
+                if b in RACE_BAND_AT:
+                    wall = _race_band_batch(
+                        spark, chunk, b, band_index, sem_index, bh, sh)
+                    walls.append(wall)
+                    kernels.append(wall)
+                    races.append((b, "band"))
+                    stats["in"] += BATCH_DOCS
+                    stats["kept"] += (spark.read
+                                      .parquet(f"{WORK}/out/batch={b}")
+                                      .count())
+                    chunk.unpersist()
+                    continue
                 t0 = time.monotonic()
                 if SEMANTIC_ALL:
                     # control: the UN-tiered composition — both gates
@@ -308,6 +512,24 @@ def main() -> None:
                     maints.append((b, acts, dt))
                     print(f"  batch {b}: band={acts[0]} sem={acts[1]} "
                           f"in {dt:.1f}s")
+                if rep_s["action"] == "requantize":
+                    # the held semantic handle MUST refuse to serve
+                    # the next batch — staleness guard, asserted
+                    from radio_data_pipeline_spark.streaming.semantic \
+                        import StaleQuantizerError
+                    try:
+                        sh.check_fresh()
+                        raise AssertionError(
+                            "stale semantic handle not detected "
+                            "after policy requantize")
+                    except StaleQuantizerError:
+                        pass
+                    sh.close()
+                    t0 = time.monotonic()
+                    sh = open_semantic_index(spark, sem_index)
+                    print(f"  batch {b}: StaleQuantizerError raised "
+                          f"as required; reopened handle in "
+                          f"{time.monotonic() - t0:.1f}s")
         finally:
             bh.close()
             sh.close()
@@ -330,6 +552,9 @@ def main() -> None:
           f"semantic drop of band-kept "
           f"{1 - stats['kept'] / max(1, stats['band_kept']):.1%})")
     print(f"maintenance events: {maints}")
+    if races:
+        print(f"injected races (all asserts passed in-loop): {races}"
+              f" — admission band_kept excludes race batches")
     if "--audit" in sys.argv:
         flags = rec.flagged()
         print(f"task audit: {len(rec.stages)} stages, "
