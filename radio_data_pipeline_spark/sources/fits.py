@@ -515,6 +515,45 @@ def observation_struct_fields():
     ]
 
 
+def _zero_length_files(spark, path_glob: str) -> list[str]:
+    """Paths of 0-byte files the glob matches (one directory level,
+    matching binaryFile's non-recursive default). Spark's file scan
+    plans NO splits for zero-length files, so a file truncated to 0
+    bytes — truncation's limit case, found by the round-11 scan-level
+    Hypothesis fuzz — never reaches the decode task: without this
+    listing it silently vanishes from the corpus scan in BOTH modes
+    (no tombstone, no failfast error — silent data loss). Driver-side
+    and metadata-only: one Hadoop globStatus over the same pattern the
+    datasource resolves (FileStatus.getLen, no file reads), the same
+    class of work InMemoryFileIndex already does to plan the scan."""
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path_glob)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    out = []
+    for s in (fs.globStatus(jpath) or []):
+        if s.isFile():
+            if s.getLen() == 0:
+                out.append(fs.makeQualified(s.getPath()).toString())
+        elif s.isDirectory():
+            for c in fs.listStatus(s.getPath()):
+                if c.isFile() and c.getLen() == 0:
+                    out.append(
+                        fs.makeQualified(c.getPath()).toString())
+    return sorted(out)
+
+
+def _empty_file_verdict() -> str:
+    """The codec's own FitsFormatError message for b'' — the
+    tombstone for a zero-length file carries the exact verdict
+    parse_sdfits would have produced had the scan delivered it."""
+    try:
+        parse_sdfits(b"")
+    except FitsFormatError as exc:
+        return str(exc)
+    raise AssertionError(
+        "parse_sdfits accepted a zero-length file")  # pragma: no cover
+
+
 def read_sdfits(spark, path_glob: str, dense_ids: bool = False,
                 mode: str = "failfast"):
     """S1 as a distributed scan: binaryFile -> executor-side decode.
@@ -541,6 +580,17 @@ def read_sdfits(spark, path_glob: str, dense_ids: bool = False,
     if mode.lower() not in ("failfast", "permissive"):
         raise ValueError(f"unknown mode {mode!r}")
     permissive = mode.lower() == "permissive"
+
+    # zero-length files never reach the decode task (the scan plans no
+    # splits for them — see _zero_length_files): failfast raises at
+    # planning time exactly as a decode failure would at run time;
+    # permissive unions one tombstone per empty file below
+    empty_paths = _zero_length_files(spark, path_glob)
+    if empty_paths and not permissive:
+        raise FitsFormatError(
+            f"zero-length file(s) in scan: {empty_paths[:3]}"
+            f"{'...' if len(empty_paths) > 3 else ''} "
+            f"({len(empty_paths)} total) — {_empty_file_verdict()}")
 
     out_schema = T.StructType([
         T.StructField("path", T.StringType()),
@@ -605,10 +655,19 @@ def read_sdfits(spark, path_glob: str, dense_ids: bool = False,
 
     decoded = files.select("path", "content").mapInPandas(
         decode, schema=out_schema)
+    paths_for_ids = files.select("path")
+    if empty_paths:
+        verdict = _empty_file_verdict()
+        tomb = spark.createDataFrame(
+            [(p, verdict, -1) + (None,) * len(names)
+             for p in empty_paths], out_schema)
+        decoded = decoded.unionByName(tomb)
+        paths_for_ids = paths_for_ids.unionByName(
+            tomb.select("path"))
     if not dense_ids:
         return decoded.withColumn("obs_id", F.xxhash64("path"))
     from radio_data_pipeline_spark.sources.layout import dense_index
-    ids = dense_index(files.select("path").distinct(), "path",
+    ids = dense_index(paths_for_ids.distinct(), "path",
                       pos_col="obs_id")
     return decoded.join(F.broadcast(ids), "path")
 
@@ -618,6 +677,15 @@ def read_sdfits_headers(spark, path_glob: str):
     the P1/P2 driver-side parsers (utils.py:9-103)."""
     import pandas as pd  # noqa: F811
     from pyspark.sql import types as T
+
+    # same zero-length hole as read_sdfits failfast: the scan would
+    # silently omit an empty file instead of failing on it
+    empty_paths = _zero_length_files(spark, path_glob)
+    if empty_paths:
+        raise FitsFormatError(
+            f"zero-length file(s) in scan: {empty_paths[:3]}"
+            f"{'...' if len(empty_paths) > 3 else ''} "
+            f"({len(empty_paths)} total) — {_empty_file_verdict()}")
 
     files = spark.read.format("binaryFile").load(path_glob)
     schema = T.StructType([

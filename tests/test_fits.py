@@ -634,6 +634,49 @@ def test_permissive_scan_quarantines_every_corruption_class(
     assert len(set(per_file.values())) == 1 and min(per_file.values()) > 0
 
 
+def test_zero_length_file_tombstoned_not_lost(spark, tmp_path):
+    """The scan-level fuzz's first find, pinned deterministically
+    (truncate-to-0 — Hypothesis shrank straight to it): Spark's file
+    scan plans NO splits for a zero-length file, so without the
+    planning-time listing in read_sdfits the empty file silently
+    vanishes from the scan in BOTH modes — no tombstone AND no
+    failfast error, i.e. silent data loss, strictly worse than the
+    quarantine contract it dodges. Permissive must emit exactly one
+    tombstone carrying the codec's own b'' verdict; failfast must
+    raise at planning time; the header scan (failfast-only) must
+    raise too; dense_ids must still cover the tombstoned path."""
+    good = write_sdfits(_obs_pdf(n_science=8), HEADER, HISTORY)
+    (tmp_path / "good.fits").write_bytes(good)
+    (tmp_path / "empty.fits").write_bytes(b"")
+
+    rows = read_sdfits(spark, str(tmp_path / "*.fits"),
+                       mode="permissive").collect()
+    tombs = [r for r in rows if r["row_idx"] == -1]
+    assert len(tombs) == 1
+    assert tombs[0]["path"].endswith("/empty.fits")
+    with pytest.raises(FitsFormatError):
+        parse_sdfits(b"")  # the verdict the tombstone must carry
+    try:
+        parse_sdfits(b"")
+    except FitsFormatError as exc:
+        assert tombs[0]["corrupt_error"] == str(exc)
+    assert sum(1 for r in rows if r["row_idx"] >= 0) > 0  # good decoded
+
+    with pytest.raises(FitsFormatError, match="zero-length"):
+        read_sdfits(spark, str(tmp_path / "*.fits"),
+                    mode="failfast").collect()
+    with pytest.raises(FitsFormatError, match="zero-length"):
+        read_sdfits_headers(spark, str(tmp_path / "*.fits")).collect()
+
+    # dense_ids: the tombstoned path participates in the 0..n-1 space
+    dense = read_sdfits(spark, str(tmp_path / "*.fits"),
+                        dense_ids=True, mode="permissive")
+    ids = {r["path"].rsplit("/", 1)[-1]: r["obs_id"]
+           for r in dense.select("path", "obs_id").distinct().collect()}
+    assert set(ids) == {"good.fits", "empty.fits"}
+    assert sorted(ids.values()) == [0, 1]
+
+
 def test_permissive_scan_fuzz_decode_or_one_tombstone(spark, tmp_path):
     """Hypothesis at the SCAN level (r10 VERDICT #5): the codec fuzz
     battery pins parse_sdfits; this drives RANDOM corruption through
