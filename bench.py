@@ -51,6 +51,7 @@ import json
 import os
 import sys
 import time
+from statistics import median as _median
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -186,8 +187,6 @@ def main() -> None:
         """One full Spark measurement pass over HEADLINE (best-of-RUNS
         per query), loadavg-stamped — extracted so the cool-down retry
         below can run it twice."""
-        from statistics import median as _median
-
         load_start = tuple(round(v, 2) for v in os.getloadavg())
         if load_start[0] > 0.5:
             print(f"bench: NOTE ambient 1-min loadavg {load_start[0]} "
