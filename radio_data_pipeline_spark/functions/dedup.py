@@ -90,52 +90,54 @@ def minhash_signature(text: Column, n_hashes: int = 8, k: int = 3) -> Column:
 def minhash_signature_table(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", n_hashes: int = 8,
                             k: int = 3) -> DataFrame:
-    """Signatures as an aggregation: explode shingles to rows, then
-    min(md5(seed|shingle)) per seed. The aggregation is a Catalyst
-    optimization barrier (no projection-collapse re-computation) and
-    gets map-side partial mins, so the shuffle carries one 8-hash row
-    per document — the scale-correct formulation.
+    """Signatures map-side: per-row shingle array (zip_with over
+    shifted copies of the word array), one md5 array per digest group,
+    then array_min per 8-hex-char component slice. No explode, no
+    shuffle, no sort — the whole signature is a projection, so the
+    first shuffle any consumer pays is its OWN key (band bucket,
+    join key, ...), never an intermediate word/doc-id exchange.
+
+    History (round-11 optimization): this replaced an explode +
+    lead-window + groupBy(id) formulation that shuffled and sorted
+    every word row by doc id. The round-5 note that array-expression
+    shingles measured 10x slower applied to per-element
+    slice+array_join (O(n*k) array allocations); the zip_with form is
+    two O(n) shifted copies and measured FASTER end-to-end (sf0.1
+    pairs best-of-5 0.76 s -> 0.52 s; plan loses 1 Exchange + Window
+    + 2 SortAggregates, and md5 still appears exactly twice — the
+    projection-collapse duplication hazard does not fire because
+    CollapseProject refuses to duplicate non-cheap expressions).
+
+    Shingle multiset is unchanged from the window form: one entry per
+    word position; the last k-1 positions have no full lookahead and
+    yield NULL shingles (zip_with pads the shorter shifted copy with
+    NULL and concat propagates it), which min() ignores — so
+    shingle-less docs (< k words) come out with all-NULL components,
+    matching the SQL oracle's min-over-empty-list.
 
     Returns (id, h0..h{n-1}) — one row per input document, including
     shingle-less and NULL-text docs (all-NULL components)."""
-    from pyspark.sql import Window
-
     n_groups = (n_hashes + _CHUNKS_PER_MD5 - 1) // _CHUNKS_PER_MD5
-    # Shingles via posexplode + lead windows: an order of magnitude
-    # cheaper than per-element array slice/join expressions (measured
-    # 2.5s -> 0.3s for 260k shingles at sf0.1), and the window's
-    # hash-partitioning on id is reused by the signature groupBy so
-    # the whole operator still costs ONE shuffle.
-    # coalesce to "" so NULL-text docs still emit one (null-shingle)
-    # row — posexplode(NULL array) would emit zero rows and drop the
-    # doc from the output, breaking the one-row-per-doc contract
-    words = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(whitespace_words(F.col(text_col)))
-        .alias("pos", "w"))
-    win = Window.partitionBy("id").orderBy("pos")
-    parts = [F.col("w")]
+    ws = whitespace_words(F.col(text_col))
+    n = F.size(ws)
+    sh = ws
     for j in range(1, k):
-        parts.extend([F.lit(" "), F.lead("w", j).over(win)])
-    # trailing rows (< k-1 lookahead) get NULL shingles and are KEPT:
-    # null shingle -> null digest -> ignored by min, but the row still
-    # registers its doc in the groupBy, so shingle-less docs (< k
-    # words) come out with all-NULL components — matching the SQL
-    # oracle's min-over-empty-list — without a distinct+join pass
-    sh_rows = words.select("id", F.concat(*parts).alias("shingle"))
-    # one md5 per digest group (not per seed); the per-seed components
-    # are substring slices, deduped by codegen subexpression elimination
-    digests = sh_rows.select(
-        "id",
-        *[F.md5(F.concat(F.lit(_seed_prefix(g * _CHUNKS_PER_MD5)),
-                         F.col("shingle"))).alias(f"d{g}")
+        tail = F.slice(ws, j + 1, F.greatest(n - j, F.lit(0)))
+        sh = F.zip_with(sh, tail,
+                        lambda a, b: F.concat(a, F.lit(" "), b))
+    # one md5 array per digest group (not per seed); the per-seed
+    # components below are substring slices over the same array
+    digests = df.select(
+        F.col(id_col).alias("id"),
+        *[F.transform(sh, lambda s: F.md5(F.concat(
+            F.lit(_seed_prefix(g * _CHUNKS_PER_MD5)), s))).alias(f"d{g}")
           for g in range(n_groups)])
-    aggs = [
-        F.min(_component_from_digest(F.col(f"d{seed // _CHUNKS_PER_MD5}"),
-                                     seed)).alias(f"h{seed}")
-        for seed in range(n_hashes)
-    ]
-    return digests.groupBy("id").agg(*aggs)
+    return digests.select(
+        "id",
+        *[F.array_min(F.transform(
+            F.col(f"d{seed // _CHUNKS_PER_MD5}"),
+            lambda d: _component_from_digest(d, seed))).alias(f"h{seed}")
+          for seed in range(n_hashes)])
 
 
 def band_table(df: DataFrame, text_col: str = "text",
@@ -146,8 +148,8 @@ def band_table(df: DataFrame, text_col: str = "text",
     minhash_lsh_pairs, greedy_band_survivors, and the persisted band
     index (streaming/dedup.py). NULL-hash rows (shingle-less docs —
     fewer than k words) are excluded: such docs can never pair.
-    Cost: the single minhash_signature_table shuffle plus a map-side
-    explode to n_bands rows per doc."""
+    Cost: fully map-side — the projection-form signatures plus an
+    explode to n_bands rows per doc; no shuffle."""
     assert n_hashes % band_size == 0
     n_bands = n_hashes // band_size
     sigged = minhash_signature_table(df, text_col, id_col, n_hashes, k)
@@ -192,9 +194,10 @@ def greedy_band_survivors(df: DataFrame, text_col: str = "text",
     connected_components over minhash_lsh_pairs instead (iterative,
     cluster-transitive, min-id winner per component).
 
-    Shuffle budget: one for signatures (keyed by doc id), one for the
-    bucket window (keyed by (band_id, band_hash)), one for the
-    anti-join. All keys are md5-derived, so none can skew."""
+    Shuffle budget: one for the bucket window (keyed by (band_id,
+    band_hash)), one for the anti-join — signatures are map-side
+    projections (see minhash_signature_table). All shuffle keys are
+    md5-derived, so none can skew."""
     from pyspark.sql import Window
 
     bands = band_table(df, text_col, id_col, n_hashes, band_size, k)
@@ -229,10 +232,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     metric ``lsh_bucket_overflow`` (visible in QueryExecutionListener /
     the live StreamingQueryProgress — zero extra pass). Pass None to
     disable the cap."""
-    # Signatures via the aggregation form inside band_table (computed
-    # exactly once — expression-form signatures get inlined by
-    # projection collapse and re-hashed per band; measured 40x
-    # slowdown at sf0.1).
+    # Signatures via band_table's map-side projection form; each band
+    # hash references its two components exactly once, and the shared
+    # digest arrays are not duplicated by projection collapse (md5
+    # appears exactly twice in the physical plan — verified in
+    # plans/r11/minhash_lsh_pairs_after.txt).
     banded = band_table(df, text_col, id_col, n_hashes, band_size, k)
     # One shuffle: group ids per bucket, then generate the in-bucket
     # pairs with array expressions. Beats the naive self-join (which

@@ -75,14 +75,20 @@ def test_array_fold_has_no_python_and_stays_codegen(spark, sfq):
     assert "*(" in executed, f"no codegen stage in:\n{executed}"
 
 
-def test_minhash_reuses_one_exchange(spark, sfq):
-    # the window (shingling) and the groupBy (signature) share the
-    # hash-partitioning on id: at most 2 exchanges total (scan-side
-    # id distribution + final left join), never one per stage
+def test_minhash_signatures_are_mapside(spark, sfq):
+    # round-11 optimization: signatures are pure projections (zip_with
+    # shingles + md5 digest arrays + array_min slices) — no explode,
+    # no window, no groupBy, so ZERO hash-partitioning exchanges (the
+    # only exchange is the query's own orderBy range partitioning).
     # simple mode prints exchange args inline; formatted mode splits
     # them into a details section and the substring never matches
     plan = _plan(spark, sfq("minhash_signatures"), mode="simple")
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "Window" not in plan
+    assert "SortAggregate" not in plan
+    # the shared digest arrays must not be duplicated by projection
+    # collapse: one md5 per digest group (8 hashes / 4 per md5 = 2)
+    assert plan.count("md5") == 2
 
 
 def test_tumbling_counts_partial_aggregates(spark, sfq):
