@@ -40,14 +40,35 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     )
 
 
+def gram_array(text: Column, k: int = 3) -> Column:
+    """Per-position k-word grams of the lowercased word sequence as a
+    single array expression: element i is words[i..i+k-1] joined with
+    single spaces, built by zip_with over k-1 shifted copies of the
+    word array (two O(n) slices per shift — no per-element slice
+    allocation, no explode, no window). The last k-1 positions have no
+    full lookahead and yield NULL (zip_with pads the shorter shifted
+    copy with NULL and concat propagates it) — consumers either
+    filter the NULLs (gram rows) or rely on min/array_min ignoring
+    them (MinHash)."""
+    ws = whitespace_words(text)
+    n = F.size(ws)
+    sh = ws
+    for j in range(1, k):
+        tail = F.slice(ws, j + 1, F.greatest(n - j, F.lit(0)))
+        sh = F.zip_with(sh, tail,
+                        lambda a, b: F.concat(a, F.lit(" "), b))
+    return sh
+
+
 def word_shingles(text: Column, k: int = 3) -> Column:
     """k-word shingles of the lowercased word sequence, as strings
-    joined with single spaces. Array expression, no explode."""
-    words = whitespace_words(text)
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    make = lambda i: F.array_join(F.slice(words, i + 1, k), " ")  # noqa: E731
-    return F.when(n >= k, F.transform(idx, make)).otherwise(F.array())
+    joined with single spaces. Array expression, no explode — the
+    NULL-tail positions of gram_array sliced off, so only complete
+    shingles remain (empty array below k words)."""
+    n = F.size(whitespace_words(text))
+    return F.when(n >= k,
+                  F.slice(gram_array(text, k), 1, n - k + 1)
+                  ).otherwise(F.array())
 
 
 _CHUNKS_PER_MD5 = 4  # 128 md5 bits -> 4 x 32-bit (8 hex chars) components
@@ -118,13 +139,7 @@ def minhash_signature_table(df: DataFrame, text_col: str = "text",
     Returns (id, h0..h{n-1}) — one row per input document, including
     shingle-less and NULL-text docs (all-NULL components)."""
     n_groups = (n_hashes + _CHUNKS_PER_MD5 - 1) // _CHUNKS_PER_MD5
-    ws = whitespace_words(F.col(text_col))
-    n = F.size(ws)
-    sh = ws
-    for j in range(1, k):
-        tail = F.slice(ws, j + 1, F.greatest(n - j, F.lit(0)))
-        sh = F.zip_with(sh, tail,
-                        lambda a, b: F.concat(a, F.lit(" "), b))
+    sh = gram_array(F.col(text_col), k)
     # one md5 array per digest group (not per seed); the per-seed
     # components below are substring slices over the same array
     digests = df.select(
@@ -515,26 +530,23 @@ def duplicated_spans(df: DataFrame, text_col: str = "text",
     < k); callers measuring coverage must union them
     (substring_dedup_stats does).
 
-    Scale shape: one posexplode (linear in corpus tokens), the gram
-    built by a lead() window riding the doc partitioning, ONE
-    corpus-wide shuffle keyed by the gram with map-side partial
-    counts, a count-filtered join back that reuses the gram hash
-    partitioning (output bounded by |gram starts| — each start row
-    matches at most one count row, so a stopword-heavy hot gram
-    costs its occurrence count, never a pair blowup), then doc-keyed
-    windows whose partitions are bounded by document length. No
-    driver-side state, no all-pairs stage.
+    Scale shape: the grams are built map-side (gram_array zip_with —
+    round-11 optimization; previously a lead() window that shuffled
+    and sorted every token row by doc id before the gram shuffle),
+    then one posexplode (linear in corpus tokens), ONE corpus-wide
+    shuffle keyed by the gram with map-side partial counts, a
+    count-filtered join back that reuses the gram hash partitioning
+    (output bounded by |gram starts| — each start row matches at most
+    one count row, so a stopword-heavy hot gram costs its occurrence
+    count, never a pair blowup), then doc-keyed windows whose
+    partitions are bounded by document length. No driver-side state,
+    no all-pairs stage.
     """
     from pyspark.sql import Window
 
-    rows = df.select(F.col(id_col).alias("id"),
-                     F.posexplode(whitespace_words(F.col(text_col)))
-                     .alias("pos", "w"))
-    win = Window.partitionBy("id").orderBy("pos")
-    parts: list[Column] = [F.col("w")]
-    for j in range(1, k):
-        parts.extend([F.lit(" "), F.lead("w", j).over(win)])
-    starts = (rows.select("id", "pos", F.concat(*parts).alias("gram"))
+    starts = (df.select(F.col(id_col).alias("id"),
+                        F.posexplode(gram_array(F.col(text_col), k))
+                        .alias("pos", "gram"))
               .where(F.col("gram").isNotNull()))
     dup_grams = (starts.groupBy("gram")
                  .agg(F.count(F.lit(1)).alias("_n"))

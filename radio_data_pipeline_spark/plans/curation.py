@@ -40,8 +40,7 @@ from pyspark.sql import functions as F
 from radio_data_pipeline_spark.functions.text import BPE_RE, WORD_RE
 from radio_data_pipeline_spark.plans.quality import (
     _grams_sql,
-    _lead_gram,
-    _word_rows,
+    _gram_rows,
     _WORDS_CTE,
 )
 from radio_data_pipeline_spark.sources.layout import md5_prefix_long
@@ -73,18 +72,17 @@ _BENCH_MOD = 97          # doc_id % 97 == 0 -> the held-out "benchmark" subset
         "word-5-gram with the held-out benchmark subset "
         "(doc_id % 97 == 0), with the contaminated-gram fraction. The "
         "benchmark gram set is broadcast (tiny vs the corpus); the "
-        "corpus side is probed map-side and aggregates on the doc_id "
-        "partitioning the gram window already produced — no "
-        "gram-keyed shuffle of the big side.",
+        "corpus side's per-doc distinct grams are built map-side "
+        "(array_distinct on the gram array) and probed map-side — no "
+        "gram-keyed shuffle of the big side; the only big-side "
+        "exchange is the final per-doc count aggregation.",
     tags=("text", "decontamination", "dedup"),
 )
 def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rows = _word_rows(spark, sf_dir)
-    grams = (
-        rows.select("doc_id", _lead_gram(_DECONTAM_K).alias("gram"))
-        .where(F.col("gram").isNotNull())
-        .dropDuplicates(["doc_id", "gram"])
-    )
+    # per-doc distinct grams built fully map-side (round-11: was a
+    # lead-window + corpus-wide dropDuplicates shuffle)
+    grams = _gram_rows(spark, sf_dir, _DECONTAM_K,
+                       distinct_within_doc=True)
     bench = (grams.where(F.col("doc_id") % _BENCH_MOD == 0)
              .select(F.col("gram").alias("bgram")).distinct())
     train = grams.where(F.col("doc_id") % _BENCH_MOD != 0)

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from radio_data_pipeline_spark.functions.dedup import gram_array
 from radio_data_pipeline_spark.functions.text import (
     WHITESPACE_WORDS_SQL,
     whitespace_words,
@@ -66,15 +67,34 @@ def _word_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(whitespace_words(F.col("text"))).alias("pos", "w"))
 
 
-def _lead_gram(k: int) -> F.Column:
-    """k-word gram at this row via lead() lookahead; NULL (and later
-    filtered) on the trailing rows with < k-1 successors — the same
-    incomplete-gram semantics as the oracle's range() bound."""
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("w")]
-    for j in range(1, k):
-        parts.extend([F.lit(" "), F.lead("w", j).over(win)])
-    return F.concat(*parts)
+def _gram_rows(spark: SparkSession, sf_dir: str, k: int,
+               distinct_within_doc: bool = False) -> DataFrame:
+    """(doc_id, gram) rows of k-word grams built map-side (gram_array
+    zip_with + explode) — no token explode, no lead() window, no
+    doc-keyed shuffle. With ``distinct_within_doc`` the per-document
+    dedup happens map-side too (array_distinct on the gram array
+    before the explode), replacing what used to be a corpus-wide
+    dropDuplicates shuffle; (doc_id, gram) output sets are identical
+    because grams are deduped within the single row that owns them."""
+    docs = load_table_fanned(spark, sf_dir, "documents")
+    arr = gram_array(F.col("text"), k)
+    if distinct_within_doc:
+        arr = F.array_distinct(arr)
+    return (docs.select("doc_id", F.explode(arr).alias("gram"))
+            .where(F.col("gram").isNotNull()))
+
+
+def _tagged_grams(k: int) -> F.Column:
+    """Map-side k-word gram array over `text`, each element tagged
+    with its gram order as struct(n, gram); trailing positions with
+    < k-1 successors are NULL grams (filtered by consumers) — the
+    same incomplete-gram semantics as the oracle's range() bound.
+    Round-11 optimization: replaces a lead()-window builder that
+    shuffled and sorted every token row by doc id before the gram
+    aggregation's own shuffle."""
+    return F.transform(
+        gram_array(F.col("text"), k),
+        lambda g: F.struct(F.lit(k).alias("n"), g.alias("gram")))
 
 
 @register(
@@ -114,15 +134,14 @@ def _lead_gram(k: int) -> F.Column:
     tags=("text", "quality", "repetition"),
 )
 def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rows = _word_rows(spark, sf_dir)
+    docs = load_table_fanned(spark, sf_dir, "documents")
     grams = (
-        rows.select(
+        docs.select(
             "doc_id",
-            F.col("w").alias("g1"),
-            _lead_gram(2).alias("g2"),
-            _lead_gram(3).alias("g3"),
-        )
-        .selectExpr("doc_id", "stack(3, 1, g1, 2, g2, 3, g3) AS (n, gram)")
+            F.explode(F.concat(_tagged_grams(1), _tagged_grams(2),
+                               _tagged_grams(3))).alias("s"))
+        .select("doc_id", F.col("s.n").alias("n"),
+                F.col("s.gram").alias("gram"))
         .where(F.col("gram").isNotNull())
     )
     g1 = grams.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
@@ -176,9 +195,7 @@ _REPEAT_TOPN = 20
     tags=("text", "quality", "dedup"),
 )
 def corpus_repeated_5grams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rows = _word_rows(spark, sf_dir)
-    grams = (rows.select("doc_id", _lead_gram(_REPEAT_K).alias("gram"))
-             .where(F.col("gram").isNotNull()))
+    grams = _gram_rows(spark, sf_dir, _REPEAT_K)
     return (
         grams.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("n_docs"),

@@ -71,9 +71,8 @@ from radio_data_pipeline_spark.plans.llm import (
     _docs,
 )
 from radio_data_pipeline_spark.plans.quality import (
+    _gram_rows,
     _grams_sql,
-    _lead_gram,
-    _word_rows,
     _WORDS_CTE,
 )
 from radio_data_pipeline_spark.plans.registry import register
@@ -84,14 +83,10 @@ _DUP_K = 5  # gram length for duplicated-span coverage + bloom decontam
 
 def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_id, gram) rows of k=5 word grams — shared by the
-    coverage and bloom queries. One shuffle (the lead window's doc_id
-    hash partitioning, reused by the distinct)."""
-    return (
-        _word_rows(spark, sf_dir)
-        .select("doc_id", _lead_gram(_DUP_K).alias("gram"))
-        .filter(F.col("gram").isNotNull())
-        .distinct()
-    )
+    coverage and bloom queries. Fully map-side (round-11: was a lead
+    window + corpus-wide distinct shuffle): the per-doc dedup is an
+    array_distinct on the gram array inside the row that owns it."""
+    return _gram_rows(spark, sf_dir, _DUP_K, distinct_within_doc=True)
 
 
 _GRAMS_CTE = (
