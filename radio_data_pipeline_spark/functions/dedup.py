@@ -427,36 +427,57 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
         "silent early exit would split real clusters")
 
 
+_HEX_DIGITS = "0123456789abcdef"
+_HEX_PARITY = "0101010101010101"  # translate map: hex digit -> low bit
+
+
 def simhash_table(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", k_bits: int = 32) -> DataFrame:
-    """SimHash as ONE md5 per word: explode words to rows, hash each
-    once, aggregate k_bits signed-parity sums per document, pack bits
-    in a post-projection. Identical values to simhash64, one shuffle
-    keyed by document id with map-side partial sums.
+    """SimHash fully map-side with ONE parity mask per word: a first
+    projection turns each word into a 32-bit integer whose bit
+    (31-j) is the parity of md5 hex digit j — md5 once, then
+    translate (hex digit -> its low bit) + conv(base 2) instead of
+    k_bits substring/IN probes. A second projection tallies bit j by
+    folding shift-and-mask integer adds over the mask array: bit set
+    iff +1 votes outnumber -1 votes, i.e. 2 * |odd digits| > |words|.
+    (CollapseProject keeps the mask array materialized because the
+    array expression is non-cheap and referenced k_bits times.)
+
+    Identical values to simhash64 and to the previous
+    explode_outer + groupBy(id) form — measured faster than both at
+    sf0.1 — but with NO shuffle and no per-token row blowup: the
+    per-document vote tally happens inside the row that owns the text
+    (round-11; the groupBy form shuffled one 33-column partial-sum
+    row per doc, ~264 B/doc at corpus scale).
+
+    NULL text stays NULL through split/transform, every vote compare
+    is NULL -> bit 0, so the doc still emits simhash 0 — the same
+    value the explode_outer NULL-word row produced.
 
     Returns (id, simhash)."""
-    words = df.select(
+    masks = df.select(
         F.col(id_col).alias("id"),
-        # NOT whitespace_words: simhash keeps NULL text as a NULL
-        # word row (explode_outer) so the doc still emits a signature
-        # — its oracle mirrors this exact non-coalesced form
-        F.explode_outer(F.filter(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-            lambda w: w != "")).alias("w"))
-    hashed = words.select("id", F.md5("w").alias("h"))
-    votes = [
-        F.sum(F.when(F.col("h").isNull(), 0)
-              .when(F.substring("h", j + 1, 1).isin(*_ODD_HEX), 1)
-              .otherwise(-1)).alias(f"v{j}")
+        F.transform(
+            F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                     lambda w: w != ""),
+            lambda w: F.conv(F.translate(F.md5(w), _HEX_DIGITS,
+                                         _HEX_PARITY), 2, 10)
+            .cast("long")).alias("ms"))
+    n = F.size("ms")
+    bits = [
+        F.when(
+            F.aggregate(
+                F.col("ms"), F.lit(0).cast("long"),
+                # md5 is always 32 hex digits, so digit j sits at bit
+                # (31 - j) of the conv'd mask regardless of k_bits
+                lambda acc, m: acc + F.shiftright(m, 31 - j)
+                .bitwiseAND(F.lit(1))) * 2 > n,
+            F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
         for j in range(k_bits)
     ]
-    agg = hashed.groupBy("id").agg(*votes)
-    packed = agg.select(
+    return masks.select(
         "id",
-        sum([F.when(F.col(f"v{j}") > 0, F.lit(2 ** j).cast("long"))
-             .otherwise(F.lit(0).cast("long")) for j in range(k_bits)],
-            start=F.lit(0).cast("long")).alias("simhash"))
-    return packed
+        sum(bits[1:], start=bits[0]).alias("simhash"))
 
 
 def containment_pairs(df: DataFrame, text_col: str = "text",

@@ -91,6 +91,20 @@ def test_minhash_signatures_are_mapside(spark, sfq):
     assert plan.count("md5") == 2
 
 
+def test_simhash_is_mapside(spark, sfq):
+    # round-11 optimization: simhash is two stacked projections (md5 ->
+    # translate/conv parity mask per word, then integer fold votes) —
+    # no explode, no groupBy, so ZERO hash-partitioning exchanges (the
+    # only exchange is the query's own orderBy range partitioning),
+    # and exactly one md5 per word (the mask array is materialized
+    # once, not inlined into the 32 per-bit folds)
+    plan = _plan(spark, sfq("simhash_docs"), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "Generate" not in plan
+    assert "HashAggregate" not in plan
+    assert plan.count("md5") == 1
+
+
 def test_tumbling_counts_partial_aggregates(spark, sfq):
     # map-side partial aggregation before the shuffle: two HashAggregate
     # nodes around one Exchange
