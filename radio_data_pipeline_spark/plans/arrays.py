@@ -26,6 +26,7 @@ from radio_data_pipeline_spark.functions.similarity import (
     lsh_bucket_topk,
     near_dup_pairs_lsh,
 )
+from radio_data_pipeline_spark.operators.ordering import bounded_sort
 from radio_data_pipeline_spark.plans.registry import register
 from radio_data_pipeline_spark.sources.parquet import (
     load_table,
@@ -35,8 +36,23 @@ from radio_data_pipeline_spark.sources.parquet import (
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plain scan: single-pass array folds cost less than the shuffle a
-    # fan-out would add — used by the vector_* integration queries
+    # fan-out would add — used by the posexplode/groupBy queries whose
+    # own aggregation exchange re-spreads the work anyway
     return load_table(spark, sf_dir, "embeddings")
+
+
+def _emb_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # vec_id-RANGE fan-out for the per-row fold queries that end with
+    # orderBy(vec_id): when the fan fires (small scan), the one range
+    # exchange both parallelizes the fold across cores AND satisfies
+    # the trailing sort, so the fold runs once per action instead of
+    # twice (the orderBy boundary-sampling job re-ran the fold stage —
+    # operators/ordering.py). Shuffling the embedding rows here costs
+    # the same bytes the round-robin fan would; at real scale the fan
+    # is a no-op and the narrow fold OUTPUT is range-shuffled by the
+    # query's own orderBy, exactly as before.
+    return load_table_fanned(spark, sf_dir, "embeddings",
+                             range_cols=("vec_id",))
 
 
 def _query_vec(emb: DataFrame, vec_id: int = 0) -> list[float]:
@@ -74,7 +90,7 @@ def _emb_fanned(spark: SparkSession, sf_dir: str) -> DataFrame:
 def vector_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from radio_data_pipeline_spark.operators.integrate import array_sum
     return (
-        _emb(spark, sf_dir)
+        _emb_by_id(spark, sf_dir)
         .select("vec_id",
                 F.round(array_sum(F.col("embedding")), 6).alias("intensity"))
         .orderBy("vec_id")
@@ -98,7 +114,8 @@ def vector_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def vector_slice_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from radio_data_pipeline_spark.operators.integrate import array_sum
     from radio_data_pipeline_spark.operators.validation import crop_channels
-    cropped = crop_channels(_emb(spark, sf_dir), 4, 35, data_col="embedding")
+    cropped = crop_channels(_emb_by_id(spark, sf_dir), 4, 35,
+                            data_col="embedding")
     return (
         cropped.select(
             "vec_id",
@@ -130,7 +147,7 @@ def vector_mask_negative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x: F.when(x.cast("double") < 0, F.lit(0.0))
                    .otherwise(x.cast("double")))
     return (
-        _emb(spark, sf_dir)
+        _emb_by_id(spark, sf_dir)
         .select("vec_id",
                 F.round(F.aggregate(masked, F.lit(0.0),
                                     lambda acc, x: acc + x), 6)
@@ -167,7 +184,9 @@ def vector_elementwise_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pos")
         .agg(F.round(F.sum("val"), 6).alias("intensity"),
              F.count(F.lit(1)).alias("n_rows"))
-        .orderBy("pos")
+        # output bounded by the embedding dimension (64 rows at any
+        # corpus size) -> single-partition range sort, no sampling job
+        .transform(bounded_sort, "pos")
     )
 
 
@@ -466,7 +485,7 @@ def _int8_reconstruct() -> F.Column:
     tags=("similarity", "quantization"),
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _int8_affine(_emb(spark, sf_dir))
+    d = _int8_affine(_emb_by_id(spark, sf_dir))
     err = F.zip_with(F.col("v"), _int8_reconstruct(),
                      lambda x, xh: (x - xh) * (x - xh))
     return (
@@ -607,7 +626,7 @@ def vector_boxcar_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sm = F.transform(arr, smoothed)
     return (
-        _emb(spark, sf_dir)
+        _emb_by_id(spark, sf_dir)
         .select("vec_id", sm.alias("sm"))
         .select("vec_id",
                 F.array_position(F.col("sm"), F.array_max("sm"))
@@ -674,7 +693,7 @@ def vector_dft8(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.round(F.sqrt(re * re + im * im), 6).alias(f"mag{k}")
 
     return (
-        _emb(spark, sf_dir)
+        _emb_by_id(spark, sf_dir)
         .select("vec_id", *[mag(k) for k in _DFT_KS])
         .orderBy("vec_id")
     )
@@ -734,7 +753,9 @@ def label_centroid_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
              F.round(F.avg(F.sqrt("d2")), 6).alias("mean_dist"),
              F.round(F.max(F.sqrt("d2")), 6).alias("max_dist"))
-        .orderBy("label")
+        # output bounded by the label domain -> single-partition range
+        # sort, no boundary-sampling job (operators/ordering.py)
+        .transform(bounded_sort, "label")
     )
 
 
@@ -1098,7 +1119,7 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vecs"),
              F.sum(F.when(~F.col("is_kept"), 1).otherwise(0))
               .cast("long").alias("n_removed"))
-        .orderBy("cluster")
+        .transform(bounded_sort, "cluster")
     )
 
 

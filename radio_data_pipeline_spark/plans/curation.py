@@ -44,6 +44,7 @@ from radio_data_pipeline_spark.plans.quality import (
     _WORDS_CTE,
 )
 from radio_data_pipeline_spark.sources.layout import md5_prefix_long
+from radio_data_pipeline_spark.operators.ordering import bounded_sort
 from radio_data_pipeline_spark.plans.registry import register
 from radio_data_pipeline_spark.sources.parquet import load_table
 
@@ -442,5 +443,5 @@ def corpus_refinery_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
              F.sum(word_count(F.col("text"))).cast("bigint")
              .alias("total_words"))
-        .orderBy("split")
+        .transform(bounded_sort, "split")
     )

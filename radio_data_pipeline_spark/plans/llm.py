@@ -54,6 +54,20 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table_fanned(spark, sf_dir, "documents")
 
 
+def _docs_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # doc_id-RANGE fan-out for the map-only kernels that end with
+    # orderBy(doc_id): the one exchange parallelizes the kernel AND
+    # satisfies the trailing sort, so the kernel runs once per action
+    # instead of twice (orderBy's boundary-sampling job re-ran the
+    # kernel stage — operators/ordering.py). Same shuffled bytes as
+    # the round-robin fan; no-op at real scale like _docs. Queries
+    # whose next step is their own shuffle (band/gram/fingerprint
+    # keys) keep the round-robin _docs — for them the fan key is
+    # irrelevant and round-robin spreads skewed doc lengths evenly.
+    return load_table_fanned(spark, sf_dir, "documents",
+                             range_cols=("doc_id",))
+
+
 def _sqlq(pattern: str) -> str:
     """Escape a regex for embedding in a single-quoted SQL literal."""
     return pattern.replace("'", "''")
@@ -92,7 +106,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_len = F.aggregate(F.transform(words, F.length), F.lit(0),
                             lambda acc, x: acc + x)
     return (
-        _docs(spark, sf_dir)
+        _docs_by_id(spark, sf_dir)
         .select(
             "doc_id", "n_chars",
             F.length(text).alias("n_chars_calc"),
@@ -125,7 +139,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        _docs(spark, sf_dir)
+        _docs_by_id(spark, sf_dir)
         .select("doc_id",
                 language_id(F.col("text")).alias("predicted_lang"),
                 F.col("lang").alias("actual_lang"))
@@ -154,7 +168,7 @@ def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        _docs(spark, sf_dir)
+        _docs_by_id(spark, sf_dir)
         .select("doc_id",
                 F.round(quality_score(F.col("text")), 6).alias("quality"))
         .orderBy("doc_id")
@@ -177,7 +191,7 @@ def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        _docs(spark, sf_dir)
+        _docs_by_id(spark, sf_dir)
         .select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
         .orderBy("doc_id")
     )
@@ -253,7 +267,7 @@ _SIG_SQL_CORE = (
     tags=("dedup", "minhash"),
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = minhash_signature_table(_docs(spark, sf_dir), n_hashes=_N_HASHES,
+    sigs = minhash_signature_table(_docs_by_id(spark, sf_dir), n_hashes=_N_HASHES,
                                    k=_K)
     return sigs.withColumnRenamed("id", "doc_id").orderBy("doc_id")
 
@@ -416,7 +430,7 @@ def _simhash_sql() -> str:
     tags=("dedup", "simhash"),
 )
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (simhash_table(_docs(spark, sf_dir), k_bits=_SIMHASH_BITS)
+    return (simhash_table(_docs_by_id(spark, sf_dir), k_bits=_SIMHASH_BITS)
             .withColumnRenamed("id", "doc_id")
             .orderBy("doc_id"))
 
@@ -592,7 +606,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "sampling"),
 )
 def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    docs = _docs_by_id(spark, sf_dir)
     key = F.md5(F.concat(F.col("lang"), F.lit("|"),
                          F.col("doc_id").cast("string")))
     thr = F.when(F.col("lang") == "en", F.lit("20")).otherwise(F.lit("80"))
@@ -618,7 +632,7 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sampling", "filter"),
 )
 def documents_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    docs = _docs_by_id(spark, sf_dir)
     return (docs
             .filter(F.substring(F.md5(F.col("doc_id").cast("string")),
                                 1, 1) == "0")

@@ -37,6 +37,7 @@ from radio_data_pipeline_spark.functions.text import (
     WHITESPACE_WORDS_SQL,
     whitespace_words,
 )
+from radio_data_pipeline_spark.operators.ordering import bounded_sort
 from radio_data_pipeline_spark.plans.registry import register
 from radio_data_pipeline_spark.sources.parquet import (
     load_table,
@@ -235,7 +236,7 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("exact_users").cast("bigint").alias("exact_users"),
             (F.abs(F.col("approx") - F.col("exact_users"))
              <= 0.05 * F.col("exact_users")).alias("approx_within_5pct"))
-        .orderBy("event_type")
+        .transform(bounded_sort, "event_type")
     )
 
 
@@ -343,7 +344,7 @@ def events_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                ["click", "view", "purchase", "scroll", "signup"]),
         min_rows(100),
     ])
-    return report.orderBy("rule")
+    return report.transform(bounded_sort, "rule")
 
 
 @register(
@@ -398,7 +399,8 @@ def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = load_table(spark, sf_dir, "events")
     return profile_columns(
-        ev, ["user_id", "event_type", "value"]).orderBy("column")
+        ev, ["user_id", "event_type", "value"]).transform(
+            bounded_sort, "column")
 
 
 _SPAN_K = 5

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from radio_data_pipeline_spark.operators.ordering import bounded_sort
 from radio_data_pipeline_spark.plans.registry import register
 from radio_data_pipeline_spark.sources.parquet import load_table
 
@@ -68,7 +69,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # output bounded by the returnflag x linestatus domain (6 rows
+        # at any SF) -> single-partition range sort, no sampling job
+        .transform(bounded_sort, "l_returnflag", "l_linestatus")
     )
 
 
@@ -155,7 +158,8 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
              .alias("revenue"))
-        .orderBy(F.desc("revenue"), "n_name")
+        # output bounded by the nation domain (25 rows at any SF)
+        .transform(bounded_sort, F.desc("revenue"), F.asc("n_name"))
     )
 
 
@@ -204,7 +208,8 @@ def distinct_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.countDistinct("user_id").alias("n_users"),
              F.count(F.lit(1)).alias("n_events"))
-        .orderBy("event_type")
+        # output bounded by the event-type domain
+        .transform(bounded_sort, "event_type")
     )
 
 
@@ -234,6 +239,14 @@ def orders_rank_in_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                 F.asc("o_orderkey"))
     return (
         _t(spark, sf_dir, "orders")
+        # RANGE-partition the window input by its partition key: the
+        # window's ClusteredDistribution is satisfied, and the final
+        # orderBy(o_custkey, rnk) — o_custkey is a partitioning
+        # prefix — compiles to a LOCAL sort. One exchange instead of
+        # hash(window) + range(sort), and the sort's boundary-sampling
+        # job re-reads only the scan, not the window stage
+        # (guide §2.4; operators/ordering.py)
+        .repartitionByRange("o_custkey")
         .select("o_custkey", "o_orderkey",
                 F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= 3)
@@ -308,7 +321,11 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # therefore n_sessions) order-nondeterministic across engines
     wrun = (Window.partitionBy("user_id").orderBy("ts_us", "event_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    ev = _t(spark, sf_dir, "events")
+    # RANGE-partition by the window key: both windows and the
+    # user_id groupBy reuse the one exchange, and the trailing
+    # orderBy(user_id) becomes a local sort with no boundary-sampling
+    # re-run of the window stage (guide §2.4; operators/ordering.py)
+    ev = _t(spark, sf_dir, "events").repartitionByRange("user_id")
     gap_us = F.col("ts_us") - F.lag("ts_us").over(w)
     flagged = ev.select(
         "user_id", "ts_us", "value", "event_id",
@@ -595,8 +612,10 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(F.sum("l_quantity").alias("sum_qty"),
              F.count(F.lit(1)).alias("n_rows"))
-        .orderBy(F.col("l_returnflag").asc_nulls_first(),
-                 F.col("l_linestatus").asc_nulls_first())
+        # rollup output bounded by the (returnflag x linestatus) domain
+        .transform(bounded_sort,
+                   F.col("l_returnflag").asc_nulls_first(),
+                   F.col("l_linestatus").asc_nulls_first())
     )
 
 
@@ -701,7 +720,8 @@ def linreg_value_vs_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(y) - slope * F.avg(x), 6).alias("intercept"),
             F.count(F.lit(1)).alias("n"),
         )
-        .orderBy("event_type")
+        # output bounded by the event-type domain
+        .transform(bounded_sort, "event_type")
     )
 
 
@@ -860,7 +880,8 @@ def pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
                 F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
                 "gid", "sum_price", "n_rows")
-        .orderBy("gid", "returnflag", "linestatus")
+        # cube output bounded by the (returnflag x linestatus) domain
+        .transform(bounded_sort, "gid", "returnflag", "linestatus")
     )
 
 
@@ -955,7 +976,8 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
              F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
              F.count(F.lit(1)).alias("n"))
-        .orderBy("event_type")
+        # output bounded by the event-type domain
+        .transform(bounded_sort, "event_type")
     )
 
 

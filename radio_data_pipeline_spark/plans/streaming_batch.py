@@ -43,9 +43,13 @@ _GAP_US = 30 * 60 * 1_000_000
     tags=("streaming", "window-agg"),
 )
 def events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.operators.ordering import bounded_sort
     events = load_table(spark, sf_dir, "events")
-    return (tumbling_event_counts(events, window="1 hour")
-            .orderBy("win_start_us", "event_type"))
+    # output bounded by calendar buckets x event-type domain (hours in
+    # the time horizon, not input rows) -> single-partition range
+    # sort, no boundary-sampling job (operators/ordering.py)
+    return bounded_sort(tumbling_event_counts(events, window="1 hour"),
+                        "win_start_us", "event_type")
 
 
 @register(

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from radio_data_pipeline_spark.operators.ordering import bounded_sort
 from radio_data_pipeline_spark.plans.registry import register
 from radio_data_pipeline_spark.sources.parquet import load_table
 
@@ -102,7 +103,7 @@ def type_islands(ev: DataFrame) -> DataFrame:
              F.sum(F.when(F.col("run_len") >= 3, 1).otherwise(0))
              .cast("bigint").alias("runs_ge3"),
              F.round(F.avg("run_len"), 6).alias("avg_run"))
-        .orderBy("event_type")
+        .transform(bounded_sort, "event_type")
     )
 
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from radio_data_pipeline_spark.operators.ordering import bounded_sort
 from radio_data_pipeline_spark.plans.registry import register
 from radio_data_pipeline_spark.sources.parquet import load_table
 
@@ -66,7 +67,7 @@ def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (li.l_shipdate > o.o_orderdate), "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
-        .orderBy("o_orderpriority")
+        .transform(bounded_sort, "o_orderpriority")
     )
 
 
@@ -122,7 +123,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation",
                  F.year("l_shipdate").alias("l_year"))
         .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
+        .transform(bounded_sort, "supp_nation", "cust_nation", "l_year")
     )
 
 
@@ -175,7 +176,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(F.round(F.sum(nation_rev) / F.sum(_rev()), 6).alias("mkt_share"))
-        .orderBy("o_year")
+        .transform(bounded_sort, "o_year")
     )
 
 
@@ -219,7 +220,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
-        .orderBy("nation", "o_year")
+        .transform(bounded_sort, "nation", "o_year")
     )
 
 
@@ -580,7 +581,7 @@ def q22_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("c_custkey") % 10).alias("cust_group"))
         .agg(F.count(F.lit(1)).alias("numcust"),
              F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
-        .orderBy("cust_group")
+        .transform(bounded_sort, "cust_group")
     )
 
 
@@ -735,7 +736,7 @@ def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
              F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"))
-        .orderBy("l_returnflag")
+        .transform(bounded_sort, "l_returnflag")
     )
 
 
@@ -785,7 +786,7 @@ def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("val"), 2).alias("total"),
              F.round(F.avg("val"), 6).alias("mean"),
              F.count(F.lit(1)).cast("bigint").alias("n"))
-        .orderBy("l_returnflag", "measure")
+        .transform(bounded_sort, "l_returnflag", "measure")
     )
 
 
@@ -848,7 +849,7 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                           part, "p_partkey"))
         .unionAll(orphans("order_without_customer", orders, "o_custkey",
                           cust, "c_custkey"))
-        .orderBy("check_name")
+        .transform(bounded_sort, "check_name")
     )
 
 
@@ -901,7 +902,7 @@ def orders_incremental_monthly_revenue(spark: SparkSession,
             F.round(F.coalesce(F.col("s.rev"), F.lit(0.0))
                     + F.coalesce(F.col("d.rev"), F.lit(0.0)), 2)
             .alias("revenue"))
-        .orderBy("month")
+        .transform(bounded_sort, "month")
     )
 
 
@@ -951,5 +952,5 @@ def orders_price_distribution_ranks(spark: SparkSession,
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_top_decile"),
              F.round(F.min("o_totalprice"), 2).alias("decile_floor"),
              F.round(F.avg("cd"), 6).alias("avg_cume_dist"))
-        .orderBy("o_orderpriority")
+        .transform(bounded_sort, "o_orderpriority")
     )

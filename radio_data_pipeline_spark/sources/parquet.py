@@ -87,19 +87,39 @@ _FAN_MEMO: dict[tuple[str, str], bool] = {}
 
 
 def load_table_fanned(spark: SparkSession, sf_dir: str,
-                      name: str) -> DataFrame:
+                      name: str, range_cols: tuple[str, ...] = (),
+                      ) -> DataFrame:
     """``load_table`` + ``fan_out`` with the (scan-parallelism < cores)
     probe memoized per (sf_dir, table) — the physical split count of a
     static parquet table is stable within a session, and the probe
     costs one plan->RDD conversion we don't want on every query build.
+
+    ``range_cols`` (round-11): fan out by RANGE on these columns
+    instead of round-robin. Same parallelization of the downstream
+    kernel, same shuffled bytes when the fan fires — but a consumer
+    whose trailing ``orderBy`` starts with ``range_cols`` then needs
+    NO second exchange (RangePartitioning satisfies
+    OrderedDistribution for a prefix), so its global sort compiles to
+    a local sort and the range-boundary sampling job re-reads only
+    the scan below this exchange rather than re-running the expensive
+    kernel stage (operators/ordering.py has the full argument;
+    measured at sf0.1: simhash_docs noop wall −40%). When the fan
+    does not fire (real scale: thousands of splits) the plan is
+    byte-identical to before — the consumer's own orderBy inserts the
+    range exchange over the NARROW kernel output, which is the right
+    side to shuffle at 100 TB.
     """
     df = load_table(spark, sf_dir, name)
     key = (sf_dir, name)
     if key not in _FAN_MEMO:
         cores = spark.sparkContext.defaultParallelism
         _FAN_MEMO[key] = df.rdd.getNumPartitions() < max(1, cores // 2)
-    return df.repartition(spark.sparkContext.defaultParallelism) \
-        if _FAN_MEMO[key] else df
+    if not _FAN_MEMO[key]:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    if range_cols:
+        return df.repartitionByRange(cores, *range_cols)
+    return df.repartition(cores)
 
 
 JOIN_STRATEGIES = ("broadcast", "merge", "shuffle_hash",
