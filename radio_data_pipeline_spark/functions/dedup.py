@@ -277,6 +277,19 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     return (
         buckets.select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.id_a"), F.col("p.id_b"))
+        # RANGE-partition the cross-band dedup (round-11): the distinct
+        # agg's ClusteredDistribution is satisfied either way, but
+        # range partitioning also satisfies the (id_a, id_b) ordering
+        # the registered consumer sorts by — its orderBy becomes a
+        # LOCAL sort, collapsing hash(distinct) + range(sort) into one
+        # exchange (measured at sf0.1: best-of-5 0.45 -> 0.36 s,
+        # median -33%). Join consumers reshuffle on their own key in
+        # both forms (neither hash(id_a,id_b) nor range satisfies a
+        # join on id_a), so nothing regresses. Trade, stated: the
+        # explicit repartition sits below the aggregate, so there is
+        # no map-side partial dedup — at most n_bands copies of a
+        # pair cross the exchange, bounded and skew-free (md5 keys).
+        .repartitionByRange("id_a", "id_b")
         .distinct()
     )
 

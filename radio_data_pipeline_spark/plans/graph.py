@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from radio_data_pipeline_spark.functions.graph_ops import triangle_stats
+from radio_data_pipeline_spark.operators.ordering import bounded_sort
 from radio_data_pipeline_spark.plans.registry import register
 from radio_data_pipeline_spark.sources.parquet import load_table
 
@@ -261,7 +262,7 @@ def copurchase_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
              F.min("d").cast("bigint").alias("min_degree"),
              F.max("d").cast("bigint").alias("max_degree"))
-        .orderBy("log2_bucket")
+        .transform(bounded_sort, "log2_bucket")
     )
 
 
@@ -350,7 +351,7 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = counts[0]
     for c in counts[1:]:
         out = out.unionAll(c)
-    return out.orderBy("round")
+    return out.transform(bounded_sort, "round")
 
 
 _LPA_ROUNDS = 2

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from radio_data_pipeline_spark.operators.ordering import bounded_sort
 from radio_data_pipeline_spark.plans.quality import _word_rows, _WORDS_CTE
 from radio_data_pipeline_spark.functions.splits import SPLIT_SQL, split_col
 from radio_data_pipeline_spark.plans.registry import (
@@ -147,7 +148,7 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.min("n_chars").alias("min_chars"),
              F.max("n_chars").alias("max_chars"))
-        .orderBy("bucket")
+        .transform(bounded_sort, "bucket")
     )
 
 
@@ -175,7 +176,7 @@ def corpus_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy(split.alias("split"))
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum("n_chars").alias("total_chars"))
-        .orderBy("split")
+        .transform(bounded_sort, "split")
     )
 
 
@@ -215,7 +216,7 @@ def events_user_zscore_outliers(spark: SparkSession, sf_dir: str
                  & (F.abs((F.col("value") - F.col("mu")) / F.col("sd")) > 3.0))
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_outliers"))
-        .orderBy("event_type")
+        .transform(bounded_sort, "event_type")
     )
 
 
@@ -506,7 +507,7 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                    > 3 * 1.4826 * F.col("mad")))
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_outliers"))
-        .orderBy("event_type")
+        .transform(bounded_sort, "event_type")
     )
 
 
@@ -555,7 +556,7 @@ def token_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum("n_chars_raw") / F.sum("n_tokens"), 6)
               .alias("chars_per_token"),
              F.round(F.avg("n_tokens"), 6).alias("avg_tokens_per_doc"))
-        .orderBy("lang")
+        .transform(bounded_sort, "lang")
     )
 
 
@@ -596,7 +597,7 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(actual, 6).alias("actual_frac"),
                 F.round((1.0 / F.col("n_sources")) / actual, 6)
                  .alias("sample_weight"))
-        .orderBy("source")
+        .transform(bounded_sort, "source")
     )
 
 
@@ -756,7 +757,7 @@ def skew_salted_type_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.round(F.sum(F.col("value") * F.col("type_weight")), 2)
               .alias("weighted_value"))
-        .orderBy("event_type")
+        .transform(bounded_sort, "event_type")
     )
 
 
@@ -844,7 +845,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_vecs"),
              F.round(F.avg("d2"), 4).alias("avg_dist2"))
-        .orderBy("cluster")
+        .transform(bounded_sort, "cluster")
     )
 
 
@@ -933,7 +934,7 @@ def null_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.col("v").isNull().cast("long")).alias("n_null_v"))
         .select(F.coalesce(F.col("k"), F.lit("<null>")).alias("key_group"),
                 "n_rows", "n_nonnull_v", "n_distinct_v", "n_null_v")
-        .orderBy("key_group")
+        .transform(bounded_sort, "key_group")
     )
 
 
@@ -961,7 +962,7 @@ def decimal_revenue_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
              .cast("string").alias("exact_revenue"))
-        .orderBy("l_returnflag")
+        .transform(bounded_sort, "l_returnflag")
     )
 
 
@@ -1016,7 +1017,7 @@ def join_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("n").alias("max_rows"),
              F.round(F.avg("n"), 6).alias("avg_rows"),
              F.round(F.max("n") / F.avg("n"), 6).alias("skew_ratio"))
-        .orderBy("key_name")
+        .transform(bounded_sort, "key_name")
     )
 
 
@@ -1061,7 +1062,7 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "next_type",
                 F.col("n").alias("n_transitions"),
                 F.round(F.col("n") / F.col("tot"), 6).alias("p_next"))
-        .orderBy("event_type", "next_type")
+        .transform(bounded_sort, "event_type", "next_type")
     )
 
 
@@ -1282,7 +1283,7 @@ def zorder_locality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("user_id").cast("long").alias("max_user"),
              F.min("vbucket").alias("min_vbucket"),
              F.max("vbucket").alias("max_vbucket"))
-        .orderBy("zbucket")
+        .transform(bounded_sort, "zbucket")
     )
 
 
@@ -1348,7 +1349,7 @@ def events_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt(m2), 6).alias("stddev"),
             F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skewness"),
             F.round(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis"))
-        .orderBy("event_type")
+        .transform(bounded_sort, "event_type")
     )
 
 
@@ -1530,7 +1531,7 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
              *[corr_col(x, y, a) for x, y, a in _CORR_PAIRS])
-        .orderBy("l_returnflag")
+        .transform(bounded_sort, "l_returnflag")
     )
 
 
@@ -1583,7 +1584,7 @@ def events_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n", "raw_mean", "winsorized_mean",
                 F.round("p01", 6).alias("p01"),
                 F.round("p99", 6).alias("p99"))
-        .orderBy("event_type")
+        .transform(bounded_sort, "event_type")
     )
 
 
@@ -1656,7 +1657,7 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("decile_rev").over(wc)
                          / F.sum("decile_rev").over(wt), 6)
                   .alias("cum_share"))
-        .orderBy("decile"))
+        .transform(bounded_sort, "decile"))
 
 
 @register(

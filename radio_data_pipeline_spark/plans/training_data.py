@@ -75,6 +75,7 @@ from radio_data_pipeline_spark.plans.quality import (
     _grams_sql,
     _WORDS_CTE,
 )
+from radio_data_pipeline_spark.operators.ordering import bounded_sort
 from radio_data_pipeline_spark.plans.registry import register
 from radio_data_pipeline_spark.sources.parquet import load_table
 
@@ -344,7 +345,7 @@ def bloom_decontam_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("exact").alias("n_exact"),
              F.sum(F.when((F.col("flagged") == 1) & (F.col("exact") == 0),
                           1).otherwise(0)).alias("n_false_pos"))
-        .orderBy("source")
+        .transform(bounded_sort, "source")
     )
 
 
