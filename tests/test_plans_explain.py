@@ -484,9 +484,10 @@ def test_global_windows_confined_to_bounded_allowlist():
         if not m:
             continue
         cells = [c.strip() for c in ln.split("|")]
-        # cells: '', name, shuffles, range, bcast, py, topk,
-        #        pushdown, gwin, red, ''
-        if len(cells) >= 10 and cells[8]:
+        # cells: '', name, shuffles, range, 1p, bcast, py, topk,
+        #        pushdown, gwin, red, '' (the 1p single-partition
+        #        column was added in round 11)
+        if len(cells) >= 11 and cells[9]:
             gwin.add(m.group(1))
     assert "gwin" in text, "PLANS.md predates the gwin column — " \
         "run: python tools/audit_plans.py"
@@ -495,6 +496,86 @@ def test_global_windows_confined_to_bounded_allowlist():
         f"{sorted(gwin - _BOUNDED_GLOBAL_WINDOWS)} — either rewrite "
         "onto sources/layout.global_row_number/global_ntile or "
         "justify boundedness here and in tools/audit_plans.py")
+
+
+# single-partition exchanges (round 11): every query whose plan
+# contains an Exchange SinglePartition must fall into one of two
+# BOUNDED classes — (a) an ungrouped/scalar aggregate's one-row
+# gather (q6's forecast total, promo %, theta sketch merges, corr/
+# chi2/moment scalars, funnel stage counts, the iterative-algorithm
+# per-round one-row frames), or (b) a bounded_sort tail
+# (operators/ordering.py): a key-domain-bounded output (enum
+# grouping keys, fixed array dimension, calendar buckets) gathered
+# into ONE range partition so the global sort needs no
+# boundary-sampling job. Like the gwin allowlist above, "bounded"
+# must hold at ANY corpus size; adding a query here requires the
+# same adjudication the call site's comment records.
+_BOUNDED_SINGLE_PARTITION = {
+    "approx_distinct_users", "bloom_decontam_stats", "bm25_keyword_topk",
+    "copurchase_degree_dist", "corpus_refinery_report",
+    "corpus_split_assignment", "customer_rfm_segments",
+    "decimal_revenue_exact", "distinct_event_users",
+    "doc_length_histogram", "embedding_top_singular_dim",
+    "event_transition_matrix", "events_column_profile",
+    "events_constraint_report", "events_daily_gapfill",
+    "events_funnel_counts", "events_mad_outliers",
+    "events_tumbling_counts", "events_type_islands",
+    "events_user_zscore_outliers", "events_value_moments",
+    "events_value_percentiles", "events_winsorized_mean",
+    "join_key_skew_stats", "kcore_copurchase", "kmeans_embeddings",
+    "label_centroid_dispersion", "lineitem_benford_audit",
+    "lineitem_corr_matrix", "lineitem_unpivot_measures",
+    "linreg_value_vs_time", "negative_samples_per_anchor",
+    "null_semantics_audit", "orders_gini_coefficient",
+    "orders_incremental_monthly_revenue", "orders_pareto_share",
+    "orders_price_distribution_ranks", "orders_priority_month_chi2",
+    "pagerank_copurchase", "part_type_affinity",
+    "parts_above_avg_price", "pricing_cube", "promo_revenue_pct",
+    "q11_important_parts", "q12_priority_by_returnflag",
+    "q15_top_revenue_supplier", "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue", "q1_pricing_summary",
+    "q22_idle_customer_balance", "q4_priority_exists",
+    "q5_region_revenue", "q6_forecast_revenue", "q7_nation_volume",
+    "q8_market_share", "q9_product_profit",
+    "referential_integrity_audit", "rolling_median_daily_revenue",
+    "rollup_pricing", "semantic_dedup_stats", "skew_salted_type_join",
+    "source_mixture_weights", "tfidf_top_terms",
+    "theta_audience_overlap", "token_compression_ratio",
+    "triangle_count_copurchase", "unigram_logprob_scores",
+    "vector_elementwise_sum", "word_pair_pmi",
+    "zorder_locality_events",
+}
+
+
+def test_single_partition_exchanges_confined_to_bounded_allowlist():
+    """No registered query may gather an UNBOUNDED input through an
+    Exchange SinglePartition (scalar-aggregate gathers and
+    bounded_sort tails are the two adjudicated classes). Pinned via
+    the committed PLANS.md `1p` column, same mechanism as the gwin
+    allowlist above."""
+    import pathlib
+    import re
+
+    text = pathlib.Path(__file__).resolve().parent.parent \
+        .joinpath("PLANS.md").read_text()
+    assert "| 1p |" in text, "PLANS.md predates the 1p column — " \
+        "run: python tools/audit_plans.py"
+    single = set()
+    for ln in text.splitlines():
+        m = re.match(r"^\| ([a-z0-9_]+) \| \d+ \|", ln)
+        if not m:
+            continue
+        cells = [c.strip() for c in ln.split("|")]
+        # cells: '', name, shuffles, range, 1p, bcast, py, topk,
+        #        pushdown, gwin, red, ''
+        if len(cells) >= 11 and cells[4] and int(cells[4]) > 0:
+            single.add(m.group(1))
+    assert single <= _BOUNDED_SINGLE_PARTITION, (
+        f"unadjudicated single-partition exchanges: "
+        f"{sorted(single - _BOUNDED_SINGLE_PARTITION)} — a "
+        "SinglePartition gather must be a scalar-aggregate or a "
+        "key-domain-bounded bounded_sort; justify it at the call "
+        "site and add it here")
 
 
 def test_knn_join_indexed_query_prunes_partitions(spark, sfq):
