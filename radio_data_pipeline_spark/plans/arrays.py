@@ -218,7 +218,8 @@ def vector_onoff_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("val").cast("double") * F.col("sign")).alias("sval"))
         .groupBy("pos")
         .agg(F.round(F.sum("sval"), 6).alias("intensity"))
-        .orderBy("pos")
+        # output bounded by the fixed array dimension (pos <= 64) (r12)
+        .transform(bounded_sort, "pos")
     )
 
 
@@ -424,7 +425,10 @@ def embedding_pair_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine_similarity(F.col("a.embedding"),
                                       F.col("b.embedding")), 6)
              .alias("cosine"))
-        .orderBy("id_a", "id_b")
+        # output bounded by construction: the vec_id < 40 prune caps
+        # pairs at C(40,2) = 780 at ANY corpus size; the orderBy
+        # form's sampling job re-ran the theta self-join (r12)
+        .transform(bounded_sort, "id_a", "id_b")
     )
 
 

@@ -220,7 +220,8 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.select("lang", reason.alias("reason"))
         .groupBy("lang", "reason")
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("lang", "reason")
+        # output bounded by the (language-code x 5 reasons) domain (r12)
+        .transform(bounded_sort, "lang", "reason")
     )
 
 
@@ -277,7 +278,10 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _WSAMPLE_K)
         .select("source", "doc_id", F.col("n_chars").cast("long").alias("n_chars"),
                 F.round("skey", 6).alias("sample_key"))
-        .orderBy("source", "sample_key", "doc_id")
+        # output bounded by k x the source domain (<= _WSAMPLE_K rows
+        # per source; source adjudicated bounded at the
+        # source_mixture_weights call site) (r12)
+        .transform(bounded_sort, "source", "sample_key", "doc_id")
     )
 
 
@@ -327,7 +331,9 @@ def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
              F.sum(kept).cast("bigint").alias("n_kept"),
              F.sum(kept_chars).cast("bigint").alias("kept_chars"))
-        .orderBy("source")
+        # output bounded by the source domain (source_mixture_weights
+        # precedent) (r12)
+        .transform(bounded_sort, "source")
     )
 
 

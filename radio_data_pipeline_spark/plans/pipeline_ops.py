@@ -355,11 +355,17 @@ def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.udtf.register("doc_chunks", ChunkDoc)
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     docs.createOrReplaceTempView("__docs_for_udtf")
+    # ORDER BY tail outside the SQL as a bounded_sort: the doc_id < 50
+    # prune bounds the output by construction at ANY corpus size, and
+    # the in-SQL ORDER BY's boundary-sampling job re-ran the per-row
+    # Python UDTF stage — the most expensive stage this query has —
+    # once more per action (r12). (doc_id, chunk_idx) is unique per
+    # row, so the order is identical.
+    from radio_data_pipeline_spark.operators.ordering import bounded_sort
     return spark.sql("""
         SELECT d.doc_id, c.chunk_idx, c.n_words, c.first_word
         FROM __docs_for_udtf d, LATERAL doc_chunks(d.text) c
-        ORDER BY d.doc_id, c.chunk_idx
-    """)
+    """).transform(bounded_sort, "doc_id", "chunk_idx")
 
 
 @register(
@@ -1199,7 +1205,17 @@ def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = ev.filter(F.col("event_type").isin("view", "purchase"))
     sk = (both.groupBy("event_type")
           .agg(F.expr("theta_sketch_agg(user_id)").alias("sk")))
-    est = sk.agg(
+    # coalesce(1) before the intersection: theta_intersection_agg's
+    # identity element is the INFINITE set, so a partial-agg buffer
+    # that receives ZERO rows throws SketchesStateException at
+    # getResult() — which happens whenever the grouped-sketch shuffle
+    # leaves empty partitions (AQE off / fixed shuffle.partitions;
+    # found by the r12 count_jobs sweep, which runs AQE-off like the
+    # bench session — AQE's post-shuffle coalescing was masking it).
+    # sk is domain-bounded (<= #event_types rows), so one partition
+    # is the honest shape at any scale; same rows into a commutative
+    # intersection, result unchanged.
+    est = sk.coalesce(1).agg(
         F.expr("theta_sketch_estimate(theta_intersection_agg(sk))")
         .alias("est_both"))
     v = ev.filter(F.col("event_type") == "view") \

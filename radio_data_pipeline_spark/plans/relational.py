@@ -507,7 +507,8 @@ def events_time_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_rows"),
              F.round(F.sum("value"), 6).alias("sum_value"))
-        .orderBy("event_type")
+        # output bounded by the event-type domain (r12)
+        .transform(bounded_sort, "event_type")
     )
 
 
@@ -540,7 +541,8 @@ def events_physical_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_valid"),
              F.round(F.min("value"), 6).alias("min_value"),
              F.round(F.max("value"), 6).alias("max_value"))
-        .orderBy("event_type")
+        # output bounded by the event-type domain (r12)
+        .transform(bounded_sort, "event_type")
     )
 
 
@@ -653,7 +655,8 @@ def union_order_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"),
              F.round(F.sum("o_totalprice"), 2).alias("total_price"))
-        .orderBy("cohort", "o_orderpriority")
+        # output bounded by the (2 cohorts x priority enum) domain (r12)
+        .transform(bounded_sort, "cohort", "o_orderpriority")
     )
 
 
@@ -844,7 +847,8 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(F.round(F.avg(k), 6).alias("avg_k"),
              F.max(k).alias("max_k"))
-        .orderBy("event_type")
+        # output bounded by the event-type domain (r12)
+        .transform(bounded_sort, "event_type")
     )
 
 
@@ -902,14 +906,18 @@ def pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pricing_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_gs")
+    # the ORDER BY tail lives outside the SQL string as a bounded_sort:
+    # output bounded by the (returnflag x linestatus) domain, and every
+    # (returnflag, linestatus) pair is distinct across the grouping
+    # sets, so the sort keys are unique — identical rows and order to
+    # the in-SQL ORDER BY, minus its boundary-sampling job (r12)
     return spark.sql("""
         SELECT coalesce(l_returnflag, 'ALL')   AS returnflag,
                coalesce(l_linestatus, 'ALL')   AS linestatus,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         FROM _li_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        ORDER BY returnflag, linestatus
-    """)
+    """).transform(bounded_sort, "returnflag", "linestatus")
 
 
 @register(
@@ -1382,7 +1390,9 @@ def orders_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "yyyy-MM").alias("month"))
         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
              F.count(F.lit(1)).alias("n_orders"))
-        .orderBy("month")
+        # output bounded by calendar months in the time horizon
+        # (orders_incremental_monthly_revenue precedent) (r12)
+        .transform(bounded_sort, "month")
     )
 
 
@@ -1477,5 +1487,8 @@ def events_udaf_iqr_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(F.round(iqr_udf(F.col("value")), 6).alias("iqr"),
              n_udf(F.col("value")).alias("n"))
-        .orderBy("event_type")
+        # output bounded by the event-type domain; the orderBy form's
+        # boundary-sampling job re-ran the GROUPED_AGG pandas UDF
+        # stage (the whole Python round trip) per action (r12)
+        .transform(bounded_sort, "event_type")
     )

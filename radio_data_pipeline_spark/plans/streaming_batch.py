@@ -47,7 +47,15 @@ def events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     # output bounded by calendar buckets x event-type domain (hours in
     # the time horizon, not input rows) -> single-partition range
-    # sort, no boundary-sampling job (operators/ordering.py)
+    # sort, no boundary-sampling job (operators/ordering.py).
+    # Horizon bound (r11 ADVICE): buckets grow with the TIME SPAN, not
+    # the corpus — a decade of hourly buckets x 5 types is ~440k
+    # narrow rows through the one sort task (milliseconds); corpus
+    # replication leaves the bucket count CONSTANT (measured at the
+    # 100x corpus: same output rows as sf0.1 — BENCH_SCALING r12).
+    # A deployment whose horizon outgrows that (century-scale spans
+    # or second-granularity windows) should widen the window or
+    # revert to the parallel orderBy.
     return bounded_sort(tumbling_event_counts(events, window="1 hour"),
                         "win_start_us", "event_type")
 
@@ -120,7 +128,12 @@ def events_session_window_counts(spark: SparkSession,
 )
 def events_sliding_window_users(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
+    from radio_data_pipeline_spark.operators.ordering import bounded_sort
     events = load_table(spark, sf_dir, "events")
+    # output bounded by calendar buckets (hourly slides x the 2-bucket
+    # replication factor in the time horizon, not input rows) — the
+    # events_tumbling_counts adjudication; see that call site for the
+    # horizon-bound argument (r12)
     return (sliding_user_activity(events)
             .withColumn("n_users", F.col("n_users").cast("bigint"))
-            .orderBy("win_start_us"))
+            .transform(bounded_sort, "win_start_us"))

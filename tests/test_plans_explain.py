@@ -512,37 +512,59 @@ def test_global_windows_confined_to_bounded_allowlist():
 # same adjudication the call site's comment records.
 _BOUNDED_SINGLE_PARTITION = {
     "approx_distinct_users", "bloom_decontam_stats", "bm25_keyword_topk",
+    # r12 additions, each adjudicated at its bounded_sort call site:
+    # event-type-domain tails (events_time_filter,
+    # events_physical_validation, json_props_extract,
+    # events_udaf_iqr_per_type), calendar-bucket tails
+    # (orders_monthly_revenue, events_sliding_window_users),
+    # source-domain tails (cap_docs_per_source,
+    # weighted_sample_per_source), enum-cross tails
+    # (union_order_cohorts, quality_filter_funnel,
+    # pricing_grouping_sets), fixed-dimension (vector_onoff_diff),
+    # filter-bounded (embedding_pair_cosine, doc_chunks_udtf)
+    "cap_docs_per_source",
     "copurchase_degree_dist", "corpus_refinery_report",
     "corpus_split_assignment", "customer_rfm_segments",
     "decimal_revenue_exact", "distinct_event_users",
-    "doc_length_histogram", "embedding_top_singular_dim",
+    "doc_chunks_udtf",
+    "doc_length_histogram", "embedding_pair_cosine",
+    "embedding_top_singular_dim",
     "event_transition_matrix", "events_column_profile",
     "events_constraint_report", "events_daily_gapfill",
     "events_funnel_counts", "events_mad_outliers",
+    "events_physical_validation", "events_sliding_window_users",
+    "events_time_filter",
     "events_tumbling_counts", "events_type_islands",
+    "events_udaf_iqr_per_type",
     "events_user_zscore_outliers", "events_value_moments",
     "events_value_percentiles", "events_winsorized_mean",
-    "join_key_skew_stats", "kcore_copurchase", "kmeans_embeddings",
+    "join_key_skew_stats", "json_props_extract",
+    "kcore_copurchase", "kmeans_embeddings",
     "label_centroid_dispersion", "lineitem_benford_audit",
     "lineitem_corr_matrix", "lineitem_unpivot_measures",
     "linreg_value_vs_time", "negative_samples_per_anchor",
     "null_semantics_audit", "orders_gini_coefficient",
-    "orders_incremental_monthly_revenue", "orders_pareto_share",
+    "orders_incremental_monthly_revenue", "orders_monthly_revenue",
+    "orders_pareto_share",
     "orders_price_distribution_ranks", "orders_priority_month_chi2",
     "pagerank_copurchase", "part_type_affinity",
-    "parts_above_avg_price", "pricing_cube", "promo_revenue_pct",
+    "parts_above_avg_price", "pricing_cube",
+    "pricing_grouping_sets", "promo_revenue_pct",
     "q11_important_parts", "q12_priority_by_returnflag",
     "q15_top_revenue_supplier", "q17_small_quantity_revenue",
     "q19_disjunctive_revenue", "q1_pricing_summary",
     "q22_idle_customer_balance", "q4_priority_exists",
     "q5_region_revenue", "q6_forecast_revenue", "q7_nation_volume",
     "q8_market_share", "q9_product_profit",
+    "quality_filter_funnel",
     "referential_integrity_audit", "rolling_median_daily_revenue",
     "rollup_pricing", "semantic_dedup_stats", "skew_salted_type_join",
     "source_mixture_weights", "tfidf_top_terms",
     "theta_audience_overlap", "token_compression_ratio",
     "triangle_count_copurchase", "unigram_logprob_scores",
-    "vector_elementwise_sum", "word_pair_pmi",
+    "union_order_cohorts",
+    "vector_elementwise_sum", "vector_onoff_diff",
+    "weighted_sample_per_source", "word_pair_pmi",
     "zorder_locality_events",
 }
 
@@ -576,6 +598,19 @@ def test_single_partition_exchanges_confined_to_bounded_allowlist():
         "SinglePartition gather must be a scalar-aggregate or a "
         "key-domain-bounded bounded_sort; justify it at the call "
         "site and add it here")
+    # staleness guard (r11 ADVICE): the subset assert only catches
+    # ADDITIONS — an entry whose plan lost its SinglePartition
+    # exchange would linger silently. Warn (not fail: a plan change
+    # that removes a gather is an improvement, not an error) so the
+    # list is pruned when it goes stale.
+    stale = _BOUNDED_SINGLE_PARTITION - single
+    if stale:
+        import warnings
+
+        warnings.warn(
+            f"single-partition allowlist entries with no "
+            f"SinglePartition exchange in PLANS.md (prune them): "
+            f"{sorted(stale)}", stacklevel=1)
 
 
 def test_knn_join_indexed_query_prunes_partitions(spark, sfq):

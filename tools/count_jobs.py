@@ -38,7 +38,6 @@ def main() -> None:
         df = queries[name](spark, SF_DIR)
         # warm once (codegen, broadcasts)
         df.write.format("noop").mode("overwrite").save()
-        before = set(tracker.getJobIdsForGroup() or [])
         all_before = set(tracker.getJobIdsForGroup(None) or [])
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
