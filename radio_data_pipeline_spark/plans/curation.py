@@ -148,7 +148,12 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("n_tokens"))
     win = (Window.partitionBy("shard").orderBy("doc_id")
            .rowsBetween(Window.unboundedPreceding, -1))
-    c = t.withColumn(
+    # one range exchange serves the shard window, the (shard, bin)
+    # groupBy (shard is a subset of the grouping keys, clustering
+    # satisfied) and the tail orderBy(shard, bin) via the prefix rule
+    # (r12). Parallelism is the shard count in either form — the
+    # window already serializes within a shard by design.
+    c = t.repartitionByRange("shard").withColumn(
         "cum_before", F.coalesce(F.sum("n_tokens").over(win), F.lit(0)))
     return (
         c.groupBy(

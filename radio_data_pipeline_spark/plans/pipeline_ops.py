@@ -296,7 +296,11 @@ def events_latest_per_user_type(spark: SparkSession, sf_dir: str
     win = (Window.partitionBy("user_id", "event_type")
            .orderBy(F.desc("ts"), F.desc("event_id")))
     return (
-        ev.withColumn("rn", F.row_number().over(win))
+        # one range exchange serves window + tail sort: the sort keys
+        # equal the window partition keys exactly (prefix rule;
+        # orders_rank_in_customer idiom, r12)
+        ev.repartitionByRange("user_id", "event_type")
+        .withColumn("rn", F.row_number().over(win))
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type",
                 F.col("event_id").alias("latest_event_id"),
@@ -1062,12 +1066,17 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (s.filter(F.col("next_type").isNotNull())
          .groupBy("event_type", "next_type")
          .agg(F.count(F.lit(1)).alias("n")))
-    t = c.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    # row totals as a window over the BOUNDED transition table (<= 25
+    # rows of a 5x5 type cross) instead of groupBy + broadcast join:
+    # the broadcast build was a second driver job that re-executed the
+    # whole lead-window + count chain per action (r12 count_jobs:
+    # jobs=2, 4 stages each). sum(n) over (partition by event_type)
+    # assigns every c-row the identical tot the join produced.
+    tot = F.sum("n").over(Window.partitionBy("event_type"))
     return (
-        c.join(F.broadcast(t), "event_type")
-        .select("event_type", "next_type",
-                F.col("n").alias("n_transitions"),
-                F.round(F.col("n") / F.col("tot"), 6).alias("p_next"))
+        c.select("event_type", "next_type",
+                 F.col("n").alias("n_transitions"),
+                 F.round(F.col("n") / tot, 6).alias("p_next"))
         .transform(bounded_sort, "event_type", "next_type")
     )
 
@@ -1412,7 +1421,9 @@ def events_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    o = ev.select(
+    # one range exchange serves both user_id windows + the tail
+    # orderBy(user_id, version) via the prefix rule (r12)
+    o = ev.repartitionByRange("user_id").select(
         "user_id", "event_type", F.col("ts_us").alias("tus"), "event_id",
         F.lag("event_type").over(w).alias("prev_type"))
     c = o.where(F.col("prev_type").isNull()
@@ -1713,8 +1724,12 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    p = ev.select("user_id", F.col("value").alias("x"),
-                  F.lag("value").over(w).alias("y")) \
+    # one range exchange serves the lag window, the user_id groupBy
+    # (clustering satisfied, no second exchange) and the tail
+    # orderBy(user_id) — prefix rule (r12)
+    p = ev.repartitionByRange("user_id") \
+        .select("user_id", F.col("value").alias("x"),
+                F.lag("value").over(w).alias("y")) \
         .where(F.col("y").isNotNull())
     x, y = F.col("x"), F.col("y")
     s = p.groupBy("user_id").agg(
@@ -1770,16 +1785,22 @@ def lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.floor(F.log10("l_extendedprice")))) \
         .cast("bigint")
     d = li.select(digit.alias("digit"))
-    total = d.agg(F.count(F.lit(1)).alias("total"))
+    # total as a global window over the BOUNDED digit table (<= 9
+    # rows) instead of a scalar aggregate broadcast: the broadcast
+    # build was a second driver job that re-scanned lineitem per
+    # action (every d-row lands in exactly one digit group, so
+    # sum(cnt) over () == count(*) of d). Window over <= 9 rows —
+    # the orders_pareto_share gwin precedent. The bounded_sort tail
+    # then drops the sort-sampling job too: 3 jobs -> 1 (r12).
+    tot = F.sum("cnt").over(Window.partitionBy())
     return (
         d.groupBy("digit").agg(F.count(F.lit(1)).alias("cnt"))
-        .crossJoin(F.broadcast(total))
         .select("digit", F.col("cnt").cast("bigint").alias("n"),
-                F.round(F.col("cnt") / F.col("total"), 6)
+                F.round(F.col("cnt") / tot, 6)
                  .alias("observed_freq"),
                 F.round(F.log10(1 + 1.0 / F.col("digit")), 6)
                  .alias("benford_freq"))
-        .orderBy("digit")
+        .transform(bounded_sort, "digit")
     )
 
 
@@ -1967,11 +1988,23 @@ def part_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    ot = (li.join(F.broadcast(part),
-                  li["l_partkey"] == part["p_partkey"])
-          .select(F.col("l_orderkey").alias("ok"),
-                  F.col("p_type").alias("t"))
-          .distinct())
+    # persist the basket table for the within-query diamond (r12):
+    # ot feeds FOUR consumers (the grand total, the per-type
+    # marginals, and both sides of the pair self-join), and without
+    # the persist each broadcast build re-executed the lineitem-part
+    # join + distinct per action (6 driver jobs in the r12 count_jobs
+    # sweep). Released via release_deferred (the registry's
+    # global-rank-builder convention, §20 timing semantics); the
+    # persisted frame is the deduped (order, type) pairs — the same
+    # magnitude class as the gini/pareto per-customer aggregate, and
+    # storing it once beats recomputing the join three more times at
+    # any scale (MEMORY_AND_DISK spills, never fails).
+    ot = defer_unpersist(
+        (li.join(F.broadcast(part),
+                 li["l_partkey"] == part["p_partkey"])
+         .select(F.col("l_orderkey").alias("ok"),
+                 F.col("p_type").alias("t"))
+         .distinct()).persist())
     n = ot.agg(F.countDistinct("ok").alias("n"))
     s = ot.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     a, b = ot.alias("a"), ot.alias("b")
@@ -2036,10 +2069,23 @@ def orders_priority_month_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     x = orders.select(F.col("o_orderpriority").alias("pri"),
                       F.month("o_orderdate").alias("mo"))
-    o = x.groupBy("pri", "mo").agg(F.count(F.lit(1)).alias("obs"))
-    rp = x.groupBy("pri").agg(F.count(F.lit(1)).alias("cp"))
-    rm = x.groupBy("mo").agg(F.count(F.lit(1)).alias("cm"))
-    n = x.agg(F.count(F.lit(1)).alias("n"))
+    # ONE orders pass (r12): the previous shape aggregated the fact
+    # table FOUR independent ways (cell counts + both marginals + the
+    # grand total), and every broadcast build re-ran the orders scan —
+    # 6 driver jobs per action in the r12 count_jobs sweep. Every
+    # marginal is derivable from the contingency table itself (each
+    # order lands in exactly one (pri, mo) cell, so count-per-pri ==
+    # sum of cell counts over mo, etc.), so aggregate once into the
+    # BOUNDED <= 60-row cell table, persist it for the within-query
+    # diamond (released via release_deferred, the registry's
+    # global-rank-builder convention), and derive marginals/totals
+    # from those 60 rows.
+    o = defer_unpersist(
+        x.groupBy("pri", "mo").agg(F.count(F.lit(1)).alias("obs"))
+        .persist())
+    rp = o.groupBy("pri").agg(F.sum("obs").alias("cp"))
+    rm = o.groupBy("mo").agg(F.sum("obs").alias("cm"))
+    n = o.agg(F.sum("obs").alias("n"))
     np_ = rp.agg(F.count(F.lit(1)).alias("np"))
     nm = rm.agg(F.count(F.lit(1)).alias("nm"))
     cells = (rp.crossJoin(rm)

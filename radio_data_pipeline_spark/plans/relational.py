@@ -275,6 +275,11 @@ def events_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (
         _t(spark, sf_dir, "events")
+        # RANGE-partition the window input by its partition key (the
+        # orders_rank_in_customer idiom, r12): window clustering
+        # satisfied, tail orderBy(user_id, event_id) local via the
+        # prefix rule — one exchange, sampling job reads only the scan
+        .repartitionByRange("user_id")
         .select("user_id", "event_id",
                 F.round(F.sum("value").over(w), 6).alias("running_value"))
         .orderBy("user_id", "event_id")
@@ -1037,6 +1042,9 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rowsBetween(-3, 0))
     return (
         _t(spark, sf_dir, "events")
+        # one range exchange serves window + tail sort (prefix rule;
+        # orders_rank_in_customer idiom, r12)
+        .repartitionByRange("user_id")
         .select("event_id", "user_id",
                 F.round(F.avg("value").over(w), 6).alias("mavg"))
         .orderBy("user_id", "event_id")

@@ -157,17 +157,21 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (docs.select("doc_id",
                          F.explode(_split_words()).alias("term"))
              .distinct())
-    df_tbl = pairs.groupBy("term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df"))
+    # ONE pass over the distinct pairs (r12): df and the head list
+    # come from the same window + aggregate — the window keeps every
+    # row, so count(*) == df, and collect_list skips the NULLs the
+    # rn > 10 CASE leaves, buffering <= 10 ids per term exactly like
+    # the filtered form. The previous two-branch shape (df aggregate
+    # JOIN head aggregate) computed the explode+distinct subtree
+    # twice per action and paid a term-keyed join for the zip.
     w = Window.partitionBy("term").orderBy("doc_id")
-    head = (pairs.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= 10)
-            .groupBy("term")
-            .agg(F.sort_array(F.collect_list("doc_id"))
-                 .alias("postings_head")))
     return (
-        df_tbl.join(head, "term")
-        .select("term", "df", "postings_head")
+        pairs.withColumn("rn", F.row_number().over(w))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"),
+             F.sort_array(F.collect_list(
+                 F.when(F.col("rn") <= 10, F.col("doc_id"))))
+             .alias("postings_head"))
         .orderBy(F.desc("df"), "term")
         .limit(20)
     )

@@ -247,10 +247,16 @@ def test_gapfill_broadcasts_aggregated_facts(spark, sfq):
 
 
 def test_scd2_single_user_partitioning(spark, sfq):
-    # Both windows and the change filter ride ONE user_id
-    # hashpartitioning — no second repartition between stages.
+    # Both windows, the change filter AND the tail sort ride ONE
+    # user_id RANGE partitioning (r12: the prefix rule makes the
+    # orderBy(user_id, version) local) — no second exchange anywhere.
+    import re
+
     plan = _plan(spark, sfq("user_type_scd2"))
-    assert plan.count("hashpartitioning(user_id") >= 1
+    assert plan.count("rangepartitioning(user_id") >= 1
+    # exactly one exchange NODE (each node appears twice in formatted
+    # text: the tree line and its detail header)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "BatchEvalPython" not in plan
 
 
@@ -461,6 +467,9 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "orders_pareto_share",
     # rolling frame over the per-calendar-day series (time-bounded)
     "rolling_median_daily_revenue",
+    # grand-total window over the <= 9-row first-digit aggregate (r12:
+    # replaced the scalar-subquery broadcast that re-scanned lineitem)
+    "lineitem_benford_audit",
 }
 
 
