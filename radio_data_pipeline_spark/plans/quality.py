@@ -266,14 +266,45 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality", "entropy"),
 )
 def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rows = _word_rows(spark, sf_dir)
-    c = rows.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
-    n = F.sum("c")
+    # Map-side run-length entropy (r12, guide §2.4 — the §C1-C3
+    # rewrite class): per-word counts of a document are the run
+    # lengths of its SORTED word array, so H computes inside the row
+    # that owns the text — no token explode, no (doc_id, word)
+    # shuffle of the whole token stream, no second doc_id aggregation
+    # (the old shape shuffled every token and paid 2 driver jobs,
+    # 4-5 stages each). Identical values: the multiset of run lengths
+    # IS the per-(doc, word) count multiset, and sum(c·ln c) over it
+    # is order-independent through the 6-decimal round (oracle-
+    # verified at 3 SFs). Skew profile: per-doc O(n log n) sort —
+    # bounded by document length, the same per-row envelope as the
+    # map-side MinHash/SimHash kernels. The doc_id range fan makes
+    # the trailing orderBy local (sampling reads only the scan).
+    docs = load_table_fanned(spark, sf_dir, "documents",
+                             range_cols=("doc_id",))
+    t = docs.select(
+        "doc_id",
+        F.sort_array(whitespace_words(F.col("text"))).alias("s"))
+    s = F.col("s")
+    n = F.size(s)
+    # run ends: position i (1-based) is an end iff it is the last
+    # element or differs from its successor (zip_with NULL-pads the
+    # one-shorter shifted copy, marking the final position)
+    flags = F.zip_with(s, F.slice(s, 2, F.greatest(n - 1, F.lit(0))),
+                       lambda a, b: b.isNull() | (a != b))
+    ends = F.filter(
+        F.transform(flags, lambda x, i: F.when(x, i + F.lit(1))),
+        lambda e: e.isNotNull())
+    prev = F.concat(F.array(F.lit(0)),
+                    F.slice(ends, 1, F.size(ends) - 1))
+    counts = F.zip_with(ends, prev, lambda e, p: e - p)
+    nd = n.cast("double")
+    plogp = F.aggregate(
+        counts, F.lit(0.0),
+        lambda acc, c: acc + c.cast("double") * F.log(c.cast("double")))
     return (
-        c.groupBy("doc_id")
-        .agg(n.cast("bigint").alias("n_tokens"),
-             F.round(F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 6)
-              .alias("entropy"))
+        t.select("doc_id",
+                 n.cast("bigint").alias("n_tokens"),
+                 F.round(F.log(nd) - plogp / nd, 6).alias("entropy"))
         .orderBy("doc_id")
     )
 

@@ -459,6 +459,18 @@ def events_first_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "asof"),
 )
 def events_asof_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sort key (event_id) != window key (user_id), so no shared
+    # exchange exists and the orderBy's boundary-sampling job re-runs
+    # the window stage per action. The persist-the-filtered-output
+    # mitigation was MEASURED in r12 (VERDICT #4): cold one-shot
+    # interleaved A/B, 5 reps x2 rounds — current form best 0.221 s /
+    # persist form 0.194 s at sf0.1 (-13%), 0.472 vs 0.460 s at the
+    # 10x corpus (-3..6%). The win is real but far under the 2x bar
+    # set for bending the no-persist-in-a-lazy-query-path rule on a
+    # HEADLINE query (a build-time persist would also turn the
+    # bench's warm best-of-5 into cached 1.8k-row sorts, overstating
+    # the query by ~10x). Kept the lazy double-pass form; numbers in
+    # OPTIMIZATION_r12.md.
     w = (Window.partitionBy("user_id").orderBy("ts_us", "event_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     ev = _t(spark, sf_dir, "events")
