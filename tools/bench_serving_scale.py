@@ -15,6 +15,13 @@ capped, and compare.
 Usage: python tools/bench_serving_scale.py corpus_dir work_dir
          [--seed-docs N] [--k K | --target OCC] [--batch-sizes CSV]
          [--reps R] [--prune both|on|off] [--eps F]
+         [--soak N [--soak-docs D]]
+
+--soak N (r12, VERDICT #2): after the grid, serve N additional
+batches of --soak-docs (default 2000) through the SAME handle with
+the prune forced ON, reporting per-third docs/s and the full wall
+list — the long-horizon flatness evidence for the large-index
+prune regime (BENCH_SCALING §26b).
 
 Corpus: an embeddings.parquet with (vec_id, embedding) — e.g.
 .bench_scale/emb1m or .bench_scale/emb10m (tools/make_embedding_corpus).
@@ -38,7 +45,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from radio_data_pipeline_spark.session import get_spark  # noqa: E402
 
 _FLAGS = ("--seed-docs", "--k", "--target", "--batch-sizes", "--reps",
-          "--prune", "--eps")
+          "--prune", "--eps", "--soak", "--soak-docs")
 
 
 def _flag(name: str, default, cast=int):
@@ -81,6 +88,8 @@ def main() -> None:
     reps = _flag("--reps", 3)
     prune_mode = _flag("--prune", "both", str)
     eps = _flag("--eps", 0.8, float)
+    soak = _flag("--soak", 0)
+    soak_docs = _flag("--soak-docs", 2000)
 
     spark = get_spark("bench-serving-scale")
     spark.sparkContext.setLogLevel("ERROR")
@@ -89,8 +98,9 @@ def main() -> None:
            .select("vec_id", "embedding"))
     n = emb.count()
     max_batch = max(sizes)
-    serve_need = max_batch * reps * (2 if prune_mode == "both"
-                                     else 1) * len(sizes)
+    serve_need = (max_batch * reps * (2 if prune_mode == "both"
+                                      else 1) * len(sizes)
+                  + soak * soak_docs)
     if not seed_docs:
         seed_docs = n - min(n // 10, serve_need)
     k = k_flag or max(2, seed_docs // target)
@@ -206,6 +216,47 @@ def main() -> None:
                    "survivors_last": n_surv}
             out["grid"].append(row)
             print(json.dumps(row), flush=True)
+    if soak:
+        # long-horizon flatness: N more batches, prune forced ON,
+        # same handle, index growing by soak_docs per batch — the
+        # per-batch fixed cost must stay flat (sub-linear in N)
+        sem._HANDLE_PRUNE_MIN_ROWS = 0
+        walls = []
+        for r in range(soak):
+            chunk = (emb.filter(
+                (F.col("vec_id") >= offset)
+                & (F.col("vec_id") < offset + soak_docs))
+                .select("vec_id", "embedding"))
+            chunk.persist().count()
+            t0 = time.monotonic()
+            survivors, rows_b = \
+                sem.semantic_dedup_batch_against_index(
+                    chunk, handle, bid, eps=eps)
+            survivors.count()
+            sem.append_semantic_batch(rows_b, index, bid)
+            walls.append(time.monotonic() - t0)
+            rows_b.unpersist()
+            chunk.unpersist()
+            offset += soak_docs
+            bid += 1
+            if (r + 1) % 20 == 0:
+                print(f"  soak {r + 1}/{soak}: last20 median "
+                      f"{sorted(walls[-20:])[10]:.2f}s", flush=True)
+        third = max(1, soak // 3)
+        thirds = [walls[:third], walls[third:2 * third],
+                  walls[2 * third:]]
+        out["soak"] = {
+            "batches": soak, "batch_docs": soak_docs,
+            "walls_s": [round(w, 2) for w in walls],
+            "median_s": round(sorted(walls)[len(walls) // 2], 2),
+            "thirds_median_s": [round(sorted(t)[len(t) // 2], 2)
+                                for t in thirds],
+            "thirds_docs_per_s": [round(soak_docs * len(t)
+                                        / max(sum(t), 1e-9), 1)
+                                  for t in thirds],
+        }
+        print("SOAK " + json.dumps(out["soak"]["thirds_median_s"])
+              + " med thirds", flush=True)
     handle.close()
     out["loadavg_end"] = list(os.getloadavg())
     print("RESULT " + json.dumps(out), flush=True)
