@@ -572,8 +572,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(word_tokens(F.lower(F.col("text")))).alias("term"))
     tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = words.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df"))
+    # df derived from tf, not from a second pass over the token
+    # stream (r12): tf has exactly one row per (doc, term), so
+    # count(*) per term over tf == countDistinct(doc_id) over words —
+    # and because both branches now share the IDENTICAL
+    # (doc_id, term) exchange subplan, Spark plans a ReusedExchange:
+    # the explode + token shuffle runs ONCE per action instead of
+    # twice (the old dfreq branch shuffled the whole token stream a
+    # second time under a different key). The second exchange left is
+    # hash(term) over the already-aggregated tf rows.
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     score = (F.col("tf")
              * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0))
