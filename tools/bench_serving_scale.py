@@ -150,6 +150,12 @@ def main() -> None:
             .withColumn("cell_bucket",
                         F.pmod(F.col("cell"),
                                F.lit(n_buckets)).cast("int")))
+    # persist the assignment across the chunked appends (r12): each
+    # chunk's append filters this LAZY frame, so without the persist
+    # every chunk re-executed the full N-row assignment — at 10M rows
+    # / k=39k that was ~35 min PER CHUNK (the reason the r11 §26b
+    # seed never finished). One materialization, five cached reads.
+    rows = rows.persist()
     # chunk the bulk append so no single overwrite dir is huge
     chunk_rows = 2_000_000
     n_chunks = max(1, math.ceil(seed_docs / chunk_rows))
@@ -163,6 +169,7 @@ def main() -> None:
         print(f"  seeded chunk {i + 1}/{n_chunks} "
               f"({hi - lo} rows)", flush=True)
     sem.compact_semantic_index(spark, index)
+    rows.unpersist()
     from radio_data_pipeline_spark.functions.similarity import (
         release_assignment)
     release_assignment(prepared)
